@@ -1,13 +1,520 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextOps, VectorOps}
+import graft.operators._
+
+/** Driver contract (SURVEY §7): one named query per implemented
+  * operator from the SURVEY §2 inventory + the training-data-pipeline
+  * extension surface, each with a DuckDB oracle where ANSI-SQL-
+  * expressible.
+  *
+  * Determinism discipline (SURVEY §7.3): every declared query ends in a
+  * total deterministic ORDER BY; double aggregation goes through
+  * DECIMAL(18,4) (exact, associative) and back; cosine similarities are
+  * double-precision sequential folds rounded to 6 dp; all column names
+  * are aliased identically here and in the oracle SQL.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship pipeline on sf0.001 (driver smoke-checks rows > 0) — the
+    * reference's §3.1 ingest restated: scan → noise filter → chunk →
+    * token count → hash-embed → top-k cosine retrieval vs. a probe. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val docs = NoiseFilter(Tables.documents(spark, dir), "text")
+    val chunked = Chunker.chunk(docs, "text", idealTokens = 32, chunkWords = 24)
+    val embedded = chunked.withColumn(
+      "embedding", VectorOps.hashEmbed(TextOps.words(col("chunk_text")), 64))
+    val probe = VectorOps.hashEmbed(
+      TextOps.words(lit("query filter join aggregate window shuffle")), 64)
+    embedded
+      .withColumn("sim", VectorOps.cosine6(col("embedding"), probe))
+      .select(col("doc_id"), col("chunk_id"), col("chunk_tokens"), col("sim"))
+      .orderBy(col("sim").desc, col("doc_id"), col("chunk_id"))
+      .limit(10)
+  }
+
+  private val enStop = TextOps.stopwords("en")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- aggregation / relational surface (SURVEY §2.4/2.5/2.6) -----
+    "q01_pricing_summary" -> ((s, d) =>
+      Analytics.pricingSummary(Tables.lineitem(s, d))),
+
+    "q02_topk_orders" -> ((s, d) =>
+      Analytics.topK(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        "o_totalprice", "o_orderkey", 10)),
+
+    "q03_contact_enrich" -> ((s, d) =>
+      MessageOps.enrichContact(
+        Tables.orders(s, d), Tables.customer(s, d),
+        "o_custkey", "c_custkey", "c_name")
+        .select(col("o_orderkey"), col("contact_display"))
+        .orderBy(col("o_orderkey"))),
+
+    "q04_group_enrich" -> ((s, d) =>
+      MessageOps.enrichGroup(
+        Tables.customer(s, d), Tables.nation(s, d),
+        "c_nationkey", "n_nationkey", "n_name")
+        .groupBy(col("group_display"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("group_display"))),
+
+    "q05_noise_filter" -> ((s, d) =>
+      NoiseFilter(Tables.documents(s, d), "text")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"))),
+
+    "q06_find_contact" -> ((s, d) =>
+      MessageOps.findContact(Tables.customer(s, d),
+        "c_custkey", None,
+        "c_mktsegment", Some("BUILDING"),
+        "c_name", Some("1"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))),
+
+    "q07_range_scan" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+        .limit(500)),
+
+    "q08_window_rank" -> ((s, d) =>
+      Analytics.recentPerGroup(Tables.orders(s, d),
+        "o_custkey", "o_orderdate", "o_orderkey", 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))),
+
+    "q09_rollup" -> ((s, d) =>
+      Analytics.rollupCounts(Tables.lineitem(s, d),
+        "l_returnflag", "l_linestatus", "l_quantity")),
+
+    "q10_reaction_join" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber").as("line_a"), col("l_partkey").as("part_a"))
+      val r = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber").as("line_b"), col("l_partkey").as("part_b"))
+      l.join(r, l("l_orderkey") === r("l_orderkey") && col("line_a") === col("line_b") - 1)
+        .select(l("l_orderkey"), col("line_a"), col("line_b"), col("part_a"), col("part_b"))
+        // (l_orderkey, l_linenumber) is not unique in the fixture, so a
+        // total order over all output columns is required for the
+        // cross-engine row-order contract.
+        .orderBy(col("l_orderkey"), col("line_a"), col("part_a"), col("part_b"))
+    }),
+
+    "q11_json_extract" -> ((s, d) =>
+      Analytics.jsonKStats(Tables.events(s, d))),
+
+    "q12_hourly_window" -> ((s, d) =>
+      Analytics.hourlyAgg(Tables.events(s, d), "ts", "value")),
+
+    "q13_sessionize" -> ((s, d) =>
+      Analytics.sessionize(Tables.events(s, d), "user_id", "ts", "event_id", 1800L)
+        .orderBy(col("user_id"), col("session_id"))),
+
+    "q14_dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    "q15_token_count" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.bpeTokenEstimate(col("text")).as("est_bpe_tokens"),
+        TextOps.chunkCount(TextOps.tokenCount(col("text")), 24).as("n_chunks"))
+        .orderBy(col("doc_id"))),
+
+    "q16_chunker" -> ((s, d) =>
+      Chunker.chunk(Tables.documents(s, d), "text", idealTokens = 32, chunkWords = 24)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_tokens"), col("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    "q17_quality_score" -> ((s, d) => {
+      val ws = TextOps.words(lower(col("text")))
+      val n = size(ws)
+      val hits = size(filter(ws, w => w.isInCollection(enStop)))
+      val alpha = size(filter(ws, w => w.rlike("^[a-z]+$")))
+      val stopRatio = hits.cast("double") / n.cast("double")
+      val alphaRatio = alpha.cast("double") / n.cast("double")
+      Tables.documents(s, d).select(
+        col("doc_id"), n.as("n_words"), hits.as("stop_hits"),
+        round(stopRatio, 6).as("stop_ratio"),
+        round(alphaRatio, 6).as("alpha_ratio"),
+        TextOps.qualityScore(n, stopRatio, alphaRatio).as("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q18_lang_id" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        TextOps.langId(col("text")).as("detected"))
+        .orderBy(col("doc_id"))),
+
+    "q19_cosine_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("__probe"))
+      e.crossJoin(broadcast(probe))
+        .withColumn("sim", VectorOps.cosine6(col("embedding"), col("__probe")))
+        .select(col("vec_id"), col("label"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(20)
+    }),
+
+    "q20_knn_join" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.knnJoin(
+        e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "vec_id", "vec_id", "embedding", 5)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    "q21_centroids" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(
+          sum(col("v").cast("double").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+            .cast("double") / count(col("v")), 6).as("centroid_val"))
+        .orderBy(col("label"), col("pos"))
+    }),
+
+    "q22_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d),
+        "doc_id", "text", "source", 3, 0.5)
+        .orderBy(col("grp"), col("id_a"), col("id_b"))),
+
+    "q23_embedding_neardup" -> ((s, d) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q30_stats_summary" -> ((s, d) =>
+      Analytics.statsSummary(Tables.lineitem(s, d))),
+
+    "q31_message_normalize" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val k = get_json_object(col("props"), "$.k")
+      MessageOps.normalize(ev, col("event_type"), col("props"), k, k)
+        .select(col("event_id"), col("direction"), col("body"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q32_empty_null" -> ((s, d) => {
+      val ws = TextOps.words(col("text"))
+      val long = filter(ws, w => length(w) > 8)
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        when(size(long) > 0, size(long)).as("att_count"),
+        when(size(long) > 0, element_at(long, 1)).as("first_att"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- non-SQL-expressible ops (rows-only check per contract) -----
+    "q24_minhash_neardup" -> ((s, d) =>
+      Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+        shingleK = 3, nBands = 8, rowsPerBand = 2, jaccardThreshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q25_simhash_neardup" -> ((s, d) =>
+      Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q26_hash_embed" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        VectorOps.hashEmbed(TextOps.words(col("text")), 64).as("embedding"))
+        .orderBy(col("doc_id"))),
+
+    "q27_ann_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.annJoin(
+        e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "vec_id", "vec_id", "embedding", 5)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    "q28_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextOps.fingerprint(TextOps.words(col("text"))).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    "q29_approx_distinct" -> ((s, d) =>
+      Analytics.approxDistinct(Tables.events(s, d)))
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracles. Shared SQL fragments:
+  private val cosineSql =
+    "list_dot_product(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[])) / " +
+      "(sqrt(list_dot_product(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))) * " +
+      "sqrt(list_dot_product(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))))"
+  private def cos(a: String, b: String) = cosineSql.format(a, b, a, a, b, b)
+  private def dsumSql(e: String) = s"CAST(sum(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
+  private val wsSql = "string_split_regex(trim(text), '\\s+')"
+  private val noiseSql = NoiseFilter.noiseLiterals
+    .map(l => s"'${l.replace("'", "''")}'").mkString("(", ", ", ")")
+  private val noisePrefixSql = NoiseFilter.noisePrefixes
+    .map(p => s"NOT starts_with(text, '${p.replace("'", "''")}')").mkString(" AND ")
+  private val enStopSql = enStop.map(w => s"'$w'").mkString("(", ", ", ")")
+  private def langHits(l: String) = {
+    val list = TextOps.stopwords(l).map(w => s"'$w'").mkString("(", ", ", ")")
+    s"len(list_filter(ws, w -> w IN $list))"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${dsumSql("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)")} AS sum_disc_price,
+         |  ${dsumSql("l_quantity")} / count(l_quantity) AS avg_qty,
+         |  count(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q03_contact_enrich" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN c_name IS NOT NULL AND length(c_name) > 0
+        |       THEN c_name || ',' || CAST(o_custkey AS VARCHAR)
+        |       ELSE CAST(o_custkey AS VARCHAR) END AS contact_display
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q04_group_enrich" ->
+      """SELECT coalesce(n_name, '<missing group>') AS group_display,
+        |  count(*) AS n_members
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q05_noise_filter" ->
+      s"""SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+         |FROM documents
+         |WHERE text IS NOT NULL AND text NOT IN $noiseSql AND $noisePrefixSql
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q06_find_contact" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND contains(c_name, '1')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q07_range_scan" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY ts, event_id LIMIT 500""".stripMargin,
+
+    "q08_window_rank" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q09_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |  ${dsumSql("l_quantity")} AS sum_measure,
+         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q10_reaction_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber AS line_a, r.l_linenumber AS line_b,
+        |  l.l_partkey AS part_a, r.l_partkey AS part_b
+        |FROM lineitem l JOIN lineitem r
+        |  ON l.l_orderkey = r.l_orderkey AND l.l_linenumber = r.l_linenumber - 1
+        |ORDER BY l.l_orderkey, line_a, part_a, part_b""".stripMargin,
+
+    "q11_json_extract" ->
+      """SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(sum(k) AS DOUBLE) / count(k) AS avg_k
+        |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q12_hourly_window" ->
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, count(*) AS n,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q13_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS nw
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM x)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(max(ts) AS TIMESTAMP) AS session_end
+        |FROM y GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "q14_dedup_exact" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q15_token_count" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE CAST(len($wsSql) AS INT) END AS n_tokens,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE CAST(list_sum(list_transform($wsSql,
+         |         w -> CAST(ceil(CAST(length(w) AS DOUBLE) / 4.0) AS INT))) AS INT) END AS est_bpe_tokens,
+         |  CAST(ceil(CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len($wsSql) END) AS DOUBLE) / 24.0) AS INT) AS n_chunks
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q16_chunker" ->
+      """WITH d AS (
+        |  SELECT doc_id, trim(text) AS t,
+        |    string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |e AS (SELECT doc_id, t, ws, len(ws) AS n FROM d),
+        |c0 AS (
+        |  SELECT doc_id, t, ws, n,
+        |    unnest(generate_series(0,
+        |      CASE WHEN n <= 32 THEN 0 ELSE CAST(ceil(n / 24.0) AS INT) - 1 END)) AS j
+        |  FROM e),
+        |c AS (
+        |  SELECT doc_id, CAST(j AS INT) AS chunk_id,
+        |    CASE WHEN n <= 32 THEN t
+        |         ELSE array_to_string(ws[j*24+1 : (j+1)*24], ' ') END AS chunk_text
+        |  FROM c0)
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(string_split_regex(trim(chunk_text), '\s+')) AS INT) AS chunk_tokens,
+        |  chunk_text
+        |FROM c WHERE length(trim(chunk_text)) > 0
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q17_quality_score" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+         |  FROM documents),
+         |x AS (
+         |  SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+         |    CAST(len(list_filter(ws, w -> w IN $enStopSql)) AS INT) AS stop_hits,
+         |    CAST(len(list_filter(ws, w -> regexp_matches(w, '^[a-z]+$$'))) AS INT) AS alpha_hits
+         |  FROM d)
+         |SELECT doc_id, n_words, stop_hits,
+         |  round(CAST(stop_hits AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS stop_ratio,
+         |  round(CAST(alpha_hits AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS alpha_ratio,
+         |  round(least(1.0, CAST(n_words AS DOUBLE) / 64.0)
+         |    * (0.5 + 0.5 * (CAST(stop_hits AS DOUBLE) / CAST(n_words AS DOUBLE)))
+         |    * (CAST(alpha_hits AS DOUBLE) / CAST(n_words AS DOUBLE)), 6) AS score
+         |FROM x ORDER BY doc_id""".stripMargin,
+
+    "q18_lang_id" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS ws
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, lang,
+         |    ${langHits("en")} AS h_en, ${langHits("fr")} AS h_fr,
+         |    ${langHits("es")} AS h_es, ${langHits("de")} AS h_de,
+         |    ${langHits("zh")} AS h_zh
+         |  FROM d),
+         |g AS (SELECT *, greatest(h_en, h_fr, h_es, h_de, h_zh) AS best FROM h)
+         |SELECT doc_id, lang,
+         |  CASE WHEN h_en > 0 AND h_en = best THEN 'en'
+         |       WHEN h_fr > 0 AND h_fr = best THEN 'fr'
+         |       WHEN h_es > 0 AND h_es = best THEN 'es'
+         |       WHEN h_de > 0 AND h_de = best THEN 'de'
+         |       WHEN h_zh > 0 AND h_zh = best THEN 'zh'
+         |       ELSE 'und' END AS detected
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q19_cosine_topk" ->
+      s"""SELECT e.vec_id, e.label,
+         |  round(${cos("e.embedding", "p.embedding")}, 6) AS sim
+         |FROM embeddings e,
+         |  (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+         |ORDER BY sim DESC, e.vec_id LIMIT 20""".stripMargin,
+
+    "q20_knn_join" ->
+      s"""SELECT probe_id, neighbor_id, sim, rn AS rank FROM (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    round(${cos("c.embedding", "p.embedding")}, 6) AS sim,
+         |    CAST(row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY round(${cos("c.embedding", "p.embedding")}, 6) DESC, c.vec_id) AS INT) AS rn
+         |  FROM (SELECT * FROM embeddings WHERE vec_id < 5) p,
+         |       (SELECT * FROM embeddings WHERE vec_id >= 5) c)
+         |WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "q21_centroids" ->
+      """SELECT label, CAST(i - 1 AS INT) AS pos,
+        |  round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+        |    / count(*), 6) AS centroid_val
+        |FROM embeddings, generate_series(1, 64) t(i)
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
+
+    "q22_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT source AS grp, doc_id,
+        |    list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |      ELSE list_transform(generate_series(0, len(ws) - 3),
+        |        i -> array_to_string(ws[i+1 : i+3], ' ')) END) AS sh
+        |  FROM d)
+        |SELECT a.grp, a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+        |FROM s a JOIN s b ON a.grp = b.grp AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        |ORDER BY a.grp, id_a, id_b""".stripMargin,
+
+    "q23_embedding_neardup" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(${cos("a.embedding", "b.embedding")}, 6) AS sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE round(${cos("a.embedding", "b.embedding")}, 6) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q30_stats_summary" ->
+      s"""SELECT count(*) AS n_rows,
+         |  count(DISTINCT l_orderkey) AS n_orders,
+         |  CAST(min(l_shipdate) AS TIMESTAMP) AS min_ship,
+         |  CAST(max(l_shipdate) AS TIMESTAMP) AS max_ship,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  max(l_extendedprice) AS max_price
+         |FROM lineitem""".stripMargin,
+
+    "q31_message_normalize" ->
+      """SELECT event_id,
+        |  CASE WHEN event_type IN ('purchase', 'signup') THEN 'to' ELSE 'from' END AS direction,
+        |  CASE WHEN event_type = 'view' AND json_extract_string(props, '$.k') IS NOT NULL
+        |         THEN 'Answer to message "' || json_extract_string(props, '$.k') || '": ' || props
+        |       WHEN event_type = 'click' AND json_extract_string(props, '$.k') IS NOT NULL
+        |         THEN 'Reacted with ' || json_extract_string(props, '$.k') || ' to message: "' || props || '"'
+        |       WHEN props IS NOT NULL THEN props
+        |       ELSE 'Empty data message' END AS body
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q32_empty_null" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      w -> length(w) > 8) AS f
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN len(f) > 0 THEN CAST(len(f) AS INT) END AS att_count,
+        |  CASE WHEN len(f) > 0 THEN f[1] END AS first_att
+        |FROM d ORDER BY doc_id""".stripMargin
+  )
 }

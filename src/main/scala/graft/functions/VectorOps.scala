@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector column functions over `ArrayType(FloatType|DoubleType)`.
+  *
+  * The reference stores pgvector `VECTOR(768)` columns
+  * (`src/rag/sqlx.rs:42`) but never computes a similarity — pgvector's
+  * `<=>` is never used (`src/rag/sqlx.rs:84-92` is the only read, a
+  * `SELECT *`). We implement the implied similarity surface natively
+  * with Spark higher-order functions, which stay inside whole-stage
+  * codegen (no UDF boundary, no serialization).
+  *
+  * Determinism contract: every accumulation is performed in DOUBLE
+  * precision, sequentially in array order — elements are cast to
+  * double BEFORE multiplication so the result is bit-identical to an
+  * oracle engine (DuckDB `list_dot_product` over `DOUBLE[]`) computing
+  * the same left-to-right fold.
+  */
+object VectorOps {
+
+  /** Dot product in double precision, sequential fold in array order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** L2 norm, same double-precision sequential fold. */
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in double precision. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Cosine rounded to 6 decimals — the cross-engine comparison form
+    * (absorbs last-ulp differences between fold implementations). */
+  def cosine6(a: Column, b: Column): Column = round(cosine(a, b), 6)
+
+  /** Squared euclidean distance (double precision). */
+  def l2DistSq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** L2-normalize a vector; zero vectors map to zero vectors. */
+  def l2Normalize(a: Column): Column = {
+    val n = norm2(a)
+    transform(a, x => when(n === 0.0, lit(0.0)).otherwise(x.cast("double") / n))
+  }
+
+  /** Deterministic offline hash-embedding: bucket-count words with
+    * murmur3 (`hash`, seed 42 — stable across runs and JVMs) into `dim`
+    * buckets, then L2-normalize. Replaces the reference's Ollama
+    * `nomic-embed-text` HTTP call (`src/rag/dataframes.rs:113-151`) so
+    * tests need no service; dimension parameterized (64 matches the
+    * fixture corpus, 768 matches the reference schema).
+    *
+    * Entirely built-ins → codegen'd, no UDF; O(dim · |words|) per row.
+    */
+  def hashEmbed(words: Column, dim: Int): Column = {
+    val counts = transform(
+      sequence(lit(0), lit(dim - 1)),
+      i => size(filter(words, w => pmod(hash(w), lit(dim)) === i)).cast("double"))
+    l2Normalize(counts)
+  }
+
+  /** SimHash-style bit signature of a float vector: sign of the dot
+    * product against `nBits` deterministic pseudo-random hyperplanes.
+    * Plane p, dim i coefficient = murmur3(i, p) mapped to [-1, 1].
+    * Used as the LSH prefilter for approximate nearest neighbors —
+    * vectors in the same band bucket are candidate neighbors, so the
+    * quadratic cosine join only runs within buckets (the 100 TB path).
+    */
+  def hyperplaneBits(vec: Column, nBits: Int): Column =
+    transform(
+      sequence(lit(0), lit(nBits - 1)),
+      p => {
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
+            x.cast("double") * (pmod(hash(i, p), lit(2000001)).cast("double") / 1000000.0d - 1.0d)),
+          lit(0.0),
+          (acc, x) => acc + x)
+        when(proj >= 0.0, lit(1)).otherwise(lit(0))
+      })
+}

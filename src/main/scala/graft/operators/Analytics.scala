@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational analytics surface — the aggregations, windows, rollups,
+  * sessionization, and JSON ops the reference's schema begs for but
+  * never implements (SURVEY §2.4: "no group-by aggregation exists on
+  * the data path").
+  *
+  * Float determinism contract: double sums go through DECIMAL(18,4)
+  * (exact, associative — partial aggregation order cannot change the
+  * result) and are cast back to double at the end, so a DuckDB oracle
+  * computing the same decimal sum matches bit-for-bit. Averages are
+  * exact-sum / count — one IEEE division of identical operands.
+  */
+object Analytics {
+
+  /** sum(double) with decimal-exact accumulation. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** avg(double) as exact-sum / count. */
+  def davg(c: Column): Column =
+    sum(c.cast(DecimalType(18, 4))).cast("double") / count(c)
+
+  /** TPC-H Q1-shaped pricing summary over lineitem. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Top-k by measure — plans as TakeOrderedAndProject (per-partition
+    * heap + driver merge of k rows; no global sort at any scale). */
+  def topK(df: DataFrame, orderCol: String, tieBreak: String, k: Int): DataFrame =
+    df.orderBy(col(orderCol).desc, col(tieBreak)).limit(k)
+
+  /** Per-group recent-N via row_number (W1/W2 generalized). */
+  def recentPerGroup(df: DataFrame, groupCol: String, orderCol: String,
+      tieBreak: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(orderCol).desc, col(tieBreak))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+  }
+
+  /** direction×group-style rollup breakdown with grouping_id — the
+    * cube/rollup extension surface of SURVEY §2.4. */
+  def rollupCounts(df: DataFrame, c1: String, c2: String, measure: String): DataFrame =
+    df.rollup(col(c1), col(c2))
+      .agg(count(lit(1)).as("n"), dsum(col(measure)).as("sum_measure"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), asc_nulls_first(c1), asc_nulls_first(c2))
+
+  /** Gaps-and-islands sessionization: a new session starts when the gap
+    * to the previous event of the same user exceeds `gapSeconds`.
+    * Batch-equivalent of `session_window` (which Streams uses), but
+    * oracle-expressible. Exact integer arithmetic on epoch-micros. */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val gapUs = gapSeconds * 1000000L
+    val us = unix_micros(col(tsCol))
+    val newSession =
+      when(us - lag(us, 1).over(w) > gapUs || lag(us, 1).over(w).isNull, 1).otherwise(0)
+    events
+      .withColumn("__new", newSession)
+      .withColumn("session_id",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"))
+  }
+
+  /** Tumbling-window aggregation (batch form of the streaming windowed
+    * agg; `window().start` == `date_trunc` for epoch-aligned windows). */
+  def hourlyAgg(events: DataFrame, tsCol: String, valueCol: String): DataFrame =
+    events
+      .groupBy(window(col(tsCol), "1 hour").getField("start").as("hour_start"))
+      .agg(count(lit(1)).as("n"), dsum(col(valueCol)).as("sum_value"))
+      .orderBy(col("hour_start"))
+
+  /** JSON scalar extraction + aggregation over the events.props column
+    * (F16/F17 surface: `get_json_object`). */
+  def jsonKStats(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n"),
+        sum(col("k")).as("sum_k"),
+        (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"))
+      .orderBy(col("event_type"))
+
+  /** A2-shaped one-pass multi-aggregate stats row. */
+  def statsSummary(lineitem: DataFrame): DataFrame =
+    lineitem.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      min(col("l_shipdate")).as("min_ship"),
+      max(col("l_shipdate")).as("max_ship"),
+      dsum(col("l_quantity")).as("sum_qty"),
+      max(col("l_extendedprice")).as("max_price"))
+
+  /** approx_count_distinct sketch surface (HLL++) — not
+    * oracle-expressible (sketch internals differ per engine); declared
+    * rows-only per the contract. */
+  def approxDistinct(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Message-domain relational operators, re-expressed over the fixture
+  * star schema. The reference does all of these as row-at-a-time point
+  * lookups against the sled KV store; here they are declarative
+  * DataFrame ops so Catalyst broadcasts the small dimension side and
+  * keeps the probe side pipelined (no shuffle of the fact table).
+  */
+object MessageOps {
+
+  /** J1 + P7 — contact enrichment with display-name coalesce
+    * (`src/signal/format.rs:58-68`): enrich a fact row with
+    * `"{name},{key}"` when the contact exists and has a nonempty name,
+    * else the bare key. Dimension side is broadcast — at 100 TB the
+    * fact table never shuffles for this join.
+    */
+  def enrichContact(
+      facts: DataFrame,
+      contacts: DataFrame,
+      factKey: String,
+      contactKey: String,
+      nameCol: String): DataFrame = {
+    val dim = contacts.select(col(contactKey).as("__ck"), col(nameCol).as("__name"))
+    facts
+      .join(broadcast(dim), facts(factKey) === col("__ck"), "left")
+      .withColumn(
+        "contact_display",
+        when(col("__name").isNotNull && length(col("__name")) > 0,
+          concat(col("__name"), lit(","), col(factKey).cast("string")))
+          .otherwise(col(factKey).cast("string")))
+      .drop("__ck", "__name")
+  }
+
+  /** J2 + P8 — group enrichment with `<missing group>` fallback
+    * (`src/signal/format.rs:70-79`). */
+  def enrichGroup(
+      facts: DataFrame,
+      groups: DataFrame,
+      factKey: String,
+      groupKey: String,
+      titleCol: String): DataFrame = {
+    val dim = groups.select(col(groupKey).as("__gk"), col(titleCol).as("__title"))
+    facts
+      .join(broadcast(dim), facts(factKey) === col("__gk"), "left")
+      .withColumn("group_display", coalesce(col("__title"), lit("<missing group>")))
+      .drop("__gk", "__title")
+  }
+
+  /** P1 — FindContact conjunctive filter (`src/lib.rs:310-317`):
+    * optional exact key, optional exact phone, optional name-contains;
+    * absent predicates are vacuously true. */
+  def findContact(
+      contacts: DataFrame,
+      keyCol: String, key: Option[Long],
+      exactCol: String, exact: Option[String],
+      nameCol: String, nameContains: Option[String]): DataFrame = {
+    val preds: Seq[Column] = Seq(
+      key.map(k => col(keyCol) === k),
+      exact.map(e => col(exactCol) === e),
+      nameContains.map(n => col(nameCol).contains(n))).flatten
+    preds.foldLeft(contacts)((df, p) => df.filter(p))
+  }
+
+  /** P5/P6 — message normalization as a chained-when CASE: maps an
+    * event-kind discriminator to the reference's body-formatting arms
+    * (`src/signal/format.rs:12-56`, `format_message.rs:59-177`):
+    * quote → `Answer to message "{q}": {b}`; reaction → `Reacted with
+    * {e} to message: "{b}"`; plain body; else `Empty data message`.
+    * `direction` mirrors the sent/received split
+    * (`format_message.rs:18-30`).
+    */
+  def normalize(
+      df: DataFrame,
+      kindCol: Column,
+      bodyCol: Column,
+      quoteCol: Column,
+      emojiCol: Column): DataFrame =
+    df.withColumn(
+        "direction",
+        when(kindCol.isin("purchase", "signup"), lit("to")).otherwise(lit("from")))
+      .withColumn(
+        "body",
+        when(kindCol === "view" && quoteCol.isNotNull,
+          concat(lit("Answer to message \""), quoteCol, lit("\": "), bodyCol))
+          .when(kindCol === "click" && emojiCol.isNotNull,
+            concat(lit("Reacted with "), emojiCol, lit(" to message: \""), bodyCol, lit("\"")))
+          .when(bodyCol.isNotNull, bodyCol)
+          .otherwise(lit("Empty data message")))
+
+  /** P9 — empty-array → NULL normalization
+    * (`src/signal/process_incoming_message.rs:86-90`). */
+  def emptyToNull(arr: Column): Column = when(size(arr) > 0, arr)
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorOps
+
+/** Similarity search over an embedding column — the capability the
+  * reference implies but never implements (pgvectorscale is installed
+  * and never queried, `src/rag/sqlx.rs:26-29`; the only read is
+  * `SELECT *`, `:84-92`).
+  *
+  * Scale design (100 TB): top-k against a single probe is a
+  * TakeOrderedAndProject (no full sort, no shuffle of the corpus —
+  * per-partition heaps + driver merge of k rows). A probe SET is
+  * broadcast so the corpus is scanned once, never shuffled; per-probe
+  * top-k uses a window only over (probe × candidates-in-bucket) after
+  * the LSH prefilter. Brute force is the correctness baseline; the
+  * banded-hyperplane bucket join is the scale path (candidates per
+  * vector ≈ corpus/2^bandBits × nBands, tunable).
+  */
+object Similarity {
+
+  /** Exact top-k by cosine against one probe vector (array literal).
+    * `ORDER BY sim DESC LIMIT k` plans as TakeOrderedAndProject. */
+  def topKCosine(corpus: DataFrame, vecCol: String, probe: Seq[Double], k: Int,
+      idCol: String): DataFrame = {
+    val probeCol = array(probe.map(lit): _*)
+    corpus
+      .withColumn("sim", VectorOps.cosine6(col(vecCol), probeCol))
+      .select(col(idCol), col("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Exact per-probe top-k: broadcast the (small) probe set against the
+    * corpus, rank within each probe. The corpus side stays pipelined —
+    * the only shuffle is the window's hash partition by probe id, whose
+    * cardinality is |probes| × |corpus|, bounded by keeping probe sets
+    * small (the documented contract; unbounded probe sets go through
+    * `annJoin`). */
+  def knnJoin(probes: DataFrame, corpus: DataFrame, probeId: String,
+      corpusId: String, vecCol: String, k: Int): DataFrame = {
+    val p = probes.select(col(probeId).as("probe_id"), col(vecCol).as("__pvec"))
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("__cvec"))
+    val scored = c
+      .crossJoin(broadcast(p))
+      .withColumn("sim", VectorOps.cosine6(col("__cvec"), col("__pvec")))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** Approximate NN via banded hyperplane LSH: vectors sharing any
+    * band's bit-signature become candidates; exact cosine + rank runs
+    * only inside buckets. This is the 100 TB path — the bucket join is
+    * an equi-join on (band, signature), so Spark hash-partitions both
+    * sides by bucket and the quadratic blow-up is bounded per bucket.
+    */
+  def annJoin(probes: DataFrame, corpus: DataFrame, probeId: String,
+      corpusId: String, vecCol: String, k: Int,
+      nBands: Int = 4, bandBits: Int = 8): DataFrame = {
+    def banded(df: DataFrame, id: String): DataFrame = {
+      val bits = VectorOps.hyperplaneBits(col(vecCol), nBands * bandBits)
+      df.select(col(id), col(vecCol), posexplode(
+          transform(sequence(lit(0), lit(nBands - 1)),
+            b => array_join(slice(bits, b * bandBits + 1, lit(bandBits)), "")))
+        .as(Seq("band", "sig")))
+    }
+    val p = banded(probes.select(col(probeId).as("probe_id"), col(vecCol)), "probe_id")
+      .withColumnRenamed(vecCol, "__pvec")
+    val c = banded(corpus.select(col(corpusId).as("neighbor_id"), col(vecCol)), "neighbor_id")
+      .withColumnRenamed(vecCol, "__cvec")
+    val cands = p.join(c, Seq("band", "sig"))
+      .select(col("probe_id"), col("neighbor_id"), col("__pvec"), col("__cvec"))
+      .dropDuplicates("probe_id", "neighbor_id")
+      .withColumn("sim", VectorOps.cosine6(col("__cvec"), col("__pvec")))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** Per-label centroids of an embedding column: explode to
+    * (label, pos, value), average per cell, exact-typed group keys.
+    * One shuffle on (label, pos) with map-side partial aggregation —
+    * at 100 TB this is the canonical scalable formulation (no
+    * collect_list of whole vectors). */
+  def centroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("centroid_val"))
+
+  /** Embedding-cosine near-duplicate pairs above `threshold`; pairs
+    * emitted once (idA < idB). Exact all-pairs — the correctness
+    * baseline; production path prefilters with `annJoin` buckets. */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", VectorOps.cosine6(col("__va"), col("__vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.{Chunker, NoiseFilter}
+import graft.functions.{TextOps, VectorOps}
+
+/** Structured Streaming restatement of the reference's ingest loop
+  * (`src/signal/receive.rs:28-43`, SURVEY §2.8): the reference pulls
+  * one message at a time and synchronously ETLs + embeds + inserts it;
+  * here the same pipeline is declared once over a streaming DataFrame
+  * and executed batch-parallel per micro-batch.
+  *
+  * Semantics upgrades over the reference (documented, SURVEY ST4/ST7):
+  *  - at-least-once source + idempotent dedup instead of silent
+  *    at-most-once loss (insert errors were printed and dropped,
+  *    `src/rag/sqlx.rs:75-78`);
+  *  - `Trigger.AvailableNow` reproduces the reference's
+  *    `Received::QueueEmpty` drain-then-stop semantics
+  *    (`src/signal/receive.rs:31`);
+  *  - event-time watermarks + windows over the events table (absent in
+  *    the reference — `created_at` was processing time).
+  */
+object Streams {
+
+  /** Streaming source over a parquet directory with an explicit schema
+    * (streaming reads cannot infer). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** The ingest pipeline as a pure batch→batch transform, so the exact
+    * same function runs in `foreachBatch` (streaming) and in tests
+    * (batch) — batch-equivalence by construction. Mirrors §3.1:
+    * normalize → noise filter → chunk → token count → hash-embed. */
+  def ingestTransform(batch: DataFrame, dim: Int = 64): DataFrame = {
+    val filtered = NoiseFilter(batch, "body")
+    val chunked = Chunker.chunk(filtered, "body", idealTokens = 48, chunkWords = 36)
+    chunked
+      .withColumn("tokens", col("chunk_tokens"))
+      .withColumn("embedding",
+        VectorOps.hashEmbed(TextOps.words(col("chunk_text")), dim))
+      .withColumn("created_at", current_timestamp())
+  }
+
+  /** Drain-then-stop ingest (ST1/ST2): AvailableNow processes the whole
+    * backlog then terminates — the reference's QueueEmpty semantics.
+    * Exactly-once to the parquet sink via checkpointing; dedup by
+    * (event_id) within the watermark upgrades delivery to
+    * effectively-once (ST7). */
+  def runIngest(spark: SparkSession, dir: String, outDir: String,
+      checkpoint: String): StreamingQuery = {
+    val stream = eventsStream(spark, dir)
+      .withColumnRenamed("props", "body")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestTransform(batch).write.mode("append").parquet(outDir)
+      }
+      .start()
+  }
+
+  /** Watermarked tumbling-window aggregation (ST5): 1-hour windows on
+    * event time, 2-hour watermark for late data. */
+  def windowedCounts(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Session windows per user with a 30-minute gap (ST5/ST6) — the
+    * streaming form of Analytics.sessionize. */
+  def sessionWindows(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps lowest id per duplicate text, idempotent") {
+    val df = Seq(
+      (3L, "a b c"), (1L, "a b c"), (2L, "x y z"), (5L, "a b c"), (4L, "x y z"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text")
+    val ids = out.select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 2L))
+    // idempotent
+    assert(Dedup.exact(out, "doc_id", "text").count() === 2)
+  }
+
+  test("shingles: count, order, distinctness") {
+    val sh = Seq(Tuple1("a b c d")).toDF("t")
+      .select(Dedup.shingles($"t", 3).as("sh")).as[Seq[String]].head()
+    assert(sh.toSet === Set("a b c", "b c d"))
+    val short = Seq(Tuple1("a b")).toDF("t")
+      .select(Dedup.shingles($"t", 3).as("sh")).as[Seq[String]].head()
+    assert(short === Seq("a b"))
+  }
+
+  test("jaccard: identical=1, disjoint=0") {
+    val df = Seq((Seq("a", "b"), Seq("a", "b"), Seq("c", "d"))).toDF("x", "y", "z")
+    val (same, disj) = df.select(
+      Dedup.jaccard($"x", $"y").as("s"),
+      Dedup.jaccard($"x", $"z").as("d")).as[(Double, Double)].head()
+    assert(same === 1.0 && disj === 0.0)
+  }
+
+  test("minhash LSH finds exact duplicates and is contained in exact jaccard") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words entirely unrelated to all others here"),
+      (4L, "the quick brown fox jumps over the lazy dog again and now"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(df, "doc_id", "text",
+      shingleK = 3, nBands = 8, rowsPerBand = 2, jaccardThreshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))     // identical docs always collide
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // verify step kills false positives
+  }
+
+  test("simhash: deterministic, identical texts equal, hamming 0") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "v w x y z"))
+      .toDF("id", "t")
+    val sigs = df.select($"id", Dedup.simhash($"t").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+    val pairs = Dedup.simhashNearDups(df.withColumnRenamed("t", "text"), "id", "text", 0)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("fixture near-dups: minhash candidates superset-match exact high-jaccard pairs") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", 3, 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashNearDups(docs, "doc_id", "text",
+      shingleK = 3, nBands = 8, rowsPerBand = 2, jaccardThreshold = 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // verified-LSH pairs are exactly the true pairs that banded together;
+    // at 16 minhashes with j>=0.8, collision prob per band is high — all
+    // fixture dup pairs (same-source) should be recovered.
+    val sameSourceExact = exact // ngramJaccardPairs is already same-source
+    assert(lsh.subsetOf(sameSourceExact) || (lsh -- sameSourceExact).isEmpty)
+    assert((sameSourceExact -- lsh).isEmpty, s"LSH missed: ${sameSourceExact -- lsh}")
+  }
+}

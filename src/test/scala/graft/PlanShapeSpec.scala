@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Plan-shape guards for the SURVEY §4 "free in Catalyst" claims: the
+  * scale posture is enforced here, not hoped for — dimension joins must
+  * broadcast, filters must reach the parquet scan, top-k must plan as
+  * TakeOrderedAndProject (no global sort), partial aggregation must be
+  * present, and the hot paths must stay in whole-stage codegen. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("contact/group enrichment joins broadcast the dimension side") {
+    val q = SparkEntry.queries("q03_contact_enrich")(spark, sf)
+    assert(physical(q).contains("BroadcastHashJoin"))
+    val g = SparkEntry.queries("q04_group_enrich")(spark, sf)
+    assert(physical(g).contains("BroadcastHashJoin"))
+  }
+
+  test("range scan pushes the timestamp filter into the parquet scan") {
+    val q = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 49.0).select(col("l_orderkey"))
+    val plan = physical(q)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity"), plan)
+  }
+
+  test("projection prunes columns at the scan (ReadSchema is narrow)") {
+    val q = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
+    val plan = physical(q)
+    val readSchema = plan.split("ReadSchema: ")(1)
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_shipdate"))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not global sort") {
+    val q = SparkEntry.queries("q02_topk_orders")(spark, sf)
+    assert(physical(q).contains("TakeOrderedAndProject"))
+  }
+
+  test("aggregation runs partial (map-side) before the shuffle") {
+    val q = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+    val plan = physical(q)
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"), plan)
+  }
+
+  test("pricing summary stays in whole-stage codegen") {
+    val q = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+    assert(physical(q).contains("WholeStageCodegen"))
+  }
+
+  test("flagship entry produces rows (driver smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

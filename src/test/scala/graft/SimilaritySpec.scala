@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("knnJoin: each probe gets exactly k ranked neighbors, best first") {
+    val e = Tables.embeddings(spark, sf)
+    val out = Similarity.knnJoin(
+      e.filter($"vec_id" < 3), e.filter($"vec_id" >= 3),
+      "vec_id", "vec_id", "embedding", 4)
+    val byProbe = out.groupBy($"probe_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(byProbe.values.forall(_ == 4) && byProbe.size == 3)
+    // rank ordering consistent with sim
+    val bad = out.as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).values.map { rows =>
+        val sorted = rows.sortBy(_._4)
+        sorted.sliding(2).forall {
+          case Array(a, b) => a._3 >= b._3
+          case _ => true
+        }
+      }
+    assert(bad.forall(identity))
+  }
+
+  test("annJoin results are a subset of brute-force candidates with matching sims") {
+    val e = Tables.embeddings(spark, sf)
+    val probes = e.filter($"vec_id" < 3)
+    val corpus = e.filter($"vec_id" >= 3)
+    val exact = Similarity.knnJoin(probes, corpus, "vec_id", "vec_id", "embedding", 1000000)
+      .select($"probe_id", $"neighbor_id", $"sim")
+      .as[(Long, Long, Double)].collect()
+      .map { case (p, n, s) => (p, n) -> s }.toMap
+    val ann = Similarity.annJoin(probes, corpus, "vec_id", "vec_id", "embedding", 10)
+      .select($"probe_id", $"neighbor_id", $"sim")
+      .as[(Long, Long, Double)].collect()
+    assert(ann.nonEmpty)
+    assert(ann.forall { case (p, n, s) => exact.get((p, n)).contains(s) })
+  }
+
+  test("centroids: 64 positions per label, values bounded by data range") {
+    val out = Tables.embeddings(spark, sf)
+      .transform(df => Similarity.centroids(df, "label", "embedding"))
+    val counts = out.groupBy($"label").agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect().toMap
+    assert(counts.size === 10 && counts.values.forall(_ == 64))
+  }
+
+  test("nearDupPairs emits each pair once with id_a < id_b") {
+    val out = Similarity.nearDupPairs(
+      Tables.embeddings(spark, sf).limit(100), "vec_id", "embedding", 0.2)
+    val rows = out.select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(rows.forall { case (a, b) => a < b })
+    assert(rows.toSet.size === rows.length)
+  }
+}

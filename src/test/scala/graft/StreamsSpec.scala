@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+/** Streaming semantics (SURVEY §2.8): AvailableNow drain, foreachBatch
+  * ingest, watermarked windows — validated by batch-equivalence (the
+  * streaming pipeline over a bounded source must produce exactly the
+  * batch transform's result). */
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("AvailableNow ingest drains the backlog then stops; output = batch transform") {
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val q = Streams.runIngest(spark, sf, out, ckpt)
+    q.awaitTermination(120000)
+    assert(!q.isActive) // AvailableNow terminates (QueueEmpty semantics)
+
+    val streamed = spark.read.parquet(out)
+    val batch = Streams.ingestTransform(
+      Tables.events(spark, sf).withColumnRenamed("props", "body"))
+    assert(streamed.count() === batch.count())
+    // row-level equivalence on the deterministic columns
+    val a = streamed.select($"event_id", $"chunk_id", $"tokens").as[(Long, Int, Int)]
+      .collect().sorted.toSeq
+    val b = batch.select($"event_id", $"chunk_id", $"tokens").as[(Long, Int, Int)]
+      .collect().sorted.toSeq
+    assert(a === b)
+  }
+
+  test("windowed streaming counts equal batch windowed counts") {
+    val stream = Streams.eventsStream(spark, sf)
+    val q = Streams.windowedCounts(stream).writeStream
+      .format("memory").queryName("win_out").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("win_out")
+      .select($"window.start".as("ws"), $"event_type", $"n")
+      .as[(java.sql.Timestamp, String, Long)].collect().sorted.toSeq
+    val batch = Tables.events(spark, sf)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("ws"), $"event_type", $"n")
+      .as[(java.sql.Timestamp, String, Long)].collect().sorted.toSeq
+    assert(streamed === batch)
+  }
+
+  test("streaming dedup within watermark removes duplicate keys") {
+    // duplicate the source rows → dropDuplicatesWithinWatermark must halve
+    val out = Files.createTempDirectory("graft_dedup_out").toString
+    val ckpt = Files.createTempDirectory("graft_dedup_ckpt").toString
+    val stream = Streams.eventsStream(spark, sf)
+    val dup = stream.union(stream)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = dup.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out).start()
+    q.awaitTermination(120000)
+    val n = spark.read.parquet(out).select($"event_id").distinct().count()
+    val total = spark.read.parquet(out).count()
+    assert(n === Tables.events(spark, sf).count())
+    assert(total === n) // no duplicates in the sink
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: self-similarity = 1, symmetry, bounds") {
+    val df = Tables.embeddings(spark, sf).limit(50)
+      .select($"vec_id", $"embedding")
+    val self = df
+      .withColumn("sim", VectorOps.cosine($"embedding", $"embedding"))
+      .agg(min($"sim"), max($"sim")).as[(Double, Double)].head()
+    assert(math.abs(self._1 - 1.0) < 1e-12 && math.abs(self._2 - 1.0) < 1e-12)
+
+    val a = df.select($"vec_id".as("ida"), $"embedding".as("va"))
+    val b = df.select($"vec_id".as("idb"), $"embedding".as("vb"))
+    val pairs = a.join(b, $"ida" < $"idb")
+      .select(
+        VectorOps.cosine($"va", $"vb").as("ab"),
+        VectorOps.cosine($"vb", $"va").as("ba"))
+    val asym = pairs.filter(abs($"ab" - $"ba") > 1e-12).count()
+    assert(asym === 0)
+    val oob = pairs.filter($"ab" > 1.0 + 1e-12 || $"ab" < -1.0 - 1e-12).count()
+    assert(oob === 0)
+  }
+
+  test("hashEmbed: deterministic across runs, unit norm, fixed dim") {
+    val docs = Tables.documents(spark, sf).limit(100)
+    def embed() = docs.select($"doc_id",
+      VectorOps.hashEmbed(split(trim($"text"), "\\s+"), 64).as("e"))
+    val e1 = embed().collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val e2 = embed().collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(e1 === e2)
+    assert(e1.values.forall(_.length == 64))
+    assert(e1.values.forall(v => math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9))
+  }
+
+  test("l2Normalize maps zero vector to zero vector") {
+    val out = Seq(Tuple1(Seq(0.0f, 0.0f, 0.0f))).toDF("v")
+      .select(VectorOps.l2Normalize($"v").as("n"))
+      .as[Seq[Double]].head()
+    assert(out === Seq(0.0, 0.0, 0.0))
+  }
+
+  test("hyperplaneBits: deterministic, correct length, in {0,1}") {
+    val df = Tables.embeddings(spark, sf).limit(20)
+    val bits = df.select($"vec_id", VectorOps.hyperplaneBits($"embedding", 16).as("b"))
+    val c1 = bits.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val c2 = bits.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(c1 === c2)
+    assert(c1.values.forall(b => b.length == 16 && b.forall(x => x == 0 || x == 1)))
+  }
+}

@@ -1,0 +1,246 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd vector kernels — the SURVEY §4 optional upgrade (a),
+  * promoted to required by measurement: the higher-order-function
+  * formulation (`aggregate`/`zip_with`) evaluates through interpreted
+  * `ArrayAggregate` (CodegenFallback), which dominated the sf0.1 bench
+  * (77 s for the all-pairs cosine join). These expressions compute the
+  * SAME sequential double-precision folds — bit-identical results to
+  * the HOF form and to the DuckDB oracle — as tight compiled loops.
+  */
+
+/** Dot product over two float/double array columns in double precision,
+  * sequential accumulation in array order (determinism contract of
+  * `VectorOps`). Nulls propagate; array elements are assumed non-null
+  * (enforced by the embedding pipeline's schema). */
+case class DotProductD(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product_d"
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = isFloat(left); val rf = isFloat(right)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (isFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (isFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.$lGet($i) * (double) $b.$rGet($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** SimHash bit signature of a distinct-word array: bit b is the sign of
+  * the sum of ±1 votes, word w voting by the sign of murmur3(w, seed=b).
+  * MSB-first packing (acc*2+bit). Single pass over words, all bits in
+  * one buffer — replaces 32 nested interpreted folds per row. */
+case class SimHashBits(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_bits"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < arr.numElements()) {
+      val w = arr.getUTF8String(i)
+      val base = w.getBaseObject; val off = w.getBaseOffset; val len = w.numBytes
+      var b = 0
+      while (b < bits) {
+        // same value as Murmur3HashFunction.hash(w, StringType, b) —
+        // direct byte-level call skips the per-call type dispatch
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+          .hashUnsafeBytes(base, off, len, b)
+        if (h >= 0) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var acc = 0L
+    var b = 0
+    while (b < bits) {
+      acc = acc * 2 + (if (votes(b) > 0) 1L else 0L)
+      b += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MinHash signature of a shingle array: element p is the minimum of
+  * murmur3(shingle, seed=p) over all shingles. One pass per row instead
+  * of nHashes interpreted folds. */
+case class MinHashSig(child: Expression, nHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val mins = Array.fill(nHashes)(Int.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      val s = arr.getUTF8String(i)
+      val base = s.getBaseObject; val off = s.getBaseOffset; val len = s.numBytes
+      var p = 0
+      while (p < nHashes) {
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+          .hashUnsafeBytes(base, off, len, p)
+        if (h < mins(p)) mins(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Hyperplane LSH bit signature of a float/double vector: bit p is the
+  * sign of the projection onto a deterministic pseudo-random plane whose
+  * coefficient for dimension i is murmur3(i, seed=p) mapped to [-1, 1].
+  * Single pass; replaces nBits interpreted zip_with folds per row. */
+case class HyperplaneBitsExpr(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "hyperplane_bits"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Int](bits)
+    var p = 0
+    while (p < bits) {
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(i, p).toLong
+        val coef = java.lang.Math.floorMod(h, 2000001L).toDouble / 1000000.0 - 1.0
+        proj += x * coef
+        i += 1
+      }
+      out(p) = if (proj >= 0.0) 1 else 0
+      p += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct word k-shingles of a word array: the k-grams joined with
+  * single spaces, first-occurrence order (array_distinct semantics);
+  * fewer than k words → one shingle = the whole text. Single pass —
+  * replaces an interpreted transform+slice+array_join+array_distinct
+  * stack that costs ~0.6 ms/row and gets re-inlined per plan reference.
+  */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val words = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { words(i) = arr.getUTF8String(i); i += 1 }
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (n < k) {
+      out.add(UTF8String.concatWs(space, words: _*))
+    } else {
+      i = 0
+      while (i <= n - k) {
+        val parts = new Array[UTF8String](k)
+        var j = 0
+        while (j < k) { parts(j) = words(i + j); j += 1 }
+        out.add(UTF8String.concatWs(space, parts: _*))
+        i += 1
+      }
+    }
+    ArrayData.toArrayData(out.toArray(new Array[UTF8String](out.size())))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VectorExpressions {
+  private def expr(c: Column): Expression = GraftShims.expression(c)
+
+  /** Column API over the codegen'd kernels. */
+  def dotProduct(a: Column, b: Column): Column =
+    GraftShims.column(DotProductD(expr(a), expr(b)))
+
+  def simhashBits(words: Column, bits: Int = 32): Column =
+    GraftShims.column(SimHashBits(expr(words), bits))
+
+  def minhashSig(shingles: Column, nHashes: Int): Column =
+    GraftShims.column(MinHashSig(expr(shingles), nHashes))
+
+  def hyperplaneBits(vec: Column, bits: Int): Column =
+    GraftShims.column(HyperplaneBitsExpr(expr(vec), bits))
+
+  def wordShingles(words: Column, k: Int): Column =
+    GraftShims.column(WordShingles(expr(words), k))
+}

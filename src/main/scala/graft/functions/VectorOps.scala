@@ -20,8 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Dot product in double precision, sequential fold in array order. */
+  /** Dot product in double precision, sequential fold in array order —
+    * codegen'd kernel (`DotProductD`); bit-identical to the HOF fold
+    * below but compiled (the HOF `aggregate` goes through interpreted
+    * `ArrayAggregate`, ~50× slower on the pairwise joins). */
   def dot(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.dotProduct(a, b)
+
+  /** Reference HOF formulation of the same fold — kept for
+    * cross-validation in tests (must agree with `dot` bit-for-bit). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
@@ -69,21 +77,13 @@ object VectorOps {
   }
 
   /** SimHash-style bit signature of a float vector: sign of the dot
-    * product against `nBits` deterministic pseudo-random hyperplanes.
-    * Plane p, dim i coefficient = murmur3(i, p) mapped to [-1, 1].
-    * Used as the LSH prefilter for approximate nearest neighbors —
-    * vectors in the same band bucket are candidate neighbors, so the
-    * quadratic cosine join only runs within buckets (the 100 TB path).
+    * product against `nBits` deterministic pseudo-random hyperplanes
+    * (plane p, dim i coefficient = murmur3(i, seed=p) mapped to
+    * [-1, 1]). Used as the LSH prefilter for approximate nearest
+    * neighbors — vectors in the same band bucket are candidate
+    * neighbors, so the quadratic cosine join only runs within buckets
+    * (the 100 TB path). Codegen'd single-pass kernel.
     */
   def hyperplaneBits(vec: Column, nBits: Int): Column =
-    transform(
-      sequence(lit(0), lit(nBits - 1)),
-      p => {
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
-            x.cast("double") * (pmod(hash(i, p), lit(2000001)).cast("double") / 1000000.0d - 1.0d)),
-          lit(0.0),
-          (acc, x) => acc + x)
-        when(proj >= 0.0, lit(1)).otherwise(lit(0))
-      })
+    graft.expressions.VectorExpressions.hyperplaneBits(vec, nBits)
 }

@@ -14,6 +14,12 @@ import graft.functions.TextOps
   */
 object Dedup {
 
+  /** Target partition count for explicit exchanges. Explicit because
+    * AQE coalesces column-only repartitions of small data back to one
+    * partition, defeating the parallelize-first exchanges below. */
+  private def par(df: DataFrame): Int =
+    df.sparkSession.sparkContext.defaultParallelism
+
   /** Exact dedup: keep the lowest-id row per identical text. A window
     * over `hash-partition(text)` — the deterministic version of
     * `dropDuplicates` (which keeps an arbitrary row). Map-side the text
@@ -27,23 +33,17 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Word k-shingles (k-grams joined with spaces), distinct. */
-  def shingles(text: Column, k: Int): Column = {
-    val ws = TextOps.words(text)
-    array_distinct(
-      when(size(ws) < k, array(array_join(ws, " ")))
-        .otherwise(transform(
-          sequence(lit(0), size(ws) - k),
-          i => array_join(slice(ws, i + 1, lit(k)), " "))))
-  }
+  /** Word k-shingles (k-grams joined with spaces), distinct,
+    * first-occurrence order. Single-pass kernel (`WordShingles`). */
+  def shingles(text: Column, k: Int): Column =
+    graft.expressions.VectorExpressions.wordShingles(TextOps.words(text), k)
 
   /** MinHash signature: for each of `nHashes` permutations, the min of
     * murmur3(shingle, seed=perm) over the document's shingle set.
-    * Deterministic (murmur3 is seed-stable across JVMs/runs). */
+    * Deterministic (murmur3 is seed-stable across JVMs/runs).
+    * Single-pass codegen-side kernel (`MinHashSig`). */
   def minhashSignature(shingleCol: Column, nHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(nHashes - 1)),
-      p => array_min(transform(shingleCol, s => hash(s, p))))
+    graft.expressions.VectorExpressions.minhashSig(shingleCol, nHashes)
 
   /** MinHash + LSH banding near-dup candidates: split the signature
     * into `nBands` bands of `rowsPerBand`; documents sharing any band
@@ -54,10 +54,16 @@ object Dedup {
       shingleK: Int = 3, nBands: Int = 8, rowsPerBand: Int = 2,
       jaccardThreshold: Double = 0.8): DataFrame = {
     val nHashes = nBands * rowsPerBand
-    val withSig = df.select(
-      col(idCol).as("doc"),
-      shingles(col(textCol), shingleK).as("sh"))
+    // two exchanges, both load-bearing: the first parallelizes the
+    // signature compute (single-row-group scans give one partition);
+    // the second is a compute-once barrier — the banding projection
+    // references the signature per band and CollapseProject would
+    // otherwise inline (re-execute) the kernel per reference.
+    val withSig = df.select(col(idCol).as("doc"), col(textCol))
+      .repartition(par(df), col("doc"))
+      .select(col("doc"), shingles(col(textCol), shingleK).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), nHashes))
+      .repartition(par(df), col("doc"))
     val banded = withSig.select(
       col("doc"), col("sh"),
       posexplode(transform(
@@ -81,35 +87,34 @@ object Dedup {
     when(union === 0.0, lit(1.0)).otherwise(inter / union)
   }
 
-  /** SimHash: 32-bit signature — bit i is the sign of the sum over
+  /** SimHash: bit signature (default 32, up to 64) — bit i is the sign of the sum over
     * distinct words of ±1 votes, where word w votes by the sign of
-    * murmur3(w, seed=i) (an independent hash per bit position — the
-    * dynamic-shift-free formulation). Deterministic, built-ins only,
-    * MSB-first accumulation via acc*2+bit. */
-  def simhash(text: Column, bits: Int = 32): Column = {
-    val ws = array_distinct(TextOps.words(text))
-    aggregate(
-      sequence(lit(0), lit(bits - 1)),
-      lit(0L),
-      (acc, i) => {
-        val votes = aggregate(ws, lit(0),
-          (v, w) => v + when(hash(w, i) >= 0, 1).otherwise(-1))
-        acc * 2 + when(votes > 0, lit(1L)).otherwise(lit(0L))
-      })
-  }
+    * murmur3(w, seed=i) (an independent hash per bit position).
+    * Deterministic, MSB-first packing. Single-pass kernel
+    * (`SimHashBits`) — one traversal of the word array computes all
+    * bits, instead of `bits` interpreted folds. */
+  def simhash(text: Column, bits: Int = 32): Column =
+    graft.expressions.VectorExpressions.simhashBits(
+      array_distinct(TextOps.words(text)), bits)
 
   /** Hamming distance between two simhash signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup pairs within `maxHamming` — exact-hamming verify
-    * over band-bucketed candidates (4 bands × 8 bits: by pigeonhole a
-    * pair within hamming<=3 agrees exactly on at least one band, so
-    * banding loses nothing at the default threshold). */
+    * over band-bucketed candidates (4 bands × 16 bits of a 64-bit
+    * signature: by pigeonhole a pair within hamming<=3 agrees exactly
+    * on at least one band, so banding loses nothing at the default
+    * threshold; 64 bits keeps homogeneous corpora from collapsing into
+    * a few buckets the way 32-bit signatures do). */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("doc"), simhash(col(textCol)).as("sig"))
+    // parallelize-first + compute-once barriers (see minhashNearDups)
+    val sigs = df.select(col(idCol).as("doc"), col(textCol))
+      .repartition(par(df), col("doc"))
+      .select(col("doc"), simhash(col(textCol), 64).as("sig"))
+      .repartition(par(df), col("doc"))
     val bandsArr = array((0 until 4).map(b =>
-      shiftright(col("sig"), 8 * b).bitwiseAND(lit(0xFFL))): _*)
+      shiftright(col("sig"), 16 * b).bitwiseAND(lit(0xFFFFL))): _*)
     val banded = sigs.select(col("doc"), col("sig"),
       posexplode(bandsArr).as(Seq("band", "half")))
     val a = banded.select(col("band"), col("half"), col("doc").as("id_a"), col("sig").as("__siga"))
@@ -122,18 +127,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Exact n-gram Jaccard similarity for all same-group pairs — the
-    * oracle-expressible near-dup variant (group key bounds the
-    * quadratic term; at scale the group is an LSH bucket). */
+  /** Exact n-gram Jaccard near-dup pairs within a group, by the
+    * scalable explode-join formulation: explode each document's
+    * distinct shingle set, equi-join on (group, shingle), and COUNT the
+    * matches per pair — |A∩B| without ever materializing a quadratic
+    * pairwise array intersection. Cost is Σ_shingle |docs(shingle)|²,
+    * which for natural text is dominated by true near-dups — the same
+    * reason a shuffle join scales to 100 TB where the all-pairs
+    * `array_intersect` (quadratic in group size, recomputed per pair)
+    * does not. Pairs sharing zero shingles never appear, which is
+    * correct for any threshold > 0. Results identical to the all-pairs
+    * definition (arrays are distinct, so each common shingle counts
+    * once). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       groupCol: String, k: Int, threshold: Double): DataFrame = {
-    val base = df.select(col(groupCol).as("grp"), col(idCol).as("doc"),
-      shingles(col(textCol), k).as("sh"))
-    val a = base.select(col("grp"), col("doc").as("id_a"), col("sh").as("__sha"))
-    val b = base.select(col("grp"), col("doc").as("id_b"), col("sh").as("__shb"))
-    a.join(b, Seq("grp"))
+    // parallelize-first: the fixture tables are single-row-group files
+    // (one scan partition), so the per-row shingle transform must run
+    // after an exchange or it executes on one core
+    val base = df.select(col(groupCol).as("grp"), col(idCol).as("doc"), col(textCol))
+      .repartition(par(df), col("doc"))
+      .select(col("grp"), col("doc"), shingles(col(textCol), k).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val ex = base.select(col("grp"), col("doc"), col("sz"), explode(col("sh")).as("s"))
+    val a = ex.select(col("grp"), col("s"), col("doc").as("id_a"), col("sz").as("__sza"))
+    val b = ex.select(col("grp"), col("s"), col("doc").as("id_b"), col("sz").as("__szb"))
+    a.join(b, Seq("grp", "s"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", round(jaccard(col("__sha"), col("__shb")), 6))
+      .groupBy(col("grp"), col("id_a"), col("id_b"), col("__sza"), col("__szb"))
+      .agg(count(lit(1)).as("__inter"))
+      .withColumn("jaccard", round(
+        col("__inter").cast("double")
+          / (col("__sza") + col("__szb") - col("__inter")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("grp"), col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -21,6 +21,11 @@ import graft.functions.VectorOps
   */
 object Similarity {
 
+  /** Target partition count for explicit exchanges (explicit so AQE
+    * does not coalesce them away on small inputs). */
+  private def par(df: DataFrame): Int =
+    df.sparkSession.sparkContext.defaultParallelism
+
   /** Exact top-k by cosine against one probe vector (array literal).
     * `ORDER BY sim DESC LIMIT k` plans as TakeOrderedAndProject. */
   def topKCosine(corpus: DataFrame, vecCol: String, probe: Seq[Double], k: Int,
@@ -41,11 +46,16 @@ object Similarity {
     * `annJoin`). */
   def knnJoin(probes: DataFrame, corpus: DataFrame, probeId: String,
       corpusId: String, vecCol: String, k: Int): DataFrame = {
-    val p = probes.select(col(probeId).as("probe_id"), col(vecCol).as("__pvec"))
-    val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("__cvec"))
+    // Norms are computed once per input row BEFORE the pairwise join
+    // (|P|+|C| norms instead of 3·|P|·|C| folds inside it).
+    val p = probes.select(col(probeId).as("probe_id"), col(vecCol).as("__pvec"),
+      VectorOps.norm2(col(vecCol)).as("__pn"))
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("__cvec"),
+      VectorOps.norm2(col(vecCol)).as("__cn"))
     val scored = c
       .crossJoin(broadcast(p))
-      .withColumn("sim", VectorOps.cosine6(col("__cvec"), col("__pvec")))
+      .withColumn("sim",
+        round(VectorOps.dot(col("__cvec"), col("__pvec")) / (col("__cn") * col("__pn")), 6))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -63,20 +73,28 @@ object Similarity {
       corpusId: String, vecCol: String, k: Int,
       nBands: Int = 4, bandBits: Int = 8): DataFrame = {
     def banded(df: DataFrame, id: String): DataFrame = {
-      val bits = VectorOps.hyperplaneBits(col(vecCol), nBands * bandBits)
-      df.select(col(id), col(vecCol), posexplode(
+      // signature + norm computed once per row behind an exchange —
+      // the posexplode projection references the bit array per band and
+      // CollapseProject would otherwise inline the kernel per reference
+      val withBits = df
+        .withColumn("__norm", VectorOps.norm2(col(vecCol)))
+        .withColumn("__bits", VectorOps.hyperplaneBits(col(vecCol), nBands * bandBits))
+        .repartition(par(df), col(id))
+      withBits.select(col(id), col(vecCol), col("__norm"), posexplode(
           transform(sequence(lit(0), lit(nBands - 1)),
-            b => array_join(slice(bits, b * bandBits + 1, lit(bandBits)), "")))
+            b => array_join(slice(col("__bits"), b * bandBits + 1, lit(bandBits)), "")))
         .as(Seq("band", "sig")))
     }
     val p = banded(probes.select(col(probeId).as("probe_id"), col(vecCol)), "probe_id")
-      .withColumnRenamed(vecCol, "__pvec")
+      .withColumnRenamed(vecCol, "__pvec").withColumnRenamed("__norm", "__pn")
     val c = banded(corpus.select(col(corpusId).as("neighbor_id"), col(vecCol)), "neighbor_id")
-      .withColumnRenamed(vecCol, "__cvec")
+      .withColumnRenamed(vecCol, "__cvec").withColumnRenamed("__norm", "__cn")
     val cands = p.join(c, Seq("band", "sig"))
-      .select(col("probe_id"), col("neighbor_id"), col("__pvec"), col("__cvec"))
+      .select(col("probe_id"), col("neighbor_id"),
+        col("__pvec"), col("__cvec"), col("__pn"), col("__cn"))
       .dropDuplicates("probe_id", "neighbor_id")
-      .withColumn("sim", VectorOps.cosine6(col("__cvec"), col("__pvec")))
+      .withColumn("sim",
+        round(VectorOps.dot(col("__cvec"), col("__pvec")) / (col("__cn") * col("__pn")), 6))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
     cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -98,10 +116,20 @@ object Similarity {
     * baseline; production path prefilters with `annJoin` buckets. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    // norms once per row, codegen'd dot per pair (identical arithmetic
+    // to cosine6 — same sequential double fold, same rounding)
+    // repartition spreads the streamed side of the nested-loop join
+    // across cores (single-row-group fixture files scan as 1 partition)
+    val withNorm = df.select(col(idCol), col(vecCol))
+      .repartition(par(df), col(idCol))
+      .withColumn("__n", VectorOps.norm2(col(vecCol)))
+    val a = withNorm.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+      col("__n").as("__na"))
+    val b = withNorm.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+      col("__n").as("__nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", VectorOps.cosine6(col("__va"), col("__vb")))
+      .withColumn("sim",
+        round(VectorOps.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }

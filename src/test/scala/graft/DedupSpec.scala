@@ -60,18 +60,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
-  test("fixture near-dups: minhash candidates superset-match exact high-jaccard pairs") {
+  test("fixture near-dups: LSH pairs are verified (j>=0.8) and recover same-source exact pairs") {
     val docs = Tables.documents(spark, sf)
-    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", 3, 0.8)
-      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     val lsh = Dedup.minhashNearDups(docs, "doc_id", "text",
       shingleK = 3, nBands = 8, rowsPerBand = 2, jaccardThreshold = 0.8)
+    // every emitted pair survived the exact-jaccard verify step
+    assert(lsh.filter($"jaccard" < 0.8).count() === 0)
+    // LSH searches ALL pairs (cross-source included); the same-source
+    // exact query must be recovered in full (identical/near-identical
+    // shingle sets always agree on every minhash → always banded).
+    val lshPairs = lsh.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", 3, 0.8)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
-    // verified-LSH pairs are exactly the true pairs that banded together;
-    // at 16 minhashes with j>=0.8, collision prob per band is high — all
-    // fixture dup pairs (same-source) should be recovered.
-    val sameSourceExact = exact // ngramJaccardPairs is already same-source
-    assert(lsh.subsetOf(sameSourceExact) || (lsh -- sameSourceExact).isEmpty)
-    assert((sameSourceExact -- lsh).isEmpty, s"LSH missed: ${sameSourceExact -- lsh}")
+    assert((exact -- lshPairs).isEmpty, s"LSH missed: ${exact -- lshPairs}")
   }
 }

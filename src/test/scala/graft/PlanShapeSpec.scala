@@ -47,8 +47,12 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("pricing summary stays in whole-stage codegen") {
+    // AQE wraps the plan until execution — use codegen explain mode,
+    // which compiles the subtrees regardless.
     val q = SparkEntry.queries("q01_pricing_summary")(spark, sf)
-    assert(physical(q).contains("WholeStageCodegen"))
+    val codegen = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(codegen.contains("WholeStageCodegen"), codegen.take(500))
   }
 
   test("flagship entry produces rows (driver smoke)") {

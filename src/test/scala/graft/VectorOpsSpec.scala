@@ -37,6 +37,19 @@ class VectorOpsSpec extends SparkSpec {
     assert(e1.values.forall(v => math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9))
   }
 
+  test("codegen dot product equals the HOF fold bit-for-bit") {
+    val e = Tables.embeddings(spark, sf).limit(200)
+    val a = e.select($"vec_id".as("ida"), $"embedding".as("va"))
+    val b = e.select($"vec_id".as("idb"), $"embedding".as("vb"))
+    val mismatches = a.join(b, $"ida" < $"idb")
+      .select(
+        VectorOps.dot($"va", $"vb").as("fast"),
+        VectorOps.dotHof($"va", $"vb").as("ref"))
+      .filter($"fast" =!= $"ref") // exact double inequality — bit identity
+      .count()
+    assert(mismatches === 0)
+  }
+
   test("l2Normalize maps zero vector to zero vector") {
     val out = Seq(Tuple1(Seq(0.0f, 0.0f, 0.0f))).toDF("v")
       .select(VectorOps.l2Normalize($"v").as("n"))

@@ -21,20 +21,10 @@ object SparkEntry {
   /** Flagship pipeline on sf0.001 (driver smoke-checks rows > 0) — the
     * reference's §3.1 ingest restated: scan → noise filter → chunk →
     * token count → hash-embed → top-k cosine retrieval vs. a probe. */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    val docs = NoiseFilter(Tables.documents(spark, dir), "text")
-    val chunked = Chunker.chunk(docs, "text", idealTokens = 32, chunkWords = 24)
-    val embedded = chunked.withColumn(
-      "embedding", VectorOps.hashEmbed(TextOps.words(col("chunk_text")), 64))
-    val probe = VectorOps.hashEmbed(
-      TextOps.words(lit("query filter join aggregate window shuffle")), 64)
-    embedded
-      .withColumn("sim", VectorOps.cosine6(col("embedding"), probe))
-      .select(col("doc_id"), col("chunk_id"), col("chunk_tokens"), col("sim"))
-      .orderBy(col("sim").desc, col("doc_id"), col("chunk_id"))
-      .limit(10)
-  }
+  def entry(spark: SparkSession): DataFrame =
+    EmbedPipeline.topKForProbe(spark,
+      Tables.documents(spark, "/root/testdata/sf0.001"), "text",
+      "query filter join aggregate window shuffle", dim = 64, k = 10)
 
   private val enStop = TextOps.stopwords("en")
 
@@ -245,7 +235,70 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     "q29_approx_distinct" -> ((s, d) =>
-      Analytics.approxDistinct(Tables.events(s, d)))
+      Analytics.approxDistinct(Tables.events(s, d))),
+
+    // --- scalar-function surface (SURVEY §2.7 F1-F19) ---------------
+    "q33_scalar_funcs" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 100)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          hex(col("l_orderkey")).as("okey_hex"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("ship_str"),
+          // l_shipdate is parquet TIMESTAMP_NTZ; unix_millis needs LTZ —
+          // the cast interprets it in the session zone (UTC, harness-pinned)
+          unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"),
+          format_string("order %d line %d", col("l_orderkey"), col("l_linenumber")).as("msg"),
+          least(col("l_quantity"), lit(25.0)).as("q_capped"),
+          ceil(col("l_quantity") / 7.0d).cast("int").as("q_div7"),
+          coalesce(
+            element_at(typedlit(Map("A" -> "application/a", "N" -> "application/n")),
+              col("l_returnflag")),
+            lit("bin")).as("flag_mime"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("ship_ms"))),
+
+    // --- set operations (SURVEY §2.6) -------------------------------
+    "q34_set_ops" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val hi = o.filter(col("o_totalprice") > 400000.0).select(col("o_custkey")).distinct()
+      val recent = o.filter(col("o_orderdate") >= lit("1999-01-01 00:00:00").cast("timestamp"))
+        .select(col("o_custkey")).distinct()
+      hi.intersect(recent).withColumn("tag", lit("high_and_recent"))
+        .unionByName(hi.except(recent).withColumn("tag", lit("high_only")))
+        .select(col("o_custkey"), col("tag"))
+        .orderBy(col("tag"), col("o_custkey"))
+    }),
+
+    // --- RAG prompt assembly (SURVEY §2.9 V6) ------------------------
+    "q35_rag_prompt" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val top = Tables.documents(s, d)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+      RagPrompt.prompts(top, "Why not load an CSV next time?", "text")
+        .select(col("rank"), col("doc_id"), col("prompt"))
+        .orderBy(col("rank"))
+    }),
+
+    // --- end-to-end embed pipeline + batch form of streaming ingest --
+    "q36_pipeline_e2e" -> ((s, d) =>
+      EmbedPipeline.topKForProbe(s, Tables.documents(s, d), "text",
+        "query filter join aggregate window shuffle", dim = 64, k = 20)),
+
+    "q37_ingest_batch" -> ((s, d) =>
+      graft.streaming.Streams.ingestTransform(
+        Tables.events(s, d).withColumnRenamed("props", "body"))
+        .select(col("event_id"), col("chunk_id"), col("tokens"), col("embedding"))
+        .orderBy(col("event_id"), col("chunk_id"))),
+
+    "q38_mllib_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.mllibAnnJoin(
+        e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "vec_id", "vec_id", "embedding", distThreshold = 12.0)
+        .orderBy(col("probe_id"), col("neighbor_id"))
+    })
   )
 
   // ------------------------------------------------------------------
@@ -505,6 +558,47 @@ object SparkEntry {
         |       WHEN props IS NOT NULL THEN props
         |       ELSE 'Empty data message' END AS body
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q33_scalar_funcs" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+        |  hex(l_orderkey) AS okey_hex,
+        |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_str,
+        |  epoch_ms(l_shipdate) AS ship_ms,
+        |  printf('order %d line %d', l_orderkey, CAST(l_linenumber AS BIGINT)) AS msg,
+        |  least(l_quantity, CAST(25.0 AS DOUBLE)) AS q_capped,
+        |  CAST(ceil(l_quantity / CAST(7.0 AS DOUBLE)) AS INT) AS q_div7,
+        |  CASE l_returnflag WHEN 'A' THEN 'application/a'
+        |       WHEN 'N' THEN 'application/n' ELSE 'bin' END AS flag_mime
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, ship_ms""".stripMargin,
+
+    "q34_set_ops" ->
+      """WITH hi AS (SELECT DISTINCT o_custkey FROM orders
+        |            WHERE o_totalprice > CAST(400000.0 AS DOUBLE)),
+        |recent AS (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |SELECT o_custkey, 'high_and_recent' AS tag
+        |FROM (SELECT * FROM hi INTERSECT SELECT * FROM recent)
+        |UNION ALL
+        |SELECT o_custkey, 'high_only' AS tag
+        |FROM (SELECT * FROM hi EXCEPT SELECT * FROM recent)
+        |ORDER BY tag, o_custkey""".stripMargin,
+
+    "q35_rag_prompt" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, text,
+        |    CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS INT) AS rank
+        |  FROM documents QUALIFY rank <= 5)
+        |SELECT rank, doc_id,
+        |  concat(chr(10), '<|begin_of_text|>', chr(10),
+        |    '<|start_header_id|>system<|end_header_id|>', chr(10),
+        |    'You are a friendly and useful Chatbot. Be of assistance the best you can.',
+        |    chr(10), '<|eot_id|>', chr(10), chr(10),
+        |    '<|start_header_id|>user<|end_header_id|>', chr(10),
+        |    'Why not load an CSV next time?', chr(10), chr(10),
+        |    'Context:', chr(10), text, '<|eot_id|>', chr(10), chr(10),
+        |    '<|start_header_id|>assistant<|end_header_id|>') AS prompt
+        |FROM ranked ORDER BY rank""".stripMargin,
 
     "q32_empty_null" ->
       """WITH d AS (

@@ -185,6 +185,45 @@ case class HyperplaneBitsExpr(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** Deterministic hash-embedding of a word array: bucket-count words by
+  * floorMod(murmur3(word, seed=42), dim) — the same bucket function as
+  * `functions.hash`/`pmod` — then L2-normalize (sequential
+  * index-order sum of squares; zero vector stays zero). Single pass;
+  * replaces a dim × |words| interpreted filter-fold per row (~4 ms/row
+  * at dim=64 — the dominant cost of the embed pipeline before this).
+  */
+case class HashEmbed(child: Expression, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "hash_embed"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val counts = new Array[Double](dim)
+    var i = 0
+    while (i < arr.numElements()) {
+      val w = arr.getUTF8String(i)
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+        .hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes, 42)
+      counts(java.lang.Math.floorMod(h, dim)) += 1.0
+      i += 1
+    }
+    var ss = 0.0
+    i = 0
+    while (i < dim) { ss += counts(i) * counts(i); i += 1 }
+    if (ss > 0.0) {
+      val norm = java.lang.Math.sqrt(ss)
+      i = 0
+      while (i < dim) { counts(i) /= norm; i += 1 }
+    }
+    ArrayData.toArrayData(counts)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Distinct word k-shingles of a word array: the k-grams joined with
   * single spaces, first-occurrence order (array_distinct semantics);
   * fewer than k words → one shingle = the whole text. Single pass —
@@ -243,4 +282,7 @@ object VectorExpressions {
 
   def wordShingles(words: Column, k: Int): Column =
     GraftShims.column(WordShingles(expr(words), k))
+
+  def hashEmbed(words: Column, dim: Int): Column =
+    GraftShims.column(HashEmbed(expr(words), dim))
 }

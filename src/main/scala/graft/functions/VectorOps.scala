@@ -67,14 +67,12 @@ object VectorOps {
     * tests need no service; dimension parameterized (64 matches the
     * fixture corpus, 768 matches the reference schema).
     *
-    * Entirely built-ins → codegen'd, no UDF; O(dim · |words|) per row.
+    * Single-pass kernel (`HashEmbed`): bucket = floorMod(murmur3(w, 42),
+    * dim) — identical to the `pmod(hash(w), dim)` built-in formulation,
+    * one traversal instead of a dim × |words| interpreted filter-fold.
     */
-  def hashEmbed(words: Column, dim: Int): Column = {
-    val counts = transform(
-      sequence(lit(0), lit(dim - 1)),
-      i => size(filter(words, w => pmod(hash(w), lit(dim)) === i)).cast("double"))
-    l2Normalize(counts)
-  }
+  def hashEmbed(words: Column, dim: Int): Column =
+    graft.expressions.VectorExpressions.hashEmbed(words, dim)
 
   /** SimHash-style bit signature of a float vector: sign of the dot
     * product against `nBits` deterministic pseudo-random hyperplanes

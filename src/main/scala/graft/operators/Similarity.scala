@@ -101,6 +101,31 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** MLlib-based approximate similarity join (SURVEY §2.9 V5's
+    * suggested path): BucketedRandomProjectionLSH with a fixed seed —
+    * euclidean-distance buckets, `approxSimilarityJoin` under a
+    * distance threshold. Kept alongside the custom hyperplane `annJoin`
+    * as the library-standard alternative; the custom path exists
+    * because cosine (not euclidean) is the reference's implied metric
+    * and because deterministic planes need no fitted model object. */
+  def mllibAnnJoin(probes: DataFrame, corpus: DataFrame, probeId: String,
+      corpusId: String, vecCol: String, distThreshold: Double,
+      numTables: Int = 3, bucketLength: Double = 2.0): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = corpus.select(col(corpusId).as("neighbor_id"),
+      array_to_vector(col(vecCol)).as("features"))
+    val p = probes.select(col(probeId).as("probe_id"),
+      array_to_vector(col(vecCol)).as("features"))
+    val model = new BucketedRandomProjectionLSH()
+      .setBucketLength(bucketLength).setNumHashTables(numTables)
+      .setInputCol("features").setOutputCol("hashes").setSeed(42L)
+      .fit(c)
+    model.approxSimilarityJoin(p, c, distThreshold, "dist")
+      .select(col("datasetA.probe_id"), col("datasetB.neighbor_id"),
+        round(col("dist"), 6).as("dist"))
+  }
+
   /** Per-label centroids of an embedding column: explode to
     * (label, pos, value), average per cell, exact-typed group keys.
     * One shuffle on (label, pos) with map-side partial aggregation —

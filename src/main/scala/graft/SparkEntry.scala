@@ -298,7 +298,29 @@ object SparkEntry {
         e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
         "vec_id", "vec_id", "embedding", distThreshold = 12.0)
         .orderBy(col("probe_id"), col("neighbor_id"))
-    })
+    }),
+
+    // --- as-of join / centroid assignment / exact quantiles ---------
+    "q39_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      AsOfJoin.join(purchases, views, "user_id", "ts",
+        rightVal = "event_id", rightTiebreak = "event_id")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("matched").as("matched_view"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q40_centroid_assign" -> ((s, d) =>
+      Similarity.assignToCentroids(Tables.embeddings(s, d),
+        "vec_id", "label", "embedding")
+        .orderBy(col("vec_id"))),
+
+    "q41_quantiles" -> ((s, d) =>
+      Analytics.quantiles(Tables.lineitem(s, d), "l_returnflag", "l_extendedprice"))
   )
 
   // ------------------------------------------------------------------
@@ -599,6 +621,48 @@ object SparkEntry {
         |    'Context:', chr(10), text, '<|eot_id|>', chr(10), chr(10),
         |    '<|start_header_id|>assistant<|end_header_id|>') AS prompt
         |FROM ranked ORDER BY rank""".stripMargin,
+
+    "q39_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, 1 AS is_l, CAST(NULL AS BIGINT) AS r_event
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 0 AS is_l, event_id AS r_event
+        |  FROM events WHERE event_type = 'view'),
+        |w AS (
+        |  SELECT user_id, ts, event_id, is_l,
+        |    last_value(r_event IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, is_l, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS matched_view
+        |  FROM u)
+        |SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, matched_view
+        |FROM w WHERE is_l = 1 ORDER BY event_id""".stripMargin,
+
+    "q40_centroid_assign" ->
+      """WITH cell AS (
+        |  SELECT label AS clabel, i,
+        |    CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+        |      / count(*) AS cv
+        |  FROM embeddings, generate_series(1, 64) t(i) GROUP BY 1, 2),
+        |cent AS (SELECT clabel, list(cv ORDER BY i) AS cvec FROM cell GROUP BY clabel),
+        |scored AS (
+        |  SELECT e.vec_id, e.label AS true_label, c.clabel,
+        |    round(list_distance(CAST(e.embedding AS DOUBLE[]), cvec)
+        |      * list_distance(CAST(e.embedding AS DOUBLE[]), cvec), 6) AS dist2
+        |  FROM embeddings e CROSS JOIN cent c),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY dist2, clabel) AS rn
+        |  FROM scored)
+        |SELECT vec_id, true_label, clabel AS assigned_label, dist2
+        |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "q41_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q32_empty_null" ->
       """WITH d AS (

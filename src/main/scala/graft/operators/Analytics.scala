@@ -108,6 +108,18 @@ object Analytics {
       dsum(col("l_quantity")).as("sum_qty"),
       max(col("l_extendedprice")).as("max_price"))
 
+  /** Exact interpolated quantiles per group (`percentile` — exact, vs.
+    * the sketch-based `percentile_approx`). Oracle-expressible because
+    * both engines interpolate (1-d)·lower + d·upper over the sorted
+    * exact values. */
+  def quantiles(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        round(percentile(col(valueCol), lit(0.5)), 6).as("p50"),
+        round(percentile(col(valueCol), lit(0.9)), 6).as("p90"),
+        round(percentile(col(valueCol), lit(0.99)), 6).as("p99"))
+      .orderBy(col(groupCol))
+
   /** approx_count_distinct sketch surface (HLL++) — not
     * oracle-expressible (sketch internals differ per engine); declared
     * rows-only per the contract. */

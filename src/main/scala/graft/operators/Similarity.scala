@@ -136,6 +136,34 @@ object Similarity {
       .groupBy(col(labelCol), col("pos"))
       .agg(round(avg(col("v").cast("double")), 6).as("centroid_val"))
 
+  /** Nearest-centroid assignment (one k-means classification step):
+    * compute per-label centroids (exact decimal mean — deterministic
+    * under any partial-aggregation order), broadcast them against the
+    * corpus, and pick the argmin squared-euclidean centroid per vector
+    * (ties break to the lowest label). The centroid set is tiny — the
+    * corpus is scanned once and never shuffled; at 100 TB this is a
+    * map-side classify. */
+  def assignToCentroids(df: DataFrame, idCol: String, labelCol: String,
+      vecCol: String): DataFrame = {
+    val cellMeans = df
+      .select(col(labelCol).as("__clabel"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("__clabel"), col("pos"))
+      .agg((sum(col("v").cast("double")
+        .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+        .cast("double") / count(col("v"))).as("cv"))
+    val cents = cellMeans.groupBy(col("__clabel"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv"))))
+        .getField("cv").as("__cvec"))
+    val scored = df.select(col(idCol), col(labelCol), col(vecCol))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist2", round(VectorOps.l2DistSq(col(vecCol), col("__cvec")), 6))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("dist2"), col("__clabel"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(labelCol).as("true_label"),
+        col("__clabel").as("assigned_label"), col("dist2"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`; pairs
     * emitted once (idA < idB). Exact all-pairs — the correctness
     * baseline; production path prefilters with `annJoin` buckets. */

@@ -63,6 +63,29 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("as-of join: <= semantics, deterministic ties, null when nothing precedes") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val left = Seq(
+      (1L, ts(100), 10L),  // right rows at 50 and 100 precede → match 100's max id
+      (1L, ts(40), 11L),   // nothing at or before 40 → null
+      (2L, ts(500), 12L))  // other key
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts(50), 20L),
+      (1L, ts(100), 21L), (1L, ts(100), 22L), // tie at 100 → max id 22
+      (1L, ts(200), 23L),                      // after → never matched by 100
+      (2L, ts(499), 24L))
+      .toDF("user_id", "ts", "event_id")
+    val out = graft.operators.AsOfJoin.join(left, right, "user_id", "ts",
+      "event_id", "event_id")
+      .select($"event_id", $"matched").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(out(10L) === Some(22L)) // equal-ts rows match, tie → greatest id
+    assert(out(11L) === None)
+    assert(out(12L) === Some(24L))
+  }
+
   test("whole queries run through spark.sql over registered views") {
     Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem")
     val viaSql = spark.sql(

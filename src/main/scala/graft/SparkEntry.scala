@@ -320,7 +320,15 @@ object SparkEntry {
         .orderBy(col("vec_id"))),
 
     "q41_quantiles" -> ((s, d) =>
-      Analytics.quantiles(Tables.lineitem(s, d), "l_returnflag", "l_extendedprice"))
+      Analytics.quantiles(Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")),
+
+    "q42_ivf_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfJoin(
+        e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "vec_id", "vec_id", "embedding", k = 5, nList = 16, nProbe = 4)
+        .orderBy(col("probe_id"), col("rank"))
+    })
   )
 
   // ------------------------------------------------------------------

@@ -1,8 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
+
+/** One chunk row of the typed chunker path. */
+case class DocChunk(doc_id: Long, chunk_id: Int, chunk_text: String, chunk_tokens: Int)
 
 /** The reference's 1→N text chunker (`src/rag/dataframes.rs:46-111`):
   * texts at or under `idealTokens` tokens pass through as one chunk;
@@ -54,5 +57,28 @@ object Chunker {
       .where(length(trim(col("chunk_text"))) > 0) // dataframes.rs:91
       .withColumn("chunk_tokens", TextOps.tokenCount(col("chunk_text")))
       .drop("__words", "__ntok")
+  }
+
+  /** Typed `Dataset` variant (SURVEY §1.3: "Dataset[T] only for the
+    * chunker's typed flatMap") — same semantics as `chunk`, expressed
+    * as a case-class flatMap for callers who prefer compile-time field
+    * checks. Tested equal to the column path on the fixtures. */
+  def chunkTyped(spark: SparkSession, docs: Dataset[(Long, String)],
+      idealTokens: Int = DefaultIdealTokens,
+      chunkWords: Int = DefaultChunkWords): Dataset[DocChunk] = {
+    import spark.implicits._
+    docs.flatMap { case (id, text) =>
+      val trimmed = text.trim
+      val words = if (trimmed.isEmpty) Array.empty[String] else trimmed.split("\\s+")
+      val ntok = words.length
+      val chunks =
+        if (ntok <= idealTokens) Seq(trimmed)
+        else words.grouped(chunkWords).map(_.mkString(" ")).toSeq
+      chunks.zipWithIndex
+        .filter { case (c, _) => c.trim.nonEmpty }
+        .map { case (c, j) =>
+          DocChunk(id, j, c, c.trim.split("\\s+").length)
+        }
+    }
   }
 }

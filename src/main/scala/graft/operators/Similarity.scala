@@ -136,6 +136,45 @@ object Similarity {
       .groupBy(col(labelCol), col("pos"))
       .agg(round(avg(col("v").cast("double")), 6).as("centroid_val"))
 
+  /** IVF-style approximate nearest neighbors: partition the corpus
+    * into `nList` cells by nearest seed centroid (seeds = deterministic
+    * corpus sample: the `nList` vectors with the smallest ids — at
+    * production scale, k-means centroids; the cell-join machinery is
+    * identical), then search each probe only in its `nProbe` nearest
+    * cells. The cell assignment is a broadcast map-side classify; the
+    * search is an equi-join on cell id — corpus scanned once, candidate
+    * count ≈ |corpus|·nProbe/nList per probe. The second named scale
+    * path from the brief alongside hyperplane-LSH `annJoin`. */
+  def ivfJoin(probes: DataFrame, corpus: DataFrame, probeId: String,
+      corpusId: String, vecCol: String, k: Int,
+      nList: Int = 16, nProbe: Int = 4): DataFrame = {
+    val seeds = corpus.orderBy(col(corpusId)).limit(nList)
+      .select(col(corpusId).as("cell"), col(vecCol).as("__seed"))
+    def assign(df: DataFrame, id: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col(id)).orderBy(col("__d"), col("cell"))
+      df.crossJoin(broadcast(seeds))
+        .withColumn("__d", VectorOps.l2DistSq(col(vecCol), col("__seed")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= n)
+        .drop("__seed", "__d", "__rn")
+    }
+    val c = assign(
+      corpus.select(col(corpusId).as("neighbor_id"), col(vecCol)), "neighbor_id", 1)
+      .withColumn("__cn", VectorOps.norm2(col(vecCol)))
+      .withColumnRenamed(vecCol, "__cvec")
+    val p = assign(
+      probes.select(col(probeId).as("probe_id"), col(vecCol)), "probe_id", nProbe)
+      .withColumn("__pn", VectorOps.norm2(col(vecCol)))
+      .withColumnRenamed(vecCol, "__pvec")
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    p.join(c, Seq("cell"))
+      .withColumn("sim",
+        round(VectorOps.dot(col("__cvec"), col("__pvec")) / (col("__cn") * col("__pn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
   /** Nearest-centroid assignment (one k-means classification step):
     * compute per-label centroids (exact decimal mean — deterministic
     * under any partial-aggregation order), broadcast them against the

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.{Chunker, Similarity}
+import graft.sources.Formats
+
+class FormatsAndTypedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("typed chunker flatMap equals the column chunker") {
+    val docs = Tables.documents(spark, sf)
+    val typed = Chunker.chunkTyped(spark,
+      docs.select($"doc_id", $"text").as[(Long, String)],
+      idealTokens = 32, chunkWords = 24)
+      .collect().map(c => (c.doc_id, c.chunk_id) -> (c.chunk_text, c.chunk_tokens)).toMap
+    val columnar = Chunker.chunk(docs, "text", idealTokens = 32, chunkWords = 24)
+      .select($"doc_id", $"chunk_id", $"chunk_text", $"chunk_tokens")
+      .as[(Long, Int, String, Int)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(typed === columnar)
+  }
+
+  test("csv and json round-trip the documents table") {
+    val docs = Tables.documents(spark, sf)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+        .as[(Long, String, String, String, Long)].collect().sorted.toSeq
+    val csvDir = Files.createTempDirectory("graft_csv").toString + "/docs"
+    Formats.writeCsv(docs, csvDir)
+    assert(key(Formats.readCsv(spark, csvDir, docs.schema)) === key(docs))
+    val jsonDir = Files.createTempDirectory("graft_json").toString + "/docs"
+    Formats.writeJson(docs, jsonDir)
+    assert(key(Formats.readJson(spark, jsonDir, docs.schema)) === key(docs))
+  }
+
+  test("IVF ANN: sims exact for emitted pairs, per-probe top-k shape") {
+    val e = Tables.embeddings(spark, sf)
+    val probes = e.filter($"vec_id" < 3)
+    val corpus = e.filter($"vec_id" >= 3)
+    val out = Similarity.ivfJoin(probes, corpus, "vec_id", "vec_id", "embedding",
+      k = 5, nList = 8, nProbe = 3)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(out.nonEmpty)
+    val byProbe = out.groupBy(_._1)
+    assert(byProbe.size === 3 && byProbe.values.forall(_.length <= 5))
+    // emitted sims equal the exact cosine (IVF approximates recall, not values)
+    val exact = Similarity.knnJoin(probes, corpus, "vec_id", "vec_id", "embedding", 1000000)
+      .select($"probe_id", $"neighbor_id", $"sim")
+      .as[(Long, Long, Double)].collect()
+      .map { case (p, n, s) => (p, n) -> s }.toMap
+    assert(out.forall { case (p, n, s, _) => exact((p, n)) == s })
+    // determinism
+    val again = Similarity.ivfJoin(probes, corpus, "vec_id", "vec_id", "embedding",
+      k = 5, nList = 8, nProbe = 3).as[(Long, Long, Double, Int)].collect()
+    assert(out.toSet === again.toSet)
+  }
+}

@@ -328,6 +328,32 @@ object SparkEntry {
         e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
         "vec_id", "vec_id", "embedding", k = 5, nList = 16, nProbe = 4)
         .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    "q43_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          Analytics.dsum(col("l_extendedprice")).as("sum_price"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))),
+
+    "q44_running_window" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("running_total", round(
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+            .cast("double"), 4))
+        .withColumn("prev_price",
+          lag(col("o_totalprice"), 1).over(w))
+        .withColumn("order_idx", row_number().over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("order_idx"),
+          col("running_total"), col("prev_price"))
+        .orderBy(col("o_custkey"), col("order_idx"))
     })
   )
 
@@ -664,6 +690,24 @@ object SparkEntry {
         |  FROM scored)
         |SELECT vec_id, true_label, clabel AS assigned_label, dist2
         |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "q43_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |  ${dsumSql("l_extendedprice")} AS sum_price,
+         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q44_running_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER w AS INT) AS order_idx,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE), 4) AS running_total,
+        |  lag(o_totalprice, 1) OVER w AS prev_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, order_idx""".stripMargin,
 
     "q41_quantiles" ->
       """SELECT l_returnflag,

@@ -46,6 +46,24 @@ class StreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming session windows converge with batch gaps-and-islands sessionization") {
+    val stream = Streams.eventsStream(spark, sf)
+    val q = Streams.sessionWindows(stream).writeStream
+      .format("memory").queryName("sess_out").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    // same 30-minute gap rule → same session count and sizes per user
+    val streamed = spark.table("sess_out")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum($"n_events").as("n_events"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val batch = graft.operators.Analytics
+      .sessionize(Tables.events(spark, sf), "user_id", "ts", "event_id", 1800L)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum($"n_events").as("n_events"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(streamed === batch)
+  }
+
   test("streaming dedup within watermark removes duplicate keys") {
     // duplicate the source rows → dropDuplicatesWithinWatermark must halve
     val out = Files.createTempDirectory("graft_dedup_out").toString

@@ -339,6 +339,20 @@ object SparkEntry {
         .orderBy(col("gid"), asc_nulls_first("l_returnflag"),
           asc_nulls_first("l_linestatus"))),
 
+    "q45_semi_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val bigOrders = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 450000.0)
+        .select(col("o_custkey"))
+      val withBig = c.join(bigOrders, c("c_custkey") === col("o_custkey"), "left_semi")
+        .withColumn("tag", lit("has_big_order"))
+      val withoutBig = c.join(bigOrders, c("c_custkey") === col("o_custkey"), "left_anti")
+        .withColumn("tag", lit("no_big_order"))
+      withBig.unionByName(withoutBig)
+        .select(col("c_custkey"), col("c_name"), col("tag"))
+        .orderBy(col("tag"), col("c_custkey"))
+    }),
+
     "q44_running_window" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("o_custkey"))
@@ -690,6 +704,16 @@ object SparkEntry {
         |  FROM scored)
         |SELECT vec_id, true_label, clabel AS assigned_label, dist2
         |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "q45_semi_anti" ->
+      """SELECT c_custkey, c_name, 'has_big_order' AS tag FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > CAST(450000.0 AS DOUBLE))
+        |UNION ALL
+        |SELECT c_custkey, c_name, 'no_big_order' AS tag FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > CAST(450000.0 AS DOUBLE))
+        |ORDER BY tag, c_custkey""".stripMargin,
 
     "q43_cube" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -339,6 +339,30 @@ object SparkEntry {
         .orderBy(col("gid"), asc_nulls_first("l_returnflag"),
           asc_nulls_first("l_linestatus"))),
 
+    "q46_normalize_text" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        // cleaning pass: lowercase, strip non-alphanumerics, collapse
+        // whitespace — the standard pretraining text-normalization step
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")).as("clean_text"))
+        .withColumn("clean_tokens", TextOps.tokenCount(col("clean_text")))
+        .orderBy(col("doc_id"))),
+
+    "q47_dedup_keep_first" -> ((s, d) => {
+      // canonicalization after near-dup detection: drop any doc that has
+      // a near-duplicate (3-gram jaccard >= 0.5, same source) with a
+      // smaller id — the keep-first policy over the sparse dup graph
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, d),
+        "doc_id", "text", "source", 3, 0.5)
+        .select(col("id_b").as("doc_id")).distinct()
+      Tables.documents(s, d)
+        .join(pairs, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q45_semi_anti" -> ((s, d) => {
       val c = Tables.customer(s, d)
       val bigOrders = Tables.orders(s, d)
@@ -704,6 +728,36 @@ object SparkEntry {
         |  FROM scored)
         |SELECT vec_id, true_label, clabel AS assigned_label, dist2
         |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "q46_normalize_text" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g')) AS clean_text,
+        |  CASE WHEN length(trim(regexp_replace(regexp_replace(lower(text),
+        |         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) = 0 THEN 0
+        |       ELSE CAST(len(string_split_regex(trim(regexp_replace(
+        |         regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |         ' +', ' ', 'g')), '\s+')) AS INT) END AS clean_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q47_dedup_keep_first" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT source AS grp, doc_id,
+        |    list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |      ELSE list_transform(generate_series(0, len(ws) - 3),
+        |        i -> array_to_string(ws[i+1 : i+3], ' ')) END) AS sh
+        |  FROM d),
+        |pairs AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM s a JOIN s b ON a.grp = b.grp AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5)
+        |SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM pairs)
+        |ORDER BY doc_id""".stripMargin,
 
     "q45_semi_anti" ->
       """SELECT c_custkey, c_name, 'has_big_order' AS tag FROM customer

@@ -57,6 +57,16 @@ object Profile {
     time("full q27")(graft.operators.Similarity.annJoin(
       e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
       "vec_id", "vec_id", "embedding", 5).count())
+
+    // plan audit: count exchanges/sorts in the heavier query plans
+    for (q <- Seq("q40_centroid_assign", "q13_sessionize", "q22_ngram_jaccard",
+        "q34_set_ops", "q39_asof_join")) {
+      val plan = graft.SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val ex = "Exchange".r.findAllIn(plan).length
+      val so = "Sort ".r.findAllIn(plan).length
+      println(s"[plan] $q exchanges=$ex sorts=$so")
+    }
     spark.stop()
   }
 }

@@ -263,8 +263,14 @@ object SparkEntry {
       val hi = o.filter(col("o_totalprice") > 400000.0).select(col("o_custkey")).distinct()
       val recent = o.filter(col("o_orderdate") >= lit("1999-01-01 00:00:00").cast("timestamp"))
         .select(col("o_custkey")).distinct()
-      hi.intersect(recent).withColumn("tag", lit("high_and_recent"))
-        .unionByName(hi.except(recent).withColumn("tag", lit("high_only")))
+      // INTERSECT + EXCEPT over distinct keysets ≡ one left join with a
+      // presence flag — Spark plans intersect/except as separate
+      // aggregate+join subtrees that re-shuffle both inputs (7
+      // exchanges); this form computes each keyset once (the oracle
+      // keeps the literal INTERSECT/EXCEPT formulation).
+      hi.join(recent.withColumn("__r", lit(1)), Seq("o_custkey"), "left")
+        .withColumn("tag",
+          when(col("__r").isNotNull, lit("high_and_recent")).otherwise(lit("high_only")))
         .select(col("o_custkey"), col("tag"))
         .orderBy(col("tag"), col("o_custkey"))
     }),

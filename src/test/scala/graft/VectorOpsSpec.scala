@@ -50,6 +50,30 @@ class VectorOpsSpec extends SparkSpec {
     assert(mismatches === 0)
   }
 
+  test("typed centroid Aggregator matches the explode-groupBy centroid path") {
+    import graft.functions.VectorCentroidAggregator
+    val e = Tables.embeddings(spark, sf)
+    val agg = new VectorCentroidAggregator(64)
+    val typed = e.select($"label", $"embedding").as[(Int, Seq[Float])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("centroid"))
+      .collect().toMap
+    val viaExplode = e
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos")
+      .agg((sum($"v".cast("double")) / count($"v")).as("cv"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq).toMap
+    assert(typed.keySet === viaExplode.keySet)
+    typed.foreach { case (label, cent) =>
+      cent.zip(viaExplode(label)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9) // summation orders differ → ulp tolerance
+      }
+    }
+  }
+
   test("l2Normalize maps zero vector to zero vector") {
     val out = Seq(Tuple1(Seq(0.0f, 0.0f, 0.0f))).toDF("v")
       .select(VectorOps.l2Normalize($"v").as("n"))

@@ -12,10 +12,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT/codegen/classloading otherwise lands on
     // whichever query the Map iterates first (~5 s of noise)
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink forces full evaluation of every declared column —
+      // count() would let Catalyst prune the computed columns (the
+      // whole cost of projection-shaped queries like hash-embed)
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

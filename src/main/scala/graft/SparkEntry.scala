@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextOps, VectorOps}
 import graft.operators._
+import graft.sources.Multimodal
 
 /** Driver contract (SURVEY §7): one named query per implemented
   * operator from the SURVEY §2 inventory + the training-data-pipeline
@@ -179,8 +180,17 @@ object SparkEntry {
         "doc_id", "text", "source", 3, 0.5)
         .orderBy(col("grp"), col("id_a"), col("id_b"))),
 
+    // correctness baseline: exact all-pairs over a BOUNDED slice — the
+    // quadratic form is only ever declared on a bounded input; the
+    // full-table production path is q48 (LSH prefilter + exact verify)
     "q23_embedding_neardup" -> ((s, d) =>
-      Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.3)
+      Similarity.nearDupPairs(
+        Tables.embeddings(s, d).filter(col("vec_id") < 200),
+        "vec_id", "embedding", 0.3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q48_neardup_lsh" -> ((s, d) =>
+      Similarity.nearDupPairsLsh(Tables.embeddings(s, d), "vec_id", "embedding", 0.3)
         .orderBy(col("id_a"), col("id_b"))),
 
     "q30_stats_summary" -> ((s, d) =>
@@ -214,11 +224,24 @@ object SparkEntry {
       Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
-    "q26_hash_embed" -> ((s, d) =>
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        VectorOps.hashEmbed(TextOps.words(col("text")), 64).as("embedding"))
-        .orderBy(col("doc_id"))),
+    "q26_hash_embed" -> ((s, d) => {
+      // The declared output digests the vector to scalars (the driver's
+      // pandas comparator cannot hash array cells); raw-array outputs
+      // live in VectorOpsSpec. Embedding materialized once behind an
+      // explicit exchange so CollapseProject cannot re-inline the
+      // kernel into each digest column.
+      val ones = array((0 until 64).map(_ => lit(1.0)): _*)
+      Tables.documents(s, d)
+        .withColumn("embedding", VectorOps.hashEmbed(TextOps.words(col("text")), 64))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(
+          col("doc_id"),
+          size(col("embedding")).as("dim"),
+          round(element_at(col("embedding"), 1), 6).as("e0"),
+          round(VectorOps.norm2(col("embedding")), 6).as("norm"),
+          round(VectorOps.dot(col("embedding"), ones), 6).as("checksum"))
+        .orderBy(col("doc_id"))
+    }),
 
     "q27_ann_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -277,11 +300,23 @@ object SparkEntry {
 
     // --- RAG prompt assembly (SURVEY §2.9 V6) ------------------------
     "q35_rag_prompt" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
+      // Top-5 context selection via orderBy+limit — plans as
+      // TakeOrderedAndProject (per-partition heaps, k rows to the
+      // driver), NOT a global no-partition window that would move the
+      // whole corpus to one partition at scale. The rank is derived
+      // AFTER the limit: a 5×5 broadcast self-join counting peers at or
+      // above each row — constant-size work, no WindowExec at all (a
+      // constant partitionBy would be folded away and still warn).
+      val sel = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("n_chars"))
         .orderBy(col("n_chars").desc, col("doc_id"))
-      val top = Tables.documents(s, d)
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
+        .limit(5)
+      val peers = sel.select(col("doc_id").as("__d2"), col("n_chars").as("__c2"))
+      val top = sel.join(broadcast(peers),
+          col("__c2") > col("n_chars") ||
+            (col("__c2") === col("n_chars") && col("__d2") <= col("doc_id")))
+        .groupBy(col("doc_id"), col("text"), col("n_chars"))
+        .agg(count(lit(1)).cast("int").as("rank"))
       RagPrompt.prompts(top, "Why not load an CSV next time?", "text")
         .select(col("rank"), col("doc_id"), col("prompt"))
         .orderBy(col("rank"))
@@ -292,11 +327,19 @@ object SparkEntry {
       EmbedPipeline.topKForProbe(s, Tables.documents(s, d), "text",
         "query filter join aggregate window shuffle", dim = 64, k = 20)),
 
-    "q37_ingest_batch" -> ((s, d) =>
+    "q37_ingest_batch" -> ((s, d) => {
+      // Same array→scalar digest rule as q26: the driver comparator
+      // needs hashable cells, so the embedding is reduced to its norm
+      // and a ones-dot checksum (codegen'd fold, not an interpreted HOF).
+      val ones = array((0 until 64).map(_ => lit(1.0)): _*)
       graft.streaming.Streams.ingestTransform(
         Tables.events(s, d).withColumnRenamed("props", "body"))
-        .select(col("event_id"), col("chunk_id"), col("tokens"), col("embedding"))
-        .orderBy(col("event_id"), col("chunk_id"))),
+        .repartition(s.sparkContext.defaultParallelism, col("event_id"))
+        .select(col("event_id"), col("chunk_id"), col("tokens"),
+          round(VectorOps.norm2(col("embedding")), 6).as("emb_norm"),
+          round(VectorOps.dot(col("embedding"), ones), 6).as("emb_checksum"))
+        .orderBy(col("event_id"), col("chunk_id"))
+    }),
 
     "q38_mllib_ann" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -398,6 +441,106 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"), col("order_idx"),
           col("running_total"), col("prev_price"))
         .orderBy(col("o_custkey"), col("order_idx"))
+    }),
+
+    // --- ST6 batch form: reaction lookup against the static store -----
+    "q49_reaction_lookup" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      // static message store: one original message per user, picked
+      // deterministically (lowest event_id)
+      val store = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(min(col("event_id")).as("orig_id"),
+          min_by(col("props"), col("event_id")).as("orig_body"))
+      val reactions = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"))
+      graft.streaming.Streams.reactionLookup(reactions, store, Seq("user_id"), "orig_body")
+        .select(col("event_id"), col("user_id"), col("orig_id"), col("formatted"))
+        .orderBy(col("event_id"))
+    }),
+
+    // --- F16: JSON request build + extraction round-trip --------------
+    "q50_json_build" -> ((s, d) =>
+      // the reference's Ollama embed-request construction
+      // (src/rag/dataframes.rs:118-121) as to_json(struct(...)); the
+      // extraction direction (q11's get_json_object) round-trips it
+      Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          to_json(struct(
+            lit("nomic-embed-text").as("model"),
+            col("text").as("prompt"))).as("request"))
+        .withColumn("roundtrip_prompt", get_json_object(col("request"), "$.prompt"))
+        .orderBy(col("doc_id"))),
+
+    // --- multimodal feature extraction (rows-only: no SQL oracle) -----
+    "q51_multimodal_features" -> ((s, d) => {
+      // binaryFile source over the fixture dir itself (opaque bytes);
+      // array features digested to scalars for the driver comparator
+      val bin = Multimodal.readBinaryDir(s, d, "*.parquet")
+      Multimodal.extractFeatures(s, bin, dim = 16).toDF()
+        .select(
+          regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+          col("bytes"),
+          round(aggregate(col("features"), lit(0.0d),
+            (acc, x) => acc + x.cast("double")), 4).as("feat_sum"))
+        .orderBy(col("file"))
+    }),
+
+    // --- typed Aggregator centroid (must match q21 bit-for-bit) -------
+    "q52_centroid_agg" -> ((s, d) => {
+      import s.implicits._
+      val agg = new graft.functions.VectorCentroidAggregator(64)
+        .toColumn.name("cvec")
+      Tables.embeddings(s, d)
+        .select(col("label"), col("embedding"))
+        .as[(Int, Seq[Float])]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(agg)
+        .toDF("label", "cvec")
+        .select(col("label"), posexplode(col("cvec")).as(Seq("pos", "v")))
+        .select(col("label"), col("pos"), round(col("v"), 6).as("centroid_val"))
+        .orderBy(col("label"), col("pos"))
+    }),
+
+    // --- skew-salted join (identical result to the plain join) --------
+    "q53_salted_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumnRenamed("o_custkey", "c_custkey")
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      Scale.saltedJoin(o, c, "c_custkey", col("o_orderkey"), 8, "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          Analytics.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // --- P2: RetrieveProfile with 32-byte key validation --------------
+    "q54_retrieve_profile" -> ((s, d) => {
+      // deterministic key material: md5 hex (32 chars, valid); every
+      // 10th customer gets a truncated (invalid) key to exercise the
+      // validation arm
+      val withKey = Tables.customer(s, d)
+        .withColumn("__raw",
+          when(pmod(col("c_custkey"), lit(10)) === 0,
+            substring(md5(col("c_name")), 1, 16))
+            .otherwise(md5(col("c_name"))))
+      MessageOps.retrieveProfile(withKey, col("c_custkey"), col("__raw"))
+        .orderBy(col("profile_id"))
+    }),
+
+    // --- P10: filename defaulting -------------------------------------
+    "q55_filename_default" -> ((s, d) => {
+      val mime = when(col("event_type") === "click", lit("image/jpeg"))
+        .when(col("event_type") === "purchase", lit("audio/mpeg"))
+        .otherwise(lit("application/octet-stream"))
+      val name = when(col("event_type") === "view",
+        concat(lit("att_"), col("event_id").cast("string"), lit(".txt")))
+      Tables.events(s, d)
+        .select(col("event_id"),
+          Multimodal.defaultFilename(name, col("ts"), mime).as("filename"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -450,7 +593,7 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q05_noise_filter" ->
-      s"""SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+      s"""SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM documents
          |WHERE text IS NOT NULL AND text NOT IN $noiseSql AND $noisePrefixSql
          |GROUP BY source ORDER BY source""".stripMargin,
@@ -636,6 +779,18 @@ object SparkEntry {
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  round(${cos("a.embedding", "b.embedding")}, 6) AS sim
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE a.vec_id < 200 AND b.vec_id < 200
+         |  AND round(${cos("a.embedding", "b.embedding")}, 6) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // oracle stays the all-pairs definition — the LSH candidate stage's
+    // per-pair miss probability is ~4e-7 at these band parameters, and
+    // exact agreement on the fixtures is additionally asserted in
+    // SimilaritySpec against the all-pairs baseline.
+    "q48_neardup_lsh" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(${cos("a.embedding", "b.embedding")}, 6) AS sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE round(${cos("a.embedding", "b.embedding")}, 6) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
 
@@ -724,9 +879,12 @@ object SparkEntry {
         |  FROM embeddings, generate_series(1, 64) t(i) GROUP BY 1, 2),
         |cent AS (SELECT clabel, list(cv ORDER BY i) AS cvec FROM cell GROUP BY clabel),
         |scored AS (
+        |  -- direct squared-diff sum (matches the engine's sequential
+        |  -- fold); sqrt-then-square via list_distance drifts a ULP
         |  SELECT e.vec_id, e.label AS true_label, c.clabel,
-        |    round(list_distance(CAST(e.embedding AS DOUBLE[]), cvec)
-        |      * list_distance(CAST(e.embedding AS DOUBLE[]), cvec), 6) AS dist2
+        |    round(list_sum(list_transform(generate_series(1, 64),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - cvec[i])
+        |         * (CAST(e.embedding[i] AS DOUBLE) - cvec[i]))), 6) AS dist2
         |  FROM embeddings e CROSS JOIN cent c),
         |ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -809,6 +967,62 @@ object SparkEntry {
         |SELECT doc_id,
         |  CASE WHEN len(f) > 0 THEN CAST(len(f) AS INT) END AS att_count,
         |  CASE WHEN len(f) > 0 THEN f[1] END AS first_att
-        |FROM d ORDER BY doc_id""".stripMargin
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q49_reaction_lookup" ->
+      """WITH store AS (
+        |  SELECT user_id, min(event_id) AS orig_id,
+        |    min_by(props, event_id) AS orig_body
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, s.orig_id,
+        |  CASE WHEN s.orig_body IS NOT NULL
+        |       THEN 'Reacted to "' || s.orig_body || '"'
+        |       ELSE 'Reacted to an earlier message' END AS formatted
+        |FROM events e LEFT JOIN store s USING (user_id)
+        |WHERE e.event_type = 'click'
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q50_json_build" ->
+      """SELECT doc_id,
+        |  CAST(to_json(struct_pack(model := 'nomic-embed-text', prompt := text))
+        |    AS VARCHAR) AS request,
+        |  text AS roundtrip_prompt
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
+    "q52_centroid_agg" ->
+      """SELECT label, CAST(i - 1 AS INT) AS pos,
+        |  round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+        |    / count(*), 6) AS centroid_val
+        |FROM embeddings, generate_series(1, 64) t(i)
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
+
+    "q53_salted_join" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q54_retrieve_profile" ->
+      """WITH k AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 = 0 THEN substr(md5(c_name), 1, 16)
+        |         ELSE md5(c_name) END AS raw
+        |  FROM customer)
+        |SELECT c_custkey AS profile_id,
+        |  CASE WHEN length(raw) = 32 THEN raw END AS profile_key,
+        |  length(raw) = 32 AS key_valid
+        |FROM k ORDER BY profile_id""".stripMargin,
+
+    "q55_filename_default" ->
+      """SELECT event_id,
+        |  CASE WHEN event_type = 'view'
+        |       THEN 'att_' || CAST(event_id AS VARCHAR) || '.txt'
+        |       ELSE 'signal-' || strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d-%H%M%S') || '.' ||
+        |         (CASE WHEN event_type = 'click' THEN 'jpg'
+        |               WHEN event_type = 'purchase' THEN 'mp3'
+        |               ELSE 'bin' END)
+        |  END AS filename
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

@@ -140,7 +140,8 @@ object Dedup {
     * definition (arrays are distinct, so each common shingle counts
     * once). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      groupCol: String, k: Int, threshold: Double): DataFrame = {
+      groupCol: String, k: Int, threshold: Double,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
     // parallelize-first: the fixture tables are single-row-group files
     // (one scan partition), so the per-row shingle transform must run
     // after an exchange or it executes on one core
@@ -148,7 +149,28 @@ object Dedup {
       .repartition(par(df), col("doc"))
       .select(col("grp"), col("doc"), shingles(col(textCol), k).as("sh"))
       .withColumn("sz", size(col("sh")))
-    val ex = base.select(col("grp"), col("doc"), col("sz"), explode(col("sh")).as("s"))
+    // Hot-shingle skew guard for the 100 TB regime: the join cost is
+    // Σ_shingle df(shingle)², so one stop-phrase shingle shared by 1M
+    // docs adds 10^12 candidate rows. Shingles with df > maxShingleDf
+    // carry no dedup signal (they are corpus boilerplate by definition)
+    // and are dropped from the shingle SETS — both intersection counts
+    // and set sizes — i.e. jaccard over the capped sets. The hot set is
+    // tiny by construction (only shingles in >maxShingleDf docs), so it
+    // broadcasts. Default disables the guard and keeps the exact plan.
+    val ex =
+      if (maxShingleDf == Int.MaxValue)
+        base.select(col("grp"), col("doc"), col("sz"), explode(col("sh")).as("s"))
+      else {
+        val ex0 = base.select(col("grp"), col("doc"), explode(col("sh")).as("s"))
+        val hot = ex0.groupBy(col("grp"), col("s"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxShingleDf)
+          .select(col("grp"), col("s"))
+        val kept = ex0.join(broadcast(hot), Seq("grp", "s"), "left_anti")
+        val cappedSz = kept.groupBy(col("grp"), col("doc")).agg(count(lit(1)).as("sz"))
+        kept.join(cappedSz, Seq("grp", "doc"))
+          .select(col("grp"), col("doc"), col("sz"), col("s"))
+      }
     val a = ex.select(col("grp"), col("s"), col("doc").as("id_a"), col("sz").as("__sza"))
     val b = ex.select(col("grp"), col("s"), col("doc").as("id_b"), col("sz").as("__szb"))
     a.join(b, Seq("grp", "s"))

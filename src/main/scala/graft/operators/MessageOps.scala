@@ -93,4 +93,16 @@ object MessageOps {
   /** P9 — empty-array → NULL normalization
     * (`src/signal/process_incoming_message.rs:86-90`). */
   def emptyToNull(arr: Column): Column = when(size(arr) > 0, arr)
+
+  /** P2 — RetrieveProfile projection with the reference's 32-byte key
+    * validation (`src/lib.rs:208-220`: a profile key shorter than 32
+    * bytes is rejected). Keys failing validation surface as NULL with
+    * `key_valid = false` rather than erroring the whole scan — the
+    * row-at-a-time reference aborts one lookup; a columnar scan must
+    * keep going. */
+  def retrieveProfile(df: DataFrame, idCol: Column, keyCol: Column): DataFrame =
+    df.select(
+      idCol.as("profile_id"),
+      when(length(keyCol) === 32, keyCol).as("profile_key"),
+      (length(keyCol) === 32).as("key_valid"))
 }

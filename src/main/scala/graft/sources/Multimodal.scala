@@ -79,6 +79,42 @@ object Multimodal {
       }
   }
 
+  /** P10 — filename defaulting: keep the supplied filename, else build
+    * the reference's timestamped default from the received time and the
+    * mime-derived extension (`src/signal/process_incoming_message
+    * .rs:60-77`: `signal-%Y-%m-%d-%H%M%S.{ext}`, extension falling back
+    * to `bin` for unknown mimes). */
+  def defaultFilename(nameCol: org.apache.spark.sql.Column,
+      tsCol: org.apache.spark.sql.Column,
+      mimeCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val extMap = typedlit(Map(
+      "image/jpeg" -> "jpg", "image/png" -> "png", "image/gif" -> "gif",
+      "audio/mpeg" -> "mp3", "audio/wav" -> "wav", "video/mp4" -> "mp4",
+      "text/plain" -> "txt"))
+    coalesce(nameCol, concat(
+      lit("signal-"), date_format(tsCol, "yyyy-MM-dd-HHmmss"),
+      lit("."), coalesce(element_at(extMap, mimeCol), lit("bin"))))
+  }
+
+  /** S6 — attachment binary sink: write each row's `content` bytes to
+    * `<outDir>/<filename>`, the distributed form of the reference's
+    * per-attachment `fs::write`
+    * (`src/signal/process_incoming_message.rs:46-83`). Runs as
+    * `foreachPartition` so each executor writes its own partition's
+    * files directly (no driver collect, no shuffle); filenames must be
+    * pre-deduplicated by the caller (`defaultFilename` + id suffix). */
+  def writeBinaries(df: DataFrame, outDir: String,
+      fileCol: String = "filename", contentCol: String = "content"): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    df.select(col(fileCol), col(contentCol))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          val target = java.nio.file.Paths.get(outDir, r.getString(0))
+          java.nio.file.Files.write(target, r.getAs[Array[Byte]](1))
+        }
+      }
+  }
+
   /** Frame-sampling stub: emits every `stride`-th "frame" of a fake
     * video track as its own row — demonstrates the 1→N generator shape
     * (explode over a computed frame index sequence) used for real

@@ -55,9 +55,13 @@ object Streams {
 
   /** Drain-then-stop ingest (ST1/ST2): AvailableNow processes the whole
     * backlog then terminates — the reference's QueueEmpty semantics.
-    * Exactly-once to the parquet sink via checkpointing; dedup by
-    * (event_id) within the watermark upgrades delivery to
-    * effectively-once (ST7). */
+    * Delivery is effectively-once: the checkpoint replays a failed batch
+    * (at-least-once), and the sink is IDEMPOTENT under that replay —
+    * each micro-batch dynamically overwrites its own `__batch_id`
+    * partition, so a batch retried after a failure between write and
+    * checkpoint commit replaces its partial output instead of appending
+    * duplicates. Source-side `dropDuplicatesWithinWatermark(event_id)`
+    * additionally dedups re-delivered input rows (ST7). */
   def runIngest(spark: SparkSession, dir: String, outDir: String,
       checkpoint: String): StreamingQuery = {
     val stream = eventsStream(spark, dir)
@@ -67,11 +71,35 @@ object Streams {
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestTransform(batch).write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestTransform(batch)
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id")
+          .parquet(outDir)
       }
       .start()
   }
+
+  /** ST6 — stateful mid-stream lookup as a stream-static join: each
+    * reaction micro-batch joins the STATIC message store to format the
+    * reaction against its original message (the reference reads the
+    * historical store per reaction, `src/signal/format.rs:36-49`,
+    * lines cited per SURVEY §2.8). Stream-static equi-joins need no
+    * state store — the static side is (re)broadcast per micro-batch
+    * when small, and the plan is identical to the batch form, so batch
+    * equivalence is by construction (asserted in StreamsSpec against
+    * the q10-style composite-key join). */
+  def reactionLookup(reactions: DataFrame, store: DataFrame,
+      keyCols: Seq[String], storeBodyCol: String): DataFrame =
+    reactions.join(
+      org.apache.spark.sql.functions.broadcast(store),
+      keyCols, "left")
+      .withColumn("formatted",
+        when(col(storeBodyCol).isNotNull,
+          concat(lit("Reacted to \""), col(storeBodyCol), lit("\"")))
+          .otherwise(lit("Reacted to an earlier message")))
 
   /** Watermarked tumbling-window aggregation (ST5): 1-hour windows on
     * event time, 2-hour watermark for late data. */

@@ -60,6 +60,34 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("shingle df cap: unchanged below the cap, drops boilerplate shingles above it") {
+    // fixture dfs are far below 50, so the capped plan must reproduce
+    // the exact output (backs the q22/q47 unchanged-hash requirement)
+    val docs = Tables.documents(spark, sf)
+    val plain = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", 3, 0.5)
+      .as[(String, Long, Long, Double)].collect().toSet
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", 3, 0.5,
+      maxShingleDf = 50)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(capped === plain)
+    // synthetic hot shingle: boilerplate prefix shared by every doc is
+    // the only overlap between docs 1 and 2 — the cap removes it, so the
+    // pair disappears instead of exploding the (grp, shingle) join
+    val boiler = "subscribe to our newsletter now"
+    val syn = Seq(
+      (1L, s"$boiler unique one text body"),
+      (2L, s"$boiler wholly different words here"),
+      (3L, s"$boiler unique one text body")).toDF("id", "text")
+      .withColumn("g", lit("g"))
+    val un = Dedup.ngramJaccardPairs(syn, "id", "text", "g", 3, 0.2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val cap = Dedup.ngramJaccardPairs(syn, "id", "text", "g", 3, 0.2, maxShingleDf = 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(un.contains((1L, 2L)))       // boilerplate alone fakes similarity
+    assert(!cap.contains((1L, 2L)))     // cap kills the fake pair
+    assert(cap.contains((1L, 3L)))      // true duplicates survive the cap
+  }
+
   test("fixture near-dups: LSH pairs are verified (j>=0.8) and recover same-source exact pairs") {
     val docs = Tables.documents(spark, sf)
     val lsh = Dedup.minhashNearDups(docs, "doc_id", "text",

@@ -34,6 +34,35 @@ class MultimodalSpec extends SparkSpec {
     assert(m("c.bin") === "application/octet-stream")
   }
 
+  test("S6 binary sink round-trips through the binaryFile source") {
+    val out = Files.createTempDirectory("graft_bin_out").toString
+    val src = Multimodal.readBinaryDir(spark, dir)
+      .select(element_at(split($"path", "/"), -1).as("filename"), $"content")
+    Multimodal.writeBinaries(src, out)
+    val back = Multimodal.readBinaryDir(spark, out)
+      .select(element_at(split($"path", "/"), -1).as("f"), $"content")
+      .as[(String, Array[Byte])].collect().toMap
+    val orig = src.as[(String, Array[Byte])].collect().toMap
+    assert(back.keySet === orig.keySet)
+    assert(orig.forall { case (f, bytes) => back(f).sameElements(bytes) })
+  }
+
+  test("P10 filename defaulting: supplied name wins, else timestamped mime default") {
+    val df = Seq(
+      (Some("given.jpg"), "2024-03-01 10:20:30", "image/jpeg"),
+      (None, "2024-03-01 10:20:30", "image/jpeg"),
+      (None, "2024-12-31 23:59:59", "application/x-unknown"))
+      .toDF("name", "ts_s", "mime")
+      .withColumn("ts", $"ts_s".cast("timestamp"))
+    val got = df.select(
+      Multimodal.defaultFilename($"name", $"ts", $"mime").as("f"))
+      .as[String].collect().toSeq
+    assert(got === Seq(
+      "given.jpg",
+      "signal-2024-03-01-102030.jpg",
+      "signal-2024-12-31-235959.bin"))
+  }
+
   test("feature extraction: deterministic, fixed dim, partition-parallel") {
     val bins = Multimodal.readBinaryDir(spark, dir)
     val f1 = Multimodal.extractFeatures(spark, bins, dim = 16).collect()

@@ -49,6 +49,22 @@ class SimilaritySpec extends SparkSpec {
     assert(counts.size === 10 && counts.values.forall(_ == 64))
   }
 
+  test("nearDupPairsLsh equals the all-pairs baseline on both fixtures") {
+    // recall check backing the q48 oracle: with 16 × 1-bit bands the
+    // per-pair candidate-miss probability is ~0.4^16 ≈ 4e-7, and on the
+    // fixed fixtures the LSH path must reproduce the exact all-pairs
+    // output (the driver compares q48 against the all-pairs SQL oracle)
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val e = Tables.embeddings(spark, dir)
+      val exact = Similarity.nearDupPairs(e, "vec_id", "embedding", 0.3)
+        .select($"id_a", $"id_b", $"sim").as[(Long, Long, Double)].collect().toSet
+      val lsh = Similarity.nearDupPairsLsh(e, "vec_id", "embedding", 0.3)
+        .select($"id_a", $"id_b", $"sim").as[(Long, Long, Double)].collect().toSet
+      assert(exact.nonEmpty)
+      assert(lsh === exact)
+    }
+  }
+
   test("nearDupPairs emits each pair once with id_a < id_b") {
     val out = Similarity.nearDupPairs(
       Tables.embeddings(spark, sf).limit(100), "vec_id", "embedding", 0.2)

@@ -64,6 +64,32 @@ class StreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("ST6: stream-static reaction lookup equals the batch join") {
+    // static side: one original message per user (deterministic pick)
+    val store = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(min($"event_id").as("orig_id"),
+        min_by($"props", $"event_id").as("orig_body"))
+    val streamReactions = Streams.eventsStream(spark, sf)
+      .filter($"event_type" === "click")
+      .select($"event_id", $"user_id")
+    val q = Streams.reactionLookup(streamReactions, store, Seq("user_id"), "orig_body")
+      .writeStream.format("memory").queryName("react_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("react_out")
+      .select($"event_id", $"orig_id", $"formatted")
+      .as[(Long, Option[Long], String)].collect().sorted.toSeq
+    val batchReactions = Tables.events(spark, sf)
+      .filter($"event_type" === "click")
+      .select($"event_id", $"user_id")
+    val batch = Streams.reactionLookup(batchReactions, store, Seq("user_id"), "orig_body")
+      .select($"event_id", $"orig_id", $"formatted")
+      .as[(Long, Option[Long], String)].collect().sorted.toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("streaming dedup within watermark removes duplicate keys") {
     // duplicate the source rows → dropDuplicatesWithinWatermark must halve
     val out = Files.createTempDirectory("graft_dedup_out").toString

@@ -29,10 +29,21 @@ object SparkEntry {
 
   private val enStop = TextOps.stopwords("en")
 
+  /** Parallelize-first (CLAUDE.md): the fixture parquet files are
+    * single-row-group, so a scan is ONE partition and any map-side
+    * heavy compute (decimal aggregation over grouping sets, per-row
+    * HOFs) runs on one core unless an explicit exchange precedes it.
+    * Hash-repartition by a high-cardinality key — explicit n so AQE
+    * does not coalesce it away; on a real multi-file layout the scan
+    * itself is parallel and this exchange is dominated by the compute
+    * it unlocks. */
+  private def fan(df: org.apache.spark.sql.DataFrame, key: String) =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- aggregation / relational surface (SURVEY §2.4/2.5/2.6) -----
     "q01_pricing_summary" -> ((s, d) =>
-      Analytics.pricingSummary(Tables.lineitem(s, d))),
+      Analytics.pricingSummary(fan(Tables.lineitem(s, d), "l_orderkey"))),
 
     "q02_topk_orders" -> ((s, d) =>
       Analytics.topK(
@@ -82,7 +93,7 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("rn"))),
 
     "q09_rollup" -> ((s, d) =>
-      Analytics.rollupCounts(Tables.lineitem(s, d),
+      Analytics.rollupCounts(fan(Tables.lineitem(s, d), "l_orderkey"),
         "l_returnflag", "l_linestatus", "l_quantity")),
 
     "q10_reaction_join" -> ((s, d) => {
@@ -133,7 +144,7 @@ object SparkEntry {
       val alpha = size(filter(ws, w => w.rlike("^[a-z]+$")))
       val stopRatio = hits.cast("double") / n.cast("double")
       val alphaRatio = alpha.cast("double") / n.cast("double")
-      Tables.documents(s, d).select(
+      fan(Tables.documents(s, d), "doc_id").select(
         col("doc_id"), n.as("n_words"), hits.as("stop_hits"),
         round(stopRatio, 6).as("stop_ratio"),
         round(alphaRatio, 6).as("alpha_ratio"),
@@ -142,7 +153,7 @@ object SparkEntry {
     }),
 
     "q18_lang_id" -> ((s, d) =>
-      Tables.documents(s, d).select(
+      fan(Tables.documents(s, d), "doc_id").select(
         col("doc_id"), col("lang"),
         TextOps.langId(col("text")).as("detected"))
         .orderBy(col("doc_id"))),
@@ -194,7 +205,7 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))),
 
     "q30_stats_summary" -> ((s, d) =>
-      Analytics.statsSummary(Tables.lineitem(s, d))),
+      Analytics.statsSummary(fan(Tables.lineitem(s, d), "l_orderkey"))),
 
     "q31_message_normalize" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -369,7 +380,8 @@ object SparkEntry {
         .orderBy(col("vec_id"))),
 
     "q41_quantiles" -> ((s, d) =>
-      Analytics.quantiles(Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")),
+      Analytics.quantiles(fan(Tables.lineitem(s, d), "l_orderkey"),
+        "l_returnflag", "l_extendedprice")),
 
     "q42_ivf_ann" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -380,7 +392,7 @@ object SparkEntry {
     }),
 
     "q43_cube" -> ((s, d) =>
-      Tables.lineitem(s, d)
+      fan(Tables.lineitem(s, d), "l_orderkey")
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
           Analytics.dsum(col("l_extendedprice")).as("sum_price"),

@@ -274,17 +274,30 @@ object Similarity {
       .withColumn("__n", VectorOps.norm2(col(vecCol)))
       .withColumn("__bits", VectorOps.hyperplaneBits(col(vecCol), nBands * bandBits))
       .repartition(par(df), col(idCol))
-    val banded = withSig.select(col(idCol), col(vecCol), col("__n"), posexplode(
+    // Late materialization: only (band, sig, id) flows through the
+    // candidate join — the vector payload would multiply the shuffle by
+    // nBands and ride along on every bucket collision. Distinct pairs
+    // are aggregated from the narrow stream first; vectors and norms
+    // are fetched afterwards by id (Catalyst broadcasts the payload
+    // side when it is small; at cluster scale it becomes a hash join
+    // keyed on the 8-byte id — either way payload moves once per
+    // SURVIVING pair, not once per collision).
+    val banded = withSig.select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(nBands - 1)),
           b => array_join(slice(col("__bits"), b * bandBits + 1, lit(bandBits)), "")))
       .as(Seq("band", "sig")))
-    val a = banded.select(col("band"), col("sig"), col(idCol).as("id_a"),
-      col(vecCol).as("__va"), col("__n").as("__na"))
-    val b = banded.select(col("band"), col("sig"), col(idCol).as("id_b"),
-      col(vecCol).as("__vb"), col("__n").as("__nb"))
-    a.join(b, Seq("band", "sig"))
+    val pairs = banded.select(col("band"), col("sig"), col(idCol).as("id_a"))
+      .join(banded.select(col("band"), col("sig"), col(idCol).as("id_b")),
+        Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val payload = withSig.select(col(idCol), col(vecCol), col("__n"))
+    pairs
+      .join(payload.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+        col("__n").as("__na")), Seq("id_a"))
+      .join(payload.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+        col("__n").as("__nb")), Seq("id_b"))
       .withColumn("sim",
         round(VectorOps.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
       .filter(col("sim") >= threshold)

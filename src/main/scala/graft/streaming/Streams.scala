@@ -1,10 +1,17 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import graft.operators.{Chunker, NoiseFilter}
 import graft.functions.{TextOps, VectorOps}
+
+/** Per-sender state carried across micro-batches by
+  * [[Streams.statefulUserCounts]]. */
+case class SenderState(nEvents: Long, lastSeenMs: Long)
+
+/** Update record emitted per sender per micro-batch. */
+case class SenderCount(user_id: Long, n_events: Long, last_seen_ms: Long)
 
 /** Structured Streaming restatement of the reference's ingest loop
   * (`src/signal/receive.rs:28-43`, SURVEY §2.8): the reference pulls
@@ -100,6 +107,46 @@ object Streams {
         when(col(storeBodyCol).isNotNull,
           concat(lit("Reacted to \""), col(storeBodyCol), lit("\"")))
           .otherwise(lit("Reacted to an earlier message")))
+
+  /** ST6 — custom cross-batch state via `mapGroupsWithState`: a
+    * running per-sender event counter + last-seen timestamp, the
+    * KeyValueGroupedDataset form of the reference's per-sender history
+    * the formatter consults mid-stream (`src/signal/format.rs:36-49`).
+    * State is a tiny fixed-size record per key, checkpointed by the
+    * state store; each micro-batch emits the UPDATED record for the
+    * keys it touched (OutputMode.Update). Works identically over a
+    * batch Dataset (single "micro-batch"), which is how StreamsSpec
+    * asserts batch equivalence. */
+  def statefulUserCounts(events: Dataset[(Long, Long)]): Dataset[SenderCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState[SenderState, SenderCount](GroupStateTimeout.NoTimeout) {
+        (user, rows, state) =>
+          var n = state.getOption.map(_.nEvents).getOrElse(0L)
+          var last = state.getOption.map(_.lastSeenMs).getOrElse(Long.MinValue)
+          rows.foreach { case (_, ms) =>
+            n += 1
+            if (ms > last) last = ms
+          }
+          state.update(SenderState(n, last))
+          SenderCount(user, n, last)
+      }
+  }
+
+  /** Streaming driver for [[statefulUserCounts]] over the events
+    * directory (update-mode memory/foreachBatch sinks compose). */
+  def runStatefulCounts(spark: SparkSession, dir: String,
+      queryName: String): StreamingQuery = {
+    import spark.implicits._
+    val typed = eventsStream(spark, dir)
+      .select(col("user_id"), unix_millis(col("ts")))
+      .as[(Long, Long)]
+    statefulUserCounts(typed).writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(OutputMode.Update())
+      .start()
+  }
 
   /** Watermarked tumbling-window aggregation (ST5): 1-hour windows on
     * event time, 2-hour watermark for late data. */

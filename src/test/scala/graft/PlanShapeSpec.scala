@@ -58,4 +58,34 @@ class PlanShapeSpec extends SparkSpec {
   test("flagship entry produces rows (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q35 rag prompt plans with no window and a TakeOrderedAndProject top-k") {
+    // the round-1 scale-killer: a global no-partition window that moved
+    // the whole corpus to one partition. Now top-5 is a bounded
+    // TakeOrderedAndProject and rank needs no WindowExec at all.
+    val plan = physical(SparkEntry.queries("q35_rag_prompt")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q48 LSH near-dup candidate stage is an equi-join, not a cartesian") {
+    // the candidate join must hash-partition on (band, sig); only the
+    // declared-bounded q23 baseline may nested-loop
+    val plan = physical(SparkEntry.queries("q48_neardup_lsh")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q40 centroid assignment plans without a window (min_by argmin)") {
+    val plan = physical(SparkEntry.queries("q40_centroid_assign")(spark, sf))
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("min_by") || plan.contains("partial_min_by"), plan)
+  }
+
+  test("parallelize-first queries keep map-side partial aggregation") {
+    for (name <- Seq("q43_cube", "q09_rollup")) {
+      val plan = physical(SparkEntry.queries(name)(spark, sf))
+      assert(plan.contains("partial_"), s"$name lost partial agg:\n$plan")
+    }
+  }
 }

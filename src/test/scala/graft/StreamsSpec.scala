@@ -90,6 +90,31 @@ class StreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("ST6: mapGroupsWithState running counts converge to the batch aggregate") {
+    val q = Streams.runStatefulCounts(spark, sf, "stateful_out")
+    q.processAllAvailable(); q.stop()
+    // update-mode sink: n_events per user is monotone across batches,
+    // so the max row per user is the final state
+    val streamed = spark.table("stateful_out")
+      .groupBy($"user_id")
+      .agg(max($"n_events").as("n"), max($"last_seen_ms").as("last_ms"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val batch = Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), max(unix_millis($"ts")).as("last_ms"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+    // the same function over a batch Dataset gives the same totals
+    // (batch equivalence by construction)
+    val typed = Tables.events(spark, sf)
+      .select($"user_id", unix_millis($"ts")).as[(Long, Long)]
+    val direct = Streams.statefulUserCounts(typed)
+      .select($"user_id", $"n_events", $"last_seen_ms")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(direct === batch)
+  }
+
   test("streaming dedup within watermark removes duplicate keys") {
     // duplicate the source rows → dropDuplicatesWithinWatermark must halve
     val out = Files.createTempDirectory("graft_dedup_out").toString

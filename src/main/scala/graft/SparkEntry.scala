@@ -542,6 +542,43 @@ object SparkEntry {
         .orderBy(col("profile_id"))
     }),
 
+    // --- end-to-end curation: the composed pretraining-data pipeline --
+    "q56_curate" -> ((s, d) => {
+      // noise filter → language gate (en) → quality gate → exact dedup
+      // → near-dup canonicalization; every stage is an already-oracled
+      // operator, composed the way a real corpus-curation job chains
+      // them. One parallelize-first exchange feeds all per-row text
+      // work; the dedup stages shuffle on content-derived keys only.
+      val base = NoiseFilter(fan(Tables.documents(s, d), "doc_id"), "text")
+      val ws = TextOps.words(lower(col("text")))
+      val n = size(ws)
+      val hits = size(filter(ws, w => w.isInCollection(enStop)))
+      val alpha = size(filter(ws, w => w.rlike("^[a-z]+$")))
+      val score = TextOps.qualityScore(n,
+        hits.cast("double") / n.cast("double"),
+        alpha.cast("double") / n.cast("double"))
+      val gated = base
+        .filter(TextOps.langId(col("text")) === "en")
+        .withColumn("score", score)
+        .filter(col("score") >= 0.2)
+      val deduped = Dedup.exact(gated, "doc_id", "text")
+      val dupIds = Dedup.ngramJaccardPairs(deduped, "doc_id", "text", "source", 3, 0.5)
+        .select(col("id_b").as("doc_id")).distinct()
+      deduped.join(dupIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- token-count histogram (corpus length profile) ----------------
+    "q57_token_hist" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(TextOps.tokenCount(col("text")).as("n_tokens"))
+        .groupBy(floor(col("n_tokens") / lit(32)).cast("bigint").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"))
+        .orderBy(col("bucket"))),
+
     // --- P10: filename defaulting -------------------------------------
     "q55_filename_default" -> ((s, d) => {
       val mime = when(col("event_type") === "click", lit("image/jpeg"))
@@ -1025,6 +1062,64 @@ object SparkEntry {
         |  CASE WHEN length(raw) = 32 THEN raw END AS profile_key,
         |  length(raw) = 32 AS key_valid
         |FROM k ORDER BY profile_id""".stripMargin,
+
+    "q56_curate" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, n_chars, text,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS ws
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND text NOT IN $noiseSql AND $noisePrefixSql),
+         |h AS (
+         |  SELECT *, ${langHits("en")} AS h_en, ${langHits("fr")} AS h_fr,
+         |    ${langHits("es")} AS h_es, ${langHits("de")} AS h_de,
+         |    ${langHits("zh")} AS h_zh
+         |  FROM base),
+         |en AS (
+         |  SELECT doc_id, source, n_chars, text, ws FROM h
+         |  WHERE h_en > 0 AND h_en = greatest(h_en, h_fr, h_es, h_de, h_zh)),
+         |q AS (
+         |  SELECT doc_id, source, n_chars, text,
+         |    CAST(len(ws) AS INT) AS n_words,
+         |    CAST(len(list_filter(ws, w -> w IN $enStopSql)) AS INT) AS stop_hits,
+         |    CAST(len(list_filter(ws, w -> regexp_matches(w, '^[a-z]+$$'))) AS INT) AS alpha_hits
+         |  FROM en),
+         |sc AS (
+         |  SELECT doc_id, source, n_chars, text,
+         |    round(least(1.0, CAST(n_words AS DOUBLE) / 64.0)
+         |      * (0.5 + 0.5 * (CAST(stop_hits AS DOUBLE) / CAST(n_words AS DOUBLE)))
+         |      * (CAST(alpha_hits AS DOUBLE) / CAST(n_words AS DOUBLE)), 6) AS score
+         |  FROM q),
+         |k AS (SELECT * FROM sc WHERE score >= 0.2),
+         |ded AS (
+         |  SELECT * FROM k
+         |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+         |shg AS (
+         |  SELECT source AS grp, doc_id,
+         |    list_distinct(CASE
+         |      WHEN len(string_split_regex(trim(text), '\\s+')) < 3
+         |      THEN [array_to_string(string_split_regex(trim(text), '\\s+'), ' ')]
+         |      ELSE list_transform(
+         |        generate_series(0, len(string_split_regex(trim(text), '\\s+')) - 3),
+         |        i -> array_to_string(string_split_regex(trim(text), '\\s+')[i+1 : i+3], ' '))
+         |      END) AS sh
+         |  FROM ded),
+         |pairs AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM shg a JOIN shg b ON a.grp = b.grp AND a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5)
+         |SELECT doc_id, source, n_chars, score FROM ded
+         |WHERE doc_id NOT IN (SELECT doc_id FROM pairs)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q57_token_hist" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT) END AS n_tokens
+        |  FROM documents)
+        |SELECT CAST(floor(CAST(n_tokens AS DOUBLE) / 32.0) AS BIGINT) AS bucket,
+        |  count(*) AS n_docs, min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+        |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q55_filename_default" ->
       """SELECT event_id,

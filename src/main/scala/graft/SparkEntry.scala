@@ -110,7 +110,9 @@ object SparkEntry {
     }),
 
     "q11_json_extract" -> ((s, d) =>
-      Analytics.jsonKStats(Tables.events(s, d))),
+      // parallelize-first: 100k get_json_object parses otherwise run on
+      // the single scan partition (round-2 verdict "wrong" #4)
+      Analytics.jsonKStats(fan(Tables.events(s, d), "event_id"))),
 
     "q12_hourly_window" -> ((s, d) =>
       Analytics.hourlyAgg(Tables.events(s, d), "ts", "value")),
@@ -125,7 +127,7 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     "q15_token_count" -> ((s, d) =>
-      Tables.documents(s, d).select(
+      fan(Tables.documents(s, d), "doc_id").select(
         col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
         TextOps.bpeTokenEstimate(col("text")).as("est_bpe_tokens"),
@@ -133,18 +135,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     "q16_chunker" -> ((s, d) =>
-      Chunker.chunk(Tables.documents(s, d), "text", idealTokens = 32, chunkWords = 24)
+      Chunker.chunk(fan(Tables.documents(s, d), "doc_id"), "text",
+        idealTokens = 32, chunkWords = 24)
         .select(col("doc_id"), col("chunk_id"), col("chunk_tokens"), col("chunk_text"))
         .orderBy(col("doc_id"), col("chunk_id"))),
 
     "q17_quality_score" -> ((s, d) => {
-      val ws = TextOps.words(lower(col("text")))
-      val n = size(ws)
-      val hits = size(filter(ws, w => w.isInCollection(enStop)))
-      val alpha = size(filter(ws, w => w.rlike("^[a-z]+$")))
+      // single-pass TextStats kernel (round-2 verdict "wrong" #1) —
+      // same counts as the HOF filter lambdas, one compiled traversal;
+      // materialized behind an explicit exchange so CollapseProject
+      // cannot re-inline the kernel into each of the 6 output columns
+      val stats = fan(Tables.documents(s, d), "doc_id")
+        .withColumn("__ts",
+          TextOps.textStats(TextOps.words(lower(col("text"))), Seq(enStop)))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val n = col("__ts").getField("n_words")
+      val hits = element_at(col("__ts").getField("hits"), 1)
+      val alpha = col("__ts").getField("alpha_hits")
       val stopRatio = hits.cast("double") / n.cast("double")
       val alphaRatio = alpha.cast("double") / n.cast("double")
-      fan(Tables.documents(s, d), "doc_id").select(
+      stats.select(
         col("doc_id"), n.as("n_words"), hits.as("stop_hits"),
         round(stopRatio, 6).as("stop_ratio"),
         round(alphaRatio, 6).as("alpha_ratio"),
@@ -242,7 +252,7 @@ object SparkEntry {
       // explicit exchange so CollapseProject cannot re-inline the
       // kernel into each digest column.
       val ones = array((0 until 64).map(_ => lit(1.0)): _*)
-      Tables.documents(s, d)
+      fan(Tables.documents(s, d), "doc_id")
         .withColumn("embedding", VectorOps.hashEmbed(TextOps.words(col("text")), 64))
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(
@@ -263,7 +273,7 @@ object SparkEntry {
     }),
 
     "q28_fingerprint" -> ((s, d) =>
-      Tables.documents(s, d).select(
+      fan(Tables.documents(s, d), "doc_id").select(
         col("doc_id"),
         TextOps.fingerprint(TextOps.words(col("text"))).as("fp"))
         .orderBy(col("doc_id"))),
@@ -343,8 +353,12 @@ object SparkEntry {
       // needs hashable cells, so the embedding is reduced to its norm
       // and a ones-dot checksum (codegen'd fold, not an interpreted HOF).
       val ones = array((0 until 64).map(_ => lit(1.0)): _*)
+      // parallelize-first (round-2 verdict "wrong" #3): the exchange
+      // goes ABOVE the scan so chunk+embed run on 32 cores; the second
+      // repartition below stays as the compute-once barrier for the
+      // embedding attribute referenced by both digest columns.
       graft.streaming.Streams.ingestTransform(
-        Tables.events(s, d).withColumnRenamed("props", "body"))
+        fan(Tables.events(s, d).withColumnRenamed("props", "body"), "event_id"))
         .repartition(s.sparkContext.defaultParallelism, col("event_id"))
         .select(col("event_id"), col("chunk_id"), col("tokens"),
           round(VectorOps.norm2(col("embedding")), 6).as("emb_norm"),
@@ -550,17 +564,25 @@ object SparkEntry {
       // them. One parallelize-first exchange feeds all per-row text
       // work; the dedup stages shuffle on content-derived keys only.
       val base = NoiseFilter(fan(Tables.documents(s, d), "doc_id"), "text")
-      val ws = TextOps.words(lower(col("text")))
-      val n = size(ws)
-      val hits = size(filter(ws, w => w.isInCollection(enStop)))
-      val alpha = size(filter(ws, w => w.rlike("^[a-z]+$")))
+      // ONE TextStats kernel pass feeds both the language gate and the
+      // quality score (en is langOrder.head, so hits[1] is the en count
+      // for both) — materialized behind an exchange so the gate and
+      // score reference the struct attribute, not re-inlined kernels.
+      val stats = base
+        .withColumn("__ts", TextOps.textStats(
+          TextOps.words(lower(col("text"))), TextOps.langOrder.map(TextOps.stopwords)))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val n = col("__ts").getField("n_words")
+      val hits = element_at(col("__ts").getField("hits"), 1)
+      val alpha = col("__ts").getField("alpha_hits")
       val score = TextOps.qualityScore(n,
         hits.cast("double") / n.cast("double"),
         alpha.cast("double") / n.cast("double"))
-      val gated = base
-        .filter(TextOps.langId(col("text")) === "en")
+      val gated = stats
+        .filter(TextOps.langIdFromStats(col("__ts")) === "en")
         .withColumn("score", score)
         .filter(col("score") >= 0.2)
+        .drop("__ts")
       val deduped = Dedup.exact(gated, "doc_id", "text")
       val dupIds = Dedup.ngramJaccardPairs(deduped, "doc_id", "text", "source", 3, 0.5)
         .select(col("id_b").as("doc_id")).distinct()

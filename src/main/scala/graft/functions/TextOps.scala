@@ -23,8 +23,15 @@ object TextOps {
 
   /** A BPE-ish token estimate: word-pieces of <=4 chars, i.e.
     * ceil(len(word)/4) summed — approximates subword token inflation
-    * for long words without a vocab. Deterministic, oracle-expressible. */
+    * for long words without a vocab. Deterministic, oracle-expressible.
+    * Codegen'd single-pass kernel (`BpeEstimate`); the HOF fold below
+    * is kept for cross-validation (TextOpsSpec asserts equality). */
   def bpeTokenEstimate(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(
+      graft.expressions.TextExpressions.bpeEstimate(words(text)))
+
+  /** Reference HOF formulation of the same sum — tests only. */
+  def bpeTokenEstimateHof(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(
       aggregate(words(text), lit(0),
         (acc, w) => acc + ceil(length(w).cast("double") / 4.0d).cast("int")))
@@ -47,21 +54,36 @@ object TextOps {
 
   /** Count of word occurrences that are in `list` (duplicates counted —
     * it is a hit count, not a distinct count, so the densest language
-    * wins). */
+    * wins). Interpreted HOF — tests/cross-validation only; hot paths
+    * use `textStats`. */
   def stopwordHits(ws: Column, list: Seq[String]): Column =
     size(filter(ws, w => w.isInCollection(list)))
 
-  /** Stopword-hit language ID with a fixed priority tie-break
-    * (en > fr > es > de > zh); no hits at all → "und". */
-  def langId(text: Column): Column = {
-    val ws = words(lower(text))
-    val order = Seq("en", "fr", "es", "de", "zh")
-    val hits = order.map(l => l -> stopwordHits(ws, stopwords(l))).toMap
-    val best = greatest(order.map(hits): _*)
-    order.foldRight(lit("und")) { (l, els) =>
-      when(hits(l) > 0 && hits(l) === best, lit(l)).otherwise(els)
+  /** One-pass word statistics: struct(n_words, alpha_hits, hits) with
+    * hits(i) counting membership in `lists(i)` — the codegen'd kernel
+    * behind quality scoring (q17/q56) and language ID. */
+  def textStats(ws: Column, lists: Seq[Seq[String]]): Column =
+    graft.expressions.TextExpressions.textStats(ws, lists)
+
+  /** The fixed language order shared by `langId` and callers that
+    * consume `textStats` hit arrays directly (q56's curation gate). */
+  val langOrder: Seq[String] = Seq("en", "fr", "es", "de", "zh")
+
+  /** Stopword-hit language ID over a precomputed `textStats` struct
+    * (hits array in `langOrder`): densest language wins, fixed priority
+    * tie-break (en > fr > es > de > zh); no hits at all → "und". */
+  def langIdFromStats(stats: Column): Column = {
+    val hits = langOrder.indices.map(i => element_at(stats.getField("hits"), i + 1))
+    val best = greatest(hits: _*)
+    langOrder.indices.foldRight(lit("und")) { (i, els) =>
+      when(hits(i) > 0 && hits(i) === best, lit(langOrder(i))).otherwise(els)
     }
   }
+
+  /** Stopword-hit language ID from raw text — one `textStats` kernel
+    * pass instead of five interpreted `filter` lambdas per row. */
+  def langId(text: Column): Column =
+    langIdFromStats(textStats(words(lower(text)), langOrder.map(stopwords)))
 
   // --- quality scoring ---------------------------------------------------
 
@@ -87,9 +109,14 @@ object TextOps {
     * (acc < 2^30, acc*1000003 + hash < 2^62). Order-sensitive —
     * distinguishes permutations, unlike a bag-of-words hash. Not
     * oracle-expressible (murmur3) → covered by ScalaTest determinism
-    * properties instead.
+    * properties instead. Codegen'd kernel (`FingerprintHash`); the HOF
+    * fold below is kept for cross-validation.
     */
   def fingerprint(ws: Column): Column =
+    graft.expressions.TextExpressions.fingerprintHash(ws)
+
+  /** Reference HOF formulation of the same modular fold — tests only. */
+  def fingerprintHof(ws: Column): Column =
     aggregate(ws, lit(0L),
       (acc, w) => pmod(acc * lit(1000003L) + hash(w).cast("long"), lit(1000000007L)))
 }

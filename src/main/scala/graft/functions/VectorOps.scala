@@ -45,8 +45,15 @@ object VectorOps {
     * (absorbs last-ulp differences between fold implementations). */
   def cosine6(a: Column, b: Column): Column = round(cosine(a, b), 6)
 
-  /** Squared euclidean distance (double precision). */
+  /** Squared euclidean distance — codegen'd kernel (`L2DistSqD`), the
+    * same sequential (a-b)² fold in double precision as the HOF form
+    * below (bit-identical; asserted in VectorOpsSpec). */
   def l2DistSq(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.l2DistSq(a, b)
+
+  /** Reference HOF formulation of the same fold — kept for
+    * cross-validation in tests (must agree with `l2DistSq` bit-for-bit). */
+  def l2DistSqHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => {
         val d = x.cast("double") - y.cast("double"); d * d

@@ -52,6 +52,44 @@ class TextOpsSpec extends SparkSpec {
     assert(m.values.forall(v => v >= 0 && v < 1000000007L))
   }
 
+  test("textStats kernel == HOF counts on the fixture corpus") {
+    val enStop = TextOps.stopwords("en")
+    val ws = TextOps.words(lower($"text"))
+    val kernel = Tables.documents(spark, sf).select(
+      $"doc_id",
+      TextOps.textStats(ws, Seq(enStop)).as("ts"))
+      .select($"doc_id",
+        $"ts".getField("n_words").as("n"),
+        element_at($"ts".getField("hits"), 1).as("hits"),
+        $"ts".getField("alpha_hits").as("alpha"))
+    val hof = Tables.documents(spark, sf).select(
+      $"doc_id",
+      size(ws).as("n"),
+      size(filter(ws, w => w.isInCollection(enStop))).as("hits"),
+      size(filter(ws, w => w.rlike("^[a-z]+$"))).as("alpha"))
+    assert(kernel.exceptAll(hof).isEmpty && hof.exceptAll(kernel).isEmpty)
+  }
+
+  test("textStats alpha byte-test matches the regex on unicode/mixed words") {
+    val df = Seq("abc", "aBc", "", "a1b", "héllo", "的了", "z", "hello-world").toDF("w")
+      .select(array($"w").as("ws"))
+      .select(
+        $"ws".getItem(0).as("w"),
+        TextOps.textStats($"ws", Nil).getField("alpha_hits").as("k"),
+        size(filter($"ws", w => w.rlike("^[a-z]+$"))).as("h"))
+    assert(df.filter($"k" =!= $"h").count() === 0)
+  }
+
+  test("bpe + fingerprint kernels == HOF folds on the fixture corpus") {
+    val docs = Tables.documents(spark, sf)
+    val cmp = docs.select(
+      TextOps.bpeTokenEstimate($"text").as("bk"),
+      TextOps.bpeTokenEstimateHof($"text").as("bh"),
+      TextOps.fingerprint(TextOps.words($"text")).as("fk"),
+      TextOps.fingerprintHof(TextOps.words($"text")).as("fh"))
+    assert(cmp.filter($"bk" =!= $"bh" || $"fk" =!= $"fh").count() === 0)
+  }
+
   test("quality score formula is bounded in [0, 1]") {
     val docs = Tables.documents(spark, sf)
     val out = SparkEntry.queries("q17_quality_score")(spark, sf)

@@ -50,6 +50,19 @@ class VectorOpsSpec extends SparkSpec {
     assert(mismatches === 0)
   }
 
+  test("codegen l2DistSq equals the HOF fold bit-for-bit") {
+    val e = Tables.embeddings(spark, sf).limit(200)
+    val a = e.select($"vec_id".as("ida"), $"embedding".as("va"))
+    val b = e.select($"vec_id".as("idb"), $"embedding".as("vb"))
+    val mismatches = a.join(b, $"ida" < $"idb")
+      .select(
+        VectorOps.l2DistSq($"va", $"vb").as("fast"),
+        VectorOps.l2DistSqHof($"va", $"vb").as("ref"))
+      .filter($"fast" =!= $"ref") // exact double inequality — bit identity
+      .count()
+    assert(mismatches === 0)
+  }
+
   test("typed centroid Aggregator matches the explode-groupBy centroid path") {
     import graft.functions.VectorCentroidAggregator
     val e = Tables.embeddings(spark, sf)

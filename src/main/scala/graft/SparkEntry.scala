@@ -397,6 +397,13 @@ object SparkEntry {
       Analytics.quantiles(fan(Tables.lineitem(s, d), "l_orderkey"),
         "l_returnflag", "l_extendedprice")),
 
+    // scale-safe quantile sketch (rows-only: approx_percentile returns
+    // data values from a GK sketch, not oracle-reproducible; spec
+    // asserts each is within the exact interpolated neighborhood)
+    "q58_quantiles_approx" -> ((s, d) =>
+      Analytics.quantilesApprox(fan(Tables.lineitem(s, d), "l_orderkey"),
+        "l_returnflag", "l_extendedprice")),
+
     "q42_ivf_ann" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.ivfJoin(
@@ -507,6 +514,7 @@ object SparkEntry {
       Multimodal.extractFeatures(s, bin, dim = 16).toDF()
         .select(
           regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+          col("mime"), // magic-byte sniff (parquet fixtures → PAR1)
           col("bytes"),
           round(aggregate(col("features"), lit(0.0d),
             (acc, x) => acc + x.cast("double")), 4).as("feat_sum"))

@@ -111,7 +111,13 @@ object Analytics {
   /** Exact interpolated quantiles per group (`percentile` — exact, vs.
     * the sketch-based `percentile_approx`). Oracle-expressible because
     * both engines interpolate (1-d)·lower + d·upper over the sorted
-    * exact values. */
+    * exact values.
+    *
+    * BOUNDED-INPUT ONLY (like q23's all-pairs baseline): `percentile`
+    * buffers every value of the group in one aggregation buffer, so a
+    * 100× group blows executor memory. The production path at scale is
+    * [[quantilesApprox]]; this exact form exists for the oracle gate
+    * and for groups known to be small. */
   def quantiles(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
     // one percentile call with an array of percentages — a SINGLE
     // value buffer per group built and merged once, instead of three
@@ -120,6 +126,24 @@ object Analytics {
     df.groupBy(col(groupCol))
       .agg(percentile(col(valueCol),
         array(lit(0.5), lit(0.9), lit(0.99))).as("__q"))
+      .select(col(groupCol),
+        round(element_at(col("__q"), 1), 6).as("p50"),
+        round(element_at(col("__q"), 2), 6).as("p90"),
+        round(element_at(col("__q"), 3), 6).as("p99"))
+      .orderBy(col(groupCol))
+
+  /** Scale-safe quantiles: `approx_percentile` (Greenwald-Khanna
+    * sketch) with a fixed-size buffer per group — rank error bounded by
+    * 1/accuracy regardless of group size, mergeable map-side partials.
+    * Returns actual data values (no interpolation), so it is sketch-
+    * not-oracle territory: declared rows-only, with a spec asserting
+    * each approx quantile is within the exact neighborhood on the
+    * fixtures. The production path for q41-shaped questions at 100 TB. */
+  def quantilesApprox(df: DataFrame, groupCol: String, valueCol: String,
+      accuracy: Int = 10000): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(percentile_approx(col(valueCol),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(accuracy)).as("__q"))
       .select(col(groupCol),
         round(element_at(col("__q"), 1), 6).as("p50"),
         round(element_at(col("__q"), 2), 6).as("p90"),

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** The reference's one real data-plane external call, as an operator:
+  * per-row HTTP embedding against a model service
+  * (`src/rag/dataframes.rs:113-151` — an Ollama client is built once,
+  * then each text is POSTed and the vector written back). Restated for
+  * a cluster: `mapPartitions` with ONE client per PARTITION (not per
+  * row, not per executor-lifetime-global), request batching, bounded
+  * retry with backoff, and an injectable transport so tests and
+  * offline runs need no service.
+  *
+  * Plan semantics: the embed call is opaque to Catalyst (an object
+  * `MapPartitions` boundary), so predicates are NOT pushed through it —
+  * upstream filters (the noise filter) stay upstream, and the service
+  * is never called for rows the pipeline would discard (asserted in
+  * ServiceEmbedSpec). At 100 TB the operator scales with partitions:
+  * no shuffle is introduced, batching amortizes per-request overhead,
+  * and client construction cost is paid once per partition.
+  */
+trait EmbedTransport extends Serializable {
+  /** Embed a batch of texts; must return exactly one vector per text,
+    * in order. Throwing is allowed — the operator retries. */
+  def embedBatch(texts: Seq[String]): Seq[Array[Double]]
+  /** Release connections; called once when the partition is drained. */
+  def close(): Unit = ()
+}
+
+/** Serializable factory shipped to executors; `open()` runs once per
+  * partition (the reference builds its client once per process,
+  * `src/rag/dataframes.rs:117`). */
+trait EmbedTransportFactory extends Serializable {
+  def open(): EmbedTransport
+}
+
+/** Offline/test transport computing the SAME deterministic hash
+  * embedding as the `HashEmbed` kernel (murmur3 seed-42 bucket counts,
+  * L2-normalized) — bit-identical by construction, asserted in
+  * ServiceEmbedSpec. The production swap-in is an HTTP transport with
+  * the identical interface. */
+class HashEmbedTransportFactory(dim: Int) extends EmbedTransportFactory {
+  override def open(): EmbedTransport = new EmbedTransport {
+    override def embedBatch(texts: Seq[String]): Seq[Array[Double]] =
+      texts.map { t =>
+        val counts = new Array[Double](dim)
+        t.trim.split("\\s+").foreach { w =>
+          val u = org.apache.spark.unsafe.types.UTF8String.fromString(w)
+          val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+            .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42)
+          counts(java.lang.Math.floorMod(h, dim)) += 1.0
+        }
+        var ss = 0.0
+        var i = 0
+        while (i < dim) { ss += counts(i) * counts(i); i += 1 }
+        if (ss > 0.0) {
+          val norm = java.lang.Math.sqrt(ss)
+          i = 0
+          while (i < dim) { counts(i) /= norm; i += 1 }
+        }
+        counts
+      }
+  }
+}
+
+object ServiceEmbed {
+
+  /** Append `outCol` (ARRAY<DOUBLE>) computed by the service transport:
+    * one client per partition, `batchSize` texts per request, up to
+    * `maxRetries` retries with exponential backoff per batch. Null
+    * texts embed as "" (the reference's empty-guard arm). All input
+    * columns pass through unchanged. */
+  def withEmbedding(df: DataFrame, textCol: String,
+      factory: EmbedTransportFactory, batchSize: Int = 32,
+      maxRetries: Int = 3, outCol: String = "embedding"): DataFrame = {
+    val outSchema = df.schema.add(outCol, ArrayType(DoubleType, containsNull = false))
+    val ti = df.schema.fieldIndex(textCol)
+    df.mapPartitions { rows =>
+      val client = factory.open()
+      val mapped = rows.grouped(batchSize).flatMap { batch =>
+        val vecs = withRetry(maxRetries) {
+          client.embedBatch(batch.map(r => Option(r.getString(ti)).getOrElse("")))
+        }
+        require(vecs.length == batch.length,
+          s"transport returned ${vecs.length} vectors for ${batch.length} texts")
+        batch.zip(vecs).map { case (r, v) => Row.fromSeq(r.toSeq :+ v.toSeq) }
+      }
+      closeOnExhaustion(mapped, client)
+    }(Encoders.row(outSchema))
+  }
+
+  private def withRetry[T](maxRetries: Int)(f: => T): T = {
+    var attempt = 0
+    var out: Option[T] = None
+    while (out.isEmpty) {
+      try out = Some(f)
+      catch {
+        case e: Exception =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          Thread.sleep(math.min(1000L, 50L << (attempt - 1)))
+      }
+    }
+    out.get
+  }
+
+  private def closeOnExhaustion[T](it: Iterator[T], client: EmbedTransport): Iterator[T] =
+    new Iterator[T] {
+      private var closed = false
+      override def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !closed) { closed = true; client.close() }
+        h
+      }
+      override def next(): T = it.next()
+    }
+}

@@ -72,27 +72,35 @@ object Similarity {
   def annJoin(probes: DataFrame, corpus: DataFrame, probeId: String,
       corpusId: String, vecCol: String, k: Int,
       nBands: Int = 4, bandBits: Int = 8): DataFrame = {
-    def banded(df: DataFrame, id: String): DataFrame = {
-      // signature + norm computed once per row behind an exchange —
-      // the posexplode projection references the bit array per band and
-      // CollapseProject would otherwise inline the kernel per reference
-      val withBits = df
-        .withColumn("__norm", VectorOps.norm2(col(vecCol)))
-        .withColumn("__bits", VectorOps.hyperplaneBits(col(vecCol), nBands * bandBits))
-        .repartition(par(df), col(id))
-      withBits.select(col(id), col(vecCol), col("__norm"), posexplode(
+    // signature + norm computed once per row behind a compute-once
+    // exchange (CollapseProject would re-inline the kernel per band)
+    def withSig(df: DataFrame, id: String): DataFrame = df
+      .repartition(par(df), col(id))
+      .withColumn("__norm", VectorOps.norm2(col(vecCol)))
+      .withColumn("__bits", VectorOps.hyperplaneBits(col(vecCol), nBands * bandBits))
+      .repartition(par(df), col(id))
+    // Late materialization (same pattern as nearDupPairsLsh): only
+    // (band, sig, id) flows through the candidate equi-join — the
+    // vector payload would multiply the shuffle by nBands and ride
+    // along on every bucket collision. Distinct candidate pairs are
+    // aggregated from the narrow stream first; vectors and norms are
+    // fetched afterwards by id, so payload moves once per SURVIVING
+    // pair, not once per collision.
+    def banded(df: DataFrame, id: String): DataFrame =
+      df.select(col(id), posexplode(
           transform(sequence(lit(0), lit(nBands - 1)),
             b => array_join(slice(col("__bits"), b * bandBits + 1, lit(bandBits)), "")))
         .as(Seq("band", "sig")))
-    }
-    val p = banded(probes.select(col(probeId).as("probe_id"), col(vecCol)), "probe_id")
-      .withColumnRenamed(vecCol, "__pvec").withColumnRenamed("__norm", "__pn")
-    val c = banded(corpus.select(col(corpusId).as("neighbor_id"), col(vecCol)), "neighbor_id")
-      .withColumnRenamed(vecCol, "__cvec").withColumnRenamed("__norm", "__cn")
-    val cands = p.join(c, Seq("band", "sig"))
-      .select(col("probe_id"), col("neighbor_id"),
-        col("__pvec"), col("__cvec"), col("__pn"), col("__cn"))
-      .dropDuplicates("probe_id", "neighbor_id")
+    val p = withSig(probes.select(col(probeId).as("probe_id"), col(vecCol)), "probe_id")
+    val c = withSig(corpus.select(col(corpusId).as("neighbor_id"), col(vecCol)), "neighbor_id")
+    val pairs = banded(p, "probe_id").join(banded(c, "neighbor_id"), Seq("band", "sig"))
+      .select(col("probe_id"), col("neighbor_id"))
+      .distinct()
+    val cands = pairs
+      .join(p.select(col("probe_id"), col(vecCol).as("__pvec"),
+        col("__norm").as("__pn")), Seq("probe_id"))
+      .join(c.select(col("neighbor_id"), col(vecCol).as("__cvec"),
+        col("__norm").as("__cn")), Seq("neighbor_id"))
       .withColumn("sim",
         round(VectorOps.dot(col("__cvec"), col("__pvec")) / (col("__cn") * col("__pn")), 6))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))

@@ -44,6 +44,27 @@ object Multimodal {
     coalesce(element_at(m, ext), lit("application/octet-stream"))
   }
 
+  /** Content-based mime sniff from magic bytes — the reference sniffs
+    * the content type rather than trusting the filename
+    * (`src/signal/process_incoming_message.rs:53-59`). Covers the
+    * common image/audio/video/container signatures; `None` → caller
+    * falls back to the extension guess / octet-stream. */
+  private[sources] def sniffMime(content: Array[Byte]): Option[String] = {
+    def at(i: Int): Int = if (i < content.length) content(i) & 0xff else -1
+    def ascii(off: Int, s: String): Boolean =
+      s.indices.forall(i => at(off + i) == s.charAt(i).toInt)
+    if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) Some("image/jpeg")
+    else if (at(0) == 0x89 && ascii(1, "PNG")) Some("image/png")
+    else if (ascii(0, "GIF8")) Some("image/gif")
+    else if (ascii(0, "ID3") || (at(0) == 0xff && (at(1) & 0xe0) == 0xe0)) Some("audio/mpeg")
+    else if (ascii(0, "RIFF") && ascii(8, "WAVE")) Some("audio/wav")
+    else if (ascii(4, "ftyp")) Some("video/mp4")
+    else if (ascii(0, "%PDF")) Some("application/pdf")
+    else if (ascii(0, "PK")) Some("application/zip")
+    else if (ascii(0, "PAR1")) Some("application/vnd.apache.parquet")
+    else None
+  }
+
   // ------------------------------------------------------------------
   // STUB: deterministic fake decode. A real deployment replaces this
   // with an image/audio codec (e.g. javacpp ffmpeg / ImageIO) — the
@@ -73,7 +94,7 @@ object Multimodal {
       .mapPartitions { rows =>
         // real impl: init codec context here, once per partition
         rows.map { case (path, len, content) =>
-          val mime = "application/octet-stream" // real impl: sniff magic bytes
+          val mime = sniffMime(content).getOrElse("application/octet-stream")
           MediaFeatures(path, mime, len, fakeDecode(content, dim))
         }
       }

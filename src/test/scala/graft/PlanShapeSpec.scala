@@ -76,6 +76,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q27 ANN candidate join is late-materialized (narrow band join)") {
+    // only (band, sig, id) flows through the candidate equi-join: the
+    // distinct-pairs aggregate has bare (probe_id, neighbor_id) keys
+    // and no first(__pvec)/first(__cvec) payload riding the buckets
+    val plan = physical(SparkEntry.queries("q27_ann_lsh")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("first(__pvec") && !plan.contains("first(__cvec"), plan)
+    assert("""keys=\[probe_id#\d+L?, neighbor_id#\d+L?\]""".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
   test("q40 centroid assignment plans without a window (min_by argmin)") {
     val plan = physical(SparkEntry.queries("q40_centroid_assign")(spark, sf))
     assert(!plan.contains("Window"), plan)

@@ -86,6 +86,24 @@ class ScaleSpec extends SparkSpec {
     assert(out(12L) === Some(24L))
   }
 
+  test("approx quantiles land within the exact interpolated neighborhood") {
+    // approx_percentile returns actual data values with bounded rank
+    // error; at fixture scale (accuracy 10000 >> group size) each
+    // sketch value must sit within 1% of the exact interpolated
+    // quantile — the contract the rows-only q58 leans on.
+    val exact = SparkEntry.queries("q41_quantiles")(spark, sf)
+      .as[(String, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    val approx = SparkEntry.queries("q58_quantiles_approx")(spark, sf)
+      .as[(String, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (g, (_, p50, p90, p99)) =>
+      val (_, a50, a90, a99) = approx(g)
+      assert(math.abs(a50 - p50) / p50 < 0.01, s"$g p50: $a50 vs $p50")
+      assert(math.abs(a90 - p90) / p90 < 0.01, s"$g p90: $a90 vs $p90")
+      assert(math.abs(a99 - p99) / p99 < 0.01, s"$g p99: $a99 vs $p99")
+    }
+  }
+
   test("whole queries run through spark.sql over registered views") {
     Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem")
     val viaSql = spark.sql(

@@ -14,28 +14,51 @@ object Bench {
     // whichever query the Map iterates first (~5 s of noise)
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failed query must NOT record its (tiny) time-to-exception as a
+    // timing — that would report a breakage as a speedup. Failures are
+    // reported in an explicit "errors" key and excluded from min().
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
       // noop sink forces full evaluation of every declared column —
       // count() would let Catalyst prune the computed columns (the
       // whole cost of projection-shaped queries like hash-embed)
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
     }
-    // Two timed passes, report the per-query min: a cold driver run
-    // (fresh JVM, contended codegen/JIT) otherwise lands 3-15× phantom
-    // regressions on whichever queries compile first (round-2 verdict:
-    // the r2 artifact recorded 143.5 s where a warm run measures ~63 s).
-    // The min of two runs measures the code, not the JIT.
+    // Two timed passes; report BOTH the cold (pass-1) and min-of-2 totals
+    // so cross-round comparisons stay apples-to-apples with the r1-r3
+    // single-cold-pass artifacts. Per-query numbers are min-of-2: a cold
+    // driver run (fresh JVM, contended codegen/JIT) otherwise lands
+    // 3-15× phantom regressions on whichever queries compile first
+    // (round-2 verdict: the r2 artifact recorded 143.5 s where a warm
+    // run measures ~63 s). The min of two runs measures the code, not
+    // the JIT.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val pass1 = ordered.map { case (n, f) => n -> runOnce(n, f) }
     val pass2 = ordered.map { case (n, f) => n -> runOnce(n, f) }
-    val results = pass1.zip(pass2).map { case ((n, t1), (_, t2)) => n -> math.min(t1, t2) }.toMap
+    val merged = pass1.zip(pass2).map { case ((n, r1), (_, r2)) =>
+      val best = (r1, r2) match {
+        case (Right(t1), Right(t2)) => Right(math.min(t1, t2))
+        case (Right(t1), Left(_)) => Right(t1)
+        case (Left(_), Right(t2)) => Right(t2)
+        case (Left(e), Left(_)) => Left(e)
+      }
+      (n, best, r1)
+    }
+    val results = merged.collect { case (n, Right(t), _) => n -> t }
+    val errors = merged.collect { case (n, Left(e), _) => n -> e }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, e) =>
+      s"\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val coldTotal = merged.collect { case (_, _, Right(t)) => t }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"n_failed":${errors.size},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

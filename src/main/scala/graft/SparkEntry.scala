@@ -210,8 +210,12 @@ object SparkEntry {
         "vec_id", "embedding", 0.3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // fixture-exact parameters pinned HERE (16 × 1-bit bands: recall
+    // ≈ 1 at threshold 0.3 on random 64-dim vectors, no pruning); the
+    // operator's DEFAULTS are the production regime (0.8, 8 × 8-bit)
     "q48_neardup_lsh" -> ((s, d) =>
-      Similarity.nearDupPairsLsh(Tables.embeddings(s, d), "vec_id", "embedding", 0.3)
+      Similarity.nearDupPairsLsh(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.3, nBands = 16, bandBits = 1)
         .orderBy(col("id_a"), col("id_b"))),
 
     "q30_stats_summary" -> ((s, d) =>
@@ -255,6 +259,28 @@ object SparkEntry {
       fan(Tables.documents(s, d), "doc_id")
         .withColumn("embedding", VectorOps.hashEmbed(TextOps.words(col("text")), 64))
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(
+          col("doc_id"),
+          size(col("embedding")).as("dim"),
+          round(element_at(col("embedding"), 1), 6).as("e0"),
+          round(VectorOps.norm2(col("embedding")), 6).as("norm"),
+          round(VectorOps.dot(col("embedding"), ones), 6).as("checksum"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q59_service_embed" -> ((s, d) => {
+      // V2' service-embed transport (`ServiceEmbed.withEmbedding`): the
+      // reference's per-row HTTP embed call (src/rag/dataframes.rs:113-151)
+      // as a mapPartitions operator — one client per partition, batched
+      // requests, retry. The offline transport is bit-identical to the
+      // HashEmbed kernel (asserted in ServiceEmbedSpec), so this digest
+      // matches q26's on non-null texts. Rows-only: murmur3 is not
+      // DuckDB-expressible. Null texts are filtered upstream (the
+      // transport embeds null as "" while the kernel yields NULL).
+      val ones = array((0 until 64).map(_ => lit(1.0)): _*)
+      val src = fan(Tables.documents(s, d), "doc_id")
+        .filter(col("text").isNotNull)
+      ServiceEmbed.withEmbedding(src, "text", new HashEmbedTransportFactory(64))
         .select(
           col("doc_id"),
           size(col("embedding")).as("dim"),
@@ -341,6 +367,22 @@ object SparkEntry {
       RagPrompt.prompts(top, "Why not load an CSV next time?", "text")
         .select(col("rank"), col("doc_id"), col("prompt"))
         .orderBy(col("rank"))
+    }),
+
+    // ST7's streaming half in its batch-equivalence form: the reference
+    // re-ingests duplicate messages on re-delivery (src/rag/sqlx.rs:34-45,
+    // no unique key); here the re-delivered source (self-union) deduped
+    // by event_id must reproduce the original table exactly. The
+    // watermarked streaming form (dropDuplicatesWithinWatermark) is
+    // asserted equivalent in StreamsSpec "streaming dedup within
+    // watermark"; duplicate rows are bit-identical so the arbitrary
+    // pick per key is deterministic.
+    "q60_stream_dedup" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      ev.union(ev)
+        .dropDuplicates(Seq("event_id"))
+        .orderBy(col("event_id"))
     }),
 
     // --- end-to-end embed pipeline + batch form of streaming ingest --
@@ -1047,6 +1089,13 @@ object SparkEntry {
         |  CASE WHEN len(f) > 0 THEN CAST(len(f) AS INT) END AS att_count,
         |  CASE WHEN len(f) > 0 THEN f[1] END AS first_att
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q60_stream_dedup" ->
+      """SELECT DISTINCT event_id, user_id, event_type, value FROM (
+        |  SELECT event_id, user_id, event_type, value FROM events
+        |  UNION ALL
+        |  SELECT event_id, user_id, event_type, value FROM events)
+        |ORDER BY event_id""".stripMargin,
 
     "q49_reaction_lookup" ->
       """WITH store AS (

@@ -20,12 +20,16 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Dot product over two float/double array columns in double precision,
   * sequential accumulation in array order (determinism contract of
-  * `VectorOps`). Nulls propagate; array elements are assumed non-null
-  * (enforced by the embedding pipeline's schema). */
+  * `VectorOps`). Nulls propagate; mismatched lengths yield NULL (the
+  * `zip_with` HOF pads the shorter side with null and `aggregate` then
+  * folds to NULL — a silent partial sum would diverge from that);
+  * array elements are assumed non-null (enforced by the embedding
+  * pipeline's schema). */
 case class DotProductD(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_product_d"
 
   private def isFloat(e: Expression): Boolean = e.dataType match {
@@ -36,7 +40,8 @@ case class DotProductD(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lf = isFloat(left); val rf = isFloat(right)
     var acc = 0.0
     var i = 0
@@ -57,12 +62,16 @@ case class DotProductD(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.$lGet($i) * (double) $b.$rGet($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (double) $a.$lGet($i) * (double) $b.$rGet($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }
@@ -76,14 +85,17 @@ case class DotProductD(left: Expression, right: Expression)
   * the SAME sequential (a-b)² fold as the HOF `zip_with`+`aggregate`
   * formulation (elements cast to double BEFORE the subtraction,
   * accumulated in array order), bit-identical to it and to the q40
-  * oracle's list_transform/list_sum form. NOT the |a|²−2ab+|b|²
-  * expansion, which drifts a ULP. Round-2 verdict "wrong" #2: the dot
-  * product got a codegen kernel, the distance didn't — q40/q42 ran the
-  * interpreted fold per (vector × centroid). */
+  * oracle's list_transform/list_sum form. Mismatched lengths yield
+  * NULL, matching the HOF form (zip_with pads with null → aggregate
+  * folds to NULL) instead of a silent partial distance. NOT the
+  * |a|²−2ab+|b|² expansion, which drifts a ULP. Round-2 verdict
+  * "wrong" #2: the dot product got a codegen kernel, the distance
+  * didn't — q40/q42 ran the interpreted fold per (vector × centroid). */
 case class L2DistSqD(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "l2_dist_sq_d"
 
   private def isFloat(e: Expression): Boolean = e.dataType match {
@@ -94,7 +106,8 @@ case class L2DistSqD(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lf = isFloat(left); val rf = isFloat(right)
     var acc = 0.0
     var i = 0
@@ -117,13 +130,17 @@ case class L2DistSqD(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = (double) $a.$lGet($i) - (double) $b.$rGet($i);
-         |  $acc += $d * $d;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = (double) $a.$lGet($i) - (double) $b.$rGet($i);
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

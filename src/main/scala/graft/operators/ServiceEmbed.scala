@@ -78,6 +78,13 @@ object ServiceEmbed {
     val ti = df.schema.fieldIndex(textCol)
     df.mapPartitions { rows =>
       val client = factory.open()
+      val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def closeOnce(): Unit = if (closed.compareAndSet(false, true)) client.close()
+      // Close on task completion (covers limit/take early-abort and task
+      // failure — exhaustion-based close alone leaks the client there);
+      // TaskContext is null when the iterator runs outside a task (tests).
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
       val mapped = rows.grouped(batchSize).flatMap { batch =>
         val vecs = withRetry(maxRetries) {
           client.embedBatch(batch.map(r => Option(r.getString(ti)).getOrElse("")))
@@ -86,7 +93,7 @@ object ServiceEmbed {
           s"transport returned ${vecs.length} vectors for ${batch.length} texts")
         batch.zip(vecs).map { case (r, v) => Row.fromSeq(r.toSeq :+ v.toSeq) }
       }
-      closeOnExhaustion(mapped, client)
+      closeOnExhaustion(mapped, closeOnce _)
     }(Encoders.row(outSchema))
   }
 
@@ -105,12 +112,11 @@ object ServiceEmbed {
     out.get
   }
 
-  private def closeOnExhaustion[T](it: Iterator[T], client: EmbedTransport): Iterator[T] =
+  private def closeOnExhaustion[T](it: Iterator[T], closeOnce: () => Unit): Iterator[T] =
     new Iterator[T] {
-      private var closed = false
       override def hasNext: Boolean = {
         val h = it.hasNext
-        if (!h && !closed) { closed = true; client.close() }
+        if (!h) closeOnce()
         h
       }
       override def next(): T = it.next()

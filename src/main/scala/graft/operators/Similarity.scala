@@ -262,19 +262,21 @@ object Similarity {
     *
     * Banding math (p = 1 - θ/π is per-plane agreement for a pair at
     * angle θ): P(pair missed) = (1 - p^bandBits)^nBands.
-    *   - Real dedup regime (threshold ≥ 0.8, θ ≤ 37°, p ≥ 0.79): wide
-    *     bands prune hard — 8 bands × 8 bits miss < 1e-3 while bucket
-    *     sizes shrink ~2^-8 per band.
+    *   - The DEFAULTS below are the production/100 TB regime (threshold
+    *     0.8, θ ≤ 37°, p ≥ 0.79): wide bands prune hard — 8 bands ×
+    *     8 bits miss < 1e-3 while bucket sizes shrink ~2^-8 per band,
+    *     so candidate volume stays near-linear in rows.
     *   - The fixture regime (threshold 0.3, θ ≈ 72°, p ≈ 0.6) sits near
     *     the theoretical floor where near-dups are barely distinguishable
-    *     from random 64-dim vectors; the defaults below (16 × 1-bit
-    *     bands) hold per-pair miss ≈ 0.4^16 ≈ 4e-7 so the output equals
-    *     the all-pairs baseline on the fixtures (asserted in
-    *     SimilaritySpec), at the cost of coarse buckets.
+    *     from random 64-dim vectors; q48 pins (16 × 1-bit bands) at the
+    *     call site to hold per-pair miss ≈ 0.4^16 ≈ 4e-7 so the output
+    *     equals the all-pairs baseline on the fixtures (asserted in
+    *     SimilaritySpec), at the cost of coarse buckets. That setting is
+    *     for fixture-exact recall only — it cannot prune at scale.
     * Either way the all-pairs product never materializes: candidates are
     * bounded per bucket, deduped by (id_a, id_b) before the verify. */
   def nearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nBands: Int = 16, bandBits: Int = 1): DataFrame = {
+      threshold: Double = 0.8, nBands: Int = 8, bandBits: Int = 8): DataFrame = {
     // signature + norm computed once per row behind a compute-once
     // exchange (CollapseProject would re-inline the kernel per band)
     val withSig = df.select(col(idCol), col(vecCol))

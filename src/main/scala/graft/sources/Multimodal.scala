@@ -49,7 +49,7 @@ object Multimodal {
     * (`src/signal/process_incoming_message.rs:53-59`). Covers the
     * common image/audio/video/container signatures; `None` → caller
     * falls back to the extension guess / octet-stream. */
-  private[sources] def sniffMime(content: Array[Byte]): Option[String] = {
+  private[graft] def sniffMime(content: Array[Byte]): Option[String] = {
     def at(i: Int): Int = if (i < content.length) content(i) & 0xff else -1
     def ascii(off: Int, s: String): Boolean =
       s.indices.forall(i => at(off + i) == s.charAt(i).toInt)

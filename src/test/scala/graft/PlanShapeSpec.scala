@@ -76,6 +76,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q48 LSH candidate join is late-materialized (no vector payload in shuffle)") {
+    // same invariant q27 got in r4: only (band, sig, id) rides the
+    // candidate equi-join — the distinct-pairs aggregate has bare
+    // (id_a, id_b) keys and no first(__va)/first(__vb)/first(__n*)
+    // vector payload multiplying the shuffle by nBands
+    val plan = physical(SparkEntry.queries("q48_neardup_lsh")(spark, sf))
+    assert(!plan.contains("first(__va") && !plan.contains("first(__vb"), plan)
+    assert(!plan.contains("first(__na") && !plan.contains("first(__nb"), plan)
+    assert("""keys=\[id_[ab]#\d+L?, id_[ab]#\d+L?\]""".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
   test("q27 ANN candidate join is late-materialized (narrow band join)") {
     // only (band, sig, id) flows through the candidate equi-join: the
     // distinct-pairs aggregate has bare (probe_id, neighbor_id) keys

@@ -58,11 +58,34 @@ class SimilaritySpec extends SparkSpec {
       val e = Tables.embeddings(spark, dir)
       val exact = Similarity.nearDupPairs(e, "vec_id", "embedding", 0.3)
         .select($"id_a", $"id_b", $"sim").as[(Long, Long, Double)].collect().toSet
-      val lsh = Similarity.nearDupPairsLsh(e, "vec_id", "embedding", 0.3)
+      val lsh = Similarity.nearDupPairsLsh(e, "vec_id", "embedding",
+        threshold = 0.3, nBands = 16, bandBits = 1)
         .select($"id_a", $"id_b", $"sim").as[(Long, Long, Double)].collect().toSet
       assert(exact.nonEmpty)
       assert(lsh === exact)
     }
+  }
+
+  test("production defaults (0.8, 8 × 8-bit bands) find planted near-dups") {
+    // the operator's defaults are the 100 TB regime; plant 20 high-
+    // similarity pairs (cosine ≈ 0.999) among the random fixture
+    // vectors — per-pair candidate-miss ≈ (1 - 0.97^8)^8 ≈ 1e-5, and
+    // hyperplaneBits is seeded so the outcome is deterministic
+    val base = Tables.embeddings(spark, sf).filter($"vec_id" < 20)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val planted = base.flatMap { case (id, v) =>
+      val dup = v.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }
+      Seq((id, v), (id + 1000L, dup))
+    }.toSeq.toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairsLsh(planted, "vec_id", "embedding")
+      .select($"id_a", $"id_b", $"sim").as[(Long, Long, Double)].collect()
+    val exact = Similarity.nearDupPairs(planted, "vec_id", "embedding", 0.8)
+      .select($"id_a", $"id_b", $"sim").as[(Long, Long, Double)].collect().toSet
+    // precision is structurally exact (verify stage is exact cosine)
+    assert(pairs.toSet.subsetOf(exact))
+    // every planted (id, id+1000) twin survives the candidate stage
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    base.foreach { case (id, _) => assert(found.contains((id, id + 1000L)), s"missed twin $id") }
   }
 
   test("nearDupPairs emits each pair once with id_a < id_b") {

@@ -94,6 +94,22 @@ class VectorOpsSpec extends SparkSpec {
     assert(out === Seq(0.0, 0.0, 0.0))
   }
 
+  test("dot and l2DistSq yield NULL on length mismatch (HOF zip_with semantics)") {
+    // zip_with pads the shorter array with null and aggregate folds to
+    // NULL; the kernels must match that, not return a partial fold
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val out = df.select(
+      VectorOps.dot($"a", $"b").as("d"),
+      graft.functions.VectorOps.l2DistSq($"a", $"b").as("l"))
+      .collect().head
+    assert(out.isNullAt(0))
+    assert(out.isNullAt(1))
+    // equal lengths still compute
+    val ok = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+      .select(VectorOps.dot($"a", $"b")).as[Double].head()
+    assert(ok === 11.0)
+  }
+
   test("hyperplaneBits: deterministic, correct length, in {0,1}") {
     val df = Tables.embeddings(spark, sf).limit(20)
     val bits = df.select($"vec_id", VectorOps.hyperplaneBits($"embedding", 16).as("b"))

@@ -142,13 +142,14 @@ object SparkEntry {
 
     "q17_quality_score" -> ((s, d) => {
       // single-pass TextStats kernel (round-2 verdict "wrong" #1) —
-      // same counts as the HOF filter lambdas, one compiled traversal;
-      // materialized behind an explicit exchange so CollapseProject
-      // cannot re-inline the kernel into each of the 6 output columns
+      // same counts as the HOF filter lambdas, one compiled traversal.
+      // CollapseProject re-inlines the kernel into each output column,
+      // but the kernelized pass is cheaper than the compute-once
+      // exchange it would take to prevent that (measured r5:
+      // 0.75 s → 0.61 s at sf0.1 dropping the second repartition)
       val stats = fan(Tables.documents(s, d), "doc_id")
         .withColumn("__ts",
           TextOps.textStats(TextOps.words(lower(col("text"))), Seq(enStop)))
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       val n = col("__ts").getField("n_words")
       val hits = element_at(col("__ts").getField("hits"), 1)
       val alpha = col("__ts").getField("alpha_hits")
@@ -252,13 +253,12 @@ object SparkEntry {
     "q26_hash_embed" -> ((s, d) => {
       // The declared output digests the vector to scalars (the driver's
       // pandas comparator cannot hash array cells); raw-array outputs
-      // live in VectorOpsSpec. Embedding materialized once behind an
-      // explicit exchange so CollapseProject cannot re-inline the
-      // kernel into each digest column.
+      // live in VectorOpsSpec. CollapseProject re-inlines the kernel
+      // into each digest column, but the codegen'd kernel re-eval is
+      // cheaper than a compute-once exchange (measured r5).
       val ones = array((0 until 64).map(_ => lit(1.0)): _*)
       fan(Tables.documents(s, d), "doc_id")
         .withColumn("embedding", VectorOps.hashEmbed(TextOps.words(col("text")), 64))
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(
           col("doc_id"),
           size(col("embedding")).as("dim"),
@@ -396,12 +396,12 @@ object SparkEntry {
       // and a ones-dot checksum (codegen'd fold, not an interpreted HOF).
       val ones = array((0 until 64).map(_ => lit(1.0)): _*)
       // parallelize-first (round-2 verdict "wrong" #3): the exchange
-      // goes ABOVE the scan so chunk+embed run on 32 cores; the second
-      // repartition below stays as the compute-once barrier for the
-      // embedding attribute referenced by both digest columns.
+      // goes ABOVE the scan so chunk+embed run on 32 cores. The embed
+      // kernel re-inlines into both digest columns (CollapseProject),
+      // which measured cheaper than a compute-once exchange (r5:
+      // 0.97 s → 0.84 s at sf0.1).
       graft.streaming.Streams.ingestTransform(
         fan(Tables.events(s, d).withColumnRenamed("props", "body"), "event_id"))
-        .repartition(s.sparkContext.defaultParallelism, col("event_id"))
         .select(col("event_id"), col("chunk_id"), col("tokens"),
           round(VectorOps.norm2(col("embedding")), 6).as("emb_norm"),
           round(VectorOps.dot(col("embedding"), ones), 6).as("emb_checksum"))
@@ -614,14 +614,15 @@ object SparkEntry {
       // them. One parallelize-first exchange feeds all per-row text
       // work; the dedup stages shuffle on content-derived keys only.
       val base = NoiseFilter(fan(Tables.documents(s, d), "doc_id"), "text")
-      // ONE TextStats kernel pass feeds both the language gate and the
-      // quality score (en is langOrder.head, so hits[1] is the en count
-      // for both) — materialized behind an exchange so the gate and
-      // score reference the struct attribute, not re-inlined kernels.
+      // ONE TextStats kernel expression feeds both the language gate
+      // and the quality score (en is langOrder.head, so hits[1] is the
+      // en count for both). CollapseProject re-inlines the kernel per
+      // reference, but the kernelized re-eval is cheaper than the
+      // compute-once exchange (measured r5: 2.8 s → 2.0 s at sf0.1
+      // dropping the barrier).
       val stats = base
         .withColumn("__ts", TextOps.textStats(
           TextOps.words(lower(col("text"))), TextOps.langOrder.map(TextOps.stopwords)))
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       val n = col("__ts").getField("n_words")
       val hits = element_at(col("__ts").getField("hits"), 1)
       val alpha = col("__ts").getField("alpha_hits")

@@ -440,8 +440,10 @@ object SparkEntry {
         "l_returnflag", "l_extendedprice")),
 
     // scale-safe quantile sketch (rows-only: approx_percentile returns
-    // data values from a GK sketch, not oracle-reproducible; spec
-    // asserts each is within the exact interpolated neighborhood)
+    // data values from a GK sketch, not oracle-reproducible and
+    // merge-order/partition-count dependent — the one expected DIFF in
+    // tools/crosscheck.py; spec asserts each value is within 1% of the
+    // exact interpolated quantile, which holds under any layout)
     "q58_quantiles_approx" -> ((s, d) =>
       Analytics.quantilesApprox(fan(Tables.lineitem(s, d), "l_orderkey"),
         "l_returnflag", "l_extendedprice")),

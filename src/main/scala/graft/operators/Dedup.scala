@@ -54,16 +54,14 @@ object Dedup {
       shingleK: Int = 3, nBands: Int = 8, rowsPerBand: Int = 2,
       jaccardThreshold: Double = 0.8): DataFrame = {
     val nHashes = nBands * rowsPerBand
-    // two exchanges, both load-bearing: the first parallelizes the
-    // signature compute (single-row-group scans give one partition);
-    // the second is a compute-once barrier — the banding projection
-    // references the signature per band and CollapseProject would
-    // otherwise inline (re-execute) the kernel per reference.
+    // parallelize-first exchange above the scan (single-row-group scans
+    // give one partition). No compute-once barrier after the kernels:
+    // CollapseProject re-inlines them per reference, but the codegen'd
+    // re-eval measured cheaper than a second exchange (r5, BenchOne).
     val withSig = df.select(col(idCol).as("doc"), col(textCol))
       .repartition(par(df), col("doc"))
       .select(col("doc"), shingles(col(textCol), shingleK).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), nHashes))
-      .repartition(par(df), col("doc"))
     val banded = withSig.select(
       col("doc"), col("sh"),
       posexplode(transform(
@@ -108,11 +106,10 @@ object Dedup {
     * a few buckets the way 32-bit signatures do). */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    // parallelize-first + compute-once barriers (see minhashNearDups)
+    // parallelize-first exchange only (see minhashNearDups)
     val sigs = df.select(col(idCol).as("doc"), col(textCol))
       .repartition(par(df), col("doc"))
       .select(col("doc"), simhash(col(textCol), 64).as("sig"))
-      .repartition(par(df), col("doc"))
     val bandsArr = array((0 until 4).map(b =>
       shiftright(col("sig"), 16 * b).bitwiseAND(lit(0xFFFFL))): _*)
     val banded = sigs.select(col("doc"), col("sig"),

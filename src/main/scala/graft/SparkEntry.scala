@@ -654,6 +654,40 @@ object SparkEntry {
           max(col("n_tokens")).as("max_tokens"))
         .orderBy(col("bucket"))),
 
+    // --- corpus curation beyond dedup (operators/Curation.scala) ------
+    // PII/URL scrub: pure codegen projection, RE2-safe patterns so
+    // Spark (java.util.regex) and DuckDB (RE2) replace identically
+    "q61_scrub" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), Curation.scrub(col("text")).as("scrubbed"))
+        .orderBy(col("doc_id"))),
+
+    // Gopher-style within-doc repetition signals via explode + two
+    // map-side-combining hash aggregations
+    "q62_repetition" -> ((s, d) =>
+      Curation.repetitionStats(fan(Tables.documents(s, d), "doc_id"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // eval-set decontamination: corpus docs sharing a 3-shingle with
+    // the benchmark slice (doc_id < 5); benchmark side broadcasts
+    "q63_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.decontaminate(
+        docs.filter(col("doc_id") >= 5), docs.filter(col("doc_id") < 5),
+        "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic stratified sampling: LCG-bucket filter, rates per
+    // source (60% for src0-src9, 25% for the rest) — reproducible
+    // across engines/partitionings, unlike Bernoulli sample()
+    "q64_sample" -> ((s, d) =>
+      Curation.stratifiedSample(Tables.documents(s, d), "doc_id", "source",
+        rates = (0 to 9).map(i => s"src$i" -> 60).toMap, defaultRate = 25)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
     // --- P10: filename defaulting -------------------------------------
     "q55_filename_default" -> ((s, d) => {
       val mime = when(col("event_type") === "click", lit("image/jpeg"))
@@ -1202,6 +1236,55 @@ object SparkEntry {
         |SELECT CAST(floor(CAST(n_tokens AS DOUBLE) / 32.0) AS BIGINT) AS bucket,
         |  count(*) AS n_docs, min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
         |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q61_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9][0-9 ()+.-]{5,}[0-9]', '<NUM>', 'g') AS scrubbed
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
+    "q62_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (
+        |  SELECT doc_id, word, count(*) AS n FROM w GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
+        |    count(*) AS n_distinct, CAST(max(n) AS BIGINT) AS max_freq
+        |  FROM f GROUP BY 1)
+        |SELECT doc_id, n_words, n_distinct,
+        |  round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS dup_ratio,
+        |  round(CAST(max_freq AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS top_word_ratio
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q63_decontaminate" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |      ELSE list_transform(generate_series(0, len(ws) - 3),
+        |        i -> array_to_string(ws[i+1 : i+3], ' ')) END) AS sh
+        |  FROM d),
+        |bench AS (
+        |  SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE doc_id < 5),
+        |corp AS (
+        |  SELECT doc_id, unnest(sh) AS shingle FROM s WHERE doc_id >= 5)
+        |SELECT c.doc_id, count(*) AS n_shared
+        |FROM corp c JOIN bench b USING (shingle)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q64_sample" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE (doc_id * 1103515245 + 12345) % 100 <
+        |  CASE WHEN length(source) = 4 THEN 60 ELSE 25 END
+        |ORDER BY doc_id""".stripMargin,
 
     "q55_filename_default" ->
       """SELECT event_id,

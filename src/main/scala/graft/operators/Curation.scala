@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pretraining-corpus curation operators beyond the dedup ladder:
+  * PII/URL scrubbing, within-document repetition statistics
+  * (Gopher/RefinedWeb-style quality signals), benchmark
+  * decontamination, and deterministic stratified sampling. All are
+  * declarative DataFrame transforms: scrubbing and sampling are pure
+  * codegen projections/filters (no shuffle); repetition and
+  * decontamination use the explode → equi-join/aggregate formulation
+  * that scales the same way the n-gram Jaccard dedup does.
+  */
+object Curation {
+
+  /** Redaction patterns. RE2-compatible (no backrefs/lookahead) so the
+    * same patterns run in Spark (java.util.regex) and DuckDB (RE2)
+    * bit-identically — the property the q61 oracle leans on. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlPattern = "https?://[^ ]+"
+  val longNumberPattern = "[0-9][0-9 ()+.-]{5,}[0-9]"
+
+  /** Scrub PII-ish spans from `textCol`: emails → <EMAIL>, URLs →
+    * <URL>, long number runs (phone-shaped) → <NUM>. Order matters —
+    * URLs first so an email-looking userinfo inside a URL does not
+    * split it. Pure projection: stays inside whole-stage codegen,
+    * nothing shuffles, predicates still push past it. */
+  def scrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, urlPattern, "<URL>"),
+        emailPattern, "<EMAIL>"),
+      longNumberPattern, "<NUM>")
+
+  /** Within-document repetition statistics (the Gopher quality
+    * signals): total words, distinct words, duplicate-word ratio and
+    * the frequency share of the single most repeated word. Formulated
+    * as explode → two hash aggregations with map-side partial combine
+    * — the (doc, word) key space is bounded by the corpus itself, so
+    * the shuffle is proportional to input size at any scale. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("__word"))
+    words
+      .groupBy(col(idCol), col("__word"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__n")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("__n")).as("__max_freq"))
+      .select(
+        col(idCol),
+        col("n_words"),
+        col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_words").cast("double"), 6)
+          .as("dup_ratio"),
+        round(col("__max_freq").cast("double") / col("n_words").cast("double"), 6)
+          .as("top_word_ratio"))
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * one word k-shingle with the benchmark set — the standard
+    * eval-leakage guard before pretraining. The benchmark side is
+    * SMALL by construction (an eval set), so its distinct shingles
+    * broadcast and the corpus side never shuffles: explode → broadcast
+    * equi-join → per-doc count. Returns (id, n_shared) for
+    * contaminated docs only. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, k: Int): DataFrame = {
+    def shingled(df: DataFrame, keep: Column*) =
+      df.filter(col(textCol).isNotNull)
+        .select(keep :+ explode(Dedup.shingles(col(textCol), k)).as("__shingle"): _*)
+    val bench = shingled(benchmark).select(col("__shingle")).distinct()
+    shingled(corpus, col(idCol))
+      .join(broadcast(bench), Seq("__shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Deterministic stratified sampling: per-stratum keep-rates applied
+    * through an arithmetic hash of the row id (an LCG step mod 100) —
+    * reproducible across engines, partitionings and runs, unlike
+    * Bernoulli `sample()`. `rates` maps stratum → keep percentage;
+    * rows in strata absent from the map keep `defaultRate`. Pure
+    * filter: no shuffle, pushes into the scan. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Int], defaultRate: Int): DataFrame = {
+    val bucket = pmod(col(idCol) * lit(1103515245L) + lit(12345L), lit(100L))
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(col(strataCol) === s, lit(r)).otherwise(acc)
+    }
+    df.filter(bucket < rate)
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+/** Curation operators beyond the dedup ladder (Curation.scala): the
+  * fixture text is synthetic word soup with no PII, so redaction and
+  * contamination behavior is proven here on planted rows; the declared
+  * q61-q64 oracles prove engine-equivalence on the fixtures. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scrub redacts emails, URLs and phone-shaped numbers, keeps prose") {
+    val rows = Seq(
+      (1L, "contact me at alice.smith+spam@example.co.uk for details"),
+      (2L, "docs at https://spark.apache.org/docs/latest?q=1 and more"),
+      (3L, "call +1 (555) 123-4567 now"),
+      (4L, "nothing sensitive here"),
+      (5L, "mixed: bob@x.io via http://t.co/a1 or 555 666 7777"))
+      .toDF("id", "t")
+    val got = rows.select($"id", Curation.scrub($"t").as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "contact me at <EMAIL> for details")
+    assert(got(2L) === "docs at <URL> and more")
+    assert(got(3L) === "call +<NUM> now")
+    assert(got(4L) === "nothing sensitive here")
+    assert(got(5L) === "mixed: <EMAIL> via <URL> or <NUM>")
+  }
+
+  test("repetitionStats: exact counts and ratios on a known document") {
+    // "a a a b c" → 5 words, 3 distinct, dup 0.4, top word 3/5
+    val df = Seq((1L, "a a a b c"), (2L, "x y z")).toDF("doc_id", "text")
+    val out = Curation.repetitionStats(df, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 5L, 3L, 0.4, 0.6)))
+    assert(out(2L) === ((2L, 3L, 3L, 0.0, 0.333333)))
+  }
+
+  test("decontaminate flags only docs sharing a k-shingle with the benchmark") {
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "we saw the quick brown fox yesterday"), // shares "the quick brown" + "quick brown fox"
+      (2L, "a completely different sentence entirely"),
+      (3L, "brown fox jumps over lazy dogs")) // shares "brown fox jumps"
+      .toDF("doc_id", "text")
+    val out = Curation.decontaminate(corpus, bench, "doc_id", "text", k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("decontaminate plan broadcasts the benchmark side") {
+    val docs = Tables.documents(spark, sf)
+    val plan = Curation.decontaminate(
+      docs.filter($"doc_id" >= 5), docs.filter($"doc_id" < 5),
+      "doc_id", "text", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("stratified sample is deterministic, respects per-stratum rates") {
+    val docs = Tables.documents(spark, sf)
+    val rates = (0 to 9).map(i => s"src$i" -> 60).toMap
+    def run() = Curation.stratifiedSample(docs, "doc_id", "source", rates, 25)
+      .select($"doc_id").as[Long].collect().toSet
+    val s1 = run(); val s2 = run()
+    assert(s1 === s2) // reproducible — not Bernoulli sample()
+    // empirical rates land near the nominal ones (LCG spreads ids)
+    val bySource = Curation.stratifiedSample(docs, "doc_id", "source", rates, 25)
+      .groupBy(length($"source") === 4).count().as[(Boolean, Long)].collect().toMap
+    val totals = docs.groupBy(length($"source") === 4).count()
+      .as[(Boolean, Long)].collect().toMap
+    val highRate = bySource(true).toDouble / totals(true)
+    val lowRate = bySource(false).toDouble / totals(false)
+    assert(highRate > 0.45 && highRate < 0.75, s"high $highRate")
+    assert(lowRate > 0.12 && lowRate < 0.40, s"low $lowRate")
+    assert(highRate > lowRate)
+  }
+
+  test("scrub is a pure projection — filter still pushes to the scan") {
+    val plan = Tables.documents(spark, sf)
+      .select($"doc_id", Curation.scrub($"text").as("s"))
+      .filter($"doc_id" < 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LessThan(doc_id,10)"), plan)
+  }
+}

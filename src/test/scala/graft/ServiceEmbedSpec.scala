@@ -129,6 +129,20 @@ class ServiceEmbedSpec extends SparkSpec {
     assert(vecs(1L).sameElements(vecs(2L)))
   }
 
+  test("flagship pipeline via service transport equals the kernel pipeline") {
+    val docs = Tables.documents(spark, sf)
+    val probe = "query filter join aggregate window shuffle"
+    val viaKernel = graft.operators.EmbedPipeline
+      .topKForProbe(spark, docs, "text", probe, dim = 64, k = 10)
+      .collect().toSeq
+    val viaService = graft.operators.EmbedPipeline
+      .topKForProbeService(spark, docs, "text", probe,
+        new HashEmbedTransportFactory(64), dim = 64, k = 10)
+      .collect().toSeq
+    assert(viaService === viaKernel)
+    assert(viaService.nonEmpty)
+  }
+
   test("q59 digest equals q26's on non-null texts") {
     val q26 = SparkEntry.queries("q26_hash_embed")(spark, sf)
       .filter($"norm".isNotNull).collect().toSeq

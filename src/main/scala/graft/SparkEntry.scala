@@ -688,6 +688,20 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // near-dup CLUSTERS, not pairs: n-gram Jaccard edges → distributed
+    // connected components (min-label + pointer jumping). The missing
+    // transitive step after q22/q47 — chains A~B~C collapse to one
+    // canonical id even when A!~C directly.
+    "q65_dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(
+        docs.withColumn("__g", lit(1)), "doc_id", "text", "__g",
+        k = 3, threshold = 0.5)
+      Dedup.connectedComponents(docs.select(col("doc_id")), "doc_id",
+        pairs, "id_a", "id_b")
+        .orderBy(col("doc_id"))
+    }),
+
     // --- P10: filename defaulting -------------------------------------
     "q55_filename_default" -> ((s, d) => {
       val mime = when(col("event_type") === "click", lit("image/jpeg"))
@@ -1285,6 +1299,32 @@ object SparkEntry {
         |WHERE (doc_id * 1103515245 + 12345) % 100 <
         |  CASE WHEN length(source) = 4 THEN 60 ELSE 25 END
         |ORDER BY doc_id""".stripMargin,
+
+    "q65_dedup_clusters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |      ELSE list_transform(generate_series(0, len(ws) - 3),
+        |        i -> array_to_string(ws[i+1 : i+3], ' ')) END) AS sh
+        |  FROM d),
+        |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS sg FROM s),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+        |  HAVING round(CAST(count(*) AS DOUBLE)
+        |    / (a.sz + b.sz - count(*)), 6) >= 0.5),
+        |edges AS (SELECT id_a AS ea, id_b AS eb FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea)
+        |SELECT src AS doc_id, MIN(dst) AS cluster_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
     "q55_filename_default" ->
       """SELECT event_id,

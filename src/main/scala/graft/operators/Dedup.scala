@@ -124,6 +124,62 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Distributed connected components over an undirected edge list —
+    * the canonicalization step a near-dup pipeline needs AFTER pair
+    * generation: pairwise keep-first (q47) breaks on transitive chains
+    * (A~B, B~C but A!~C must still collapse to ONE canonical doc).
+    *
+    * Algorithm: min-label propagation accelerated with pointer jumping
+    * — each round every node takes the min of its own label, its
+    * neighbors' labels, and its label's label (path halving). Labels
+    * decrease monotonically and are bounded below by the component
+    * min, so the loop converges; at a fixpoint labels are constant
+    * across every edge, i.e. equal to the component minimum. Pointer
+    * jumping makes long chains converge in O(log diameter) rounds
+    * instead of O(diameter).
+    *
+    * Scale posture: each round is two equi-joins + one aggregation on
+    * (id/label) keys — never an all-pairs product — and the loop runs
+    * a driver-side counter over a per-round aggregate, not a collect.
+    * `localCheckpoint` truncates lineage each round (on a real cluster
+    * swap in reliable checkpointing); dedup graphs have tiny diameter,
+    * so rounds ≈ 3-4 in practice.
+    *
+    * Returns one row per node: (`idCol`, cluster_id = min node id of
+    * its component); isolated nodes label themselves. */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+      maxIter: Int = 30): DataFrame = {
+    val sym = pairs.select(col(aCol).as("cc_src"), col(bCol).as("cc_dst"))
+      .union(pairs.select(col(bCol).as("cc_src"), col(aCol).as("cc_dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = nodes.select(col(idCol).as("cc_id"), col(idCol).as("cc_label"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym.join(labels, sym("cc_dst") === labels("cc_id"))
+        .groupBy(col("cc_src")).agg(min(col("cc_label")).as("cc_nbr"))
+      val half = labels.join(nbrMin, labels("cc_id") === nbrMin("cc_src"), "left")
+        .select(labels("cc_id").as("cc_id"), labels("cc_label").as("cc_old"),
+          least(labels("cc_label"),
+            coalesce(col("cc_nbr"), labels("cc_label"))).as("cc_half"))
+      val hop = labels.select(col("cc_id").as("cc_pid"), col("cc_label").as("cc_plabel"))
+      val next = half.join(hop, half("cc_half") === hop("cc_pid"), "left")
+        .select(col("cc_id"), col("cc_old"),
+          least(col("cc_half"), coalesce(col("cc_plabel"), col("cc_half"))).as("cc_label"))
+        .localCheckpoint()
+      converged = next.filter(col("cc_label") =!= col("cc_old")).isEmpty
+      labels = next.select(col("cc_id"), col("cc_label"))
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — raise maxIter")
+    labels.select(col("cc_id").as(idCol), col("cc_label").as("cluster_id"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs within a group, by the
     * scalable explode-join formulation: explode each document's
     * distinct shingle set, equi-join on (group, shingle), and COUNT the

@@ -102,4 +102,42 @@ class DedupSpec extends SparkSpec {
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert((exact -- lshPairs).isEmpty, s"LSH missed: ${exact -- lshPairs}")
   }
+
+  private def runCC(n: Long, edges: Seq[(Long, Long)],
+      maxIter: Int = 30): Map[Long, Long] = {
+    val nodes = spark.range(n).toDF("id")
+    val pairs = edges.toDF("id_a", "id_b")
+    Dedup.connectedComponents(nodes, "id", pairs, maxIter = maxIter)
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("connected components: transitive chain collapses to one cluster") {
+    // A~B, B~C but A!~C — the case pairwise keep-first cannot handle
+    val cc = runCC(5, Seq((1L, 2L), (2L, 3L)))
+    assert(cc === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+  }
+
+  test("connected components: long path converges via pointer jumping") {
+    // 64-node path: diameter 63, but pointer jumping needs O(log n)
+    // rounds — 15 would time out plain min-propagation (63 rounds)
+    val path = (0L until 63L).map(i => (i, i + 1))
+    val cc = runCC(64, path, maxIter = 15)
+    assert(cc.values.toSet === Set(0L))
+  }
+
+  test("connected components equal a union-find baseline on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 200L
+    val edges = Seq.fill(120)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+    // in-test union-find oracle
+    val parent = Array.tabulate(n.toInt)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = (0 until n.toInt).map(i => i.toLong -> find(i).toLong).toMap
+    assert(runCC(n, edges) === expect)
+  }
 }

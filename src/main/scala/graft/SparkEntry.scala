@@ -702,6 +702,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // lexical retrieval: BM25 top-20 for a keyword query — per-term
+    // partials rounded 6 dp and summed as DECIMAL (order-independent)
+    "q66_bm25" -> ((s, d) =>
+      Retrieval.bm25(Tables.documents(s, d), "doc_id", "text",
+        Seq("vector", "hash", "join", "stream"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)),
+
+    // hybrid retrieval: reciprocal-rank fusion of the BM25 ranking and
+    // the q19-style cosine ranking (embeddings vec_id == doc_id in the
+    // fixtures). Ranks derive from TakeOrdered top-20s via the q35
+    // broadcast-peer-count pattern — no WindowExec anywhere.
+    "q67_hybrid_rrf" -> ((s, d) => {
+      val bm = Retrieval.rankTopK(
+        Retrieval.bm25(Tables.documents(s, d), "doc_id", "text",
+          Seq("vector", "hash", "join", "stream")),
+        "doc_id", "score", 20)
+      val e = Tables.embeddings(s, d)
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("__probe"))
+      val cosScores = e.crossJoin(broadcast(probe))
+        .withColumn("sim", VectorOps.cosine6(col("embedding"), col("__probe")))
+        .select(col("vec_id").as("doc_id"), col("sim"))
+      val cosTop = Retrieval.rankTopK(cosScores, "doc_id", "sim", 20)
+      Retrieval.rrfFuse(bm, cosTop, "doc_id")
+        .orderBy(col("rrf").desc, col("doc_id"))
+    }),
+
     // --- P10: filename defaulting -------------------------------------
     "q55_filename_default" -> ((s, d) => {
       val mime = when(col("event_type") === "click", lit("image/jpeg"))

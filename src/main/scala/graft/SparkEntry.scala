@@ -1354,6 +1354,100 @@ object SparkEntry {
         |SELECT src AS doc_id, MIN(dst) AS cluster_id
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
+    // BM25 per Retrieval.bm25: Lucene idf ln(1+(N-df+0.5)/(df+0.5)),
+    // k1=1.2 b=0.75; per-(doc,term) partials rounded 6 dp and summed as
+    // DECIMAL(18,6) → order-independent on both engines. Every literal
+    // is CAST to DOUBLE (a bare DuckDB numeric is DECIMAL and divides
+    // in decimal, which does not match IEEE doubles).
+    "q66_bm25" ->
+      """WITH base AS (
+        |  SELECT doc_id AS doc, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |dl AS (SELECT doc, len(ws) AS dl FROM base),
+        |st AS (SELECT count(*) AS n,
+        |         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        |       FROM dl),
+        |tf AS (
+        |  SELECT doc, term, count(*) AS tf
+        |  FROM (SELECT doc, unnest(ws) AS term FROM base)
+        |  WHERE term IN ('vector', 'hash', 'join', 'stream')
+        |  GROUP BY doc, term),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |p AS (
+        |  SELECT tf.doc,
+        |    CAST(round(
+        |      ln(CAST(1.0 AS DOUBLE)
+        |         + (CAST(st.n - dfx.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |           / (CAST(dfx.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+        |      * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+        |      / (CAST(tf.tf AS DOUBLE)
+        |         + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |           + CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE) / st.avgdl)),
+        |      6) AS DECIMAL(18,6)) AS s
+        |  FROM tf JOIN dfx USING (term) JOIN dl USING (doc) CROSS JOIN st)
+        |SELECT doc AS doc_id,
+        |  CAST(CAST(sum(s) AS DECIMAL(18,6)) AS DOUBLE) AS score
+        |FROM p GROUP BY doc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // RRF per Retrieval.rankTopK/rrfFuse: both ranks are row_number
+    // over (score desc, id asc) restricted to the top-20 (the Spark
+    // side derives the same rank via broadcast peer-count — q20
+    // established the CAST(row_number() AS INT) parity). 1.0/(60+rank)
+    // must divide as DOUBLE, not DECIMAL.
+    "q67_hybrid_rrf" ->
+      s"""WITH base AS (
+         |  SELECT doc_id AS doc, string_split_regex(trim(text), '\\s+') AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |dl AS (SELECT doc, len(ws) AS dl FROM base),
+         |st AS (SELECT count(*) AS n,
+         |         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |       FROM dl),
+         |tf AS (
+         |  SELECT doc, term, count(*) AS tf
+         |  FROM (SELECT doc, unnest(ws) AS term FROM base)
+         |  WHERE term IN ('vector', 'hash', 'join', 'stream')
+         |  GROUP BY doc, term),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |p AS (
+         |  SELECT tf.doc,
+         |    CAST(round(
+         |      ln(CAST(1.0 AS DOUBLE)
+         |         + (CAST(st.n - dfx.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |           / (CAST(dfx.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+         |      * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+         |      / (CAST(tf.tf AS DOUBLE)
+         |         + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+         |           + CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE) / st.avgdl)),
+         |      6) AS DECIMAL(18,6)) AS s
+         |  FROM tf JOIN dfx USING (term) JOIN dl USING (doc) CROSS JOIN st),
+         |bm AS (
+         |  SELECT doc AS doc_id,
+         |    CAST(CAST(sum(s) AS DECIMAL(18,6)) AS DOUBLE) AS score
+         |  FROM p GROUP BY doc),
+         |bmtop AS (SELECT doc_id, score FROM bm
+         |          ORDER BY score DESC, doc_id LIMIT 20),
+         |bmrank AS (SELECT doc_id, CAST(row_number() OVER
+         |             (ORDER BY score DESC, doc_id) AS INT) AS rank
+         |           FROM bmtop),
+         |cs AS (
+         |  SELECT e.vec_id AS doc_id,
+         |    round(${cos("e.embedding", "pr.embedding")}, 6) AS sim
+         |  FROM embeddings e,
+         |    (SELECT embedding FROM embeddings WHERE vec_id = 0) pr),
+         |cstop AS (SELECT doc_id, sim FROM cs
+         |          ORDER BY sim DESC, doc_id LIMIT 20),
+         |csrank AS (SELECT doc_id, CAST(row_number() OVER
+         |             (ORDER BY sim DESC, doc_id) AS INT) AS rank
+         |           FROM cstop)
+         |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         |  round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + a.rank), CAST(0 AS DOUBLE))
+         |    + COALESCE(CAST(1.0 AS DOUBLE) / (60 + b.rank), CAST(0 AS DOUBLE)),
+         |    6) AS rrf,
+         |  COALESCE(a.rank, 0) AS rank_a,
+         |  COALESCE(b.rank, 0) AS rank_b
+         |FROM bmrank a FULL JOIN csrank b ON a.doc_id = b.doc_id
+         |ORDER BY rrf DESC, doc_id""".stripMargin,
+
     "q55_filename_default" ->
       """SELECT event_id,
         |  CASE WHEN event_type = 'view'

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Retrieval
+
+/** BM25 + reciprocal-rank fusion (Retrieval.scala). Scores are checked
+  * against hand-computed constants on a planted 5-doc corpus (computed
+  * independently from the closed-form BM25 formula, not by re-running
+  * the operator); the q66/q67 oracles prove engine-equivalence on the
+  * fixtures. Plan guards mirror the scale posture the scaladoc claims:
+  * the df side broadcasts and no WindowExec appears anywhere.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "apple"),
+    (4L, "durian durian durian durian"),
+    (5L, "cherry apple banana")).toDF("doc_id", "text")
+
+  test("bm25 matches hand-computed Lucene-idf scores on a planted corpus") {
+    // N=5, avgdl=2.6, df(apple)=3, df(cherry)=2, k1=1.2, b=0.75;
+    // per-term partials rounded to 6 dp then summed (doc 4 matches
+    // nothing and must be absent)
+    val got = Retrieval.bm25(corpus, "doc_id", "text", Seq("apple", "cherry"))
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 5L))
+    assert(got(1L) === 0.710382) // apple tf=2, dl=3
+    assert(got(2L) === 0.966734) // cherry tf=1, dl=2
+    assert(got(3L) === 0.720341) // apple tf=1, dl=1
+    assert(got(5L) === 1.330714) // apple+cherry, dl=3
+  }
+
+  test("bm25 ignores null text and terms absent from the corpus") {
+    val withNull = corpus.union(Seq((6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"))
+    val got = Retrieval.bm25(withNull, "doc_id", "text", Seq("apple", "zzz"))
+      .as[(Long, Double)].collect().toMap
+    // null row contributes nothing; zzz matches nothing; apple-only
+    // scores shift because N/avgdl exclude only the NULL row
+    assert(got.keySet === Set(1L, 3L, 5L))
+  }
+
+  test("rankTopK assigns row_number-equivalent ranks with (score desc, id asc) ties") {
+    val scored = Seq((1L, 5.0), (2L, 3.0), (3L, 3.0), (4L, 1.0), (5L, 0.5))
+      .toDF("doc_id", "score")
+    val got = Retrieval.rankTopK(scored, "doc_id", "score", 4)
+      .as[(Long, Double, Int)].collect().map(r => r._1 -> r._3).toMap
+    assert(got === Map(1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4)) // 5 cut by k
+  }
+
+  test("rrfFuse handles ids present in only one list (rank 0, one-sided sum)") {
+    val a = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1), (3L, 2)).toDF("doc_id", "rank")
+    val got = Retrieval.rrfFuse(a, b, "doc_id")
+      .as[(Long, Double, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 0.016393, 1, 0))) // 1/61 only
+    assert(got(2L) === ((2L, 0.032522, 2, 1))) // 1/62 + 1/61
+    assert(got(3L) === ((3L, 0.016129, 0, 2))) // 1/62 only
+  }
+
+  test("bm25 broadcasts the per-term df side; rankTopK plans TakeOrdered, no Window") {
+    val bm = Retrieval.bm25(corpus, "doc_id", "text", Seq("apple"))
+    val bmPlan = bm.queryExecution.executedPlan.toString
+    assert(bmPlan.contains("BroadcastHashJoin"), bmPlan)
+    val ranked = Retrieval.rankTopK(bm, "doc_id", "score", 10)
+    val rPlan = ranked.queryExecution.executedPlan.toString
+    assert(rPlan.contains("TakeOrderedAndProject"), rPlan)
+    assert(!rPlan.contains("Window"), rPlan)
+  }
+
+  test("q67 end-to-end plan contains no WindowExec") {
+    val q = SparkEntry.queries("q67_hybrid_rrf")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(q.count() > 0)
+  }
+}

@@ -58,7 +58,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val coldTotal = merged.collect { case (_, _, Right(t)) => t }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"n_failed":${errors.size},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"n_failed":${errors.size},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}"""
+    // The driver captures a bounded tail of stdout; Spark's shutdown
+    // noise after this line has truncated the artifact before
+    // (BENCH_r05 parsed:null). Persist the full line to a file too so
+    // the JSON survives regardless of what lands in the tail.
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.out"),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
     spark.stop()
   }
 }

@@ -274,12 +274,11 @@ object SparkEntry {
       // as a mapPartitions operator — one client per partition, batched
       // requests, retry. The offline transport is bit-identical to the
       // HashEmbed kernel (asserted in ServiceEmbedSpec), so this digest
-      // matches q26's on non-null texts. Rows-only: murmur3 is not
-      // DuckDB-expressible. Null texts are filtered upstream (the
-      // transport embeds null as "" while the kernel yields NULL).
+      // matches q26's row-for-row — including null texts, which the
+      // operator skips (null in → null embedding, the kernel's own
+      // null propagation). Rows-only: murmur3 is not DuckDB-expressible.
       val ones = array((0 until 64).map(_ => lit(1.0)): _*)
       val src = fan(Tables.documents(s, d), "doc_id")
-        .filter(col("text").isNotNull)
       ServiceEmbed.withEmbedding(src, "text", new HashEmbedTransportFactory(64))
         .select(
           col("doc_id"),

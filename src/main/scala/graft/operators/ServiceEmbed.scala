@@ -64,12 +64,63 @@ class HashEmbedTransportFactory(dim: Int) extends EmbedTransportFactory {
   }
 }
 
+/** Live HTTP transport speaking the reference's embedding wire shape
+  * (`src/rag/dataframes.rs:113-151`): POST `{"model":...,"prompt":...}`
+  * (newlines in the prompt normalized to spaces, as the reference
+  * does) and read back `{"embedding":[...]}`. One prompt per request —
+  * the Ollama-style endpoint has no batch form — but ONE shared client
+  * per transport, so `embedBatch` amortizes connection setup across
+  * the batch. The reference's client-per-call, its `body-Type` header
+  * typo, and its embed-twice pipeline bug are deliberately not
+  * reproduced. Non-2xx responses and malformed bodies throw, which the
+  * operator's per-batch retry/backoff handles; the spec drives this
+  * against an in-process stub server (5xx-then-recover). Java 17's
+  * HttpClient has no close() — connections die with the executor. */
+class HttpEmbedTransportFactory(endpoint: String, model: String,
+    connectTimeoutMs: Long = 5000, requestTimeoutMs: Long = 30000)
+    extends EmbedTransportFactory {
+  override def open(): EmbedTransport = new EmbedTransport {
+    private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    private val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(connectTimeoutMs))
+      .build()
+
+    override def embedBatch(texts: Seq[String]): Seq[Array[Double]] =
+      texts.map { t =>
+        val payload = mapper.createObjectNode()
+        payload.put("model", model)
+        payload.put("prompt", t.replace("\n", " "))
+        val req = java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(endpoint))
+          .timeout(java.time.Duration.ofMillis(requestTimeoutMs))
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers
+            .ofString(mapper.writeValueAsString(payload)))
+          .build()
+        val resp = client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() / 100 != 2)
+          throw new java.io.IOException(
+            s"embed service HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
+        val emb = mapper.readTree(resp.body()).get("embedding")
+        if (emb == null || !emb.isArray)
+          throw new java.io.IOException("embedding not found in response")
+        val out = new Array[Double](emb.size())
+        var i = 0
+        while (i < emb.size()) { out(i) = emb.get(i).asDouble(); i += 1 }
+        out
+      }
+  }
+}
+
 object ServiceEmbed {
 
   /** Append `outCol` (ARRAY<DOUBLE>) computed by the service transport:
     * one client per partition, `batchSize` texts per request, up to
     * `maxRetries` retries with exponential backoff per batch. Null
-    * texts embed as "" (the reference's empty-guard arm). All input
+    * texts yield a null embedding and are never sent to the service —
+    * the same null propagation as the `HashEmbed` kernel, so the two
+    * paths agree row-for-row (asserted in ServiceEmbedSpec). All input
     * columns pass through unchanged. */
   def withEmbedding(df: DataFrame, textCol: String,
       factory: EmbedTransportFactory, batchSize: Int = 32,
@@ -86,12 +137,17 @@ object ServiceEmbed {
       Option(org.apache.spark.TaskContext.get())
         .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
       val mapped = rows.grouped(batchSize).flatMap { batch =>
-        val vecs = withRetry(maxRetries) {
-          client.embedBatch(batch.map(r => Option(r.getString(ti)).getOrElse("")))
+        val texts = batch.filterNot(_.isNullAt(ti)).map(_.getString(ti))
+        val vecs =
+          if (texts.isEmpty) Seq.empty
+          else withRetry(maxRetries) { client.embedBatch(texts) }
+        require(vecs.length == texts.length,
+          s"transport returned ${vecs.length} vectors for ${texts.length} texts")
+        val vi = vecs.iterator
+        batch.map { r =>
+          val v = if (r.isNullAt(ti)) null else vi.next().toSeq
+          Row.fromSeq(r.toSeq :+ v)
         }
-        require(vecs.length == batch.length,
-          s"transport returned ${vecs.length} vectors for ${batch.length} texts")
-        batch.zip(vecs).map { case (r, v) => Row.fromSeq(r.toSeq :+ v.toSeq) }
       }
       closeOnExhaustion(mapped, closeOnce _)
     }(Encoders.row(outSchema))

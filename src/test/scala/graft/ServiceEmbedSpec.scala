@@ -122,11 +122,23 @@ class ServiceEmbedSpec extends SparkSpec {
     assert(CountingFactory.closes.get() === 1)
   }
 
-  test("null text embeds as empty string (reference empty-guard arm)") {
-    val df = Seq((1L, null.asInstanceOf[String]), (2L, "")).toDF("id", "t")
-    val vecs = ServiceEmbed.withEmbedding(df, "t", new HashEmbedTransportFactory(8))
-      .select($"id", $"embedding").as[(Long, Array[Double])].collect().toMap
-    assert(vecs(1L).sameElements(vecs(2L)))
+  test("null text yields null embedding (kernel parity) and never reaches the service") {
+    CountingFactory.reset()
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "some text"))
+      .toDF("id", "t")
+    val rows = ServiceEmbed.withEmbedding(df, "t", new CountingFactory(8))
+      .select($"id", $"embedding").collect()
+    val got = rows.map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Double](1))).toMap
+    assert(got(1L) == null)
+    assert(got(2L) != null && got(3L) != null)
+    assert(CountingFactory.seen.size() === 2) // the null row was skipped
+    // kernel parity including the null arm
+    val kernel = df.select($"id",
+        VectorOps.hashEmbed(TextOps.words($"t"), 8).as("e")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Double](1))).toMap
+    assert((kernel(1L) == null) === (got(1L) == null))
+    assert(kernel(2L) === got(2L) && kernel(3L) === got(3L))
   }
 
   test("flagship pipeline via service transport equals the kernel pipeline") {
@@ -143,10 +155,82 @@ class ServiceEmbedSpec extends SparkSpec {
     assert(viaService.nonEmpty)
   }
 
-  test("q59 digest equals q26's on non-null texts") {
-    val q26 = SparkEntry.queries("q26_hash_embed")(spark, sf)
-      .filter($"norm".isNotNull).collect().toSeq
+  test("q59 digest equals q26's row-for-row (null-text rows included)") {
+    val q26 = SparkEntry.queries("q26_hash_embed")(spark, sf).collect().toSeq
     val q59 = SparkEntry.queries("q59_service_embed")(spark, sf).collect().toSeq
     assert(q59 === q26)
+  }
+
+  // --- live HTTP transport against an in-process stub server ----------
+
+  /** Stub speaking the reference's wire shape: POST {"model","prompt"}
+    * → {"embedding":[len(prompt), count('a')]}. Records every prompt /
+    * model / Content-Type; returns 500 for the first `failFirst`
+    * requests to drive the operator's retry. Driver-side only — the
+    * serialized factory carries just the endpoint string. */
+  private def withStubServer(failFirst: Int = 0)(
+      body: (String, java.util.Queue[(String, String, String)]) => Unit): Unit = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String)]()
+    val fails = new AtomicInteger(failFirst)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    server.createContext("/api/embeddings", { exchange =>
+      val req = mapper.readTree(exchange.getRequestBody.readAllBytes())
+      val prompt = req.get("prompt").asText()
+      seen.add((prompt, req.get("model").asText(),
+        exchange.getRequestHeaders.getFirst("Content-Type")))
+      if (fails.getAndDecrement() > 0) {
+        exchange.sendResponseHeaders(500, -1)
+      } else {
+        val emb = s"""{"embedding":[${prompt.length}.0,${prompt.count(_ == 'a')}.0]}"""
+        val bytes = emb.getBytes("UTF-8")
+        exchange.sendResponseHeaders(200, bytes.length.toLong)
+        exchange.getResponseBody.write(bytes)
+      }
+      exchange.close()
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}/api/embeddings", seen)
+    finally server.stop(0)
+  }
+
+  test("HTTP transport: reference wire shape round-trips; newlines normalized") {
+    withStubServer() { (endpoint, seen) =>
+      val df = Seq((1L, "hello world"), (2L, "line1\nline2"), (3L, "banana"))
+        .toDF("id", "t").repartition(1)
+      val got = ServiceEmbed.withEmbedding(df, "t",
+          new graft.operators.HttpEmbedTransportFactory(endpoint, "stub-model"))
+        .select($"id", $"embedding").as[(Long, Array[Double])].collect().toMap
+      assert(got(1L).sameElements(Array(11.0, 0.0)))
+      assert(got(2L).sameElements(Array(11.0, 0.0))) // "line1 line2"
+      assert(got(3L).sameElements(Array(6.0, 3.0)))
+      val prompts = seen.toArray.map(_.asInstanceOf[(String, String, String)])
+      assert(prompts.map(_._1).contains("line1 line2")) // \n → space, per reference
+      assert(prompts.forall(_._2 == "stub-model"))
+      assert(prompts.forall(_._3 == "application/json")) // not the reference's body-Type typo
+    }
+  }
+
+  test("HTTP transport: 5xx is retried by the operator and recovers without loss") {
+    withStubServer(failFirst = 2) { (endpoint, seen) =>
+      val df = (1 to 5).map(i => (i.toLong, s"text $i")).toDF("id", "t").repartition(1)
+      val n = ServiceEmbed.withEmbedding(df, "t",
+          new graft.operators.HttpEmbedTransportFactory(endpoint, "stub-model"),
+        batchSize = 10, maxRetries = 3).count()
+      assert(n === 5)
+      assert(seen.size() > 5) // failed requests were re-sent
+    }
+  }
+
+  test("HTTP transport: persistent 5xx exhausts retries and fails the task") {
+    withStubServer(failFirst = 1000) { (endpoint, _) =>
+      val df = Seq((1L, "doomed")).toDF("id", "t")
+      intercept[Exception] {
+        ServiceEmbed.withEmbedding(df, "t",
+          new graft.operators.HttpEmbedTransportFactory(endpoint, "stub-model"),
+          maxRetries = 1).count()
+      }
+    }
   }
 }

@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * sniffed, and written to an attachments dir
   * (`src/signal/process_incoming_message.rs:46-83`). Here the Spark
   * plumbing — `binaryFile` source, schema, partition-parallel decode —
-  * is real; the actual image/audio codec step is STUBBED with a
-  * deterministic fake (no codec libraries in this container), clearly
-  * marked below. Swapping `fakeDecode` for a real decoder keeps every
-  * other line unchanged.
+  * is real, and so is the IMAGE codec path (PNG/JPEG/GIF via the JDK's
+  * `javax.imageio`, no external library). Audio/video decode is still
+  * STUBBED with a deterministic fake (no codec libraries in this
+  * container), clearly marked below; swapping `fakeDecode` for a real
+  * decoder keeps every other line unchanged.
   */
 object Multimodal {
 
@@ -66,11 +67,11 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
-  // STUB: deterministic fake decode. A real deployment replaces this
-  // with an image/audio codec (e.g. javacpp ffmpeg / ImageIO) — the
-  // signature, batching shape, and partition parallelism stay the same.
-  // The fake derives "features" from content bytes so tests exercise
-  // real data flow end-to-end deterministically.
+  // STUB (non-image mimes only): deterministic fake decode. Audio/video
+  // would need a codec library this container lacks (e.g. javacpp
+  // ffmpeg) — the signature, batching shape, and partition parallelism
+  // stay the same. The fake derives "features" from content bytes so
+  // tests exercise real data flow end-to-end deterministically.
   // ------------------------------------------------------------------
   private[sources] def fakeDecode(content: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -82,20 +83,71 @@ object Multimodal {
     out
   }
 
+  /** REAL image decode (PNG/JPEG/GIF via `javax.imageio` — offline, in
+    * the JDK): an `side`×`side` box-filtered grayscale thumbnail in
+    * [0,1], the classic cheap perceptual feature (and the first stage
+    * of a pHash). Each output cell averages the Rec.601 luminance of
+    * its source-pixel block, so the vector is deterministic for a given
+    * decoded raster. `None` on undecodable/corrupt bytes → caller falls
+    * back to the stub. */
+  private[graft] def imageFeatures(content: Array[Byte], side: Int = 8): Option[Array[Float]] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content)))
+      catch { case _: Exception => None }
+    img.filter(im => im.getWidth > 0 && im.getHeight > 0).map { im =>
+      val w = im.getWidth
+      val h = im.getHeight
+      val out = new Array[Float](side * side)
+      var cy = 0
+      while (cy < side) {
+        var cx = 0
+        while (cx < side) {
+          val x0 = cx * w / side
+          val x1 = math.max(x0 + 1, (cx + 1) * w / side)
+          val y0 = cy * h / side
+          val y1 = math.max(y0 + 1, (cy + 1) * h / side)
+          var sum = 0.0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = im.getRGB(x, y)
+              sum += 0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          out(cy * side + cx) = (sum / ((x1 - x0) * (y1 - y0) * 255.0)).toFloat
+          cx += 1
+        }
+        cy += 1
+      }
+      out
+    }
+  }
+
   /** Partition-parallel feature extraction over binary content. Runs as
     * `mapPartitions` so per-partition decoder state (a real codec
     * context) is initialized once per partition, not once per row —
-    * the Spark-side analog of a Pandas-UDF batch decode. */
+    * the Spark-side analog of a Pandas-UDF batch decode. Image mimes
+    * decode for real (64-dim 8×8 grayscale thumbnail via
+    * [[imageFeatures]]); other mimes — and images whose bytes fail to
+    * decode — fall back to the deterministic `dim`-width stub. */
   def extractFeatures(spark: SparkSession, binaries: DataFrame, dim: Int = 16): Dataset[MediaFeatures] = {
     import spark.implicits._
     binaries
       .select(col("path"), col("length"), col("content"))
       .as[(String, Long, Array[Byte])]
       .mapPartitions { rows =>
-        // real impl: init codec context here, once per partition
+        // real impl for audio/video: init codec context here, once per partition
         rows.map { case (path, len, content) =>
           val mime = sniffMime(content).getOrElse("application/octet-stream")
-          MediaFeatures(path, mime, len, fakeDecode(content, dim))
+          val features =
+            if (mime.startsWith("image/"))
+              imageFeatures(content).getOrElse(fakeDecode(content, dim))
+            else fakeDecode(content, dim)
+          MediaFeatures(path, mime, len, features)
         }
       }
   }

@@ -100,6 +100,38 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.values.toSet.size === 3)
   }
 
+  test("real image decode: PNG thumbnail matches known quadrant luminances; corrupt falls back") {
+    // 2×2 PNG with one color per quadrant of the 8×8 thumbnail grid
+    val im = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    im.setRGB(0, 0, 0xffffff) // white → luminance 1.0
+    im.setRGB(1, 0, 0x000000) // black → 0.0
+    im.setRGB(0, 1, 0xff0000) // red   → 0.299
+    im.setRGB(1, 1, 0x0000ff) // blue  → 0.114
+    val d = Files.createTempDirectory("graft_img")
+    javax.imageio.ImageIO.write(im, "png", d.resolve("q.png").toFile)
+    javax.imageio.ImageIO.write(im, "jpg", d.resolve("q.jpg").toFile)
+    // PNG magic bytes but undecodable body → stub fallback
+    Files.write(d.resolve("bad.png"), Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3))
+    val got = Multimodal.extractFeatures(spark,
+        Multimodal.readBinaryDir(spark, d.toString), dim = 16)
+      .collect().map(f => f.path.split('/').last -> f).toMap
+    val png = got("q.png")
+    assert(png.mime === "image/png")
+    assert(png.features.length === 64)
+    def cell(cx: Int, cy: Int): Float = png.features(cy * 8 + cx)
+    for (cx <- 0 until 4; cy <- 0 until 4) assert(math.abs(cell(cx, cy) - 1.0f) < 1e-6)
+    for (cx <- 4 until 8; cy <- 0 until 4) assert(math.abs(cell(cx, cy) - 0.0f) < 1e-6)
+    for (cx <- 0 until 4; cy <- 4 until 8) assert(math.abs(cell(cx, cy) - 0.299f) < 1e-3)
+    for (cx <- 4 until 8; cy <- 4 until 8) assert(math.abs(cell(cx, cy) - 0.114f) < 1e-3)
+    val jpg = got("q.jpg")
+    assert(jpg.mime === "image/jpeg") // sniffed, not from the extension
+    assert(jpg.features.length === 64)
+    assert(jpg.features.forall(v => v >= 0f && v <= 1f))
+    val bad = got("bad.png")
+    assert(bad.mime === "image/png")
+    assert(bad.features.length === 16) // decode failed → dim-width stub
+  }
+
   test("frame sampling emits stride-spaced ordinals") {
     val frames = Multimodal.sampleFrames(
       Multimodal.readBinaryDir(spark, dir, "c.bin"), stride = 1)

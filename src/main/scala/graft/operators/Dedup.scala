@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{StructField, StructType}
 import graft.functions.TextOps
 
 /** Deduplication operators for the training-data pipeline surface. The
@@ -139,11 +140,15 @@ object Dedup {
     * instead of O(diameter).
     *
     * Scale posture: each round is two equi-joins + one aggregation on
-    * (id/label) keys — never an all-pairs product — and the loop runs
-    * a driver-side counter over a per-round aggregate, not a collect.
-    * `localCheckpoint` truncates lineage each round (on a real cluster
-    * swap in reliable checkpointing); dedup graphs have tiny diameter,
-    * so rounds ≈ 3-4 in practice.
+    * (id/label) keys — never an all-pairs product — and convergence is
+    * detected by a LongAccumulator counted DURING the checkpoint
+    * materialization job (a pass-through mapPartitions), so each round
+    * is exactly ONE job: no separate isEmpty/count probe over the
+    * frame. Task retries can only inflate the count, never lose a
+    * change, so the ==0 test stays sound. `localCheckpoint` truncates
+    * lineage each round (on a real cluster swap in reliable
+    * checkpointing); dedup graphs have tiny diameter, so rounds ≈ 3-4
+    * in practice.
     *
     * Returns one row per node: (`idCol`, cluster_id = min node id of
     * its component); isolated nodes label themselves. */
@@ -166,12 +171,23 @@ object Dedup {
           least(labels("cc_label"),
             coalesce(col("cc_nbr"), labels("cc_label"))).as("cc_half"))
       val hop = labels.select(col("cc_id").as("cc_pid"), col("cc_label").as("cc_plabel"))
-      val next = half.join(hop, half("cc_half") === hop("cc_pid"), "left")
-        .select(col("cc_id"), col("cc_old"),
-          least(col("cc_half"), coalesce(col("cc_plabel"), col("cc_half"))).as("cc_label"))
+      val merged = half.join(hop, half("cc_half") === hop("cc_pid"), "left")
+        .select(col("cc_id"),
+          least(col("cc_half"), coalesce(col("cc_plabel"), col("cc_half"))).as("cc_label"),
+          col("cc_old"))
+      // count label changes inside the (eager) checkpoint job itself
+      val changed = nodes.sparkSession.sparkContext.longAccumulator("cc_changed")
+      val next = merged.mapPartitions { it =>
+        it.map { r =>
+          if (r.get(1) != r.get(2)) changed.add(1L)
+          Row(r.get(0), r.get(1))
+        }
+      }(Encoders.row(StructType(Seq(
+        StructField("cc_id", merged.schema("cc_id").dataType),
+        StructField("cc_label", merged.schema("cc_label").dataType)))))
         .localCheckpoint()
-      converged = next.filter(col("cc_label") =!= col("cc_old")).isEmpty
-      labels = next.select(col("cc_id"), col("cc_label"))
+      converged = changed.value == 0L
+      labels = next
       iter += 1
     }
     if (!converged)

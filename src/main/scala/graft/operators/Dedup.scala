@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{StructField, StructType}
 import graft.functions.TextOps
 
@@ -21,17 +20,24 @@ object Dedup {
   private def par(df: DataFrame): Int =
     df.sparkSession.sparkContext.defaultParallelism
 
-  /** Exact dedup: keep the lowest-id row per identical text. A window
-    * over `hash-partition(text)` — the deterministic version of
-    * `dropDuplicates` (which keeps an arbitrary row). Map-side the text
-    * can be pre-hashed (sha2) so the shuffle key is 32 bytes, not the
-    * document — at 100 TB shuffle bytes are the bottleneck, so we group
-    * by digest, not body. */
+  /** Exact dedup: keep the lowest-id row per identical text — the
+    * deterministic version of `dropDuplicates` (which keeps an
+    * arbitrary row). `groupBy(sha2(text)).agg(min_by(struct(*), id))`
+    * rather than a `row_number` window: the hash aggregate combines
+    * map-side, so duplicate rows collapse BEFORE the shuffle (the
+    * window shipped every row and then sorted each group), and the
+    * shuffle key is a 32-byte digest, not the document body — at
+    * 100 TB shuffle bytes are the bottleneck. BenchOne at sf0.1 (500k
+    * docs, few dups): within run-to-run noise of the window form
+    * (q14 0.44-0.56 s, q56 1.2-1.6 s both ways) — the fixture has too
+    * few duplicates for map-side collapse to show; kept for the scale
+    * posture, where duplicate density is exactly what dedup exists
+    * for. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val cols = df.columns
+    df.groupBy(sha2(col(textCol), 256).as("__h"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__w"))
+      .select(cols.map(c => col("__w." + c)): _*)
   }
 
   /** Word k-shingles (k-grams joined with spaces), distinct,

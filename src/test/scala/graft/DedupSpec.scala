@@ -48,6 +48,78 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // verify step kills false positives
   }
 
+  test("minhash LSH differential vs exact jaccard at a non-default threshold (0.3, 16×1 bands)") {
+    // 20 docs: 4 exact-dup groups of templated sentences + perturbed
+    // variants + unrelated noise. Exact all-pairs jaccard is computed
+    // in plain Scala (replicating the shingle definition) — the LSH
+    // path must be CONTAINED in it with identical rounded scores, and
+    // must have perfect recall on identical docs (same signature ⇒
+    // every band agrees).
+    val base = Seq("alpha beta gamma delta epsilon zeta eta theta",
+      "one two three four five six seven eight nine ten",
+      "red orange yellow green blue indigo violet colors",
+      "north south east west up down left right center")
+    val rows = (0 until 20).map { i =>
+      val b = base(i % 4)
+      val t = i / 4 match {
+        case 0 | 1 => b // two identical copies of each base
+        case 2 => b + " extra"
+        case 3 => b.replaceFirst("\\w+$", "changed")
+        case _ => s"noise$i filler$i padding$i junk$i"
+      }
+      (i.toLong, t)
+    }
+    val df = rows.toDF("doc_id", "text")
+    val k = 3
+    def shingleSet(t: String): Set[String] = {
+      val ws = t.trim.split("\\s+").toSeq
+      if (ws.length < k) Set(ws.mkString(" "))
+      else ws.sliding(k).map(_.mkString(" ")).toSet
+    }
+    val sets = rows.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val exact = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size.toDouble
+      j = if (sa.size + sb.size == 0) 1.0 else inter / (sa.size + sb.size - inter)
+      if j >= 0.3
+    } yield (a, b) -> BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    val got = Dedup.minhashNearDups(df, "doc_id", "text",
+        shingleK = k, nBands = 16, rowsPerBand = 1, jaccardThreshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+    got.foreach { case (a, b, j) =>
+      assert(exact.contains((a, b)), s"false pair ($a,$b)")
+      assert(math.abs(j - exact((a, b))) < 1e-6, s"score mismatch ($a,$b)")
+    }
+    val identical = for ((a, sa) <- sets; (b, sb) <- sets if a < b && sa == sb) yield (a, b)
+    val gotPairs = got.map(p => (p._1, p._2)).toSet
+    identical.foreach(p => assert(gotPairs.contains(p), s"missed identical pair $p"))
+  }
+
+  test("simhash banding is EXACT for hamming <= 3 (pigeonhole) — differential at 1 and 3") {
+    // candidate generation must lose nothing: a 64-bit pair within
+    // hamming<=3 agrees exactly on one of the 4 16-bit bands, so the
+    // banded join equals the all-pairs definition computed here from
+    // the kernel's own signatures
+    val rows = (0 until 18).map { i =>
+      val words = (0 until 12).map(w => s"w${(w + i / 6) % 14}")
+      (i.toLong, (words :+ s"tail${i % 3}").mkString(" "))
+    }
+    val df = rows.toDF("doc_id", "text")
+    val sigs = df.select($"doc_id", Dedup.simhash($"text", 64).as("s"))
+      .as[(Long, Long)].collect().toMap
+    for (maxH <- Seq(1, 3)) {
+      val exact = (for {
+        (a, sa) <- sigs; (b, sb) <- sigs if a < b
+        h = java.lang.Long.bitCount(sa ^ sb)
+        if h <= maxH
+      } yield (a, b, h)).toSet
+      val got = Dedup.simhashNearDups(df, "doc_id", "text", maxHamming = maxH)
+        .as[(Long, Long, Int)].collect().map(t => (t._1, t._2, t._3)).toSet
+      assert(got === exact, s"maxHamming=$maxH")
+      assert(exact.nonEmpty, "corpus produced no close pairs — test is vacuous")
+    }
+  }
+
   test("simhash: deterministic, identical texts equal, hamming 0") {
     val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "v w x y z"))
       .toDF("id", "t")

@@ -729,6 +729,27 @@ object SparkEntry {
         .orderBy(col("rrf").desc, col("doc_id"))
     }),
 
+    // int8 scalar quantization of the embedding store (4× compression
+    // before ANN indexing at 100 TB); digested to scalars for the
+    // driver comparator — scale, exact integer code checksum, first and
+    // last codes
+    "q68_quantize_int8" -> ((s, d) => {
+      val qs = VectorOps.int8Quantize(col("embedding"))
+      fan(Tables.embeddings(s, d), "vec_id")
+        .select(col("vec_id"),
+          round(VectorOps.int8Scale(col("embedding")), 6).as("scale"),
+          aggregate(qs, lit(0L), (a, x) => a + x).as("qsum"),
+          element_at(qs, 1).as("q_first"),
+          element_at(qs, -1).as("q_last"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // corpus vocabulary: top-50 tokens by corpus frequency with doc
+    // frequency — tokenizer-training / coverage first pass
+    "q69_vocab" -> ((s, d) =>
+      Curation.vocabulary(fan(Tables.documents(s, d), "doc_id"),
+        "doc_id", "text", 50)),
+
     // --- P10: filename defaulting -------------------------------------
     "q55_filename_default" -> ((s, d) => {
       val mime = when(col("event_type") === "click", lit("image/jpeg"))
@@ -1446,6 +1467,37 @@ object SparkEntry {
          |  COALESCE(b.rank, 0) AS rank_b
          |FROM bmrank a FULL JOIN csrank b ON a.doc_id = b.doc_id
          |ORDER BY rrf DESC, doc_id""".stripMargin,
+
+    // int8 quantization: all arithmetic forced to DOUBLE on both
+    // engines; codes are exact ints so the checksum needs no rounding
+    // discipline, only the scale is rounded
+    "q68_quantize_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, v,
+        |    list_aggregate(v, 'min') AS mn,
+        |    (list_aggregate(v, 'max') - list_aggregate(v, 'min'))
+        |      / CAST(255.0 AS DOUBLE) AS sc
+        |  FROM e),
+        |q AS (
+        |  SELECT vec_id, sc,
+        |    CASE WHEN sc > 0
+        |      THEN list_transform(v, x -> CAST(round((x - mn) / sc) AS INT))
+        |      ELSE list_transform(v, x -> 0) END AS qs
+        |  FROM m)
+        |SELECT vec_id, round(sc, 6) AS scale,
+        |  CAST(list_sum(qs) AS BIGINT) AS qsum,
+        |  qs[1] AS q_first, qs[-1] AS q_last
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q69_vocab" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT term, CAST(count(*) AS BIGINT) AS tf,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM t GROUP BY term ORDER BY tf DESC, term LIMIT 50""".stripMargin,
 
     "q55_filename_default" ->
       """SELECT event_id,

@@ -91,4 +91,29 @@ object VectorOps {
     */
   def hyperplaneBits(vec: Column, nBits: Int): Column =
     graft.expressions.VectorExpressions.hyperplaneBits(vec, nBits)
+
+  // --- int8 scalar quantization (storage path) -----------------------
+
+  /** Per-vector affine int8 quantization scale: (max-min)/255. The 4×
+    * compression step a 100 TB embedding corpus takes before storage /
+    * ANN indexing. All arithmetic in DOUBLE so an oracle engine
+    * reproduces it bit-for-bit. */
+  def int8Scale(vec: Column): Column =
+    (array_max(vec).cast("double") - array_min(vec).cast("double")) / lit(255.0)
+
+  /** Quantized codes q_i = round((x_i - min)/scale) ∈ [0, 255];
+    * constant vectors (scale 0) quantize to all-zero. Reconstruction
+    * error is bounded by scale/2 (asserted in VectorOpsSpec). */
+  def int8Quantize(vec: Column): Column = {
+    val mn = array_min(vec).cast("double")
+    val sc = int8Scale(vec)
+    transform(vec, x =>
+      when(sc > lit(0.0),
+        round((x.cast("double") - mn) / sc, 0).cast("int"))
+        .otherwise(lit(0)))
+  }
+
+  /** Inverse transform: x̂_i = q_i * scale + min. */
+  def int8Dequantize(qs: Column, minVal: Column, scale: Column): Column =
+    transform(qs, q => q.cast("double") * scale + minVal)
 }

@@ -95,4 +95,20 @@ object Curation {
     }
     df.filter(bucket < rate)
   }
+
+  /** Corpus vocabulary: the `k` most frequent whitespace tokens with
+    * corpus term frequency and document frequency — the first pass of
+    * tokenizer training / coverage analysis. One explode + hash
+    * aggregation (tf combines map-side; df is a two-phase distinct
+    * aggregate on (term, doc) keys); the top-k plans as TakeOrdered,
+    * never a global sort. Order (tf desc, term) is total, so the k-th
+    * boundary is deterministic across engines. */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__doc"),
+        explode(graft.functions.TextOps.words(col(textCol))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("__doc")).as("df"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(k)
 }

@@ -77,6 +77,26 @@ class CurationSpec extends SparkSpec {
     assert(highRate > lowRate)
   }
 
+  test("vocabulary: exact tf/df on a planted corpus, top-k order is (tf desc, term)") {
+    val docs = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana banana durian"),
+      (3L, "apple cherry"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Curation.vocabulary(docs, "doc_id", "text", 3)
+      .as[(String, Long, Long)].collect().toSeq
+    // banana tf=3 df=2; apple tf=3 df=2 — tie broken by term asc;
+    // cherry tf=2 df=2 beats durian tf=1 at the k boundary
+    assert(got === Seq(("apple", 3L, 2L), ("banana", 3L, 2L), ("cherry", 2L, 2L)))
+  }
+
+  test("vocabulary top-k plans as TakeOrdered with map-side partial aggregation") {
+    val q = Curation.vocabulary(Tables.documents(spark, sf), "doc_id", "text", 50)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial"), plan)
+  }
+
   test("scrub is a pure projection — filter still pushes to the scan") {
     val plan = Tables.documents(spark, sf)
       .select($"doc_id", Curation.scrub($"text").as("s"))

@@ -110,6 +110,34 @@ class VectorOpsSpec extends SparkSpec {
     assert(ok === 11.0)
   }
 
+  test("int8 quantization: codes in [0,255], endpoints exact, reconstruction within scale/2") {
+    val df = Tables.embeddings(spark, sf).limit(50)
+      .select($"vec_id", $"embedding",
+        VectorOps.int8Scale($"embedding").as("sc"),
+        VectorOps.int8Quantize($"embedding").as("qs"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val sc = r.getDouble(2)
+      val qs = r.getSeq[Int](3)
+      assert(qs.length === v.length)
+      assert(qs.forall(q => q >= 0 && q <= 255))
+      assert(qs(v.indexOf(v.min)) === 0)
+      assert(qs(v.indexOf(v.max)) === 255)
+      // round-trip error bound of affine rounding quantization
+      v.zip(qs).foreach { case (x, q) =>
+        assert(math.abs(x - (q * sc + v.min)) <= sc / 2 + 1e-9)
+      }
+    }
+    // constant vector: scale 0, all-zero codes
+    val const = Seq((1L, Seq(2.5f, 2.5f, 2.5f))).toDF("id", "embedding")
+      .select(VectorOps.int8Scale($"embedding").as("sc"),
+        VectorOps.int8Quantize($"embedding").as("qs"))
+      .collect().head
+    assert(const.getDouble(0) === 0.0)
+    assert(const.getSeq[Int](1) === Seq(0, 0, 0))
+  }
+
   test("hyperplaneBits: deterministic, correct length, in {0,1}") {
     val df = Tables.embeddings(spark, sf).limit(20)
     val bits = df.select($"vec_id", VectorOps.hyperplaneBits($"embedding", 16).as("b"))

@@ -750,6 +750,21 @@ object SparkEntry {
       Curation.vocabulary(fan(Tables.documents(s, d), "doc_id"),
         "doc_id", "text", 50)),
 
+    // persisted vector store: embeddings written partitionBy(LSH
+    // bucket), probe reads ONLY its bucket + hamming-1 neighbors via
+    // Catalyst partition pruning (PartitionFilters — plan-guarded in
+    // VectorStoreSpec), exact cosine rerank over the pruned slice.
+    // Rows-only: the hyperplane bucket is murmur3-derived.
+    "q70_vector_store" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_vecstore_" + d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      graft.sources.VectorStore.write(e, "vec_id", "embedding", path)
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      graft.sources.VectorStore.topK(s, path, "vec_id", "embedding", probe, 20)
+    }),
+
     // --- P10: filename defaulting -------------------------------------
     "q55_filename_default" -> ((s, d) => {
       val mime = when(col("event_type") === "click", lit("image/jpeg"))

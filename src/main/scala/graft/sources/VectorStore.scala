@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Persisted vector store with a partition-pruned probe path — the
+  * disk-layout upgrade of the reference's pgvector table
+  * (`src/rag/sqlx.rs:42`, read back whole by `SELECT *`,
+  * `src/rag/sqlx.rs:84-92`) for a corpus where "read back whole" is
+  * 100 TB. Vectors are written `partitionBy` their hyperplane-LSH
+  * bucket, so a probe reads ONLY its own bucket directory plus the
+  * `nprobe` hamming-adjacent ones: Catalyst prunes every other
+  * partition at planning time (`PartitionFilters` on the scan — the
+  * spec asserts it), and the exact-rerank cosine join runs over
+  * buckets/2^bits of the data instead of all of it.
+  *
+  * The bucket function is the same deterministic hyperplane signature
+  * the in-memory ANN path uses (`Similarity.annJoin`), so recall
+  * behavior is identical; the store only changes WHERE the candidate
+  * set lives (directory layout vs a shuffled join side).
+  */
+object VectorStore {
+
+  /** Bucket id: the `nBits`-bit hyperplane signature packed MSB-first
+    * into an int (0 .. 2^nBits-1). */
+  def bucketOf(vec: Column, nBits: Int): Column =
+    (0 until nBits).map(i =>
+      element_at(VectorOps.hyperplaneBits(vec, nBits), i + 1)
+        * lit(1 << (nBits - 1 - i)))
+      .reduce(_ + _)
+
+  /** Write the corpus partitioned by bucket. At scale each bucket
+    * directory holds ~N/2^nBits vectors; `nBits` sizes the pruning
+    * ratio (4 bits → 16 directories → a 1-probe read touches ~6% of
+    * the store). */
+  def write(df: DataFrame, idCol: String, vecCol: String, path: String,
+      nBits: Int = 4): Unit =
+    df.select(col(idCol), col(vecCol),
+        bucketOf(col(vecCol), nBits).as("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+  /** The probe's bucket plus its `1+nBits` hamming≤1 neighbors —
+    * multi-probe compensates for boundary vectors the way the
+    * in-memory LSH path's extra bands do. */
+  def probeBuckets(spark: SparkSession, probe: Seq[Double], nBits: Int = 4): Seq[Int] = {
+    val vec = array(probe.map(lit): _*)
+    val b = spark.range(1).select(bucketOf(vec, nBits).as("b")).head().getInt(0)
+    b +: (0 until nBits).map(i => b ^ (1 << i))
+  }
+
+  /** Read ONLY the probe's bucket directories — the filter on the
+    * partition column never touches row data (no bucket column exists
+    * inside the files), so the scan's `PartitionFilters` does all the
+    * work and pruned directories are never opened. */
+  def readCandidates(spark: SparkSession, path: String,
+      buckets: Seq[Int]): DataFrame =
+    spark.read.parquet(path).filter(col("bucket").isin(buckets: _*))
+
+  /** End-to-end probe: top-k by exact cosine over the pruned candidate
+    * set. */
+  def topK(spark: SparkSession, path: String, idCol: String, vecCol: String,
+      probe: Seq[Double], k: Int, nBits: Int = 4): DataFrame = {
+    val probeCol = array(probe.map(lit): _*)
+    readCandidates(spark, path, probeBuckets(spark, probe, nBits))
+      .select(col(idCol),
+        VectorOps.cosine6(col(vecCol), probeCol).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -46,7 +46,7 @@ object AsOfJoin {
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts), col("__is_l"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    l.unionByName(r.select(l.columns.map(col): _*))
+    l.unionByName(r.select(l.columns.toIndexedSeq.map(col): _*))
       .withColumn("matched", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__is_l") === 1)
       .drop("__is_l", "__rv", "__tb")

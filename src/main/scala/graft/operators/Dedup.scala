@@ -34,7 +34,7 @@ object Dedup {
     * posture, where duplicate density is exactly what dedup exists
     * for. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val cols = df.columns
+    val cols = df.columns.toIndexedSeq
     df.groupBy(sha2(col(textCol), 256).as("__h"))
       .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__w"))
       .select(cols.map(c => col("__w." + c)): _*)

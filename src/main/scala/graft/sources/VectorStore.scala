@@ -40,6 +40,34 @@ object VectorStore {
         bucketOf(col(vecCol), nBits).as("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
 
+  /** Incremental index maintenance: append a (micro-)batch of vectors
+    * — same layout, same bucket function, new files land inside the
+    * existing bucket directories, so probes see them with no
+    * reorganization. This is the `foreachBatch` body of a streaming
+    * ingest ([[appendStream]]); idempotence across batch replays comes
+    * from the streaming checkpoint, as in `Streams.runIngest`. */
+  def append(df: DataFrame, idCol: String, vecCol: String, path: String,
+      nBits: Int = 4): Unit =
+    df.select(col(idCol), col(vecCol),
+        bucketOf(col(vecCol), nBits).as("bucket"))
+      .write.partitionBy("bucket").mode("append").parquet(path)
+
+  /** Streaming index build: drain `stream` into the store with
+    * AvailableNow (the reference's drain-then-stop ingest shape,
+    * `src/signal/poll.rs` per SURVEY §2.8). A store built by streaming
+    * micro-batches equals a batch-built store — asserted in
+    * VectorStoreSpec. */
+  def appendStream(stream: DataFrame, idCol: String, vecCol: String,
+      path: String, checkpoint: String,
+      nBits: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        append(batch, idCol, vecCol, path, nBits)
+      }
+      .start()
+
   /** The probe's bucket plus its `1+nBits` hamming≤1 neighbors —
     * multi-probe compensates for boundary vectors the way the
     * in-memory LSH path's extra bands do. */

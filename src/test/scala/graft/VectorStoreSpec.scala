@@ -45,6 +45,34 @@ class VectorStoreSpec extends SparkSpec {
     assert(plan.split("PartitionFilters")(1).contains("bucket"), plan)
   }
 
+  test("streaming AvailableNow index build equals the batch-built store") {
+    val src = Tables.embeddings(spark, sf)
+    // stage the corpus as parquet so it can be re-read as a file stream
+    val staging = Files.createTempDirectory("graft_vs_stage").toString
+    src.repartition(4).write.mode("overwrite").parquet(staging)
+    val streamed = Files.createTempDirectory("graft_vs_stream").toString
+    val checkpoint = Files.createTempDirectory("graft_vs_ckpt").toString
+    val stream = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", 2) // force multiple micro-batches
+      .parquet(staging)
+    val q = VectorStore.appendStream(stream, "vec_id", "embedding",
+      streamed, checkpoint, nBits)
+    q.awaitTermination(120000)
+    val batchBuilt = spark.read.parquet(path)
+      .select($"vec_id", $"bucket").as[(Long, Int)].collect().toMap
+    val streamBuilt = spark.read.parquet(streamed)
+      .select($"vec_id", $"bucket").as[(Long, Int)].collect().toMap
+    assert(streamBuilt === batchBuilt)
+    // the probe path works identically against the streamed store
+    val probe = src.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).map(_.toDouble).toSeq
+    val a = VectorStore.topK(spark, path, "vec_id", "embedding", probe, 10, nBits)
+      .as[(Long, Double)].collect().toSeq
+    val b = VectorStore.topK(spark, streamed, "vec_id", "embedding", probe, 10, nBits)
+      .as[(Long, Double)].collect().toSeq
+    assert(a === b)
+  }
+
   test("pruned top-k equals brute-force top-k over the candidate buckets; self ranks first") {
     val probe = Tables.embeddings(spark, sf).filter($"vec_id" === 0)
       .select($"embedding").head().getSeq[Float](0).map(_.toDouble).toSeq

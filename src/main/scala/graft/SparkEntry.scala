@@ -750,6 +750,14 @@ object SparkEntry {
       Curation.vocabulary(fan(Tables.documents(s, d), "doc_id"),
         "doc_id", "text", 50)),
 
+    // corpus-self unigram LM scoring: per-doc average NLL, the
+    // perplexity-filtering quality signal; per-token log-probs rounded
+    // 6 dp and summed as DECIMAL (order-independent)
+    "q71_unigram_nll" -> ((s, d) =>
+      Curation.unigramNll(fan(Tables.documents(s, d), "doc_id"),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // persisted vector store: embeddings written partitionBy(LSH
     // bucket), probe reads ONLY its bucket + hamming-1 neighbors via
     // Catalyst partition pruning (PartitionFilters — plan-guarded in
@@ -1505,6 +1513,21 @@ object SparkEntry {
         |  CAST(list_sum(qs) AS BIGINT) AS qsum,
         |  qs[1] AS q_first, qs[-1] AS q_last
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q71_unigram_nll" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT term, count(*) AS tf FROM t GROUP BY term),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM c),
+        |p AS (
+        |  SELECT t.doc_id,
+        |    CAST(round(ln(CAST(c.tf AS DOUBLE) / CAST(tot.total AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS lp
+        |  FROM t JOIN c USING (term) CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(-CAST(CAST(sum(lp) AS DECIMAL(18,6)) AS DOUBLE) / count(*), 6) AS avg_nll
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q69_vocab" ->
       """WITH t AS (

@@ -111,4 +111,33 @@ object Curation {
       .agg(count(lit(1)).as("tf"), countDistinct(col("__doc")).as("df"))
       .orderBy(col("tf").desc, col("term"))
       .limit(k)
+
+  /** Per-document average negative log-likelihood under the corpus's
+    * own unigram model — the CCNet/KenLM-style perplexity signal for
+    * quality filtering, with the corpus itself as the language model
+    * (boilerplate-heavy docs score low NLL, noise scores high). Two
+    * passes, both linear: unigram counts (hash agg, map-side
+    * combined), then an explode→join on term (vocab side is ≪ corpus)
+    * plus a per-doc aggregation. Per-token log-probs are rounded to
+    * 6 dp and summed as DECIMAL(18,6) — order-independent, so the
+    * shuffle layout cannot perturb the score (same discipline as
+    * BM25). Returns (`idCol`, n_tokens, avg_nll). */
+  def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__doc"),
+        explode(graft.functions.TextOps.words(col(textCol))).as("term"))
+    val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("__tf"))
+    val total = counts.agg(sum(col("__tf")).as("__total"))
+    val lp = round(
+      log(col("__tf").cast("double") / col("__total").cast("double")),
+      6).cast("decimal(18,6)")
+    toks.join(counts, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("__lp", lp)
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(-(sum(col("__lp")).cast("decimal(18,6)").cast("double"))
+          / count(lit(1)), 6).as("avg_nll"))
+      .select(col("__doc").as(idCol), col("n_tokens"), col("avg_nll"))
+  }
 }

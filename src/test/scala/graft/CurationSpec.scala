@@ -97,6 +97,21 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("partial"), plan)
   }
 
+  test("unigramNll: corpus-self LM scores match hand-computed values; rarity raises NLL") {
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // counts: a=2 b=2 c=1, total=5
+    val got = Curation.unigramNll(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet === Set(1L, 2L)) // null text contributes nothing
+    assert(got(1L)._2 === 3L && got(2L)._2 === 2L)
+    val lpCommon = math.log(2.0 / 5) // a and b
+    val lpRare = math.log(1.0 / 5) // c
+    assert(math.abs(got(1L)._3 - -lpCommon) < 2e-6)
+    assert(math.abs(got(2L)._3 - -(lpCommon + lpRare) / 2) < 2e-6)
+    assert(got(2L)._3 > got(1L)._3) // rarer tokens → higher NLL
+  }
+
   test("scrub is a pure projection — filter still pushes to the scan") {
     val plan = Tables.documents(spark, sf)
       .select($"doc_id", Curation.scrub($"text").as("s"))

@@ -65,21 +65,31 @@ object Dedup {
     // give one partition). No compute-once barrier after the kernels:
     // CollapseProject re-inlines them per reference, but the codegen'd
     // re-eval measured cheaper than a second exchange (r5, BenchOne).
-    val withSig = df.select(col(idCol).as("doc"), col(textCol))
+    val base = df.select(col(idCol).as("doc"), col(textCol))
       .repartition(par(df), col("doc"))
       .select(col("doc"), shingles(col(textCol), shingleK).as("sh"))
+    // Late materialization (same shape as the q48 vector LSH): only
+    // (band, bucket, doc) flows through the candidate equi-join — the
+    // shingle sets, the bulk of the shuffle bytes at scale, rejoin per
+    // SURVIVING distinct pair. The rejoin recomputes the shingle
+    // kernel per reference, which measured cheaper than materializing
+    // it (r5 CollapseProject finding).
+    val banded = base
       .withColumn("sig", minhashSignature(col("sh"), nHashes))
-    val banded = withSig.select(
-      col("doc"), col("sh"),
-      posexplode(transform(
-        sequence(lit(0), lit(nBands - 1)),
-        b => array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ":")))
-        .as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"), col("doc").as("id_a"), col("sh").as("__sha"))
-    val b = banded.select(col("band"), col("bucket"), col("doc").as("id_b"), col("sh").as("__shb"))
-    a.join(b, Seq("band", "bucket"))
+      .select(col("doc"),
+        posexplode(transform(
+          sequence(lit(0), lit(nBands - 1)),
+          b => array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ":")))
+          .as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("doc").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc").as("id_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    candidates
+      .join(base.select(col("doc").as("id_a"), col("sh").as("__sha")), "id_a")
+      .join(base.select(col("doc").as("id_b"), col("sh").as("__shb")), "id_b")
       .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))

@@ -63,8 +63,12 @@ object Bench {
     // noise after this line has truncated the artifact before
     // (BENCH_r05 parsed:null). Persist the full line to a file too so
     // the JSON survives regardless of what lands in the tail.
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.out"),
-      (json + "\n").getBytes("UTF-8"))
+    // Resolve against an override or the launch CWD and log the absolute
+    // path so a runner launched outside the repo root can find the file.
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out")).toAbsolutePath
+    java.nio.file.Files.write(outPath, (json + "\n").getBytes("UTF-8"))
+    System.err.println(s"[bench] wrote $outPath")
     println(json)
     spark.stop()
   }

@@ -263,6 +263,47 @@ case class HyperplaneBitsExpr(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** Hyperplane LSH bucket id: the [[HyperplaneBitsExpr]] signature packed
+  * MSB-first into a single int (bit p of the signature lands at weight
+  * 2^(bits-1-p)), computed in ONE pass over the vector. Replaces the
+  * sum-of-nBits-element_at formulation whose hyperplane kernel Catalyst
+  * re-evaluated nBits times per row on the store write path. */
+case class HyperplaneBucketExpr(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hyperplane_bucket"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var bucket = 0
+    var p = 0
+    while (p < bits) {
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(i, p).toLong
+        val coef = java.lang.Math.floorMod(h, 2000001L).toDouble / 1000000.0 - 1.0
+        proj += x * coef
+        i += 1
+      }
+      if (proj >= 0.0) bucket |= 1 << (bits - 1 - p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Deterministic hash-embedding of a word array: bucket-count words by
   * floorMod(murmur3(word, seed=42), dim) — the same bucket function as
   * `functions.hash`/`pmod` — then L2-normalize (sequential
@@ -360,6 +401,9 @@ object VectorExpressions {
 
   def hyperplaneBits(vec: Column, bits: Int): Column =
     GraftShims.column(HyperplaneBitsExpr(expr(vec), bits))
+
+  def hyperplaneBucket(vec: Column, bits: Int): Column =
+    GraftShims.column(HyperplaneBucketExpr(expr(vec), bits))
 
   def wordShingles(words: Column, k: Int): Column =
     GraftShims.column(WordShingles(expr(words), k))

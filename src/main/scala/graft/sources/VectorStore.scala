@@ -23,12 +23,11 @@ import graft.functions.VectorOps
 object VectorStore {
 
   /** Bucket id: the `nBits`-bit hyperplane signature packed MSB-first
-    * into an int (0 .. 2^nBits-1). */
+    * into an int (0 .. 2^nBits-1). One kernel pass per row — the
+    * sum-of-element_at formulation re-evaluated the signature kernel
+    * nBits times on the full-corpus write path. */
   def bucketOf(vec: Column, nBits: Int): Column =
-    (0 until nBits).map(i =>
-      element_at(VectorOps.hyperplaneBits(vec, nBits), i + 1)
-        * lit(1 << (nBits - 1 - i)))
-      .reduce(_ + _)
+    graft.expressions.VectorExpressions.hyperplaneBucket(vec, nBits)
 
   /** Write the corpus partitioned by bucket. At scale each bucket
     * directory holds ~N/2^nBits vectors; `nBits` sizes the pruning

@@ -15,7 +15,7 @@ class StreamsSpec extends SparkSpec {
     val out = Files.createTempDirectory("graft_stream_out").toString
     val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
     val q = Streams.runIngest(spark, sf, out, ckpt)
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000))
     assert(!q.isActive) // AvailableNow terminates (QueueEmpty semantics)
 
     val streamed = spark.read.parquet(out)
@@ -127,7 +127,7 @@ class StreamsSpec extends SparkSpec {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckpt)
       .format("parquet").option("path", out).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000))
     val n = spark.read.parquet(out).select($"event_id").distinct().count()
     val total = spark.read.parquet(out).count()
     assert(n === Tables.events(spark, sf).count())

@@ -57,7 +57,7 @@ class VectorStoreSpec extends SparkSpec {
       .parquet(staging)
     val q = VectorStore.appendStream(stream, "vec_id", "embedding",
       streamed, checkpoint, nBits)
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000))
     val batchBuilt = spark.read.parquet(path)
       .select($"vec_id", $"bucket").as[(Long, Int)].collect().toMap
     val streamBuilt = spark.read.parquet(streamed)

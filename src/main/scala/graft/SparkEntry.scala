@@ -783,6 +783,22 @@ object SparkEntry {
         "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // real BPE token counting (checked-in merge table trained offline
+    // by tools/train_bpe.py) + greedy 64-token chunk boundaries — the
+    // faithful replacement for the bpeTokenEstimate heuristic. Oracle =
+    // per-doc counts precomputed by an INDEPENDENT Python encoder over
+    // the same merge table (tools/gen_bpe_expected.py; differential
+    // oracle for a non-SQL-expressible deterministic kernel), pinned to
+    // the driver's correctness scale (sf0.01).
+    "q75_bpe_tokens" -> ((s, d) => {
+      val st = TextOps.bpeDocStats(col("text"), 64)
+      fan(Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"),
+          st.getField("n_tokens").as("bpe_tokens"),
+          st.getField("n_chunks").as("bpe_chunks"))
+        .orderBy(col("doc_id"))
+    }),
+
     // persisted vector store: embeddings written partitionBy(LSH
     // bucket), probe reads ONLY its bucket + hamming-1 neighbors via
     // Catalyst partition pruning (PartitionFilters — plan-guarded in
@@ -1559,6 +1575,16 @@ object SparkEntry {
         |SELECT term, CAST(count(*) AS BIGINT) AS tf,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
         |FROM t GROUP BY term ORDER BY tf DESC, term LIMIT 50""".stripMargin,
+
+    // Differential oracle: expected counts computed by the independent
+    // Python BPE encoder (tools/gen_bpe_expected.py) over the same
+    // checked-in merge table; regenerate with that script if the table
+    // or the fixture corpus changes. Pinned to sf0.01 (the scale the
+    // driver runs Verify at).
+    "q75_bpe_tokens" ->
+      """SELECT doc_id, bpe_tokens, bpe_chunks
+        |FROM read_parquet('/root/repo/src/test/resources/graft/bpe_expected_sf001.parquet')
+        |ORDER BY doc_id""".stripMargin,
 
     "q55_filename_default" ->
       """SELECT event_id,

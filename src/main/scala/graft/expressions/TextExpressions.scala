@@ -107,6 +107,90 @@ case class BpeEstimate(child: Expression)
     copy(child = newChild)
 }
 
+/** Shared BPE evaluation helpers for the two kernels below: ASCII
+  * whitespace pre-tokenization (split on runs of space/\t/\n/\x0b/\f/\r,
+  * empty tokens dropped — multi-byte UTF-8 never contains ASCII values,
+  * so the byte scan is safe) and per-word memoized byte-pair encoding
+  * via [[graft.functions.Bpe]]. */
+private[expressions] object BpeEval {
+  def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  /** Apply `f(tokenIds)` to each whitespace-delimited word of `text`. */
+  def foreachWord(text: UTF8String, t: graft.functions.Bpe.Table)(
+      f: Array[Int] => Unit): Unit = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > start) {
+        val w = new String(bytes, start, i - start, "UTF-8")
+        f(graft.functions.Bpe.encodeWordMemo(w, t))
+      }
+    }
+  }
+}
+
+/** Real byte-pair-encoded token ids of a text column (whitespace
+  * pre-tokenization, then greedy lowest-rank merges over the checked-in
+  * table — see [[graft.functions.Bpe]]). The faithful replacement for
+  * the reference's cl100k token counting (`src/rag/dataframes.rs:33-39`)
+  * under the no-network constraint. */
+case class BpeTokens(child: Expression, resource: String)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "bpe_tokens"
+
+  @transient private lazy val table = graft.functions.Bpe.table(resource)
+
+  override def nullSafeEval(v: Any): Any = {
+    val buf = new scala.collection.mutable.ArrayBuffer[Int](64)
+    BpeEval.foreachWord(v.asInstanceOf[UTF8String], table)(ids => buf ++= ids)
+    ArrayData.toArrayData(buf.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** One-pass BPE document statistics: struct(n_tokens, n_chunks) where
+  * n_chunks is the greedy word-boundary chunking at `chunkTokens` BPE
+  * tokens per chunk — the 512-token boundary the reference's chunker
+  * derives from its token count (`src/rag/dataframes.rs:48-55`). A word
+  * longer than `chunkTokens` occupies its own chunk; empty text → (0,0).
+  */
+case class BpeDocStats(child: Expression, chunkTokens: Int, resource: String)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_chunks", IntegerType, nullable = false)))
+  override def prettyName: String = "bpe_doc_stats"
+
+  @transient private lazy val table = graft.functions.Bpe.table(resource)
+
+  override def nullSafeEval(v: Any): Any = {
+    var total = 0
+    var cur = 0
+    var chunks = 0
+    BpeEval.foreachWord(v.asInstanceOf[UTF8String], table) { ids =>
+      val c = ids.length
+      total += c
+      if (cur > 0 && cur + c > chunkTokens) { chunks += 1; cur = 0 }
+      cur += c
+    }
+    if (cur > 0) chunks += 1
+    InternalRow(total, chunks)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Polynomial rolling-hash fingerprint over the word sequence:
   *   fp = fold(words, 0L, (acc, w) -> floorMod(acc*1000003 + murmur3(w, 42), 1e9+7))
   * Bit-identical to the HOF form (`hash(w)` is murmur3 seed 42
@@ -151,4 +235,12 @@ object TextExpressions {
 
   def fingerprintHash(words: Column): Column =
     GraftShims.column(FingerprintHash(expr(words)))
+
+  def bpeTokens(text: Column,
+      resource: String = graft.functions.Bpe.DefaultResource): Column =
+    GraftShims.column(BpeTokens(expr(text), resource))
+
+  def bpeDocStats(text: Column, chunkTokens: Int,
+      resource: String = graft.functions.Bpe.DefaultResource): Column =
+    GraftShims.column(BpeDocStats(expr(text), chunkTokens, resource))
 }

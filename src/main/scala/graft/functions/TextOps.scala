@@ -41,6 +41,22 @@ object TextOps {
   def chunkCount(nTokens: Column, chunkWords: Int): Column =
     ceil(nTokens.cast("double") / chunkWords.toDouble).cast("int")
 
+  // --- real BPE (merge-table) tokenization -------------------------------
+
+  /** Byte-pair-encoded token ids over the checked-in merge table — the
+    * faithful (offline-trained) replacement for [[bpeTokenEstimate]]'s
+    * heuristic; see [[Bpe]]. One codegen'd-kernel pass per row. */
+  def bpeTokens(text: Column): Column =
+    graft.expressions.TextExpressions.bpeTokens(text)
+
+  /** struct(n_tokens, n_chunks): real BPE token count plus the greedy
+    * word-boundary chunk count at `chunkTokens` tokens per chunk (the
+    * reference's 512-token boundary, `src/rag/dataframes.rs:48-55`).
+    * Verified against an independent Python encoder over the same merge
+    * table (`tools/gen_bpe_expected.py` → the q75 DuckDB oracle). */
+  def bpeDocStats(text: Column, chunkTokens: Int = 512): Column =
+    graft.expressions.TextExpressions.bpeDocStats(text, chunkTokens)
+
   // --- language ID -------------------------------------------------------
 
   /** Tiny per-language stopword lists for the n-gram/stopword-hit

@@ -96,4 +96,64 @@ class TextOpsSpec extends SparkSpec {
     val bad = out.filter($"score" < 0.0 || $"score" > 1.0).count()
     assert(bad === 0 && out.count() === docs.count())
   }
+
+  // --- real BPE (merge-table) tokenization -------------------------------
+
+  private val testMerges = "/graft/bpe_test_merges.txt"
+  // test table: (h,e)=0→256, (l,l)=1→257, (he,ll)=2→258, (hell,o)=3→259
+
+  test("BPE encode follows merge ranks greedily (hand-computed)") {
+    import graft.functions.Bpe
+    val t = Bpe.table(testMerges)
+    assert(Bpe.encodeWord("hello".getBytes("UTF-8"), t).toSeq === Seq(259))
+    assert(Bpe.encodeWord("hell".getBytes("UTF-8"), t).toSeq === Seq(258))
+    // 'helo': (h,e) rank 0 fires, nothing else applies → [he, l, o]
+    assert(Bpe.encodeWord("helo".getBytes("UTF-8"), t).toSeq ===
+      Seq(256, 'l'.toInt, 'o'.toInt))
+    // left-to-right non-overlapping merges: lllll → [ll, ll, l]
+    assert(Bpe.encodeWord("lllll".getBytes("UTF-8"), t).toSeq ===
+      Seq(257, 257, 'l'.toInt))
+    // no applicable merges → raw bytes
+    assert(Bpe.encodeWord("xy".getBytes("UTF-8"), t).toSeq ===
+      Seq('x'.toInt, 'y'.toInt))
+  }
+
+  test("bpeTokens / bpeDocStats kernels: hand-computed counts and chunks") {
+    import graft.expressions.TextExpressions
+    val df = Seq("hello helo xy", "", "  \t ", "hello").toDF("t")
+      .select($"t",
+        TextExpressions.bpeTokens($"t", testMerges).as("ids"),
+        TextExpressions.bpeDocStats($"t", 2, testMerges).as("st"))
+      .select($"t", $"ids", $"st.n_tokens".as("n"), $"st.n_chunks".as("c"))
+    val m = df.collect().map(r => (r.getString(0),
+      (r.getSeq[Int](1), r.getInt(2), r.getInt(3)))).toMap
+    assert(m("hello") === (Seq(259), 1, 1))
+    // hello=1 tok, helo=3, xy=2; greedy K=2 → chunks [hello][helo][xy]
+    assert(m("hello helo xy")._2 === 6 && m("hello helo xy")._3 === 3)
+    assert(m("hello helo xy")._1 === Seq(259, 256, 'l'.toInt, 'o'.toInt,
+      'x'.toInt, 'y'.toInt))
+    assert(m("") === (Seq(), 0, 0) && m("  \t ") === (Seq(), 0, 0))
+  }
+
+  test("production merge table: count == size(ids) on the fixture corpus; " +
+      "fully-merged corpus words encode to one token") {
+    import graft.functions.Bpe
+    val t = Bpe.table(Bpe.DefaultResource)
+    // 'join' is a whole-word merge in the trained table
+    assert(Bpe.encodeWordMemo("join", t).length === 1)
+    val docs = Tables.documents(spark, sf)
+    val cmp = docs.select(
+      size(TextOps.bpeTokens($"text")).as("a"),
+      TextOps.bpeDocStats($"text", 64).getField("n_tokens").as("b"),
+      TextOps.bpeDocStats($"text", 64).getField("n_chunks").as("c"),
+      TextOps.tokenCount($"text").as("w"))
+    // count consistency, chunk sanity (>=1 chunk iff >=1 token, and
+    // n_chunks >= ceil(n_tokens/64) can be violated only upward — the
+    // greedy chunker never packs more than 64 tokens into a chunk)
+    assert(cmp.filter($"a" =!= $"b").count() === 0)
+    assert(cmp.filter(($"b" > 0) =!= ($"c" > 0)).count() === 0)
+    assert(cmp.filter($"c" < ceil($"b" / 64.0)).count() === 0)
+    // BPE tokens are subword: at least one per word
+    assert(cmp.filter($"b" < $"w").count() === 0)
+  }
 }

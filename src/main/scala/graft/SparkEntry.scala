@@ -783,6 +783,27 @@ object SparkEntry {
         "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // incremental dedup: a NEW batch near-dup-joined against the
+    // PERSISTED signature store — the daily re-ingest operation the
+    // reference gets wrong (no unique key: re-running ingest re-inserts
+    // every row, src/rag/sqlx.rs:34-45). Store = docs with
+    // doc_id % 5 != 0 (built once per JVM, shard-partitioned layout);
+    // batch = the rest; same banding regime as corpus-self q24.
+    // Rows-only: murmur3 signatures are not SQL-expressible.
+    "q72_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val p = graft.sources.SignatureStore.Params(
+        shingleK = 3, nBands = 8, rowsPerBand = 2)
+      val path = cachedStorePath("sig:" + d) { pth =>
+        graft.sources.SignatureStore.write(
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", pth, p)
+      }
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      graft.sources.SignatureStore
+        .dedupAgainstStore(batch, "doc_id", "text", path, p, 0.5)
+        .orderBy(col("id_new"), col("id_stored"))
+    }),
+
     // real BPE token counting (checked-in merge table trained offline
     // by tools/train_bpe.py) + greedy 64-token chunk boundaries — the
     // faithful replacement for the bpeTokenEstimate heuristic. Oracle =

@@ -783,6 +783,23 @@ object SparkEntry {
         "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // int8-quantized vector store: same pruned layout as q70 but the
+    // vectors are stored as 1 byte/dim packed codes + affine params
+    // (4× smaller on disk, spec-asserted on file sizes); candidates are
+    // scored straight from the codes and only the approx top-50 ids
+    // fetch their full-precision vectors for the exact rerank.
+    // Rows-only: the LSH bucket is murmur3-derived.
+    "q73_vector_store_int8" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val path = cachedStorePath("vecq:" + d) { pth =>
+        graft.sources.VectorStore.writeQuantized(e, "vec_id", "embedding", pth)
+      }
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      graft.sources.VectorStore.topKQuantized(
+        s, path, e, "vec_id", "embedding", probe, 20, 50)
+    }),
+
     // incremental dedup: a NEW batch near-dup-joined against the
     // PERSISTED signature store — the daily re-ingest operation the
     // reference gets wrong (no unique key: re-running ingest re-inserts

@@ -1,6 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -304,6 +305,103 @@ case class HyperplaneBucketExpr(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** One-pass int8 affine quantization of a float/double vector to
+  * struct(codes BINARY, vmin DOUBLE, scale DOUBLE) — the storage-path
+  * kernel behind the quantized vector store. Identical values to the
+  * declarative `VectorOps.int8Quantize`/`int8Scale`/`array_min`
+  * composition (asserted in VectorOpsSpec), but one compiled traversal
+  * and a REAL 1-byte-per-dimension payload: `array<int>` codes in
+  * parquet are 4 bytes each, which silently forfeits the 4× compression
+  * the quantization exists for. */
+case class Int8Encode(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", BinaryType, nullable = false),
+    StructField("vmin", DoubleType, nullable = false),
+    StructField("scale", DoubleType, nullable = false)))
+  override def prettyName: String = "int8_encode"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var mn = Double.PositiveInfinity
+    var mx = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      if (x < mn) mn = x
+      if (x > mx) mx = x
+      i += 1
+    }
+    if (n == 0) { mn = 0.0; mx = 0.0 }
+    val scale = (mx - mn) / 255.0
+    val codes = new Array[Byte](n)
+    if (scale > 0.0) {
+      i = 0
+      while (i < n) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        codes(i) = Math.round((x - mn) / scale).toByte
+        i += 1
+      }
+    }
+    InternalRow(codes, mn, scale)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Cosine similarity between an int8-quantized stored vector (packed
+  * codes + affine params) and a fixed probe, computed directly from the
+  * packed bytes in one pass — the probe-side scoring kernel of the
+  * quantized store: x̂ᵢ = (codesᵢ & 0xff)·scale + vmin, sequential
+  * index-order folds for the dot and both norms (deterministic). */
+case class Int8Cosine(codes: Expression, vmin: Expression, scale: Expression,
+    probe: Seq[Double])
+    extends TernaryExpression with CodegenFallback {
+
+  override def first: Expression = codes
+  override def second: Expression = vmin
+  override def third: Expression = scale
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "int8_cosine"
+
+  @transient private lazy val probeArr: Array[Double] = probe.toArray
+  @transient private lazy val probeNorm: Double = {
+    var s = 0.0
+    var i = 0
+    while (i < probeArr.length) { s += probeArr(i) * probeArr(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  override def nullSafeEval(c: Any, mn: Any, sc: Any): Any = {
+    val bytes = c.asInstanceOf[Array[Byte]]
+    val vmin = mn.asInstanceOf[Double]
+    val scale = sc.asInstanceOf[Double]
+    var dot = 0.0
+    var nx = 0.0
+    var i = 0
+    val n = math.min(bytes.length, probeArr.length)
+    while (i < n) {
+      val x = (bytes(i) & 0xff).toDouble * scale + vmin
+      dot += x * probeArr(i)
+      nx += x * x
+      i += 1
+    }
+    dot / (math.sqrt(nx) * probeNorm)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(codes = newFirst, vmin = newSecond, scale = newThird)
+}
+
 /** Deterministic hash-embedding of a word array: bucket-count words by
   * floorMod(murmur3(word, seed=42), dim) — the same bucket function as
   * `functions.hash`/`pmod` — then L2-normalize (sequential
@@ -410,4 +508,11 @@ object VectorExpressions {
 
   def hashEmbed(words: Column, dim: Int): Column =
     GraftShims.column(HashEmbed(expr(words), dim))
+
+  def int8Encode(vec: Column): Column =
+    GraftShims.column(Int8Encode(expr(vec)))
+
+  def int8Cosine(codes: Column, vmin: Column, scale: Column,
+      probe: Seq[Double]): Column =
+    GraftShims.column(Int8Cosine(expr(codes), expr(vmin), expr(scale), probe))
 }

@@ -73,6 +73,67 @@ class VectorStoreSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("quantized store: 1 byte/dim on disk, ~4x smaller; kernel == HOF quantization; " +
+      "rerank with full m equals full-precision top-k") {
+    import graft.expressions.VectorExpressions
+    val src = Tables.embeddings(spark, sf)
+    val qpath = Files.createTempDirectory("graft_vecq").toString
+    VectorStore.writeQuantized(src, "vec_id", "embedding", qpath, nBits)
+
+    // on-disk payload: BINARY codes of exactly dim bytes per row
+    val back = spark.read.parquet(qpath)
+    val dim = src.select(size($"embedding")).head().getInt(0)
+    assert(back.count() === src.count())
+    assert(back.filter(length($"codes") =!= dim).count() === 0)
+    def dirBytes(dir: String): Long = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => Files.size(p)).sum
+    }
+    val ratio = dirBytes(qpath).toDouble / dirBytes(path).toDouble
+    assert(ratio < 0.6, s"quantized store not smaller: ratio $ratio")
+
+    // Int8Encode kernel == the declarative HOF quantization
+    val enc = VectorExpressions.int8Encode($"embedding")
+    val rows = src.select(
+      enc.getField("codes").as("codes"),
+      enc.getField("vmin").as("kmin"),
+      enc.getField("scale").as("kscale"),
+      array_min($"embedding").cast("double").as("hmin"),
+      VectorOps.int8Scale($"embedding").as("hscale"),
+      VectorOps.int8Quantize($"embedding").as("hq")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(1) === r.getDouble(3))
+      assert(r.getDouble(2) === r.getDouble(4))
+      val codes = r.getAs[Array[Byte]](0).map(_ & 0xff).toSeq
+      assert(codes === r.getSeq[Int](5))
+    }
+
+    // exact rerank with m >= candidate-set size == full-precision top-k
+    val probe = src.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).map(_.toDouble).toSeq
+    val exact = VectorStore.topK(spark, path, "vec_id", "embedding", probe, 10, nBits)
+      .as[(Long, Double)].collect().toSeq
+    val reranked = VectorStore.topKQuantized(spark, qpath, src, "vec_id",
+      "embedding", probe, 10, m = src.count().toInt, nBits)
+      .as[(Long, Double)].collect().toSeq
+    assert(reranked === exact)
+
+    // approx scores stay within a small bound of the exact cosine and
+    // the probe's own row survives quantization at the top
+    val approx = VectorStore.topKQuantizedApprox(spark, qpath, "vec_id", probe,
+      1000, nBits).as[(Long, Double)].collect().toMap
+    val exactAll = VectorStore.topK(spark, path, "vec_id", "embedding", probe,
+      1000, nBits).as[(Long, Double)].collect().toMap
+    val maxErr = exactAll.collect {
+      case (id, s) if approx.contains(id) => math.abs(approx(id) - s)
+    }.max
+    assert(maxErr <= 0.05, s"quantization error too large: $maxErr")
+    assert(VectorStore.topKQuantizedApprox(spark, qpath, "vec_id", probe, 5, nBits)
+      .as[(Long, Double)].collect().map(_._1).contains(0L))
+  }
+
   test("pruned top-k equals brute-force top-k over the candidate buckets; self ranks first") {
     val probe = Tables.embeddings(spark, sf).filter($"vec_id" === 0)
       .select($"embedding").head().getSeq[Float](0).map(_.toDouble).toSeq

@@ -783,6 +783,46 @@ object SparkEntry {
         "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // real WAV audio decode (javax.sound.sampled, offline): 8
+    // deterministic square-wave tones (half silence, half ±amplitude —
+    // integer-exact PCM, no transcendental sample synthesis, so the
+    // bytes are bit-reproducible) are generated once per JVM, decoded
+    // through the binaryFile → extractFeatures path, and the 16-bucket
+    // RMS envelope is digested to scalars. Rows-only (file generation
+    // is not SQL-expressible); the envelope VALUES are hand-verified in
+    // MultimodalSpec.
+    "q76_audio_features" -> ((s, d) => {
+      import javax.sound.sampled._
+      val path = cachedStorePath("wav:" + d) { pth =>
+        for (i <- 0 until 8) {
+          val amp = (2000 * (i + 1)).toShort
+          val samples = Array.tabulate[Short](1600)(f =>
+            if (f < 800) 0 else if (f % 2 == 0) amp else (-amp).toShort)
+          val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f,
+            16, 1, 2, 8000f, false)
+          val raw = new Array[Byte](samples.length * 2)
+          samples.indices.foreach { j =>
+            raw(2 * j) = (samples(j) & 0xff).toByte
+            raw(2 * j + 1) = ((samples(j) >> 8) & 0xff).toByte
+          }
+          val ais = new AudioInputStream(
+            new java.io.ByteArrayInputStream(raw), fmt, samples.length)
+          AudioSystem.write(ais, AudioFileFormat.Type.WAVE,
+            new java.io.File(pth, s"tone_$i.wav"))
+        }
+      }
+      Multimodal.extractFeatures(s, Multimodal.readBinaryDir(s, path), dim = 16)
+        .toDF()
+        .select(
+          regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+          col("mime"), col("bytes"),
+          round(aggregate(col("features"), lit(0.0d),
+            (acc, x) => acc + x.cast("double")), 4).as("env_sum"),
+          round(array_max(col("features")).cast("double"), 4).as("env_max"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("env_first"))
+        .orderBy(col("file"))
+    }),
+
     // int8-quantized vector store: same pruned layout as q70 but the
     // vectors are stored as 1 byte/dim packed codes + affine params
     // (4× smaller on disk, spec-asserted on file sizes); candidates are
@@ -1613,6 +1653,22 @@ object SparkEntry {
         |SELECT term, CAST(count(*) AS BIGINT) AS tf,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
         |FROM t GROUP BY term ORDER BY tf DESC, term LIMIT 50""".stripMargin,
+
+    // The planted tones make the real WAV decode fully oracle-checkable:
+    // each file is 44-byte header + 1600 16-bit frames (3244 bytes);
+    // buckets 0-7 are silence, 8-15 have RMS exactly amp/32768 with
+    // amp = 2000(i+1) (square wave, 100 frames per bucket — all exact
+    // in binary floating point).
+    "q76_audio_features" ->
+      """WITH t AS (SELECT unnest(generate_series(0, 7)) AS i)
+        |SELECT 'tone_' || CAST(i AS VARCHAR) || '.wav' AS file,
+        |  'audio/wav' AS mime,
+        |  CAST(3244 AS BIGINT) AS bytes,
+        |  round(CAST(8 AS DOUBLE) * CAST(2000 * (i + 1) AS DOUBLE)
+        |    / CAST(32768 AS DOUBLE), 4) AS env_sum,
+        |  round(CAST(2000 * (i + 1) AS DOUBLE) / CAST(32768 AS DOUBLE), 4) AS env_max,
+        |  CAST(0.0 AS DOUBLE) AS env_first
+        |FROM t ORDER BY file""".stripMargin,
 
     // Differential oracle: expected counts computed by the independent
     // Python BPE encoder (tools/gen_bpe_expected.py) over the same

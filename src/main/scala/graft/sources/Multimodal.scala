@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * sniffed, and written to an attachments dir
   * (`src/signal/process_incoming_message.rs:46-83`). Here the Spark
   * plumbing — `binaryFile` source, schema, partition-parallel decode —
-  * is real, and so is the IMAGE codec path (PNG/JPEG/GIF via the JDK's
-  * `javax.imageio`, no external library). Audio/video decode is still
-  * STUBBED with a deterministic fake (no codec libraries in this
-  * container), clearly marked below; swapping `fakeDecode` for a real
-  * decoder keeps every other line unchanged.
+  * is real, and so are the IMAGE codec path (PNG/JPEG/GIF via the
+  * JDK's `javax.imageio`) and the AUDIO path for WAV/PCM (via the
+  * JDK's `javax.sound.sampled`) — both offline, no external library.
+  * Only compressed audio/video (mp3/mp4) decode is still STUBBED with
+  * a deterministic fake (those codecs are not in this container),
+  * clearly marked below; swapping `fakeDecode` for a real decoder
+  * keeps every other line unchanged.
   */
 object Multimodal {
 
@@ -67,13 +69,14 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
-  // STUB (non-image mimes only): deterministic fake decode. Audio/video
-  // would need a codec library this container lacks (e.g. javacpp
-  // ffmpeg) — the signature, batching shape, and partition parallelism
-  // stay the same. The fake derives "features" from content bytes so
-  // tests exercise real data flow end-to-end deterministically.
+  // STUB (compressed audio/video mimes only — mp3/mp4): deterministic
+  // fake decode. Those codecs need a library this container lacks
+  // (e.g. javacpp ffmpeg) — the signature, batching shape, and
+  // partition parallelism stay the same. The fake derives "features"
+  // from content bytes so tests exercise real data flow end-to-end
+  // deterministically. Images and WAV audio decode for REAL below.
   // ------------------------------------------------------------------
-  private[sources] def fakeDecode(content: Array[Byte], dim: Int): Array[Float] = {
+  private[graft] def fakeDecode(content: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var i = 0
     while (i < content.length) {
@@ -127,6 +130,62 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decode (WAV/PCM via `javax.sound.sampled` — offline, in
+    * the JDK, same playbook as the r7 `javax.imageio` image path): a
+    * `buckets`-point RMS loudness envelope in [0,1]. The stream is
+    * converted to signed 16-bit PCM, channels are mixed to mono per
+    * frame, frames are assigned to `buckets` equal time slices, and
+    * each output is the slice's RMS normalized by full scale — the
+    * standard cheap audio fingerprint (silence→0, full-scale→~1).
+    * `None` on undecodable bytes (mp3/mp4 need codecs this container
+    * lacks) → caller falls back to the stub. */
+  private[graft] def audioFeatures(content: Array[Byte], buckets: Int = 16): Option[Array[Float]] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(content))
+      try {
+        val src = in.getFormat
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels, src.getChannels * 2,
+          src.getSampleRate, false)
+        val pcm = AudioSystem.getAudioInputStream(target, in)
+        val bytes = pcm.readAllBytes()
+        val ch = target.getChannels
+        val nFrames = bytes.length / (2 * ch)
+        if (nFrames <= 0) None
+        else {
+          val sumSq = new Array[Double](buckets)
+          val counts = new Array[Long](buckets)
+          var f = 0
+          while (f < nFrames) {
+            var mono = 0.0
+            var c = 0
+            while (c < ch) {
+              val off = (f * ch + c) * 2
+              val s = ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort
+              mono += s.toDouble
+              c += 1
+            }
+            mono /= ch
+            val b = (f.toLong * buckets / nFrames).toInt
+            sumSq(b) += mono * mono
+            counts(b) += 1
+            f += 1
+          }
+          val out = new Array[Float](buckets)
+          var b = 0
+          while (b < buckets) {
+            out(b) =
+              if (counts(b) == 0) 0.0f
+              else (math.sqrt(sumSq(b) / counts(b)) / 32768.0).toFloat
+            b += 1
+          }
+          Some(out)
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
   /** Partition-parallel feature extraction over binary content. Runs as
     * `mapPartitions` so per-partition decoder state (a real codec
     * context) is initialized once per partition, not once per row —
@@ -146,6 +205,8 @@ object Multimodal {
           val features =
             if (mime.startsWith("image/"))
               imageFeatures(content).getOrElse(fakeDecode(content, dim))
+            else if (mime == "audio/wav")
+              audioFeatures(content, dim).getOrElse(fakeDecode(content, dim))
             else fakeDecode(content, dim)
           MediaFeatures(path, mime, len, features)
         }

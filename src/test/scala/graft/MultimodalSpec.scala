@@ -132,6 +132,54 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.features.length === 16) // decode failed → dim-width stub
   }
 
+  test("real WAV decode: RMS envelope matches a planted silence/square signal; " +
+      "stereo mixes to mono; corrupt falls back") {
+    import javax.sound.sampled._
+    def wavBytes(samples: Array[Short], channels: Int): Array[Byte] = {
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16,
+        channels, channels * 2, 8000f, false)
+      val raw = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        raw(2 * i) = (samples(i) & 0xff).toByte
+        raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(raw),
+        fmt, samples.length / channels)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // 1600 mono frames: first half silence, second half ±16384 square
+    // wave → buckets 0-7 RMS 0, buckets 8-15 RMS 16384/32768 = 0.5
+    val mono = Array.tabulate[Short](1600)(i =>
+      if (i < 800) 0 else if (i % 2 == 0) 16384 else -16384)
+    val wav = wavBytes(mono, channels = 1)
+    assert(Multimodal.sniffMime(wav) === Some("audio/wav"))
+    val env = Multimodal.audioFeatures(wav, 16).get
+    assert(env.length === 16)
+    (0 until 8).foreach(b => assert(math.abs(env(b)) < 1e-6, s"bucket $b"))
+    (8 until 16).foreach(b => assert(math.abs(env(b) - 0.5f) < 1e-6, s"bucket $b"))
+    // stereo with L = -R cancels to silence after the mono mix
+    val stereo = Array.tabulate[Short](1600)(i =>
+      if (i % 2 == 0) 12000 else -12000)
+    val env2 = Multimodal.audioFeatures(wavBytes(stereo, channels = 2), 16).get
+    env2.foreach(v => assert(math.abs(v) < 1e-6))
+    // RIFF/WAVE magic but a garbage body → None → stub in the pipeline
+    val corrupt = wav.take(20) ++ Array.fill[Byte](10)(0x7f)
+    assert(Multimodal.audioFeatures(corrupt, 16).isEmpty)
+    // end-to-end through extractFeatures: wav decodes real, corrupt stubs
+    val d = Files.createTempDirectory("graft_wav")
+    Files.write(d.resolve("tone.wav"), wav)
+    Files.write(d.resolve("bad.wav"), corrupt)
+    val got = Multimodal.extractFeatures(spark,
+        Multimodal.readBinaryDir(spark, d.toString), dim = 16)
+      .collect().map(f => f.path.split('/').last -> f).toMap
+    assert(got("tone.wav").mime === "audio/wav")
+    assert(got("tone.wav").features.toSeq === env.toSeq)
+    assert(got("bad.wav").features.toSeq ===
+      Multimodal.fakeDecode(corrupt, 16).toSeq)
+  }
+
   test("frame sampling emits stride-spaced ordinals") {
     val frames = Multimodal.sampleFrames(
       Multimodal.readBinaryDir(spark, dir, "c.bin"), stride = 1)

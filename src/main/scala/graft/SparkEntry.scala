@@ -783,6 +783,39 @@ object SparkEntry {
         "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // iterative Lloyd's k-means (deterministic lowest-id seeds,
+    // order-independent quantized-long means, one materializing job per
+    // iteration — see Similarity.kMeans), on a FIXED 10-iteration
+    // budget: random fixture vectors take ~2× that to reach the exact
+    // fixpoint flipping only boundary points, and a fixed budget keeps
+    // the digest deterministic and the bench line stable either way.
+    // Digest: per-cluster member count + decimal-summed assignment
+    // distances + driver-side centroid norm/sum, plus the iteration
+    // count. Rows-only: an iterative fixpoint is not ANSI-expressible.
+    "q74_kmeans" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val res = Similarity.kMeans(e, "vec_id", "embedding", 8, maxIter = 10)
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val centDf = res.centroids.zipWithIndex.map { case (c, i) =>
+        (i, r6(math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))),
+          r6(c.foldLeft(0.0)(_ + _)))
+      }.toSeq.toDF("cluster", "c_norm", "c_sum")
+      val stats = Similarity.kMeansAssign(e, "vec_id", "embedding", res.centroids)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          round(sum(col("dist2")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double"), 6).as("sum_dist2"))
+      centDf.join(broadcast(stats), Seq("cluster"), "left")
+        .select(col("cluster"), coalesce(col("n_members"), lit(0L)).as("n_members"),
+          coalesce(col("sum_dist2"), lit(0.0)).as("sum_dist2"),
+          col("c_norm"), col("c_sum"),
+          lit(res.iterations).as("iterations"))
+        .orderBy(col("cluster"))
+    }),
+
     // real WAV audio decode (javax.sound.sampled, offline): 8
     // deterministic square-wave tones (half silence, half ±amplitude —
     // integer-exact PCM, no transcendental sample synthesis, so the

@@ -230,6 +230,92 @@ object Similarity {
         col("__m.__clabel").as("assigned_label"), col("__m.dist2").as("dist2"))
   }
 
+  /** Final state of [[kMeans]]: centroids ordered by cluster id, and
+    * how many Lloyd iterations ran before the fixpoint. */
+  final case class KMeansResult(centroids: IndexedSeq[Array[Double]],
+      iterations: Int)
+
+  /** The assignment projection for a FIXED centroid set: squared L2 to
+    * each of the k centroids (codegen'd kernel per centroid — the
+    * centroids are plan literals, so this is a pure map, NO shuffle and
+    * no join), argmin via first-match `array_position` (ties break to
+    * the lowest cluster id). */
+  def assignExpr(vecCol: Column, centroids: Seq[Array[Double]]): Column = {
+    val dists = array(centroids.map(c =>
+      VectorOps.l2DistSq(vecCol, array(c.toIndexedSeq.map(lit): _*))): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Assignments (id, cluster, dist2) for a fixed centroid set —
+    * one linear scan, map-side only. */
+  def kMeansAssign(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Double]]): DataFrame =
+    df.select(col(idCol), assignExpr(col(vecCol), centroids).as("cluster"),
+      round(array_min(array(centroids.map(c =>
+        VectorOps.l2DistSq(col(vecCol), array(c.toIndexedSeq.map(lit): _*))): _*)), 6)
+        .as("dist2"))
+
+  /** Iterative Lloyd's k-means over an embedding column — the loop the
+    * one-step `assignToCentroids` classifier was built for (SURVEY
+    * "centroid assignment (k-means step)"); IVF coarse quantizers
+    * (`ivfJoin`) train with exactly this.
+    *
+    * Every per-iteration quantity that leaves the cluster is k×dim
+    * doubles: assignment is a broadcast-free map (centroids are plan
+    * literals, [[assignExpr]]), the per-cluster mean is the
+    * 12-dp-quantized long-sum mean (`CentroidScaledAggregator` —
+    * order-independent partials at DECIMAL(28,12) resolution, one
+    * k-wide buffer per partition through ONE shuffle instead of the
+    * (group, pos) explode), and ONE job per iteration materializes
+    * the k new centroids to the driver (bounded model state, like the
+    * probe-vector `head()`s — never corpus-sized; spec-verified with a
+    * query-execution listener). Convergence is the exact centroid fixpoint checked
+    * driver-side — unlike q65's distributed labels, the model here is
+    * already driver-resident, so an accumulator probe would add a job,
+    * not save one. Seeds: the k lowest-id vectors (deterministic).
+    * Empty clusters keep their previous centroid. `localCheckpoint`
+    * bounds the input lineage (reliable checkpointing on a real
+    * cluster). */
+  def kMeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      maxIter: Int = 25): KMeansResult = {
+    val base = df.select(col(idCol).as("__kid"), col(vecCol).as("__kvec"))
+      .repartition(par(df), col("__kid"))
+      .localCheckpoint()
+    var cents: IndexedSeq[Array[Double]] = base.orderBy(col("__kid")).limit(k)
+      .select(col("__kvec")).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray).toIndexedSeq
+    var iter = 0
+    var converged = false
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = if (cents.nonEmpty) cents(0).length else 0
+    val centroidAgg = new graft.functions.CentroidScaledAggregator(dim)
+      .toColumn.name("__cvec")
+    while (!converged && iter < maxIter) {
+      // one-shuffle per-cluster mean: 12-dp-quantized LONG sums
+      // (CentroidScaledAggregator) are merge-order-independent, so the
+      // fixpoint is identical under any partition count
+      val next = base
+        .select(assignExpr(col("__kvec"), cents).as("__kcl"),
+          col("__kvec").cast("array<double>").as("__kvec"))
+        .as[(Int, Seq[Double])]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(centroidAgg)
+        .collect()
+        .map { case (cl, cv) => cl -> cv.toArray }.toMap
+      val updated = cents.indices.map(c => next.getOrElse(c, cents(c)))
+      converged = cents.indices.forall(c =>
+        java.util.Arrays.equals(cents(c), updated(c)))
+      cents = updated
+      iter += 1
+    }
+    KMeansResult(cents, iter)
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`; pairs
     * emitted once (idA < idB). Exact all-pairs — the correctness
     * baseline over a BOUNDED input; the production path is

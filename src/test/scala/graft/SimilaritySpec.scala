@@ -95,4 +95,73 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall { case (a, b) => a < b })
     assert(rows.toSet.size === rows.length)
   }
+
+  test("kMeans: planted clusters recovered, centroids are exact member means, " +
+      "one materializing job per iteration") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    // 3 well-separated centers, 20 points each, deterministic jitter;
+    // ids interleaved (id % 3 = planted center) so the lowest-id seeds
+    // start one per planted cluster
+    val pts = for (c <- 0 until 3; i <- 0 until 20) yield {
+      val v = Array.fill(4)(c * 10.0)
+      v(i % 4) += (i % 5) * 0.1
+      ((c + 3 * i).toLong, c, v.toSeq)
+    }
+    val df = pts.toDF("vec_id", "planted", "embedding")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val actions = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val qeListener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = actions.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    spark.listenerManager.register(qeListener)
+    val res =
+      try Similarity.kMeans(df, "vec_id", "embedding", 3)
+      finally {
+        Thread.sleep(500) // let the async listener buses drain
+        spark.sparkContext.removeSparkListener(listener)
+        spark.listenerManager.unregister(qeListener)
+      }
+    assert(res.iterations >= 2 && res.iterations < 25)
+    // ONE materializing action per iteration (plus the seed collect;
+    // the localCheckpoint is an RDD action, not a query execution) —
+    // a convergence-probe count()/isEmpty would show up here
+    assert(actions.get() <= res.iterations + 2,
+      s"${actions.get()} actions for ${res.iterations} iterations")
+    // AQE materializes each shuffle query stage as its own Spark job,
+    // so the raw job count is a loose multiple of the action count
+    assert(jobs.get() <= 5 * res.iterations + 4,
+      s"${jobs.get()} jobs for ${res.iterations} iterations")
+    // every planted cluster maps to exactly one k-means cluster
+    val asg = Similarity.kMeansAssign(df, "vec_id", "embedding", res.centroids)
+      .join(df.select($"vec_id", $"planted"), "vec_id")
+      .select($"planted", $"cluster").as[(Int, Int)].collect()
+    val byPlanted = asg.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
+    assert(byPlanted.values.forall(_.size == 1))
+    assert(byPlanted.values.flatten.toSet.size === 3)
+    // centroids equal the exact elementwise mean of their members
+    val members = asg.groupBy(_._2).map { case (cl, xs) => cl -> xs.length }
+    val vecsByCluster = Similarity
+      .kMeansAssign(df, "vec_id", "embedding", res.centroids)
+      .join(df.select($"vec_id", $"embedding"), "vec_id")
+      .select($"cluster", $"embedding").as[(Int, Seq[Double])].collect()
+      .groupBy(_._1)
+    vecsByCluster.foreach { case (cl, rows) =>
+      val mean = rows.map(_._2.toIndexedSeq).toIndexedSeq.transpose
+        .map(c => c.sum / c.length)
+      res.centroids(cl).zip(mean).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"cluster $cl centroid drift")
+      }
+      assert(rows.length === members(cl))
+    }
+  }
 }

@@ -901,6 +901,21 @@ object SparkEntry {
     // the same merge table (tools/gen_bpe_expected.py; differential
     // oracle for a non-SQL-expressible deterministic kernel), pinned to
     // the driver's correctness scale (sf0.01).
+    // the V1 chunker on REAL token boundaries: greedy word-boundary
+    // chunks of <=64 BPE tokens (the reference chunks on its token
+    // count, src/rag/dataframes.rs:48-55 — q16 keeps the word-count
+    // form). Same differential oracle scheme as q75 (independent
+    // Python chunker, checked in at the driver's correctness scale).
+    "q77_bpe_chunker" -> ((s, d) =>
+      fan(Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"),
+          posexplode(graft.expressions.TextExpressions
+            .bpeChunkTexts(col("text"), 64)).as(Seq("chunk_ord", "chunk")))
+        .select(col("doc_id"), col("chunk_ord"),
+          length(col("chunk")).as("n_chars"),
+          size(TextOps.words(col("chunk"))).as("n_words"))
+        .orderBy(col("doc_id"), col("chunk_ord"))),
+
     "q75_bpe_tokens" -> ((s, d) => {
       val st = TextOps.bpeDocStats(col("text"), 64)
       fan(Tables.documents(s, d), "doc_id")
@@ -1712,6 +1727,11 @@ object SparkEntry {
       """SELECT doc_id, bpe_tokens, bpe_chunks
         |FROM read_parquet('/root/repo/src/test/resources/graft/bpe_expected_sf001.parquet')
         |ORDER BY doc_id""".stripMargin,
+
+    "q77_bpe_chunker" ->
+      """SELECT doc_id, chunk_ord, n_chars, n_words
+        |FROM read_parquet('/root/repo/src/test/resources/graft/bpe_chunks_expected_sf001.parquet')
+        |ORDER BY doc_id, chunk_ord""".stripMargin,
 
     "q55_filename_default" ->
       """SELECT event_id,

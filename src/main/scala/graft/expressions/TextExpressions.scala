@@ -191,6 +191,54 @@ case class BpeDocStats(child: Expression, chunkTokens: Int, resource: String)
     copy(child = newChild)
 }
 
+/** The V1 chunker upgraded to REAL token boundaries: split the document
+  * into word-boundary chunks of at most `chunkTokens` BPE tokens
+  * (greedy, same rule as [[BpeDocStats]] — a word longer than the
+  * budget occupies its own chunk) and emit each chunk's text (words
+  * re-joined with single spaces). One pass; `posexplode` over the
+  * result gives the (doc, ordinal, chunk) rows the reference's 512-token
+  * chunker produces (`src/rag/dataframes.rs:48-55`). */
+case class BpeChunkTexts(child: Expression, chunkTokens: Int, resource: String)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_chunk_texts"
+
+  @transient private lazy val table = graft.functions.Bpe.table(resource)
+
+  override def nullSafeEval(v: Any): Any = {
+    val chunks = new scala.collection.mutable.ArrayBuffer[UTF8String](4)
+    val cur = new java.lang.StringBuilder()
+    var curTokens = 0
+    val text = v.asInstanceOf[UTF8String]
+    val bytes = text.getBytes
+    val n = bytes.length
+    var i = 0
+    while (i < n) {
+      while (i < n && BpeEval.isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !BpeEval.isWs(bytes(i))) i += 1
+      if (i > start) {
+        val w = new String(bytes, start, i - start, "UTF-8")
+        val c = graft.functions.Bpe.encodeWordMemo(w, table).length
+        if (curTokens > 0 && curTokens + c > chunkTokens) {
+          chunks += UTF8String.fromString(cur.toString)
+          cur.setLength(0)
+          curTokens = 0
+        }
+        if (cur.length() > 0) cur.append(' ')
+        cur.append(w)
+        curTokens += c
+      }
+    }
+    if (curTokens > 0) chunks += UTF8String.fromString(cur.toString)
+    ArrayData.toArrayData(chunks.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Polynomial rolling-hash fingerprint over the word sequence:
   *   fp = fold(words, 0L, (acc, w) -> floorMod(acc*1000003 + murmur3(w, 42), 1e9+7))
   * Bit-identical to the HOF form (`hash(w)` is murmur3 seed 42
@@ -243,4 +291,8 @@ object TextExpressions {
   def bpeDocStats(text: Column, chunkTokens: Int,
       resource: String = graft.functions.Bpe.DefaultResource): Column =
     GraftShims.column(BpeDocStats(expr(text), chunkTokens, resource))
+
+  def bpeChunkTexts(text: Column, chunkTokens: Int,
+      resource: String = graft.functions.Bpe.DefaultResource): Column =
+    GraftShims.column(BpeChunkTexts(expr(text), chunkTokens, resource))
 }

@@ -69,15 +69,18 @@ class HashEmbedTransportFactory(dim: Int) extends EmbedTransportFactory {
   * (newlines in the prompt normalized to spaces, as the reference
   * does) and read back `{"embedding":[...]}`. One prompt per request —
   * the Ollama-style endpoint has no batch form — but ONE shared client
-  * per transport, so `embedBatch` amortizes connection setup across
-  * the batch. The reference's client-per-call, its `body-Type` header
-  * typo, and its embed-twice pipeline bug are deliberately not
-  * reproduced. Non-2xx responses and malformed bodies throw, which the
-  * operator's per-batch retry/backoff handles; the spec drives this
-  * against an in-process stub server (5xx-then-recover). Java 17's
+  * per transport, and up to `maxInFlight` requests ride concurrently
+  * per batch (`sendAsync` windows, order-preserving), so a batch pays
+  * ~ceil(n/maxInFlight) round-trips instead of n. The reference's
+  * client-per-call, its `body-Type` header typo, and its embed-twice
+  * pipeline bug are deliberately not reproduced. Non-2xx responses and
+  * malformed bodies throw, which the operator's per-batch
+  * retry/backoff handles; the spec drives this against an in-process
+  * stub server (5xx-then-recover, concurrency observed). Java 17's
   * HttpClient has no close() — connections die with the executor. */
 class HttpEmbedTransportFactory(endpoint: String, model: String,
-    connectTimeoutMs: Long = 5000, requestTimeoutMs: Long = 30000)
+    connectTimeoutMs: Long = 5000, requestTimeoutMs: Long = 30000,
+    maxInFlight: Int = 4)
     extends EmbedTransportFactory {
   override def open(): EmbedTransport = new EmbedTransport {
     private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -85,31 +88,49 @@ class HttpEmbedTransportFactory(endpoint: String, model: String,
       .connectTimeout(java.time.Duration.ofMillis(connectTimeoutMs))
       .build()
 
+    private def request(t: String): java.net.http.HttpRequest = {
+      val payload = mapper.createObjectNode()
+      payload.put("model", model)
+      payload.put("prompt", t.replace("\n", " "))
+      java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(endpoint))
+        .timeout(java.time.Duration.ofMillis(requestTimeoutMs))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers
+          .ofString(mapper.writeValueAsString(payload)))
+        .build()
+    }
+
+    private def parse(resp: java.net.http.HttpResponse[String]): Array[Double] = {
+      if (resp.statusCode() / 100 != 2)
+        throw new java.io.IOException(
+          s"embed service HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
+      val emb = mapper.readTree(resp.body()).get("embedding")
+      if (emb == null || !emb.isArray)
+        throw new java.io.IOException("embedding not found in response")
+      val out = new Array[Double](emb.size())
+      var i = 0
+      while (i < emb.size()) { out(i) = emb.get(i).asDouble(); i += 1 }
+      out
+    }
+
     override def embedBatch(texts: Seq[String]): Seq[Array[Double]] =
-      texts.map { t =>
-        val payload = mapper.createObjectNode()
-        payload.put("model", model)
-        payload.put("prompt", t.replace("\n", " "))
-        val req = java.net.http.HttpRequest
-          .newBuilder(java.net.URI.create(endpoint))
-          .timeout(java.time.Duration.ofMillis(requestTimeoutMs))
-          .header("Content-Type", "application/json")
-          .POST(java.net.http.HttpRequest.BodyPublishers
-            .ofString(mapper.writeValueAsString(payload)))
-          .build()
-        val resp = client.send(req,
-          java.net.http.HttpResponse.BodyHandlers.ofString())
-        if (resp.statusCode() / 100 != 2)
-          throw new java.io.IOException(
-            s"embed service HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
-        val emb = mapper.readTree(resp.body()).get("embedding")
-        if (emb == null || !emb.isArray)
-          throw new java.io.IOException("embedding not found in response")
-        val out = new Array[Double](emb.size())
-        var i = 0
-        while (i < emb.size()) { out(i) = emb.get(i).asDouble(); i += 1 }
-        out
-      }
+      texts.grouped(math.max(1, maxInFlight)).flatMap { window =>
+        val inFlight = window.map(t => client.sendAsync(request(t),
+          java.net.http.HttpResponse.BodyHandlers.ofString()))
+        inFlight.map { f =>
+          val resp =
+            try f.join()
+            catch {
+              // surface the transport failure the way the sync path
+              // did, so the operator's retry/backoff sees the cause
+              case e: java.util.concurrent.CompletionException
+                  if e.getCause != null =>
+                throw e.getCause
+            }
+          parse(resp)
+        }
+      }.toSeq
   }
 }
 

@@ -139,4 +139,43 @@ object SignatureStore {
     * (the spec asserts `PartitionFilters` carries the shard filter). */
   def readShards(spark: SparkSession, path: String, shards: Seq[Int]): DataFrame =
     spark.read.parquet(path + "/bands").filter(col("shard").isin(shards: _*))
+
+  /** The daily operation end-to-end, streaming: drain `stream` with
+    * AvailableNow, and for each micro-batch KEEP only documents that
+    * are NOT near-dups of the already-ingested corpus — survivors are
+    * appended to both the signature store and `acceptedPath`, so a
+    * re-ingest of the same data inserts nothing (the exact failure the
+    * reference ships, `src/rag/sqlx.rs:34-45`: its ingest re-inserts
+    * every row). Within-batch duplicates are collapsed by exact text
+    * first (deterministic keep-lowest-id) so a batch cannot self-insert
+    * two copies the store has never seen. Batch→batch ordering is
+    * serial under AvailableNow, and replay idempotence after a crash
+    * comes from re-running the same dedup against the store: a replayed
+    * batch's rows are near-dups of their own prior insertion, so they
+    * drop out. */
+  def ingestDedup(stream: DataFrame, idCol: String, textCol: String,
+      path: String, acceptedPath: String, checkpoint: String,
+      p: Params = Params(), jaccardThreshold: Double = 0.8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val exact = Dedup.exact(batch, idCol, textCol)
+        val storeExists =
+          new java.io.File(path + "/bands").exists()
+        val keep =
+          if (!storeExists) exact
+          else {
+            val dupIds = dedupAgainstStore(exact, idCol, textCol, path, p,
+              jaccardThreshold).select(col("id_new").as(idCol)).distinct()
+            exact.join(dupIds, Seq(idCol), "left_anti")
+          }
+        // cache the survivors: both appends scan them, and the second
+        // must not recompute against a store the first just changed
+        val kept = keep.localCheckpoint()
+        append(kept, idCol, textCol, path, p)
+        kept.write.mode("append").parquet(acceptedPath)
+      }
+      .start()
 }

@@ -223,6 +223,38 @@ class ServiceEmbedSpec extends SparkSpec {
     }
   }
 
+  test("HTTP transport: sends overlap up to maxInFlight; order is preserved") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    val cur = new AtomicInteger
+    val maxSeen = new AtomicInteger
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    server.createContext("/api/embeddings", { exchange =>
+      val now = cur.incrementAndGet()
+      maxSeen.updateAndGet(m => math.max(m, now))
+      Thread.sleep(100) // hold the request open so windows overlap
+      val prompt = mapper.readTree(exchange.getRequestBody.readAllBytes())
+        .get("prompt").asText()
+      val bytes = s"""{"embedding":[${prompt.length}.0]}""".getBytes("UTF-8")
+      exchange.sendResponseHeaders(200, bytes.length.toLong)
+      exchange.getResponseBody.write(bytes)
+      cur.decrementAndGet()
+      exchange.close()
+    })
+    server.start()
+    try {
+      val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}/api/embeddings"
+      val transport = new graft.operators.HttpEmbedTransportFactory(
+        endpoint, "m", maxInFlight = 4).open()
+      val texts = (1 to 8).map("x" * _)
+      val out = transport.embedBatch(texts)
+      assert(out.map(_.head.toInt) === (1 to 8)) // order preserved
+      assert(maxSeen.get() >= 3, s"observed concurrency ${maxSeen.get()}")
+      assert(maxSeen.get() <= 4) // bounded by the window
+    } finally server.stop(0)
+  }
+
   test("HTTP transport: persistent 5xx exhausts retries and fails the task") {
     withStubServer(failFirst = 1000) { (endpoint, _) =>
       val df = Seq((1L, "doomed")).toDF("id", "t")

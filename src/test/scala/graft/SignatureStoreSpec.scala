@@ -73,6 +73,45 @@ class SignatureStoreSpec extends SparkSpec {
     assert(tinyShards.as[(Long, Long, Double)].collect().toSet.subsetOf(all))
   }
 
+  test("streaming ingestDedup: survivors cover every dropped doc; exact re-ingest inserts NOTHING") {
+    val staging = Files.createTempDirectory("graft_ing_stage").toString
+    docs.repartition(4).write.mode("overwrite").parquet(staging)
+    val store = Files.createTempDirectory("graft_ing_store").toString + "/s"
+    val accepted = Files.createTempDirectory("graft_ing_acc").toString + "/a"
+    def run(): Unit = {
+      val ckpt = Files.createTempDirectory("graft_ing_ckpt").toString
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(staging)
+      val q = SignatureStore.ingestDedup(stream, "doc_id", "text",
+        store, accepted, ckpt, p, threshold)
+      assert(q.awaitTermination(180000))
+    }
+    run()
+    val acceptedIds = spark.read.parquet(accepted)
+      .select($"doc_id").as[Long].collect().toSet
+    val allIds = docs.select($"doc_id").as[Long].collect().toSet
+    assert(acceptedIds.nonEmpty && acceptedIds.subsetOf(allIds))
+    // every dropped doc is a near-dup (or exact dup) of an accepted one
+    val dropped = docs.filter(!$"doc_id".isInCollection(acceptedIds))
+    if (dropped.count() > 0) {
+      val matched = SignatureStore.dedupAgainstStore(dropped, "doc_id", "text",
+          store, p, threshold)
+        .select($"id_new").as[Long].collect().toSet
+      val exactDups = docs.as[(Long, String, String, String, Long)].collect()
+        .groupBy(_._2).values.filter(_.length > 1)
+        .flatMap(_.map(_._1)).toSet
+      val droppedIds = allIds -- acceptedIds
+      assert(droppedIds.forall(id => matched.contains(id) || exactDups.contains(id)))
+    }
+    // the reference's failure mode, fixed: re-running the same ingest
+    // (fresh checkpoint, same data) must insert zero new documents
+    run()
+    val after = spark.read.parquet(accepted)
+      .select($"doc_id").as[Long].collect()
+    assert(after.length === acceptedIds.size)
+    assert(after.toSet === acceptedIds)
+  }
+
   test("streaming AvailableNow store build equals the batch-built store") {
     val staging = Files.createTempDirectory("graft_sig_stage").toString
     stored.repartition(4).write.mode("overwrite").parquet(staging)

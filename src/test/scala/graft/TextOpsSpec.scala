@@ -135,6 +135,40 @@ class TextOpsSpec extends SparkSpec {
     assert(m("") === (Seq(), 0, 0) && m("  \t ") === (Seq(), 0, 0))
   }
 
+  test("bpeChunkTexts: hand-computed chunk splits; concatenation round-trips; " +
+      "every chunk within budget") {
+    import graft.expressions.TextExpressions
+    val m = Seq("hello helo xy", "hello", "", "  ").toDF("t")
+      .select($"t", TextExpressions.bpeChunkTexts($"t", 2, testMerges).as("ch"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    // hello=1 tok, helo=3, xy=2 at K=2 → each word is its own chunk
+    assert(m("hello helo xy") === Seq("hello", "helo", "xy"))
+    assert(m("hello") === Seq("hello"))
+    assert(m("") === Seq() && m("  ") === Seq())
+    // production table: chunks re-join to the normalized document, and
+    // every chunk's own token count respects the budget
+    val docs = Tables.documents(spark, sf)
+    val chunked = docs.select($"doc_id", $"text",
+      TextExpressions.bpeChunkTexts($"text", 64).as("ch"))
+    val bad = chunked
+      .select($"doc_id",
+        array_join($"ch", " ").as("rejoined"),
+        concat_ws(" ", TextOps.words($"text")).as("norm"))
+      .filter($"rejoined" =!= $"norm").count()
+    assert(bad === 0)
+    val over = chunked
+      .select(explode($"ch").as("c"))
+      .select(TextOps.bpeDocStats($"c", 64).getField("n_tokens").as("n"))
+      .filter($"n" > 64).count()
+    assert(over === 0)
+    // chunk count agrees with the one-pass stats kernel
+    val mismatch = chunked
+      .select(size($"ch").as("a"),
+        TextOps.bpeDocStats($"text", 64).getField("n_chunks").as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(mismatch === 0)
+  }
+
   test("production merge table: count == size(ids) on the fixture corpus; " +
       "fully-merged corpus words encode to one token") {
     import graft.functions.Bpe

@@ -76,7 +76,25 @@ def doc_stats(text, ranks, memo):
     return total, chunks
 
 
-def main(sf_dir, out_path):
+def chunk_texts(text, ranks, memo):
+    """Greedy word-boundary chunks of <= CHUNK_TOKENS BPE tokens —
+    mirrors the BpeChunkTexts kernel independently."""
+    chunks, cur, cur_tokens = [], [], 0
+    for w in pretokenize(text):
+        if w not in memo:
+            memo[w] = len(encode_word(w, ranks))
+        c = memo[w]
+        if cur_tokens > 0 and cur_tokens + c > CHUNK_TOKENS:
+            chunks.append(" ".join(cur))
+            cur, cur_tokens = [], 0
+        cur.append(w)
+        cur_tokens += c
+    if cur_tokens > 0:
+        chunks.append(" ".join(cur))
+    return chunks
+
+
+def main(sf_dir, out_path, chunks_out_path=None):
     ranks = load_merges()
     con = duckdb.connect()
     rows = con.execute(
@@ -84,15 +102,26 @@ def main(sf_dir, out_path):
         "ORDER BY doc_id").fetchall()
     memo = {}
     recs = []
+    chunk_recs = []
     for doc_id, text in rows:
         t, c = doc_stats(text or "", ranks, memo)
         recs.append((doc_id, t, c))
+        for ord_, ch in enumerate(chunk_texts(text or "", ranks, memo)):
+            chunk_recs.append((doc_id, ord_, len(ch), len(ch.split(" "))))
     con.execute("CREATE TABLE expected(doc_id BIGINT, bpe_tokens INT, "
                 "bpe_chunks INT)")
     con.executemany("INSERT INTO expected VALUES (?, ?, ?)", recs)
     con.execute(f"COPY expected TO '{out_path}' (FORMAT PARQUET)")
     print(f"wrote {len(recs)} rows -> {out_path}")
+    if chunks_out_path:
+        con.execute("CREATE TABLE expected_chunks(doc_id BIGINT, "
+                    "chunk_ord INT, n_chars INT, n_words INT)")
+        con.executemany("INSERT INTO expected_chunks VALUES (?, ?, ?, ?)",
+                        chunk_recs)
+        con.execute(f"COPY expected_chunks TO '{chunks_out_path}' "
+                    "(FORMAT PARQUET)")
+        print(f"wrote {len(chunk_recs)} chunk rows -> {chunks_out_path}")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None)

@@ -65,6 +65,16 @@ object SparkEntry {
       graft.sources.VectorStore.write(e, "vec_id", "embedding", path)
     }
 
+  /** q78's trained IVF quantizer — k-means centroids cached once per
+    * (JVM, dataset), like the persisted stores. */
+  private val quantizerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[Array[Double]]]()
+  private def trainedQuantizer(e: org.apache.spark.sql.DataFrame,
+      d: String): IndexedSeq[Array[Double]] =
+    quantizerCache.computeIfAbsent("ivf:" + d,
+      _ => Similarity.kMeans(e, "vec_id", "embedding", 16,
+        maxIter = 5).centroids)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- aggregation / relational surface (SURVEY §2.4/2.5/2.6) -----
     "q01_pricing_summary" -> ((s, d) =>
@@ -477,6 +487,20 @@ object SparkEntry {
       Similarity.ivfJoin(
         e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
         "vec_id", "vec_id", "embedding", k = 5, nList = 16, nProbe = 4)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    // IVF with its coarse quantizer TRAINED by the q74 k-means loop
+    // (the production recipe: train cells on the corpus, then index
+    // against them) — same candidate machinery as q42, better cell
+    // placement. Quantizer cached once per JVM alongside the stores.
+    // Rows-only: iterative training is not ANSI-expressible.
+    "q78_ivf_trained" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = trainedQuantizer(e, d)
+      Similarity.ivfJoinTrained(
+        e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "vec_id", "vec_id", "embedding", k = 5, cents, nProbe = 4)
         .orderBy(col("probe_id"), col("rank"))
     }),
 

@@ -158,6 +158,27 @@ object Similarity {
       nList: Int = 16, nProbe: Int = 4): DataFrame = {
     val seeds = corpus.orderBy(col(corpusId)).limit(nList)
       .select(col(corpusId).as("cell"), col(vecCol).as("__seed"))
+    ivfWithSeeds(probes, corpus, probeId, corpusId, vecCol, k, seeds, nProbe)
+  }
+
+  /** IVF with a TRAINED coarse quantizer: the cells are [[kMeans]]
+    * centroids instead of `ivfJoin`'s raw lowest-id seed vectors — the
+    * standard production IVF recipe (train the quantizer on a sample,
+    * then index the corpus against it). Same candidate machinery, so
+    * the two differ only in cell placement quality. */
+  def ivfJoinTrained(probes: DataFrame, corpus: DataFrame, probeId: String,
+      corpusId: String, vecCol: String, k: Int,
+      centroids: Seq[Array[Double]], nProbe: Int = 4): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val seeds = centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cell", "__seed")
+    ivfWithSeeds(probes, corpus, probeId, corpusId, vecCol, k, seeds, nProbe)
+  }
+
+  private def ivfWithSeeds(probes: DataFrame, corpus: DataFrame,
+      probeId: String, corpusId: String, vecCol: String, k: Int,
+      seeds: DataFrame, nProbe: Int): DataFrame = {
     // n-nearest-cells for the (small) probe side: window ranking is fine
     // there. The CORPUS side is argmin (n=1) and uses min_by instead —
     // one hash aggregate with map-side partials, no window sort. Ties on

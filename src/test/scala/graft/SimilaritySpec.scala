@@ -96,6 +96,26 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.toSet.size === rows.length)
   }
 
+  test("ivfJoinTrained: k-means quantizer cells behave like ivfJoin's — " +
+      "self ranks first, ranks dense, sims consistent") {
+    val e = Tables.embeddings(spark, sf)
+    val res = Similarity.kMeans(e, "vec_id", "embedding", 8, maxIter = 5)
+    val probes = e.filter($"vec_id" < 3)
+    val out = Similarity.ivfJoinTrained(probes, e, "vec_id", "vec_id",
+        "embedding", k = 5, res.centroids, nProbe = 3)
+      .as[(Long, Long, Double, Int)].collect()
+    val byProbe = out.groupBy(_._1)
+    assert(byProbe.keySet === Set(0L, 1L, 2L))
+    byProbe.foreach { case (pid, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1 to rows.length))
+      assert(sorted.map(_._3).toSeq === sorted.map(_._3).sortBy(-_).toSeq)
+      // the probe is in the corpus: its own cell is always probed, so
+      // self must surface at rank 1 with sim 1.0
+      assert(sorted.head._2 === pid && sorted.head._3 === 1.0)
+    }
+  }
+
   test("kMeans: planted clusters recovered, centroids are exact member means, " +
       "one materializing job per iteration") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}

@@ -27,7 +27,14 @@ object GraftFunctions {
     "graft_shingles3" -> ((es: Seq[Expression]) =>
       WordShingles(es.head, 3)),
     "graft_hyperplane_bits" -> ((es: Seq[Expression]) =>
-      HyperplaneBitsExpr(es.head, 32)))
+      HyperplaneBitsExpr(es.head, 32)),
+    "graft_hyperplane_bucket" -> ((es: Seq[Expression]) =>
+      HyperplaneBucketExpr(es.head, 4)),
+    "graft_bpe_tokens" -> ((es: Seq[Expression]) =>
+      BpeTokens(es.head, graft.functions.Bpe.DefaultResource)),
+    "graft_bpe_chunks" -> ((es: Seq[Expression]) =>
+      BpeChunkTexts(es.head, 512, graft.functions.Bpe.DefaultResource)),
+    "graft_int8_encode" -> ((es: Seq[Expression]) => Int8Encode(es.head)))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>

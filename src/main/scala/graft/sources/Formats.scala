@@ -24,6 +24,15 @@ object Formats {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** ORC — the second columnar format Spark ships natively; same
+    * predicate-pushdown/column-pruning behavior as parquet, relevant
+    * when the surrounding lake is Hive/ORC. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 

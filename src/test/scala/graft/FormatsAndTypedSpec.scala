@@ -32,6 +32,14 @@ class FormatsAndTypedSpec extends SparkSpec {
     val jsonDir = Files.createTempDirectory("graft_json").toString + "/docs"
     Formats.writeJson(docs, jsonDir)
     assert(key(Formats.readJson(spark, jsonDir, docs.schema)) === key(docs))
+    val orcDir = Files.createTempDirectory("graft_orc").toString + "/docs"
+    Formats.writeOrc(docs, orcDir)
+    assert(key(Formats.readOrc(spark, orcDir)) === key(docs))
+    // ORC scans push filters like parquet (the reason to offer it)
+    val plan = Formats.readOrc(spark, orcDir).filter($"doc_id" === 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.split("PushedFilters")(1).contains("doc_id"), plan)
   }
 
   test("IVF ANN: sims exact for emitted pairs, per-probe top-k shape") {

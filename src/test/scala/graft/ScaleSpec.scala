@@ -51,9 +51,17 @@ class ScaleSpec extends SparkSpec {
     val viaSql = spark.sql(
       """SELECT vec_id, graft_dot(embedding, embedding) AS selfdot,
         |  graft_hash_embed(array('a','b','a')) AS he,
-        |  graft_simhash(array('x','y')) AS sh
+        |  graft_simhash(array('x','y')) AS sh,
+        |  graft_hyperplane_bucket(embedding) AS bkt,
+        |  size(graft_bpe_tokens('join hash row')) AS nbpe,
+        |  graft_int8_encode(embedding).scale AS qscale
         |FROM emb_v ORDER BY vec_id""".stripMargin).collect()
     assert(viaSql.length === 10)
+    viaSql.foreach { r =>
+      assert(r.getInt(4) >= 0 && r.getInt(4) < 16) // 4-bit bucket
+      assert(r.getInt(5) === 3) // corpus words are whole-word merges
+      assert(r.getDouble(6) > 0.0)
+    }
     // selfdot equals the Column-API dot
     val viaCol = Tables.embeddings(spark, sf).limit(10)
       .select($"vec_id", graft.functions.VectorOps.dot($"embedding", $"embedding").as("d"))

@@ -14,16 +14,27 @@ import graft.operators.Dedup
   * corpus by reading only the shards its candidate buckets live in.
   *
   * Layout under `path`:
-  *   bands/    (doc, band, bucket, shard)  partitionBy(shard)
-  *   shingles/ (doc, sh)
-  * where shard = pmod(hash(bucket), nShards). A small batch touches few
-  * distinct (band, bucket) pairs, hence few shards — the probe collects
-  * its shard set (bounded by nShards, a driver-side constant, never
-  * corpus-sized) and Catalyst prunes every other shard directory at
-  * planning time (`PartitionFilters`, spec-asserted). The shingle sets
-  * — the bulk of the bytes — never ride the candidate join: they rejoin
-  * per SURVIVING pair from `shingles/`, the same late-materialization
-  * shape as `minhashNearDups` (r2 q48 finding).
+  *   bands/    (doc, band, bucket)  partitionBy(ingest, shard)
+  *   shingles/ (doc, sh)            partitionBy(ingest)
+  * where shard = pmod(hash(bucket), nShards) and `ingest` identifies
+  * the write that produced the rows ("base" for bulk builds, a
+  * (stream, batchId)-derived key for streaming micro-batches). A small
+  * batch touches few distinct (band, bucket) pairs, hence few shards —
+  * the probe collects its shard set (bounded by nShards, a driver-side
+  * constant, never corpus-sized) and Catalyst prunes every other shard
+  * directory at planning time (`PartitionFilters`, spec-asserted). The
+  * shingle sets — the bulk of the bytes — never ride the candidate
+  * join: they rejoin per SURVIVING pair from `shingles/`, the same
+  * late-materialization shape as `minhashNearDups` (r2 q48 finding).
+  *
+  * The `ingest` partition level is what makes streaming ingest
+  * CRASH-REPLAY IDEMPOTENT ([[ingestDedup]]): each micro-batch writes
+  * both its sinks under its own ingest key with dynamic partition
+  * overwrite, so a replayed batch REPRODUCES its prior write instead of
+  * re-deciding against it (the r8 data-loss window: with plain appends,
+  * a crash between the store append and the accepted append made the
+  * replayed rows near-dups of their own prior insertion — they dropped
+  * out and never reached the accepted sink).
   */
 object SignatureStore {
 
@@ -63,39 +74,74 @@ object SignatureStore {
     fanned(df, idCol, textCol)
       .select(col("doc"), Dedup.shingles(col("__text"), p.shingleK).as("sh"))
 
-  /** Build (or extend, with mode=append) the store from a document
-    * frame — two linear passes over the input (banded index, then
-    * shingle payload). The index write re-exchanges on `shard` so each
-    * shard directory gets one file, not one per compute task. */
-  def write(df: DataFrame, idCol: String, textCol: String, path: String,
-      p: Params = Params(), mode: String = "overwrite"): Unit = {
-    banded(df, idCol, textCol, p)
-      .repartition(p.nShards, col("shard"))
-      .write.partitionBy("shard").mode(mode).parquet(path + "/bands")
-    shingleRows(df, idCol, textCol, p)
-      .write.mode(mode).parquet(path + "/shingles")
+  /** One write of (banded index, shingle payload) under `ingest`.
+    * `dynamicOverwrite = true` is the batch-replay mode: only the
+    * partitions present in THIS data are replaced, so re-running the
+    * same micro-batch overwrites its own prior (possibly partial)
+    * output and touches nothing else. The index write re-exchanges on
+    * `shard` so each shard directory gets one file per write, not one
+    * per compute task. */
+  private def writeAs(df: DataFrame, idCol: String, textCol: String,
+      path: String, ingest: String, p: Params, mode: String,
+      dynamicOverwrite: Boolean): Unit = {
+    def w(out: DataFrame, parts: Seq[String], dest: String): Unit = {
+      val writer = out.write.partitionBy(parts: _*).mode(mode)
+      (if (dynamicOverwrite) writer.option("partitionOverwriteMode", "dynamic")
+       else writer).parquet(dest)
+    }
+    w(banded(df, idCol, textCol, p).withColumn("ingest", lit(ingest))
+        .repartition(p.nShards, col("shard")),
+      Seq("ingest", "shard"), path + "/bands")
+    w(shingleRows(df, idCol, textCol, p).withColumn("ingest", lit(ingest)),
+      Seq("ingest"), path + "/shingles")
   }
 
-  /** Incremental index maintenance — new files land inside existing
-    * shard directories, no reorganization (same posture as
-    * `VectorStore.append`). */
+  /** Build (or extend, with mode=append) the store from a document
+    * frame — two linear passes over the input (banded index, then
+    * shingle payload). */
+  def write(df: DataFrame, idCol: String, textCol: String, path: String,
+      p: Params = Params(), mode: String = "overwrite"): Unit =
+    writeAs(df, idCol, textCol, path, "base", p, mode, dynamicOverwrite = false)
+
+  /** Incremental index maintenance — new files land inside the existing
+    * `ingest=base` directories, no reorganization (same posture as
+    * `VectorStore.append`; run [[compact]] periodically). */
   def append(df: DataFrame, idCol: String, textCol: String, path: String,
       p: Params = Params()): Unit =
     write(df, idCol, textCol, path, p, mode = "append")
 
+  /** Idempotent per-micro-batch write: both store surfaces land under
+    * `ingest=<key>` with dynamic partition overwrite — replaying the
+    * batch replaces its own partitions bit-for-bit. */
+  private[graft] def appendBatch(df: DataFrame, idCol: String,
+      textCol: String, path: String, ingest: String,
+      p: Params = Params()): Unit =
+    writeAs(df, idCol, textCol, path, ingest, p, mode = "overwrite",
+      dynamicOverwrite = true)
+
+  /** Stable per-stream key so ingest partitions from different streams
+    * (whose batch ids both start at 0) can never collide: the streaming
+    * checkpoint IS the batch-id namespace, so its path is the right
+    * discriminator — a restart reuses the checkpoint and hence the same
+    * keys (that is what makes replay land on its own partitions). */
+  private def streamKey(checkpoint: String): String =
+    Integer.toHexString(checkpoint.hashCode)
+
   /** Streaming ingest into the signature store (AvailableNow drain —
-    * the reference's drain-then-stop shape); replay idempotence comes
-    * from the streaming checkpoint as in `Streams.runIngest`. */
+    * the reference's drain-then-stop shape). Replay-idempotent: each
+    * batch writes its own `ingest` partitions with dynamic overwrite. */
   def appendStream(stream: DataFrame, idCol: String, textCol: String,
       path: String, checkpoint: String,
-      p: Params = Params()): org.apache.spark.sql.streaming.StreamingQuery =
+      p: Params = Params()): org.apache.spark.sql.streaming.StreamingQuery = {
+    val key = streamKey(checkpoint)
     stream.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        append(batch, idCol, textCol, path, p)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(batch, idCol, textCol, path, s"b${batchId}_$key", p)
       }
       .start()
+  }
 
   /** Near-dup pairs between a NEW batch and the persisted corpus:
     * (id_new, id_stored, jaccard ≥ threshold). The batch's banded rows
@@ -105,18 +151,24 @@ object SignatureStore {
     * shingle sets (batch side recomputed, store side read from
     * `shingles/`). Never compares batch-internal pairs (run
     * `Dedup.minhashNearDups` on the batch for those).
+    * `excludeIngest` drops one ingest partition from the probe's view —
+    * [[ingestDedup]] passes the current batch's own key so a replay
+    * decides against exactly the pre-batch store state.
     *
     * 100 TB cost: the candidate join ships only (band, bucket, id)
     * triples from the pruned shards; the driver materializes only the
     * DISTINCT shard list (≤ nShards ints). */
   def dedupAgainstStore(batch: DataFrame, idCol: String, textCol: String,
       path: String, p: Params = Params(),
-      jaccardThreshold: Double = 0.8): DataFrame = {
+      jaccardThreshold: Double = 0.8,
+      excludeIngest: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession
+    def visible(df: DataFrame): DataFrame =
+      excludeIngest.fold(df)(ex => df.filter(col("ingest") =!= lit(ex)))
     val batchBanded = banded(batch, idCol, textCol, p)
     val shards = batchBanded.select(col("shard")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val stored = spark.read.parquet(path + "/bands")
+    val stored = visible(spark.read.parquet(path + "/bands"))
       .filter(col("shard").isin(shards: _*))
     val candidates = batchBanded
       .select(col("band"), col("bucket"), col("doc").as("id_new"))
@@ -127,7 +179,7 @@ object SignatureStore {
     val batchSh = shingleRows(batch, idCol, textCol, p)
     candidates
       .join(batchSh.select(col("doc").as("id_new"), col("sh").as("__sha")), "id_new")
-      .join(spark.read.parquet(path + "/shingles")
+      .join(visible(spark.read.parquet(path + "/shingles"))
         .select(col("doc").as("id_stored"), col("sh").as("__shb")), "id_stored")
       .withColumn("jaccard", Dedup.jaccard(col("__sha"), col("__shb")))
       .filter(col("jaccard") >= jaccardThreshold)
@@ -140,42 +192,127 @@ object SignatureStore {
   def readShards(spark: SparkSession, path: String, shards: Seq[Int]): DataFrame =
     spark.read.parquet(path + "/bands").filter(col("shard").isin(shards: _*))
 
+  /** True iff `dir` holds at least one COMMITTED data file (Spark hides
+    * `_`/`.`-prefixed paths, so a crashed write's `_temporary` debris
+    * does not count — a store that "exists" but has no committed files
+    * must be treated as absent, both for decision correctness and
+    * because schema inference on it would fail). */
+  private def hasCommittedData(dir: java.io.File): Boolean = {
+    if (!dir.exists()) false
+    else {
+      val children = dir.listFiles()
+      children != null && children.exists { f =>
+        val n = f.getName
+        !n.startsWith("_") && !n.startsWith(".") &&
+          (f.isFile || hasCommittedData(f))
+      }
+    }
+  }
+
+  /** The keep decision for one micro-batch: collapse exact within-batch
+    * duplicates (deterministic keep-lowest-id), then drop documents
+    * that near-dup-match the ALREADY-COMMITTED corpus — excluding this
+    * batch's own ingest partition, so a crash-replay decides against
+    * exactly the same store state the original attempt saw.
+    * `localCheckpoint` because both sink writes scan the result and the
+    * second must not recompute against a store the first just changed. */
+  private[graft] def decideKept(batch: DataFrame, ingest: String,
+      idCol: String, textCol: String, path: String, p: Params,
+      jaccardThreshold: Double): DataFrame = {
+    val exact = Dedup.exact(batch, idCol, textCol)
+    val keep =
+      if (!hasCommittedData(new java.io.File(path + "/bands"))) exact
+      else {
+        val dupIds = dedupAgainstStore(exact, idCol, textCol, path, p,
+          jaccardThreshold, excludeIngest = Some(ingest))
+          .select(col("id_new").as(idCol)).distinct()
+        exact.join(dupIds, Seq(idCol), "left_anti")
+      }
+    keep.localCheckpoint()
+  }
+
+  /** One micro-batch of [[ingestDedup]], exposed so the crash-replay
+    * spec can reproduce a partial state (store written, accepted sink
+    * not) and then replay. Both writes are keyed by `ingest` and
+    * overwrite their own partitions, so any replay — after a crash
+    * between the two writes included — converges to exactly one copy
+    * of every survivor in both sinks. */
+  private[graft] def processBatch(batch: DataFrame, ingest: String,
+      idCol: String, textCol: String, path: String, acceptedPath: String,
+      p: Params, jaccardThreshold: Double): Unit = {
+    val kept = decideKept(batch, ingest, idCol, textCol, path, p,
+      jaccardThreshold)
+    if (!kept.isEmpty) {
+      appendBatch(kept, idCol, textCol, path, ingest, p)
+      kept.write.mode("overwrite").parquet(acceptedPath + "/ingest=" + ingest)
+    }
+  }
+
   /** The daily operation end-to-end, streaming: drain `stream` with
     * AvailableNow, and for each micro-batch KEEP only documents that
     * are NOT near-dups of the already-ingested corpus — survivors are
-    * appended to both the signature store and `acceptedPath`, so a
+    * written to both the signature store and `acceptedPath`, so a
     * re-ingest of the same data inserts nothing (the exact failure the
     * reference ships, `src/rag/sqlx.rs:34-45`: its ingest re-inserts
-    * every row). Within-batch duplicates are collapsed by exact text
-    * first (deterministic keep-lowest-id) so a batch cannot self-insert
-    * two copies the store has never seen. Batch→batch ordering is
-    * serial under AvailableNow, and replay idempotence after a crash
-    * comes from re-running the same dedup against the store: a replayed
-    * batch's rows are near-dups of their own prior insertion, so they
-    * drop out. */
+    * every row). Batch→batch ordering is serial under AvailableNow.
+    *
+    * Crash-replay idempotence (the r8 defect, fixed): both sinks are
+    * written under the batch's own `ingest=` partition with dynamic
+    * overwrite, and the keep DECISION excludes that partition from the
+    * store it reads — so a replayed batch re-derives the identical
+    * survivor set and overwrites its own partitions, whether the crash
+    * hit before, between, or after the two writes. */
   def ingestDedup(stream: DataFrame, idCol: String, textCol: String,
       path: String, acceptedPath: String, checkpoint: String,
       p: Params = Params(), jaccardThreshold: Double = 0.8)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val key = streamKey(checkpoint)
     stream.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val exact = Dedup.exact(batch, idCol, textCol)
-        val storeExists =
-          new java.io.File(path + "/bands").exists()
-        val keep =
-          if (!storeExists) exact
-          else {
-            val dupIds = dedupAgainstStore(exact, idCol, textCol, path, p,
-              jaccardThreshold).select(col("id_new").as(idCol)).distinct()
-            exact.join(dupIds, Seq(idCol), "left_anti")
-          }
-        // cache the survivors: both appends scan them, and the second
-        // must not recompute against a store the first just changed
-        val kept = keep.localCheckpoint()
-        append(kept, idCol, textCol, path, p)
-        kept.write.mode("append").parquet(acceptedPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, s"b${batchId}_$key", idCol, textCol, path,
+          acceptedPath, p, jaccardThreshold)
       }
       .start()
+  }
+
+  /** Compact the store in place: rewrite both surfaces into the single
+    * `ingest=base` partition at one file per shard (bands) / a bounded
+    * file count (shingles). A daily [[appendStream]]/[[ingestDedup]]
+    * accretes one ingest partition with up-to-nShards files per batch;
+    * probe scans degrade with file count even when pruning works —
+    * compaction restores the bulk-build layout with BIT-IDENTICAL probe
+    * results (same rows, same schema; spec-asserted). Stage-then-swap:
+    * the rewrite lands in a sibling staging dir, then replaces the live
+    * dir via the Hadoop FileSystem (works on local FS and HDFS alike).
+    * Must not run concurrently with an active ingest — it collapses the
+    * per-batch partitions a replay would overwrite. */
+  def compact(spark: SparkSession, path: String, p: Params = Params()): Unit = {
+    stageAndSwap(spark, path + "/bands") { (src, staged) =>
+      src.select(col("doc"), col("band"), col("bucket"), col("shard"))
+        .withColumn("ingest", lit("base"))
+        .repartition(p.nShards, col("shard"))
+        .write.partitionBy("ingest", "shard").mode("overwrite").parquet(staged)
+    }
+    stageAndSwap(spark, path + "/shingles") { (src, staged) =>
+      src.select(col("doc"), col("sh"))
+        .withColumn("ingest", lit("base"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.partitionBy("ingest").mode("overwrite").parquet(staged)
+    }
+  }
+
+  /** Read `live`, write its replacement to `<live>.compact` via
+    * `rewrite`, then swap the staged dir into place. */
+  private[graft] def stageAndSwap(spark: SparkSession, live: String)(
+      rewrite: (DataFrame, String) => Unit): Unit = {
+    val staged = live + ".compact"
+    rewrite(spark.read.parquet(live), staged)
+    val hPath = new org.apache.hadoop.fs.Path(live)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(hPath, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(staged), hPath),
+      s"compaction swap failed: rename $staged -> $live")
+  }
 }

@@ -67,6 +67,23 @@ object VectorStore {
       }
       .start()
 
+  /** Compact the store in place: rewrite every bucket directory to ONE
+    * file (all rows of a bucket hash to the same task under
+    * `repartition(n, bucket)`, and each task writes one file per
+    * partition directory it holds). A daily [[appendStream]] accretes
+    * one file per (batch, bucket); probe scans degrade linearly with
+    * file count even when partition pruning works — compaction restores
+    * the bulk-build layout with BIT-IDENTICAL probe results (same rows,
+    * same schema; spec-asserted). Works unchanged on the quantized
+    * store: every non-partition column is passed through untouched.
+    * Stage-then-swap via the Hadoop FileSystem (local FS and HDFS
+    * alike); must not run concurrently with an active append. */
+  def compact(spark: SparkSession, path: String, nBits: Int = 4): Unit =
+    SignatureStore.stageAndSwap(spark, path) { (src, staged) =>
+      src.repartition(1 << nBits, col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(staged)
+    }
+
   /** The probe's bucket plus its `1+nBits` hamming≤1 neighbors —
     * multi-probe compensates for boundary vectors the way the
     * in-memory LSH path's extra bands do. */

@@ -112,6 +112,64 @@ class SignatureStoreSpec extends SparkSpec {
     assert(after.toSet === acceptedIds)
   }
 
+  test("crash-replay idempotence: a crash between the store append and the accepted " +
+      "write loses nothing — replay converges to exactly one copy of every survivor") {
+    val store = Files.createTempDirectory("graft_cr_store").toString + "/s"
+    val accepted = Files.createTempDirectory("graft_cr_acc").toString + "/a"
+    // batch 0 ingests normally (empty store: everything survives)
+    SignatureStore.processBatch(stored, "b0_t", "doc_id", "text", store,
+      accepted, p, threshold)
+    val afterB0 = spark.read.parquet(accepted)
+      .select($"doc_id").as[Long].collect().toSet
+    // batch 1: reproduce the r8 crash window — the store append
+    // COMPLETED, the accepted write never ran
+    val kept1 = SignatureStore.decideKept(batch, "b1_t", "doc_id", "text",
+      store, p, threshold)
+    val survivors = kept1.select($"doc_id").as[Long].collect().toSet
+    val exactIds = Dedup.exact(batch, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(survivors.nonEmpty)
+    assert((exactIds -- survivors).nonEmpty,
+      "fixture split produced no store-dropped docs; crash window untested")
+    SignatureStore.appendBatch(kept1, "doc_id", "text", store, "b1_t", p)
+    // ...crash... then the streaming engine replays the WHOLE batch
+    SignatureStore.processBatch(batch, "b1_t", "doc_id", "text", store,
+      accepted, p, threshold)
+    val acc = spark.read.parquet(accepted).select($"doc_id").as[Long].collect().toSeq
+    // every survivor reached the accepted sink EXACTLY once (the r8 code
+    // silently dropped all of batch 1 here: its rows near-dup-matched
+    // their own prior insertion and never reached the accepted sink)
+    assert(acc.size === acc.distinct.size)
+    assert(acc.toSet === afterB0 ++ survivors)
+    // and the store holds exactly one copy of every doc's band rows
+    val bandDup = spark.read.parquet(store + "/bands")
+      .groupBy($"doc", $"band").count().filter($"count" > 1).count()
+    assert(bandDup === 0L)
+  }
+
+  test("compaction: probe results identical, file count reduced") {
+    val dir = Files.createTempDirectory("graft_cmp_store").toString + "/s"
+    SignatureStore.write(stored, "doc_id", "text", dir, p)
+    // simulate daily accretion: several small per-batch ingest partitions
+    (0 until 3).foreach { i =>
+      SignatureStore.appendBatch(batch.filter($"doc_id" % 3 === i),
+        "doc_id", "text", dir, s"b${i}_x", p)
+    }
+    def probeRes() = SignatureStore
+      .dedupAgainstStore(batch, "doc_id", "text", dir, p, threshold)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    def nFiles(): Int = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .count(f => f.toString.endsWith(".parquet"))
+    }
+    val before = probeRes()
+    val filesBefore = nFiles()
+    SignatureStore.compact(spark, dir, p)
+    assert(probeRes() === before)
+    assert(nFiles() < filesBefore, s"$filesBefore -> ${nFiles()}")
+  }
+
   test("streaming AvailableNow store build equals the batch-built store") {
     val staging = Files.createTempDirectory("graft_sig_stage").toString
     stored.repartition(4).write.mode("overwrite").parquet(staging)

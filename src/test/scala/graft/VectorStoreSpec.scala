@@ -134,6 +134,36 @@ class VectorStoreSpec extends SparkSpec {
       .as[(Long, Double)].collect().map(_._1).contains(0L))
   }
 
+  test("compaction: probe results identical, one file per bucket") {
+    val src = Tables.embeddings(spark, sf)
+    val dir = Files.createTempDirectory("graft_vcmp").toString
+    VectorStore.write(src.filter($"vec_id" % 2 === 0), "vec_id", "embedding", dir, nBits)
+    // simulate daily accretion: several small appends → many files/bucket
+    (0 until 3).foreach { i =>
+      VectorStore.append(src.filter($"vec_id" % 2 === 1 && $"vec_id" % 3 === i),
+        "vec_id", "embedding", dir, nBits)
+    }
+    val probe = src.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).map(_.toDouble).toSeq
+    def probeRes() = VectorStore.topK(spark, dir, "vec_id", "embedding", probe, 10, nBits)
+      .as[(Long, Double)].collect().toSeq
+    def parquetFiles(): Seq[java.nio.file.Path] = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .filter(f => f.toString.endsWith(".parquet")).toSeq
+    }
+    val before = probeRes()
+    val filesBefore = parquetFiles().size
+    VectorStore.compact(spark, dir, nBits)
+    assert(probeRes() === before)
+    val nBuckets = spark.read.parquet(dir).select($"bucket").distinct().count()
+    assert(parquetFiles().size === nBuckets.toInt, s"$filesBefore -> ${parquetFiles().size}")
+    assert(parquetFiles().size < filesBefore)
+    // full contents survive the rewrite (evens from the bulk build +
+    // every odd id across the three appends = the whole corpus)
+    assert(spark.read.parquet(dir).count() === src.count())
+  }
+
   test("pruned top-k equals brute-force top-k over the candidate buckets; self ranks first") {
     val probe = Tables.embeddings(spark, sf).filter($"vec_id" === 0)
       .select($"embedding").head().getSeq[Float](0).map(_.toDouble).toSeq

@@ -41,6 +41,57 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.forall { case (p, n, s) => exact.get((p, n)).contains(s) })
   }
 
+  test("recall differentials (q27/q42/q78): every ANN candidate stage retains the " +
+      "exact top-k at full-recall settings; fixture settings keep useful recall") {
+    val e = Tables.embeddings(spark, sf)
+    val probes = e.filter($"vec_id" < 5)
+    val corpus = e.filter($"vec_id" >= 5)
+    val k = 5
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"probe_id", $"neighbor_id", $"sim", $"rank")
+        .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val exact = rows(Similarity.knnJoin(probes, corpus, "vec_id", "vec_id",
+      "embedding", k))
+    assert(exact.size === 5 * k)
+
+    // annJoin at the full-recall banding (16 × 1-bit — the q48 regime:
+    // per-pair candidate-miss ≈ 0.4^16 ≈ 4e-7 on random 64-dim vectors)
+    // must EQUAL the exact top-k — candidate set ⊇ exact top-k, and the
+    // verify stage scores/ranks identically
+    val ann = rows(Similarity.annJoin(probes, corpus, "vec_id", "vec_id",
+      "embedding", k, nBands = 16, bandBits = 1))
+    assert(ann === exact)
+
+    // IVF with nProbe == nList (exhaustive cells) must EQUAL the exact
+    // top-k — proves the cell assignment/join machinery itself loses
+    // nothing; the ONLY approximation in ivfJoin is probing fewer cells
+    val ivfFull = rows(Similarity.ivfJoin(probes, corpus, "vec_id", "vec_id",
+      "embedding", k, nList = 16, nProbe = 16))
+    assert(ivfFull === exact)
+    val cents = Similarity.kMeans(e, "vec_id", "embedding", 16, maxIter = 5).centroids
+    val ivfTFull = rows(Similarity.ivfJoinTrained(probes, corpus, "vec_id",
+      "vec_id", "embedding", k, cents, nProbe = 16))
+    assert(ivfTFull === exact)
+
+    // at the PINNED fixture settings (nProbe = 4 of 16 — exactly q42/q78)
+    // the deterministic measured recall@5 must stay useful: scanning
+    // ~4/16 of the corpus should not degrade to chance (k/|corpus|)
+    val exactSet = exact.map(r => (r._1, r._2)).toSet
+    def recallAt(out: Seq[(Long, Long, Double, Int)]): Double =
+      out.map(r => (r._1, r._2)).toSet.intersect(exactSet).size.toDouble / exactSet.size
+    val rIvf = recallAt(rows(Similarity.ivfJoin(probes, corpus, "vec_id",
+      "vec_id", "embedding", k, nList = 16, nProbe = 4)))
+    val rIvfT = recallAt(rows(Similarity.ivfJoinTrained(probes, corpus,
+      "vec_id", "vec_id", "embedding", k, cents, nProbe = 4)))
+    // deterministic on the fixed fixtures — measured 0.44 / 0.84: the
+    // trained quantizer nearly DOUBLES recall at identical probe cost,
+    // which is exactly why q78 trains it
+    assert(rIvf >= 0.3, s"ivfJoin fixture recall@5 = $rIvf")
+    assert(rIvfT >= 0.6, s"ivfJoinTrained fixture recall@5 = $rIvfT")
+    assert(rIvfT >= rIvf, "training the quantizer must not hurt recall here")
+    info(f"fixture recall@5: ivfJoin=$rIvf%.2f ivfJoinTrained=$rIvfT%.2f")
+  }
+
   test("centroids: 64 positions per label, values bounded by data range") {
     val out = Tables.embeddings(spark, sf)
       .transform(df => Similarity.centroids(df, "label", "embedding"))

@@ -74,7 +74,8 @@ object Multimodal {
   // (e.g. javacpp ffmpeg) — the signature, batching shape, and
   // partition parallelism stay the same. The fake derives "features"
   // from content bytes so tests exercise real data flow end-to-end
-  // deterministically. Images and WAV audio decode for REAL below.
+  // deterministically. Images, WAV audio, and animated-GIF frames
+  // decode for REAL below.
   // ------------------------------------------------------------------
   private[graft] def fakeDecode(content: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -86,49 +87,75 @@ object Multimodal {
     out
   }
 
+  /** `side`×`side` box-filtered grayscale thumbnail of a decoded raster
+    * in [0,1] — each cell averages the Rec.601 luminance of its source
+    * block; deterministic for a given raster. Shared by single images
+    * ([[imageFeatures]]) and per-frame GIF sampling ([[sampleFrames]]). */
+  private[graft] def imageThumb(im: java.awt.image.BufferedImage, side: Int): Array[Float] = {
+    val w = im.getWidth
+    val h = im.getHeight
+    val out = new Array[Float](side * side)
+    var cy = 0
+    while (cy < side) {
+      var cx = 0
+      while (cx < side) {
+        val x0 = cx * w / side
+        val x1 = math.max(x0 + 1, (cx + 1) * w / side)
+        val y0 = cy * h / side
+        val y1 = math.max(y0 + 1, (cy + 1) * h / side)
+        var sum = 0.0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = im.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        out(cy * side + cx) = (sum / ((x1 - x0) * (y1 - y0) * 255.0)).toFloat
+        cx += 1
+      }
+      cy += 1
+    }
+    out
+  }
+
   /** REAL image decode (PNG/JPEG/GIF via `javax.imageio` — offline, in
     * the JDK): an `side`×`side` box-filtered grayscale thumbnail in
     * [0,1], the classic cheap perceptual feature (and the first stage
-    * of a pHash). Each output cell averages the Rec.601 luminance of
-    * its source-pixel block, so the vector is deterministic for a given
-    * decoded raster. `None` on undecodable/corrupt bytes → caller falls
+    * of a pHash). `None` on undecodable/corrupt bytes → caller falls
     * back to the stub. */
   private[graft] def imageFeatures(content: Array[Byte], side: Int = 8): Option[Array[Float]] = {
     val img =
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content)))
       catch { case _: Exception => None }
-    img.filter(im => im.getWidth > 0 && im.getHeight > 0).map { im =>
-      val w = im.getWidth
-      val h = im.getHeight
-      val out = new Array[Float](side * side)
-      var cy = 0
-      while (cy < side) {
-        var cx = 0
-        while (cx < side) {
-          val x0 = cx * w / side
-          val x1 = math.max(x0 + 1, (cx + 1) * w / side)
-          val y0 = cy * h / side
-          val y1 = math.max(y0 + 1, (cy + 1) * h / side)
-          var sum = 0.0
-          var y = y0
-          while (y < y1) {
-            var x = x0
-            while (x < x1) {
-              val rgb = im.getRGB(x, y)
-              sum += 0.299 * ((rgb >> 16) & 0xff) +
-                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-              x += 1
-            }
-            y += 1
-          }
-          out(cy * side + cx) = (sum / ((x1 - x0) * (y1 - y0) * 255.0)).toFloat
-          cx += 1
-        }
-        cy += 1
-      }
-      out
-    }
+    img.filter(im => im.getWidth > 0 && im.getHeight > 0).map(imageThumb(_, side))
   }
+
+  /** REAL multi-frame decode for animated GIF (the one genuinely
+    * multi-frame format `javax.imageio` reads offline): every frame as
+    * its own raster, in stream order. Frames are returned as stored —
+    * a GIF frame may legally be a sub-rectangle patch; features over
+    * raw frames stay deterministic either way. `None` on undecodable
+    * bytes or a reader-less JVM → caller falls back to the stub. */
+  private[graft] def gifFrames(content: Array[Byte]): Option[IndexedSeq[java.awt.image.BufferedImage]] =
+    try {
+      val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          reader.setInput(iis, false)
+          val n = reader.getNumImages(true)
+          if (n <= 0) None else Some((0 until n).map(reader.read))
+        } finally { reader.dispose(); iis.close() }
+      }
+    } catch { case _: Exception => None }
 
   /** REAL audio decode (WAV/PCM via `javax.sound.sampled` — offline, in
     * the JDK, same playbook as the r7 `javax.imageio` image path): a
@@ -249,13 +276,34 @@ object Multimodal {
       }
   }
 
-  /** Frame-sampling stub: emits every `stride`-th "frame" of a fake
-    * video track as its own row — demonstrates the 1→N generator shape
-    * (explode over a computed frame index sequence) used for real
-    * video frame extraction. */
-  def sampleFrames(binaries: DataFrame, stride: Int = 10): DataFrame =
-    binaries
-      .withColumn("n_frames", (col("length") / 1024 + 1).cast("int"))
-      .select(col("path"), col("n_frames"),
-        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+  /** Frame sampling: every `stride`-th frame of a multi-frame asset as
+    * its own row with a per-frame thumbnail. REAL for animated GIF
+    * ([[gifFrames]] via `javax.imageio` — same offline playbook as the
+    * image and WAV paths); mp3/mp4 video remains the deterministic
+    * fake (frame count = length/1024+1, stub thumb keyed by content
+    * and frame index) until a codec exists in the container. Runs as
+    * `mapPartitions` — the 1→N generator shape of real video frame
+    * extraction, decoder state per partition. */
+  def sampleFrames(binaries: DataFrame, stride: Int = 10, side: Int = 8): DataFrame = {
+    val spark = binaries.sparkSession
+    import spark.implicits._
+    binaries.select(col("path"), col("length"), col("content"))
+      .as[(String, Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (path, len, content) =>
+          val mime = sniffMime(content).getOrElse("application/octet-stream")
+          val real = if (mime == "image/gif") gifFrames(content) else None
+          real match {
+            case Some(frames) =>
+              (0 until frames.length by stride).map(i =>
+                (path, mime, frames.length, i, imageThumb(frames(i), side)))
+            case None =>
+              val n = (len / 1024 + 1).toInt
+              (0 until n by stride).map(i =>
+                (path, mime, n, i, fakeDecode(content :+ i.toByte, side * side)))
+          }
+        }
+      }
+      .toDF("path", "mime", "n_frames", "frame_idx", "thumb")
+  }
 }

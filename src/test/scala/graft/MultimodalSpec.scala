@@ -186,4 +186,50 @@ class MultimodalSpec extends SparkSpec {
     val idx = frames.select($"frame_idx").as[Int].collect().sorted.toSeq
     assert(idx === (0 until 3).toSeq) // 2048 bytes → 3 fake frames
   }
+
+  test("animated GIF: real multi-frame decode — frame count and per-frame thumbnails") {
+    import java.awt.image.BufferedImage
+    // three 32×32 solid-gray frames at distinct levels; gray survives
+    // the GIF writer's palette quantization exactly, and the Rec.601
+    // coefficients sum to 1, so each frame's thumbnail is level/255 in
+    // every cell
+    val levels = Seq(40, 120, 200)
+    val frames = levels.map { g =>
+      val im = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      for (y <- 0 until 32; x <- 0 until 32) im.setRGB(x, y, rgb)
+      im
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f =>
+      writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val gif = bos.toByteArray
+
+    assert(Multimodal.sniffMime(gif) === Some("image/gif"))
+    assert(Multimodal.gifFrames(gif).get.length === 3)
+
+    val d = Files.createTempDirectory("graft_gif")
+    Files.write(d.resolve("anim.gif"), gif)
+    val rows = Multimodal.sampleFrames(
+        Multimodal.readBinaryDir(spark, d.toString), stride = 1)
+      .select($"mime", $"n_frames", $"frame_idx", $"thumb")
+      .as[(String, Int, Int, Array[Float])].collect().sortBy(_._3)
+    assert(rows.length === 3)
+    rows.zip(levels).foreach { case ((mime, n, idx, thumb), g) =>
+      assert(mime === "image/gif" && n === 3)
+      assert(thumb.length === 64)
+      thumb.foreach(v =>
+        assert(math.abs(v - g / 255.0f) < 1e-3, s"frame $idx cell $v vs ${g / 255.0f}"))
+    }
+    // stride honors the sampling contract on the real path too
+    val strided = Multimodal.sampleFrames(
+        Multimodal.readBinaryDir(spark, d.toString), stride = 2)
+      .select($"frame_idx").as[Int].collect().sorted.toSeq
+    assert(strided === Seq(0, 2))
+  }
 }

@@ -37,10 +37,22 @@ object Bench {
     // (round-2 verdict: the r2 artifact recorded 143.5 s where a warm
     // run measures ~63 s). The min of two runs measures the code, not
     // the JIT.
+    // Randomized (seeded) run order, reshuffled INDEPENDENTLY per pass:
+    // with a fixed alphabetical order, a transient contention window
+    // (VM CPU-steal) lands on the same run-order prefix in both passes,
+    // so min-of-2 can't wash it and the artifact reads as a per-query
+    // regression (r8 verdict: q01-q16 inflated 1.4-2x with untouched
+    // code). Two different orders make a wall-clock window hit
+    // DIFFERENT queries in each pass; the seed is logged for replay.
+    val seed = sys.env.get("SPARK_GRAFT_BENCH_SEED").map(_.toLong)
+      .getOrElse(System.nanoTime())
+    val rnd = new scala.util.Random(seed)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val pass1 = ordered.map { case (n, f) => n -> runOnce(n, f) }
-    val pass2 = ordered.map { case (n, f) => n -> runOnce(n, f) }
-    val merged = pass1.zip(pass2).map { case ((n, r1), (_, r2)) =>
+    val pass1 = rnd.shuffle(ordered).map { case (n, f) => n -> runOnce(n, f) }
+    val pass2 = rnd.shuffle(ordered).map { case (n, f) => n -> runOnce(n, f) }
+    val p2ByName = pass2.toMap
+    val merged = pass1.map { case (n, r1) =>
+      val r2 = p2ByName(n)
       val best = (r1, r2) match {
         case (Right(t1), Right(t2)) => Right(math.min(t1, t2))
         case (Right(t1), Left(_)) => Right(t1)
@@ -48,7 +60,7 @@ object Bench {
         case (Left(e), Left(_)) => Left(e)
       }
       (n, best, r1)
-    }
+    }.sortBy(_._1)
     val results = merged.collect { case (n, Right(t), _) => n -> t }
     val errors = merged.collect { case (n, Left(e), _) => n -> e }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -58,7 +70,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val coldTotal = merged.collect { case (_, _, Right(t)) => t }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"n_failed":${errors.size},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"n_failed":${errors.size},"errors":$errJson,"order_seed":$seed,"queries":$qs,"sf":"$sfDir"}"""
     // The driver captures a bounded tail of stdout; Spark's shutdown
     // noise after this line has truncated the artifact before
     // (BENCH_r05 parsed:null). Persist the full line to a file too so

@@ -47,19 +47,26 @@ object SparkEntry {
     * cold run; stated here so q70's number is read correctly). The
     * directories are removed by a JVM shutdown hook. */
   private val storeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, () => String]()
   private def cachedStorePath(key: String)(build: String => Unit): String =
+    // computeIfAbsent only installs a lazy holder — the multi-second
+    // Spark build runs OUTSIDE the map's per-bin lock (no blocking of
+    // unrelated keys, no re-entrancy hazard); the lazy val still
+    // guarantees exactly-once per key
     storeCache.computeIfAbsent(key, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_store_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }))
-      val path = dir.toFile.getAbsolutePath
-      build(path)
-      path
-    })
+      lazy val built: String = {
+        val dir = java.nio.file.Files.createTempDirectory("graft_store_")
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }))
+        val path = dir.toFile.getAbsolutePath
+        build(path)
+        path
+      }
+      () => built
+    })()
   private def vectorStorePath(e: org.apache.spark.sql.DataFrame, d: String): String =
     cachedStorePath("vec:" + d) { path =>
       graft.sources.VectorStore.write(e, "vec_id", "embedding", path)
@@ -68,12 +75,46 @@ object SparkEntry {
   /** q78's trained IVF quantizer — k-means centroids cached once per
     * (JVM, dataset), like the persisted stores. */
   private val quantizerCache =
-    new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[Array[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[String, () => IndexedSeq[Array[Double]]]()
   private def trainedQuantizer(e: org.apache.spark.sql.DataFrame,
       d: String): IndexedSeq[Array[Double]] =
-    quantizerCache.computeIfAbsent("ivf:" + d,
-      _ => Similarity.kMeans(e, "vec_id", "embedding", 16,
-        maxIter = 5).centroids)
+    quantizerCache.computeIfAbsent("ivf:" + d, _ => {
+      lazy val cents = Similarity.kMeans(e, "vec_id", "embedding", 16,
+        maxIter = 5).centroids
+      () => cents
+    })()
+
+  /** q79's persisted production store: the north-star pipeline's ingest
+    * half, built once per (JVM, dataset). Incoming batch (doc_id%5==0)
+    * is near-dup-deduped against the persisted signature store of the
+    * already-ingested corpus (the q72 machinery — same store, same
+    * cache key), survivors join the corpus, every ingested doc is
+    * hash-embedded (q26 kernel), and the vectors land int8-QUANTIZED in
+    * a bucket-partitioned vector store (q73 layout) with the exact
+    * (doc_id, text, embedding) system-of-record parquet beside it for
+    * the rerank fetch. */
+  private def pipelineStorePath(s: SparkSession, d: String): String =
+    cachedStorePath("pipe:" + d) { pth =>
+      val docs = Tables.documents(s, d)
+      val p = graft.sources.SignatureStore.Params(
+        shingleK = 3, nBands = 8, rowsPerBand = 2)
+      val sigPath = cachedStorePath("sig:" + d) { sp =>
+        graft.sources.SignatureStore.write(
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", sp, p)
+      }
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val dupIds = graft.sources.SignatureStore
+        .dedupAgainstStore(batch, "doc_id", "text", sigPath, p, 0.5)
+        .select(col("id_new").as("doc_id")).distinct()
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        .unionByName(batch.join(dupIds, Seq("doc_id"), "left_anti"))
+      val embedded = fan(corpus, "doc_id")
+        .select(col("doc_id"), col("text"),
+          VectorOps.hashEmbed(TextOps.words(col("text")), 64).as("embedding"))
+      embedded.write.mode("overwrite").parquet(pth + "/docs")
+      graft.sources.VectorStore.writeQuantized(
+        s.read.parquet(pth + "/docs"), "doc_id", "embedding", pth + "/vec")
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- aggregation / relational surface (SURVEY §2.4/2.5/2.6) -----
@@ -916,6 +957,38 @@ object SparkEntry {
       graft.sources.SignatureStore
         .dedupAgainstStore(batch, "doc_id", "text", path, p, 0.5)
         .orderBy(col("id_new"), col("id_stored"))
+    }),
+
+    // the north-star production pipeline END-TO-END on the persisted
+    // stores (previously spread across q36/q70/q72/q73/q35): ingest →
+    // signature-store near-dup dedup of the incoming batch → hash-embed
+    // → int8-quantized bucket-partitioned vector store → partition-
+    // pruned probe with code-scored candidates + exact rerank → llama3
+    // RAG prompts for the top-5 contexts. Rows-only (murmur3 buckets
+    // and minhash signatures are not ANSI-expressible); the composition
+    // is differential-checked in PipelineE2ESpec against the
+    // full-precision store probe. Store built once per (JVM, dataset)
+    // — the warm bench pass times the probe, which is the production
+    // steady state.
+    "q79_pipeline_store" -> ((s, d) => {
+      val pth = pipelineStorePath(s, d)
+      val question = "query filter join aggregate window shuffle"
+      val probe = EmbedPipeline.probeVector(s, question, 64)
+      val source = s.read.parquet(pth + "/docs")
+      val top = graft.sources.VectorStore.topKQuantized(
+        s, pth + "/vec", source, "doc_id", "embedding", probe, k = 5, m = 50)
+      // rank among the 5 survivors via broadcast peer-count (no window:
+      // a constant partitionBy is folded away — r2 finding)
+      val withText = top.join(source.select(col("doc_id"), col("text")), Seq("doc_id"))
+      val peers = withText.select(col("doc_id").as("__d2"), col("sim").as("__s2"))
+      val ranked = withText.join(broadcast(peers),
+          col("__s2") > col("sim") ||
+            (col("__s2") === col("sim") && col("__d2") <= col("doc_id")))
+        .groupBy(col("doc_id"), col("text"), col("sim"))
+        .agg(count(lit(1)).cast("int").as("rank"))
+      RagPrompt.prompts(ranked, question, "text")
+        .select(col("rank"), col("doc_id"), col("sim"), col("prompt"))
+        .orderBy(col("rank"))
     }),
 
     // real BPE token counting (checked-in merge table trained offline

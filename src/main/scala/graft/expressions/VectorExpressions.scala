@@ -394,7 +394,11 @@ case class Int8Cosine(codes: Expression, vmin: Expression, scale: Expression,
       nx += x * x
       i += 1
     }
-    dot / (math.sqrt(nx) * probeNorm)
+    // a zero stored vector (vmin=0, scale=0) or zero probe must not
+    // yield NaN — NaN sorts FIRST under desc and would top the
+    // candidate list; 0.0 matches l2Normalize's zero-vector convention
+    if (nx == 0.0 || probeNorm == 0.0) 0.0
+    else dot / (math.sqrt(nx) * probeNorm)
   }
 
   override protected def withNewChildrenInternal(

@@ -111,15 +111,23 @@ object Bpe {
 
   private val MemoCap = 1 << 16
 
-  /** Memoized word encoding (word as a String; cleared when the memo
-    * exceeds [[MemoCap]] distinct words — never on the fixture corpora,
-    * and at 100 TB the memo is per-executor and vocabulary-bounded). */
+  /** Memoized word encoding (word as a String). At [[MemoCap]] distinct
+    * words the memo evicts ONE arbitrary entry per insert (O(1) via the
+    * map's own iterator) instead of clearing wholesale — a full clear on
+    * a high-vocabulary corpus made every executor thread rebuild the
+    * entire cache from scratch. Never reached on the fixture corpora;
+    * at 100 TB the memo is per-executor and vocabulary-bounded. The
+    * check-evict-put sequence races benignly (worst case: a duplicate
+    * encode or a momentary cap overshoot by #threads). */
   def encodeWordMemo(word: String, t: Table): Array[Int] = {
     val hit = t.memo.get(word)
     if (hit != null) hit
     else {
       val ids = encodeWord(word.getBytes("UTF-8"), t)
-      if (t.memo.size() >= MemoCap) t.memo.clear()
+      if (t.memo.size() >= MemoCap) {
+        val it = t.memo.keySet().iterator()
+        if (it.hasNext) { it.next(); it.remove() }
+      }
       t.memo.put(word, ids)
       ids
     }

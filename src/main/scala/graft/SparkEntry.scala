@@ -991,6 +991,19 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // sequence packing for pretraining: global running token total in
+    // doc order via the two-phase distributed prefix scan (range
+    // partition → per-partition partials → driver prefix of n longs →
+    // partitioned window + offset), NOT a single-partition global
+    // window; each doc learns its 512-token training shard and offset.
+    // Exact ANSI oracle: DuckDB's global window cumsum.
+    "q80_token_shards" -> ((s, d) =>
+      Packing.tokenShards(
+        fan(Tables.documents(s, d), "doc_id")
+          .select(col("doc_id"), TextOps.tokenCount(col("text")).as("tokens")),
+        "doc_id", "tokens", 512)
+        .orderBy(col("doc_id"))),
+
     // real BPE token counting (checked-in merge table trained offline
     // by tools/train_bpe.py) + greedy 64-token chunk boundaries — the
     // faithful replacement for the bpeTokenEstimate heuristic. Oracle =
@@ -1829,6 +1842,25 @@ object SparkEntry {
       """SELECT doc_id, chunk_ord, n_chars, n_words
         |FROM read_parquet('/root/repo/src/test/resources/graft/bpe_chunks_expected_sf001.parquet')
         |ORDER BY doc_id, chunk_ord""".stripMargin,
+
+    // exact ANSI form of the distributed prefix scan: a global window
+    // cumsum (fine in DuckDB — single node; the Spark side must NOT
+    // plan one, spec-guarded)
+    "q80_token_shards" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE CAST(len($wsSql) AS INT) END AS tokens
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, tokens,
+         |    CAST(sum(tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, tokens, cum_tokens,
+         |  CAST((cum_tokens - tokens) // 512 AS INT) AS shard,
+         |  CAST((cum_tokens - tokens) % 512 AS INT) AS shard_offset
+         |FROM w ORDER BY doc_id""".stripMargin,
 
     "q55_filename_default" ->
       """SELECT event_id,

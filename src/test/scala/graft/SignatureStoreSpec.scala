@@ -147,6 +147,37 @@ class SignatureStoreSpec extends SparkSpec {
     assert(bandDup === 0L)
   }
 
+  test("production regime (0.8, 8 bands x 2 rows): planted near-dup batch survives the candidate stage") {
+    // banding math (mirrors nearDupPairsLsh's documented split): at
+    // jaccard j the per-band agreement is ~j^rowsPerBand, so P(pair
+    // missed) = (1 - j^2)^8 ≈ 2.8e-4 at j = 0.8 — the DEFAULT Params
+    // are this production regime; q72/these fixtures pin 8×2 only
+    // because the corpus-self threshold there is 0.5. minhash is
+    // seeded, so the outcome on the fixed fixture texts is
+    // deterministic.
+    val prodP = SignatureStore.Params() // defaults = production regime
+    val dir = Files.createTempDirectory("graft_sig_prod").toString + "/s"
+    SignatureStore.write(stored, "doc_id", "text", dir, prodP)
+    // plant one-word-appended near-dups of 20 stored docs: a doc with
+    // W >= 12 words has >= 10 distinct 3-shingles and the append adds
+    // exactly one, so jaccard >= 10/11 ≈ 0.91 > 0.8
+    val planted = stored
+      .filter(size(graft.functions.TextOps.words($"text")) >= 12)
+      .orderBy($"doc_id").limit(20)
+      .select(($"doc_id" + 100000L).as("doc_id"),
+        concat($"text", lit(" zzzplanted")).as("text"))
+    val plantedIds = planted.select($"doc_id").as[Long].collect().toSet
+    assert(plantedIds.size === 20)
+    val got = SignatureStore
+      .dedupAgainstStore(planted, "doc_id", "text", dir, prodP, 0.8)
+      .as[(Long, Long, Double)].collect()
+    got.foreach { case (_, _, j) => assert(j >= 0.8) }
+    val pairs = got.map(r => (r._1, r._2)).toSet
+    plantedIds.foreach { pid =>
+      assert(pairs.contains((pid, pid - 100000L)), s"missed planted twin $pid")
+    }
+  }
+
   test("compaction: probe results identical, file count reduced") {
     val dir = Files.createTempDirectory("graft_cmp_store").toString + "/s"
     SignatureStore.write(stored, "doc_id", "text", dir, p)

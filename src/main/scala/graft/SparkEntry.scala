@@ -84,6 +84,18 @@ object SparkEntry {
       () => cents
     })()
 
+  /** q81's PQ model — per-subspace codebooks trained by the q74
+    * k-means loop, cached once per (JVM, dataset) like the IVF
+    * quantizer. */
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, () => Pq.Model]()
+  private def pqModel(e: org.apache.spark.sql.DataFrame, d: String): Pq.Model =
+    pqCache.computeIfAbsent("pq:" + d, _ => {
+      lazy val m = Pq.train(e, "vec_id", "embedding", 64, m = 8, k = 16,
+        maxIter = 5)
+      () => m
+    })()
+
   /** q79's persisted production store: the north-star pipeline's ingest
     * half, built once per (JVM, dataset). Incoming batch (doc_id%5==0)
     * is near-dup-deduped against the persisted signature store of the
@@ -1003,6 +1015,24 @@ object SparkEntry {
           .select(col("doc_id"), TextOps.tokenCount(col("text")).as("tokens")),
         "doc_id", "tokens", 512)
         .orderBy(col("doc_id"))),
+
+    // product-quantized vector store (the compression step past q73's
+    // int8: m=8 codebook bytes per vector instead of one per
+    // dimension), codebooks trained per subspace by the q74 k-means
+    // loop; probe scores candidates by ADC lookup tables inlined as
+    // plan literals, exact rerank fetches only surviving ids.
+    // Rows-only: murmur3 buckets + iterative training.
+    "q81_pq_store" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val model = pqModel(e, d)
+      val path = cachedStorePath("pqstore:" + d) { pth =>
+        Pq.writeStore(e, "vec_id", "embedding", pth, model)
+      }
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      Pq.topK(s, path, e, "vec_id", "embedding", probe, model,
+        k = 20, mCand = 50)
+    }),
 
     // real BPE token counting (checked-in merge table trained offline
     // by tools/train_bpe.py) + greedy 64-token chunk boundaries — the

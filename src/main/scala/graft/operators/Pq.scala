@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Product quantization (PQ) with asymmetric-distance scoring — the
+  * compression step past the int8 store (`VectorStore.writeQuantized`):
+  * instead of 1 byte per DIMENSION, each vector stores `m` bytes TOTAL
+  * (one codebook index per `dsub`-dim subspace), the standard IVF-PQ
+  * building block. Codebooks are trained by the existing distributed
+  * Lloyd's loop ([[Similarity.kMeans]]) run per subspace over sliced
+  * vectors — deterministic (quantized-long means), bounded driver
+  * state (m × k × dsub doubles).
+  *
+  * Probe-side scoring is classic ADC: the probe precomputes, on the
+  * driver, one k-entry table of squared distances per subspace
+  * (m × k doubles — model-sized), and every stored vector's
+  * approximate squared L2 distance is the SUM of m table lookups on
+  * its codes. The tables ride the plan as literals, so the scan side
+  * is a pure codegen'd projection — no join, no shuffle, no vector
+  * payload read. Exact rerank then fetches only the surviving top-m
+  * ids from the system of record, the same late-materialization shape
+  * as `topKQuantized`.
+  */
+object Pq {
+
+  /** Trained PQ model: `codebooks(j)(c)` is the `dsub`-dim centroid
+    * `c` of subspace `j`. */
+  final case class Model(m: Int, dsub: Int,
+      codebooks: IndexedSeq[IndexedSeq[Array[Double]]]) {
+    require(codebooks.length == m)
+  }
+
+  /** Train per-subspace codebooks on (a sample of) the corpus: for
+    * each of the `m` subspaces, run [[Similarity.kMeans]] over the
+    * sliced `dsub`-dim sub-vectors. Sequential over subspaces (m is
+    * small, each pass is a full distributed Lloyd's loop). */
+  def train(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Int = 8, k: Int = 16, maxIter: Int = 5): Model = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    val books = (0 until m).map { j =>
+      val sub = df.select(col(idCol),
+        slice(col(vecCol), j * dsub + 1, dsub).as("__sub"))
+      Similarity.kMeans(sub, idCol, "__sub", k, maxIter).centroids
+    }
+    Model(m, dsub, books)
+  }
+
+  /** PQ encoding column: `array<tinyint>` of `m` codebook indices —
+    * per subspace, the argmin-distance centroid via the same
+    * plan-literal [[Similarity.assignExpr]] the k-means loop uses
+    * (codegen'd map, no join). */
+  def encodeExpr(vecCol: Column, model: Model): Column =
+    array(model.codebooks.zipWithIndex.map { case (book, j) =>
+      Similarity.assignExpr(
+        slice(vecCol, j * model.dsub + 1, model.dsub), book).cast("byte")
+    }: _*)
+
+  /** ADC approximate squared-L2 distance of stored codes to `probe`:
+    * Σ_j lut_j(codes(j)) where lut_j(c) = ‖probe_j − codebook_j(c)‖²,
+    * computed once on the driver and inlined as m k-entry literal
+    * arrays. Left-fold sum in subspace order, rounded to 6 dp —
+    * deterministic. */
+  def adcDistExpr(codesCol: Column, probe: Seq[Double], model: Model): Column = {
+    val luts = model.codebooks.zipWithIndex.map { case (book, j) =>
+      book.map { cent =>
+        var s = 0.0
+        var i = 0
+        while (i < model.dsub) {
+          val d = probe(j * model.dsub + i) - cent(i)
+          s += d * d
+          i += 1
+        }
+        s
+      }
+    }
+    val terms = luts.zipWithIndex.map { case (lut, j) =>
+      element_at(typedlit(lut.toIndexedSeq),
+        codesCol.getItem(j).cast("int") + 1)
+    }
+    round(terms.reduceLeft(_ + _), 6)
+  }
+
+  /** Write the corpus PQ-encoded, partitionBy the same hyperplane-LSH
+    * bucket as the full-precision/int8 stores (bucket computed from the
+    * ORIGINAL vector → identical pruning behavior; m bytes of codes per
+    * row instead of `dim`). */
+  def writeStore(df: DataFrame, idCol: String, vecCol: String, path: String,
+      model: Model, nBits: Int = 4): Unit =
+    df.select(col(idCol),
+        graft.sources.VectorStore.bucketOf(col(vecCol), nBits).as("bucket"),
+        encodeExpr(col(vecCol), model).as("codes"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+  /** Pruned-probe approximate top-`mCand` by ADC distance (ascending;
+    * ties break to the lowest id). */
+  def topKApprox(spark: SparkSession, path: String, idCol: String,
+      probe: Seq[Double], model: Model, mCand: Int,
+      nBits: Int = 4): DataFrame =
+    graft.sources.VectorStore
+      .readCandidates(spark, path,
+        graft.sources.VectorStore.probeBuckets(spark, probe, nBits))
+      .select(col(idCol), adcDistExpr(col("codes"), probe, model).as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(mCand)
+
+  /** ADC probe with exact rerank: the PQ store is what gets scanned;
+    * only the surviving `mCand` ids fetch their full-precision vectors
+    * from `source` for the exact cosine top-`k`. With mCand ≥ the
+    * candidate-set size this EQUALS the full-precision probe
+    * (spec-asserted); smaller mCand trades recall for fetch volume
+    * against the PQ quantization error. */
+  def topK(spark: SparkSession, path: String, source: DataFrame,
+      idCol: String, vecCol: String, probe: Seq[Double], model: Model,
+      k: Int, mCand: Int, nBits: Int = 4): DataFrame = {
+    val probeCol = array(probe.map(lit): _*)
+    topKApprox(spark, path, idCol, probe, model, mCand, nBits)
+      .join(source.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col(idCol), VectorOps.cosine6(col(vecCol), probeCol).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+}

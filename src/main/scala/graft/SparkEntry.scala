@@ -1016,6 +1016,40 @@ object SparkEntry {
         "doc_id", "tokens", 512)
         .orderBy(col("doc_id"))),
 
+    // domain mixing to a per-source token budget: per-stratum token
+    // totals broadcast back in-plan, keep rate = min(100, 100·budget
+    // DIV total), deterministic LCG-percent filter (q64's bucket) —
+    // the step that turns the curated corpus into a training MIXTURE.
+    // Fully ANSI-expressible → exact oracle.
+    "q82_domain_mix" -> ((s, d) =>
+      Curation.mixToBudget(
+        fan(Tables.documents(s, d), "doc_id")
+          .select(col("doc_id"), col("source"),
+            TextOps.tokenCount(col("text")).as("tokens")),
+        "doc_id", "source", "tokens", budgetTokens = 800L)
+        .select(col("doc_id"), col("source"), col("tokens"), col("rate"))
+        .orderBy(col("doc_id"))),
+
+    // full IVF-PQ index: store partitioned by the TRAINED coarse cells
+    // (q78's k-means quantizer — 0.84 fixture recall vs hyperplane
+    // 0.44), m=8 PQ code bytes per row, probe reads nProbe=4 cell
+    // directories via PartitionFilters, ADC-scores the codes, exact
+    // rerank per surviving id. The standard billion-scale ANN layout,
+    // composed entirely from parts verified by q74/q78/q81.
+    // Rows-only: iterative training.
+    "q83_ivfpq_store" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val model = pqModel(e, d)
+      val cents = trainedQuantizer(e, d)
+      val path = cachedStorePath("ivfpq:" + d) { pth =>
+        Pq.writeStoreIvf(e, "vec_id", "embedding", pth, model, cents)
+      }
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      Pq.topKIvf(s, path, e, "vec_id", "embedding", probe, model, cents,
+        k = 20, mCand = 50, nProbe = 4)
+    }),
+
     // product-quantized vector store (the compression step past q73's
     // int8: m=8 codebook bytes per vector instead of one per
     // dimension), codebooks trained per subspace by the q74 k-means
@@ -1872,6 +1906,26 @@ object SparkEntry {
       """SELECT doc_id, chunk_ord, n_chars, n_words
         |FROM read_parquet('/root/repo/src/test/resources/graft/bpe_chunks_expected_sf001.parquet')
         |ORDER BY doc_id, chunk_ord""".stripMargin,
+
+    // same tokens CASE as q15/q80; rate and filter mirror the Spark
+    // integer arithmetic exactly (DuckDB // == Spark DIV on BIGINT)
+    "q82_domain_mix" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE CAST(len($wsSql) AS INT) END AS tokens
+         |  FROM documents),
+         |tot AS (
+         |  SELECT source, CAST(sum(tokens) AS BIGINT) AS st
+         |  FROM t GROUP BY source),
+         |r AS (
+         |  SELECT t.doc_id, t.source, t.tokens,
+         |    CAST(CASE WHEN tot.st <= 0 THEN 100
+         |              ELSE least(100, (100 * 800) // tot.st) END AS INT) AS rate
+         |  FROM t JOIN tot ON t.source = tot.source)
+         |SELECT doc_id, source, tokens, rate FROM r
+         |WHERE (doc_id * 1103515245 + 12345) % 100 < rate
+         |ORDER BY doc_id""".stripMargin,
 
     // exact ANSI form of the distributed prefix scan: a global window
     // cumsum (fine in DuckDB — single node; the Spark side must NOT

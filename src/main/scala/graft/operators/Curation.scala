@@ -96,6 +96,31 @@ object Curation {
     df.filter(bucket < rate)
   }
 
+  /** Domain mixing to a per-stratum token budget — the step that turns
+    * a curated corpus into a training MIXTURE: each stratum (source /
+    * domain / language) is down-sampled so its expected token
+    * contribution is ≈ `budgetTokens`, strata already under budget pass
+    * through whole. The keep rate is derived IN-PLAN: per-stratum token
+    * totals (a tiny aggregate) broadcast-join back onto the corpus, so
+    * nothing corpus-sized is collected and the filter itself is the
+    * same deterministic LCG-percent bucket [[stratifiedSample]] uses
+    * (reproducible across engines/partitionings; exact ANSI oracle).
+    * Integer arithmetic throughout: rate = min(100, (100·budget) DIV
+    * total) — exact at any corpus size; an empty stratum keeps 100. */
+  def mixToBudget(df: DataFrame, idCol: String, strataCol: String,
+      tokensCol: String, budgetTokens: Long): DataFrame = {
+    val totals = df.groupBy(col(strataCol))
+      .agg(sum(col(tokensCol)).as("__tot"))
+    val rate = when(col("__tot") <= 0L, lit(100L))
+      .otherwise(least(lit(100L), expr(s"(100 * ${budgetTokens}L) DIV __tot")))
+      .cast("int")
+    val bucket = pmod(col(idCol) * lit(1103515245L) + lit(12345L), lit(100L))
+    df.join(broadcast(totals), Seq(strataCol))
+      .withColumn("rate", rate)
+      .filter(bucket < col("rate"))
+      .drop("__tot")
+  }
+
   /** Corpus vocabulary: the `k` most frequent whitespace tokens with
     * corpus term frequency and document frequency — the first pass of
     * tokenizer training / coverage analysis. One explode + hash

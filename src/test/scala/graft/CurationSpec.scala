@@ -77,6 +77,24 @@ class CurationSpec extends SparkSpec {
     assert(highRate > lowRate)
   }
 
+  test("mixToBudget: rates from planted totals, capped at 100, deterministic LCG keep set") {
+    // stratum a: 10 docs x 100 tokens = 1000 total, budget 500 → rate 50
+    // stratum b:  4 docs x  50 tokens =  200 total, under budget → rate 100 (all kept)
+    val rows = (0L until 10L).map(i => (i, "a", 100)) ++
+      (10L until 14L).map(i => (i, "b", 50))
+    val df = rows.toDF("id", "src", "tokens")
+    val out = Curation.mixToBudget(df, "id", "src", "tokens", budgetTokens = 500L)
+      .select($"id", $"src", $"tokens", $"rate")
+      .as[(Long, String, Int, Int)].collect()
+    assert(out.filter(_._2 == "a").forall(_._4 == 50))
+    assert(out.filter(_._2 == "b").forall(_._4 == 100))
+    val expectedIds = rows.collect { case (id, s, _)
+        if ((id * 1103515245L + 12345L) % 100) < (if (s == "a") 50 else 100) => id }
+    assert(out.map(_._1).sorted.toSeq === expectedIds.sorted)
+    // every under-budget stratum passes through whole
+    assert(out.count(_._2 == "b") === 4)
+  }
+
   test("vocabulary: exact tf/df on a planted corpus, top-k order is (tf desc, term)") {
     val docs = Seq(
       (1L, "apple banana apple cherry"),

@@ -31,6 +31,36 @@ class PqSpec extends SparkSpec {
     assert(codes.toSeq === again.toSeq)
   }
 
+  test("IVF-PQ: exhaustive settings equal brute-force top-k; cell directories prune at plan time") {
+    import graft.operators.Similarity
+    val cents = Similarity.kMeans(src, "vec_id", "embedding", 16, maxIter = 5).centroids
+    val path = Files.createTempDirectory("graft_ivfpq").toString
+    Pq.writeStoreIvf(src, "vec_id", "embedding", path, model, cents)
+    val probe = src.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).map(_.toDouble).toSeq
+    // nProbe = nList + mCand = corpus: the ONLY approximations (cell
+    // pruning, code-ordered candidates) are disabled → exact equality
+    val exact = Similarity.topKCosine(src, "embedding", probe, 10, "vec_id")
+      .as[(Long, Double)].collect().toSeq
+    val full = Pq.topKIvf(spark, path, src, "vec_id", "embedding", probe,
+        model, cents, k = 10, mCand = src.count().toInt, nProbe = 16)
+      .as[(Long, Double)].collect().toSeq
+    assert(full === exact)
+    // plan-time pruning: the cell filter reaches PartitionFilters
+    val cells = Pq.probeCells(probe, cents, 4)
+    assert(cells.length === 4 && cells.distinct.length === 4)
+    val plan = spark.read.parquet(path).filter($"cell".isin(cells: _*))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.split("PartitionFilters")(1).contains("cell"), plan)
+    // pruned probe: the probe's own cell is its nearest, so self is
+    // never pruned and reranks first at sim 1.0
+    val pruned = Pq.topKIvf(spark, path, src, "vec_id", "embedding", probe,
+        model, cents, k = 10, mCand = 50, nProbe = 4)
+      .as[(Long, Double)].collect().toSeq
+    assert(pruned.head === ((0L, 1.0)))
+  }
+
   test("ADC + exact rerank with full mCand equals the full-precision store probe; " +
       "PQ store smaller on disk than int8 store") {
     val full = Files.createTempDirectory("graft_pq_full").toString

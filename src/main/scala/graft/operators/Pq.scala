@@ -134,6 +134,20 @@ object Pq {
         encodeExpr(col(vecCol), model).as("codes"))
       .write.partitionBy("cell").mode("overwrite").parquet(path)
 
+  /** Incremental IVF-PQ index maintenance: append a (micro-)batch —
+    * same cells, same codebooks, new files inside the existing cell
+    * directories (the posture of `VectorStore.append`); run
+    * `VectorStore.compact(spark, path, nBits, partCol = "cell")`
+    * periodically to restore one file per cell. The MODEL is frozen at
+    * train time — the standard IVF-PQ operating regime (retrain +
+    * rebuild is an offline operation, not an append). */
+  def appendIvf(df: DataFrame, idCol: String, vecCol: String,
+      path: String, model: Model, centroids: Seq[Array[Double]]): Unit =
+    df.select(col(idCol),
+        Similarity.assignExpr(col(vecCol), centroids).as("cell"),
+        encodeExpr(col(vecCol), model).as("codes"))
+      .write.partitionBy("cell").mode("append").parquet(path)
+
   /** IVF-PQ probe: read ONLY the `nProbe` nearest cell directories
     * (Catalyst `PartitionFilters` — spec-guarded), ADC-score their
     * codes, exact-rerank the surviving `mCand` ids from `source`. With

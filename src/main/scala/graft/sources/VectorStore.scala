@@ -78,10 +78,11 @@ object VectorStore {
     * store: every non-partition column is passed through untouched.
     * Stage-then-swap via the Hadoop FileSystem (local FS and HDFS
     * alike); must not run concurrently with an active append. */
-  def compact(spark: SparkSession, path: String, nBits: Int = 4): Unit =
+  def compact(spark: SparkSession, path: String, nBits: Int = 4,
+      partCol: String = "bucket"): Unit =
     SignatureStore.stageAndSwap(spark, path) { (src, staged) =>
-      src.repartition(1 << nBits, col("bucket"))
-        .write.partitionBy("bucket").mode("overwrite").parquet(staged)
+      src.repartition(1 << nBits, col(partCol))
+        .write.partitionBy(partCol).mode("overwrite").parquet(staged)
     }
 
   /** The probe's bucket plus its `1+nBits` hamming≤1 neighbors —

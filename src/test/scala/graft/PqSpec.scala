@@ -59,6 +59,29 @@ class PqSpec extends SparkSpec {
         model, cents, k = 10, mCand = 50, nProbe = 4)
       .as[(Long, Double)].collect().toSeq
     assert(pruned.head === ((0L, 1.0)))
+
+    // incremental maintenance: bulk build == append-built store, and
+    // cell-store compaction keeps probes bit-identical with fewer files
+    val inc = Files.createTempDirectory("graft_ivfpq_inc").toString + "/s"
+    Pq.writeStoreIvf(src.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
+      inc, model, cents)
+    (0 until 3).foreach { i =>
+      Pq.appendIvf(src.filter($"vec_id" % 2 === 1 && $"vec_id" % 3 === i),
+        "vec_id", "embedding", inc, model, cents)
+    }
+    def probeInc() = Pq.topKIvf(spark, inc, src, "vec_id", "embedding", probe,
+        model, cents, k = 10, mCand = 50, nProbe = 4)
+      .as[(Long, Double)].collect().toSeq
+    assert(probeInc() === pruned)
+    def nFiles(): Int = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(java.nio.file.Paths.get(inc)).iterator().asScala
+        .count(f => f.toString.endsWith(".parquet"))
+    }
+    val before = nFiles()
+    VectorStore.compact(spark, inc, nBits = 4, partCol = "cell")
+    assert(probeInc() === pruned)
+    assert(nFiles() < before, s"$before -> ${nFiles()}")
   }
 
   test("ADC + exact rerank with full mCand equals the full-precision store probe; " +

@@ -1030,6 +1030,37 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("tokens"), col("rate"))
         .orderBy(col("doc_id"))),
 
+    // Bloom-filter two-phase decontamination (the 100 TB form of q63):
+    // benchmark shingles summarized into a BloomFilterAggregate bitset,
+    // corpus shingles pruned by a codegen'd might_contain INSIDE the
+    // scan projection, exact confirm join removes every false positive
+    // — result identical to the exact broadcast-join decontaminate, so
+    // the same oracle shape applies (k=4, bench = doc_id < 8).
+    "q84_decontaminate_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.decontaminateBloom(
+        docs.filter(col("doc_id") >= 8), docs.filter(col("doc_id") < 8),
+        "doc_id", "text", k = 4)
+        .orderBy(col("doc_id"))
+    }),
+
+    // z-order (Morton) clustering key: bit-interleave of two bucketed
+    // dimensions — the write-time layout that lets parquet footer
+    // min/max prune file reads for rectangles on EITHER dimension
+    // (Scale.writeZOrdered; layout disjointness proven in ScaleSpec).
+    // The key itself is exact integer arithmetic → per-bit DuckDB
+    // oracle. floor() before the cast: DuckDB CAST(decimal) rounds
+    // where Spark truncates.
+    "q85_zorder_key" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          (col("o_custkey") % 256).cast("long").as("x"),
+          (floor(col("o_totalprice")).cast("long") % 256).as("y"))
+        .select(col("o_orderkey"), col("x"), col("y"),
+          Scale.zValue(col("x"), col("y"), 8).as("z"))
+        .withColumn("z_bucket", expr("z DIV 1024"))
+        .orderBy(col("o_orderkey"))),
+
     // full IVF-PQ index: store partitioned by the TRAINED coarse cells
     // (q78's k-means quantizer — 0.84 fixture recall vs hyperplane
     // 0.44), m=8 PQ code bytes per row, probe reads nProbe=4 cell
@@ -1700,6 +1731,45 @@ object SparkEntry {
         |  SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE doc_id < 5),
         |corp AS (
         |  SELECT doc_id, unnest(sh) AS shingle FROM s WHERE doc_id >= 5)
+        |SELECT c.doc_id, count(*) AS n_shared
+        |FROM corp c JOIN bench b USING (shingle)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // per-bit replay of the Morton interleave: DuckDB has no native
+    // bit-interleave, so each bit contributes via unnest(generate_series)
+    // + group-sum — integer-exact, so it matches Spark's shift/mask
+    // chain bit-for-bit. sum() casts to BIGINT (DuckDB sums to HUGEINT).
+    "q85_zorder_key" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, CAST(o_custkey % 256 AS BIGINT) AS x,
+        |    CAST(floor(o_totalprice) AS BIGINT) % 256 AS y
+        |  FROM orders),
+        |b AS (
+        |  SELECT o_orderkey, x, y, unnest(generate_series(0, 7)) AS i FROM src),
+        |z AS (
+        |  SELECT o_orderkey, x, y,
+        |    CAST(sum((((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i+1)))
+        |      AS BIGINT) AS z
+        |  FROM b GROUP BY 1, 2, 3)
+        |SELECT o_orderkey, x, y, z, z // 1024 AS z_bucket
+        |FROM z ORDER BY o_orderkey""".stripMargin,
+
+    // Bloom prune + exact confirm == exact decontamination, so the
+    // oracle is the exact form at q84's parameters (k=4, split at 8).
+    "q84_decontaminate_bloom" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(ws) < 4 THEN [array_to_string(ws, ' ')]
+        |      ELSE list_transform(generate_series(0, len(ws) - 4),
+        |        i -> array_to_string(ws[i+1 : i+4], ' ')) END) AS sh
+        |  FROM d),
+        |bench AS (
+        |  SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE doc_id < 8),
+        |corp AS (
+        |  SELECT doc_id, unnest(sh) AS shingle FROM s WHERE doc_id >= 8)
         |SELECT c.doc_id, count(*) AS n_shared
         |FROM corp c JOIN bench b USING (shingle)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,

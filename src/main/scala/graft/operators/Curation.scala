@@ -81,6 +81,51 @@ object Curation {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Bloom-filter two-phase decontamination — the 100 TB form of
+    * [[decontaminate]]. Exact decontamination probes EVERY corpus
+    * shingle against the benchmark hash table; at real eval-suite
+    * scale (tens of millions of shingles) that table is GBs and every
+    * corpus shingle pays a probe. Here the benchmark shingle set is
+    * first summarized into a Bloom filter (one aggregation job —
+    * `BloomFilterAggregate` merges by bit-OR, so the bytes are
+    * partition-order independent), and the corpus side is pruned by a
+    * codegen'd `BloomFilterMightContain` INSIDE the scan projection —
+    * a bitset test, no join, no shuffle — before the surviving ~fpp
+    * fraction plus true hits pay the exact confirm join. The confirm
+    * join removes every false positive, so the result is IDENTICAL to
+    * [[decontaminate]] (same oracle), while the joined volume drops by
+    * ~(1 − fpp) at any corpus size. This is the same mechanism Spark's
+    * own runtime row-level filtering injects for shuffle joins,
+    * applied deliberately. `expectedItems` sizes the filter (eval sets
+    * are bounded by construction); bits = −n·ln(fpp)/ln(2)². */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, k: Int,
+      expectedItems: Long = 1L << 16, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftShims
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    def shingled(df: DataFrame, keep: Column*) =
+      df.filter(col(textCol).isNotNull)
+        .select(keep :+ explode(Dedup.shingles(col(textCol), k)).as("__shingle"): _*)
+    val bench = shingled(benchmark).select(col("__shingle")).distinct()
+    val numBits = math.max(64L,
+      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomAgg = new BloomFilterAggregate(
+      GraftShims.expression(xxhash64(col("__shingle"))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    val bfBytes = bench.agg(GraftShims.column(bloomAgg).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val mightHit = GraftShims.column(BloomFilterMightContain(
+      Literal(bfBytes, BinaryType),
+      GraftShims.expression(xxhash64(col("__shingle")))))
+    shingled(corpus, col(idCol))
+      .filter(mightHit)
+      .join(broadcast(bench), Seq("__shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Deterministic stratified sampling: per-stratum keep-rates applied
     * through an arithmetic hash of the row id (an LCG step mod 100) —
     * reproducible across engines, partitionings and runs, unlike

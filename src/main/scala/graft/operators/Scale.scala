@@ -28,6 +28,36 @@ object Scale {
     bigS.join(smallS, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** Z-order (Morton) interleave of two non-negative bucket columns,
+    * each already reduced to `bits` bits: bit i of `x` lands at z-bit
+    * 2i, bit i of `y` at 2i+1. Points close in BOTH dimensions are
+    * close on the z-curve, so range-partitioning + sorting a table by
+    * `z` clusters it for predicates on EITHER dimension — the
+    * multi-dimensional write-time layout (Delta/Iceberg OPTIMIZE
+    * ZORDER) that `writeBucketed` cannot give, because a bucket layout
+    * serves exactly one key. Pure integer column arithmetic: 2·bits
+    * shift/mask terms folded into one codegen'd projection — exact and
+    * engine-portable (the oracle replays it per-bit in DuckDB). */
+  def zValue(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** Write `df` z-order-clustered on (`x`, `y`): range-partition by the
+    * z-value into `files` output files and sort within each — every
+    * file covers a disjoint z-range (asserted in ScaleSpec), so parquet
+    * footer min/max on the z column prunes file reads for rectangles in
+    * EITHER dimension. At 100 TB this is the scan-side complement to
+    * partition pruning: partitions prune directories, z-order prunes
+    * files (and row groups) inside them. */
+  def writeZOrdered(df: DataFrame, path: String, x: Column, y: Column,
+      bits: Int, files: Int): Unit =
+    df.withColumn("__z", zValue(x, y, bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .write.mode("overwrite").parquet(path)
+
   /** Write a table bucketed (and sorted) by its join key: co-located,
     * co-sorted joins between two tables bucketed on the same key with
     * the same bucket count need NO exchange and no sort — the shuffle

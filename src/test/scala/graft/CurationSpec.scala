@@ -58,6 +58,27 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("decontaminateBloom equals exact decontaminate; bloom phase prunes") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter($"doc_id" >= 8)
+    val bench = docs.filter($"doc_id" < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"doc_id").as[(Long, Long)].collect().toSeq
+    val exact = rows(Curation.decontaminate(corpus, bench, "doc_id", "text", 4))
+    val bloom = rows(Curation.decontaminateBloom(corpus, bench, "doc_id", "text", 4))
+    assert(exact.nonEmpty) // fixture actually contains contamination
+    assert(bloom === exact)
+    // the pruned plan carries the bloom membership test, not a second join
+    val plan = Curation.decontaminateBloom(corpus, bench, "doc_id", "text", 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+    // and a disjoint benchmark yields nothing (fpp never reaches output)
+    val none = Curation.decontaminateBloom(
+      corpus, Seq((999L, "zzz qqq vvv kkk www")).toDF("doc_id", "text"),
+      "doc_id", "text", 4)
+    assert(none.count() === 0)
+  }
+
   test("stratified sample is deterministic, respects per-stratum rates") {
     val docs = Tables.documents(spark, sf)
     val rates = (0 to 9).map(i => s"src$i" -> 60).toMap

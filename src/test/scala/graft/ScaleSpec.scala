@@ -112,6 +112,39 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("z-order: interleave round-trips, files cover disjoint z-ranges") {
+    import graft.operators.Scale
+    // zValue == a reference driver-side interleave on every (x, y) pair
+    val pts = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    def ref(x: Long, y: Long): Long =
+      (0 until 4).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val got = pts.toDF("x", "y")
+      .select($"x", $"y", Scale.zValue($"x", $"y", 4).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) => assert(z === ref(x, y), s"($x,$y)") }
+    // de-interleave sanity: z is a bijection on the 16x16 grid
+    assert(got.map(_._3).toSet.size === pts.size)
+
+    // layout: z-ordered write produces files with pairwise-disjoint
+    // z-ranges (range partition + in-file sort), rows preserved
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
+    val orders = Tables.orders(spark, sf)
+      .select($"o_orderkey", ($"o_custkey" % 256).cast("long").as("x"),
+        (floor($"o_totalprice").cast("long") % 256).as("y"))
+    Scale.writeZOrdered(orders, dir, $"x", $"y", bits = 8, files = 8)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === orders.count())
+    val ranges = back
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"__z").as("lo"), max($"__z").as("hi"))
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+  }
+
   test("whole queries run through spark.sql over registered views") {
     Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem")
     val viaSql = spark.sql(

@@ -1044,6 +1044,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Spark-native BPE merge-table TRAINING (the corpus side of q75's
+    // encoder): one corpus-sized histogram pass, then per-round
+    // distributed pair counts over the cached (word, freq) table with a
+    // bounded driver collect — the standard production trainer shape.
+    // Differential oracle: the independent Python trainer
+    // (tools/gen_bpe_train_expected.py → train_bpe.train) writes the
+    // expected merges for sf0.01 to a checked-in parquet.
+    "q86_bpe_train" -> ((s, d) =>
+      graft.functions.BpeTrain.trainTable(Tables.documents(s, d), "text", 40)
+        .orderBy(col("rank"))),
+
     // z-order (Morton) clustering key: bit-interleave of two bucketed
     // dimensions — the write-time layout that lets parquet footer
     // min/max prune file reads for rectangles on EITHER dimension
@@ -1734,6 +1745,14 @@ object SparkEntry {
         |SELECT c.doc_id, count(*) AS n_shared
         |FROM corp c JOIN bench b USING (shingle)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // Differential oracle (q75 pattern): expected merges precomputed by
+    // the INDEPENDENT Python trainer over the same corpus, pinned to the
+    // driver's correctness scale (sf0.01).
+    "q86_bpe_train" ->
+      """SELECT rank, left_hex, right_hex
+        |FROM read_parquet('/root/repo/src/test/resources/graft/bpe_train_expected_sf001.parquet')
+        |ORDER BY rank""".stripMargin,
 
     // per-bit replay of the Morton interleave: DuckDB has no native
     // bit-interleave, so each bit contributes via unnest(generate_series)

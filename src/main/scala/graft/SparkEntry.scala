@@ -1044,6 +1044,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // exact substring-span dedup (Lee et al. char-level duplicated-
+    // content metric): per doc, how many of its distinct 32-char
+    // windows appear in >= 2 docs. CharShingles kernel + two
+    // key-bounded shuffles; exact ANSI oracle via substr windows.
+    "q87_dup_spans" -> ((s, d) =>
+      Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text", k = 32)
+        .orderBy(col("doc_id"))),
+
     // Spark-native BPE merge-table TRAINING (the corpus side of q75's
     // encoder): one corpus-sized histogram pass, then per-round
     // distributed pair counts over the cached (word, freq) table with a
@@ -1744,6 +1752,23 @@ object SparkEntry {
         |  SELECT doc_id, unnest(sh) AS shingle FROM s WHERE doc_id >= 5)
         |SELECT c.doc_id, count(*) AS n_shared
         |FROM corp c JOIN bench b USING (shingle)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // distinct 32-char windows per doc (SELECT DISTINCT mirrors the
+    // kernel's LinkedHashSet), span doc-frequency, per-doc rollup.
+    // CAST sums to BIGINT (DuckDB HUGEINT) and divide as DOUBLE.
+    "q87_dup_spans" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(generate_series(1, len(text) - 31)) AS i
+        |  FROM documents WHERE text IS NOT NULL AND len(text) >= 32),
+        |sp AS (SELECT DISTINCT doc_id, substr(text, i, 32) AS span FROM pos),
+        |dfq AS (SELECT span, count(*) AS span_df FROM sp GROUP BY 1)
+        |SELECT s.doc_id,
+        |  CAST(count(*) AS BIGINT) AS total_spans,
+        |  CAST(sum(CASE WHEN d.span_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+        |  round(CAST(sum(CASE WHEN d.span_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+        |FROM sp s JOIN dfq d USING (span)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // Differential oracle (q75 pattern): expected merges precomputed by

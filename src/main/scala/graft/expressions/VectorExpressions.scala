@@ -485,6 +485,38 @@ case class WordShingles(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Distinct k-character sliding windows of a string — the span unit of
+  * exact substring dedup (Lee et al. 2021's duplicated-span metric,
+  * char-level). Texts shorter than k yield the whole text (callers
+  * filter if they want none). Distinctness via LinkedHashSet, same as
+  * [[WordShingles]]; one kernel call per row instead of an interpreted
+  * transform(sequence(...)) chain. Char = UTF-16 unit (fixtures are
+  * ASCII; matches DuckDB substr on BMP text). */
+case class CharShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_shingles"
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (s.length < k) {
+      out.add(UTF8String.fromString(s))
+    } else {
+      var i = 0
+      while (i <= s.length - k) {
+        out.add(UTF8String.fromString(s.substring(i, i + k)))
+        i += 1
+      }
+    }
+    ArrayData.toArrayData(out.toArray(new Array[UTF8String](out.size())))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   private def expr(c: Column): Expression = GraftShims.expression(c)
 
@@ -509,6 +541,9 @@ object VectorExpressions {
 
   def wordShingles(words: Column, k: Int): Column =
     GraftShims.column(WordShingles(expr(words), k))
+
+  def charShingles(text: Column, k: Int): Column =
+    GraftShims.column(CharShingles(expr(text), k))
 
   def hashEmbed(words: Column, dim: Int): Column =
     GraftShims.column(HashEmbed(expr(words), dim))

@@ -268,4 +268,38 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("grp"), col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Exact substring-span dedup (the char-level duplicated-content
+    * metric of Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better"): for each document, how many of its
+    * DISTINCT k-character windows also appear in at least one other
+    * document. Two shuffles, both key-bounded: spans → per-span doc
+    * frequency (spans are distinct per doc, so `count` IS the doc
+    * frequency), then the span stream rejoins its frequency — Catalyst
+    * reuses the span exchange for both sides — and a per-doc aggregate
+    * emits (total_spans, dup_spans, dup_frac). Long spans (k ≈ 32+)
+    * carry no boilerplate, so unlike the word-shingle join there is no
+    * hot-key blowup: a span's fan-out is its true duplication factor,
+    * which is exactly the signal. Documents shorter than k are
+    * excluded (they have no k-span). */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val spans = df
+      .filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+      .select(col(idCol).as("doc"), col(textCol))
+      .repartition(par(df), col("doc"))
+      .select(col("doc"),
+        explode(graft.expressions.VectorExpressions
+          .charShingles(col(textCol), k)).as("span"))
+    val dfreq = spans.groupBy(col("span")).agg(count(lit(1)).as("span_df"))
+    spans.join(dfreq, Seq("span"))
+      .groupBy(col("doc"))
+      .agg(
+        count(lit(1)).as("total_spans"),
+        sum(when(col("span_df") >= 2, lit(1L)).otherwise(lit(0L))).as("dup_spans"))
+      .select(col("doc").as(idCol),
+        col("total_spans"), col("dup_spans"),
+        round(col("dup_spans").cast("double")
+          / col("total_spans").cast("double"), 6).as("dup_frac"))
+  }
 }

@@ -183,6 +183,45 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
   }
 
+  test("duplicatedSpans: hand-planted shared windows, exact counts") {
+    import graft.operators.Dedup
+    // k=5: doc 1 and 2 share the run "ABCDEFGH" (4 distinct 5-spans);
+    // doc 3 is all-unique; doc 4 too short; doc 5 duplicates doc 3.
+    val docs = Seq(
+      (1L, "ABCDEFGHxyzw"), // spans: 8 total, 4 shared with doc 2
+      (2L, "qqABCDEFGHpp"),
+      (3L, "0123456789"),
+      (4L, "abc"),
+      (5L, "0123456789"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 5)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // doc1: 12 chars -> 8 spans, shared = ABCDE,BCDEF,CDEFG,DEFGH = 4
+    // doc3/doc5: 6 spans each, all 6 shared (exact dup)
+    assert(got === Seq(
+      (1L, 8L, 4L, 0.5),
+      (2L, 8L, 4L, 0.5),
+      (3L, 6L, 6L, 1.0),
+      (5L, 6L, 6L, 1.0)))
+    // fixture differential: operator == an in-memory brute force
+    val fx = Tables.documents(spark, sf)
+    val texts = fx.filter($"text".isNotNull && length($"text") >= 32)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val spanSets = texts.map { case (id, t) =>
+      id -> (0 to t.length - 32).map(i => t.substring(i, i + 32)).toSet
+    }
+    val dfreq = spanSets.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val expect = spanSets.map { case (id, ss) =>
+      (id, ss.size.toLong, ss.count(dfreq(_) >= 2).toLong)
+    }.sortBy(_._1).toSeq
+    val fxGot = Dedup.duplicatedSpans(fx, "doc_id", "text", 32)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"total_spans", $"dup_spans")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(fxGot === expect)
+  }
+
   test("connected components: transitive chain collapses to one cluster") {
     // A~B, B~C but A!~C — the case pairwise keep-first cannot handle
     val cc = runCC(5, Seq((1L, 2L), (2L, 3L)))

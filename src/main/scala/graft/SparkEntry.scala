@@ -1044,6 +1044,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // SemDeDup (Abbas et al.): embedding dedup with the quadratic
+    // cosine verify confined to k-means cluster blocks (N²/k instead of
+    // N²). Reuses the SAME trained coarse quantizer as the IVF index
+    // (q78/q83) — one clustering, many uses. tau=0.3 is the fixture
+    // regime (random 64-dim vectors; production would run 0.95+).
+    // Rows-only: iterative training; SimilaritySpec proves the dropped
+    // set equals keep-first over the within-cluster near-dup pairs.
+    "q88_semdedup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.semDedupWithCentroids(e, "vec_id", "embedding",
+        trainedQuantizer(e, d), tau = 0.3)
+        .orderBy(col("vec_id"))
+    }),
+
     // exact substring-span dedup (Lee et al. char-level duplicated-
     // content metric): per doc, how many of its distinct 32-char
     // windows appear in >= 2 docs. CharShingles kernel + two

@@ -420,4 +420,53 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
+
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication that confines
+    * the quadratic cosine verify to k-means cluster blocks. All-pairs
+    * near-dup over N rows is N²; clustering first makes it
+    * Σ_c |c|² ≈ N²/k — the trick that made embedding dedup tractable
+    * on LAION/web-crawl scale corpora. Within each cluster, pairs with
+    * cosine ≥ `tau` dedup keep-first (a row is dropped iff a
+    * lower-id peer in ITS cluster matches it — q47's canonicalization
+    * rule). Cross-cluster near-dups are missed by construction; that
+    * recall loss is the documented SemDeDup tradeoff, and
+    * [[nearDupPairsLsh]] remains the recall-exact path.
+    *
+    * The assignment is the broadcast-free plan-literal map
+    * ([[assignExpr]]); the pair stage is an EQUI-join on the cluster
+    * id, so Catalyst shuffles both sides once on a bounded key —
+    * never a cartesian. Centroids come from the caller so the same
+    * trained coarse quantizer can serve the ANN index AND the dedup
+    * pass (the production pattern — one clustering, many uses).
+    * Returns (id, cluster, kept) for every row. */
+  def semDedupWithCentroids(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Double]], tau: Double): DataFrame = {
+    val assigned = df.select(col(idCol), col(vecCol))
+      .repartition(par(df), col(idCol))
+      .withColumn("cluster", assignExpr(col(vecCol), centroids))
+      .withColumn("__n", VectorOps.norm2(col(vecCol)))
+    val a = assigned.select(col("cluster"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"), col("__n").as("__na"))
+    val b = assigned.select(col("cluster"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"), col("__n").as("__nb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim",
+        round(VectorOps.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
+      .filter(col("sim") >= tau)
+      .select(col("id_b").as(idCol))
+      .distinct()
+      .withColumn("__dropped", lit(true))
+    assigned.select(col(idCol), col("cluster"))
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        col("__dropped").isNull.as("kept"))
+  }
+
+  /** [[semDedupWithCentroids]] with the quantizer trained in place
+    * (Lloyd's loop, deterministic seeds, pinned iteration budget). */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      tau: Double, maxIter: Int = 10): DataFrame =
+    semDedupWithCentroids(df, idCol, vecCol,
+      kMeans(df, idCol, vecCol, k, maxIter).centroids, tau)
 }

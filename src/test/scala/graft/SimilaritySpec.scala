@@ -235,4 +235,27 @@ class SimilaritySpec extends SparkSpec {
       assert(rows.length === members(cl))
     }
   }
+
+  test("semDedup drops exactly keep-first over within-cluster near-dup pairs") {
+    val e = Tables.embeddings(spark, sf)
+    val cents = Similarity.kMeans(e, "vec_id", "embedding", 8, maxIter = 5).centroids
+    val out = Similarity.semDedupWithCentroids(e, "vec_id", "embedding", cents, 0.3)
+      .as[(Long, Int, Boolean)].collect().toSeq
+    assert(out.length === e.count())
+    val dropped = out.filter(!_._3).map(_._1).toSet
+
+    // expected: cluster assignments + all-pairs near-dups restricted to
+    // same-cluster, keep-first (id_b of any surviving pair is dropped)
+    val clusterOf = Similarity.kMeansAssign(e, "vec_id", "embedding", cents)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    val pairs = Similarity.nearDupPairs(e, "vec_id", "embedding", 0.3)
+      .as[(Long, Long, Double)].collect()
+    val expectDropped = pairs
+      .filter { case (a, b, _) => clusterOf(a) == clusterOf(b) }
+      .map(_._2).toSet
+    assert(dropped === expectDropped)
+    assert(expectDropped.nonEmpty) // fixture regime actually dedups
+    // the assignment column matches the reference assignment
+    out.foreach { case (id, cl, _) => assert(cl === clusterOf(id)) }
+  }
 }

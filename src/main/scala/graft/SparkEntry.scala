@@ -87,6 +87,28 @@ object SparkEntry {
   /** q81's PQ model — per-subspace codebooks trained by the q74
     * k-means loop, cached once per (JVM, dataset) like the IVF
     * quantizer. */
+  /** Per-(JVM, dataset) trained quality classifier (q89): the weak
+    * keyword rule distilled into a hash-BOW logistic model; warm bench
+    * runs pay only the codegen scoring projection. */
+  private val lrCache =
+    new java.util.concurrent.ConcurrentHashMap[String, () => QualityClassifier.Model]()
+  private def lrModel(docs: org.apache.spark.sql.DataFrame,
+      d: String): QualityClassifier.Model =
+    lrCache.computeIfAbsent("lr:" + d, _ => {
+      lazy val m = QualityClassifier.train(
+        docs.filter(col("text").isNotNull)
+          .select(
+            array_contains(TextOps.words(col("text")), "spark")
+              .cast("double").as("label"),
+            VectorOps.hashEmbed(TextOps.words(col("text")), 128).as("feat")),
+        // L2-normalized features put ~0.2 of mass on the keyword bucket
+        // and the class prior is ~1:4, so the separating weight is ~6 —
+        // 80 full-batch steps at lr 8 reach it with margin (15/2.0
+        // plateaued at the majority-class predictor)
+        "feat", "label", dim = 128, iters = 80, lr = 8.0)
+      () => m
+    })()
+
   private val pqCache =
     new java.util.concurrent.ConcurrentHashMap[String, () => Pq.Model]()
   private def pqModel(e: org.apache.spark.sql.DataFrame, d: String): Pq.Model =
@@ -1041,6 +1063,26 @@ object SparkEntry {
       Curation.decontaminateBloom(
         docs.filter(col("doc_id") >= 8), docs.filter(col("doc_id") < 8),
         "doc_id", "text", k = 4)
+        .orderBy(col("doc_id"))
+    }),
+
+    // in-engine trained quality classifier (fastText-style filter): a
+    // keyword weak-label distilled into a hash-BOW logistic model by
+    // full-batch GD — one single-stage job per round, per-row 1e12-long
+    // quantized gradients (partition-count independent), scoring as a
+    // plan-literal codegen projection. Rows-only: training is
+    // iterative; QualityClassifierSpec proves separation, loss descent
+    // and bit-identical weights across partitionings.
+    "q89_quality_classifier" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val m = lrModel(docs, d)
+      fan(docs, "doc_id").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          array_contains(TextOps.words(col("text")), "spark")
+            .cast("int").as("label"),
+          QualityClassifier.score(
+            VectorOps.hashEmbed(TextOps.words(col("text")), 128), m).as("score"))
+        .withColumn("pred", (col("score") >= 0.5).cast("int"))
         .orderBy(col("doc_id"))
     }),
 

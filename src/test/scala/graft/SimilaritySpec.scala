@@ -236,6 +236,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("tripletMine: positive is rank 1, negative is best-ranked below the margin") {
+    val e = Tables.embeddings(spark, sf)
+    val anchors = e.filter($"vec_id" < 6)
+    val corpus = e.filter($"vec_id" >= 6)
+    val knn = Similarity.knnJoin(anchors, corpus, "vec_id", "vec_id", "embedding", 15)
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4)).toMap
+    val got = Similarity.tripletMine(anchors, corpus, "vec_id", "vec_id",
+        "embedding", k = 15, margin = 0.05)
+      .as[(Long, Long, Double, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    knn.foreach { case (anchor, rows) =>
+      val (_, posId, posSim, _) = rows.head
+      rows.find(_._3 <= posSim - 0.05) match {
+        case Some((_, negId, negSim, _)) =>
+          assert(got(anchor) === ((anchor, posId, posSim, negId, negSim)))
+        case None =>
+          assert(!got.contains(anchor))
+      }
+    }
+    assert(got.nonEmpty)
+    // the margin actually separates every emitted triplet
+    got.values.foreach { case (_, _, ps, _, ns) => assert(ns <= ps - 0.05) }
+  }
+
   test("semDedup drops exactly keep-first over within-cluster near-dup pairs") {
     val e = Tables.embeddings(spark, sf)
     val cents = Similarity.kMeans(e, "vec_id", "embedding", 8, maxIter = 5).centroids

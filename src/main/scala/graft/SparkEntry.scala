@@ -1066,6 +1066,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // bigram LM perplexity scoring (the order-sensitive upgrade of
+    // q71's unigram NLL — the KenLM-style filter shape): add-one
+    // smoothed conditionals from corpus-self bigram/prefix counts,
+    // 6-dp DECIMAL(18,6) log-prob partials. Exact ANSI oracle.
+    "q92_bigram_nll" -> ((s, d) =>
+      Curation.bigramNll(fan(Tables.documents(s, d), "doc_id"),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // hard-negative triplet mining for contrastive embedding training:
     // positive = nearest neighbor (NNCLR-style), hard negative = best-
     // ranked neighbor >= 0.05 cosine below the positive, via min_by
@@ -1849,6 +1858,34 @@ object SparkEntry {
         |    / CAST(count(*) AS DOUBLE), 6) AS dup_frac
         |FROM sp s JOIN dfq d USING (span)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // bigram stream via per-row unnest(generate_series); ln == Spark
+    // log (natural); DOUBLE casts before division; DECIMAL(18,6)
+    // round-trip on the summed log-probs (q71 discipline).
+    "q92_bigram_nll" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |pos AS (
+        |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        |  FROM d WHERE len(ws) >= 2),
+        |b AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i+1] AS bg FROM pos),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM b GROUP BY 1),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+        |v AS (
+        |  SELECT count(DISTINCT w) AS v
+        |  FROM (SELECT unnest(ws) AS w FROM d)),
+        |lp AS (
+        |  SELECT doc_id,
+        |    round(ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE)), 6)
+        |      AS lp
+        |  FROM b JOIN c2 USING (bg) JOIN c1 USING (w1), v)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(-CAST(sum(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+        |    AS avg_nll
+        |FROM lp GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "q91_triplet_mine" ->
       s"""WITH knn AS (

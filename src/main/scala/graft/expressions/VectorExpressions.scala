@@ -485,6 +485,40 @@ case class WordShingles(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** ALL adjacent k-word windows in order (NOT distinct — language-model
+  * scoring weights every occurrence, unlike [[WordShingles]]'s set
+  * semantics for dedup). Fewer than k words yields an empty array. */
+case class WordNgrams(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < k) return ArrayData.toArrayData(Array.empty[UTF8String])
+    val words = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { words(i) = arr.getUTF8String(i); i += 1 }
+    val out = new Array[UTF8String](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = words(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(space, parts: _*)
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Distinct k-character sliding windows of a string — the span unit of
   * exact substring dedup (Lee et al. 2021's duplicated-span metric,
   * char-level). Texts shorter than k yield the whole text (callers
@@ -544,6 +578,9 @@ object VectorExpressions {
 
   def charShingles(text: Column, k: Int): Column =
     GraftShims.column(CharShingles(expr(text), k))
+
+  def wordNgrams(words: Column, k: Int): Column =
+    GraftShims.column(WordNgrams(expr(words), k))
 
   def hashEmbed(words: Column, dim: Int): Column =
     GraftShims.column(HashEmbed(expr(words), dim))

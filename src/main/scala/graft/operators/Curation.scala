@@ -210,4 +210,45 @@ object Curation {
           / count(lit(1)), 6).as("avg_nll"))
       .select(col("__doc").as(idCol), col("n_tokens"), col("avg_nll"))
   }
+
+  /** Bigram LM scoring with add-one smoothing — the order-sensitive
+    * upgrade of [[unigramNll]] (a scrambled document scores the same
+    * under a unigram LM; the bigram conditional catches it — the
+    * standard "KenLM-style perplexity filter" shape, corpus-self
+    * trained like the unigram):
+    *   P(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / (c(w_{i-1} ·) + V)
+    * where c(w_{i-1} ·) is the corpus count of bigrams starting with
+    * w_{i-1} and V the corpus unigram vocabulary. Bigram occurrences
+    * come from the `WordNgrams` kernel (every occurrence, not the
+    * dedup shingle SET); both count tables are vocabulary-bounded
+    * aggregates that join back onto the bigram stream (AQE broadcasts
+    * them when small). Per-occurrence log-probs round to 6 dp and sum
+    * as DECIMAL(18,6) — the order-independent discipline every other
+    * scorer uses. Returns (`idCol`, n_bigrams, avg_nll). */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__doc"),
+        graft.functions.TextOps.words(col(textCol)).as("__ws"))
+    val vocab = base
+      .select(explode(col("__ws")).as("term"))
+      .agg(countDistinct(col("term")).as("__v"))
+    val bigrams = base
+      .select(col("__doc"),
+        explode(graft.expressions.VectorExpressions.wordNgrams(col("__ws"), 2))
+          .as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val c2 = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("__c2"))
+    val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
+    val lp = round(
+      log((col("__c2") + 1).cast("double") / (col("__c1") + col("__v")).cast("double")),
+      6).cast("decimal(18,6)")
+    bigrams.join(c2, "bg").join(c1, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__lp", lp)
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-(sum(col("__lp")).cast("decimal(18,6)").cast("double"))
+          / count(lit(1)), 6).as("avg_nll"))
+      .select(col("__doc").as(idCol), col("n_bigrams"), col("avg_nll"))
+  }
 }

@@ -58,6 +58,36 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("bigramNll: hand-computed add-one conditionals; scrambling raises NLL") {
+    // corpus: "a b a" and "b a" -> bigrams: (a b)x1, (b a)x2
+    // prefix counts: a->1, b->2; V=2
+    // lp(a b) = ln(2/3) = -0.405465; lp(b a) = ln(3/4) = -0.287682
+    val df = Seq((1L, "a b a"), (2L, "b a")).toDF("doc_id", "text")
+    val got = Curation.bigramNll(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lpAB = round6(math.log(2.0 / 3.0))
+    val lpBA = round6(math.log(3.0 / 4.0))
+    assert(got(1L) === ((1L, 2L, round6(-(lpAB + lpBA) / 2))))
+    assert(got(2L) === ((2L, 1L, round6(-lpBA))))
+    assert(lpAB === -0.405465 && lpBA === -0.287682)
+
+    // order sensitivity: reversing word order changes the score (a
+    // unigram LM is permutation-invariant by construction, so any
+    // difference proves the conditional actually conditions). The
+    // fixture is word soup, so only inequality — not direction — is a
+    // sound claim.
+    val docs = Tables.documents(spark, sf).limit(50)
+    val scrambled = docs.select($"doc_id",
+      concat_ws(" ", reverse(graft.functions.TextOps.words($"text"))).as("text"))
+    val orig = Curation.bigramNll(docs, "doc_id", "text")
+      .agg(avg($"avg_nll")).as[Double].head()
+    val rev = Curation.bigramNll(scrambled, "doc_id", "text")
+      .agg(avg($"avg_nll")).as[Double].head()
+    assert(orig.isFinite && rev.isFinite && orig != rev)
+  }
+
   test("decontaminateBloom equals exact decontaminate; bloom phase prunes") {
     val docs = Tables.documents(spark, sf)
     val corpus = docs.filter($"doc_id" >= 8)

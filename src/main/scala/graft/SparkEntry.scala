@@ -109,6 +109,18 @@ object SparkEntry {
       () => m
     })()
 
+  /** Per-(JVM, dataset) RESIDUAL PQ model (q93): codebooks trained on
+    * coarse-cell residuals under the shared trained quantizer. */
+  private val pqResidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, () => Pq.Model]()
+  private def pqResidModel(e: org.apache.spark.sql.DataFrame,
+      d: String): Pq.Model =
+    pqResidCache.computeIfAbsent("pqresid:" + d, _ => {
+      lazy val m = Pq.trainResidual(e, "vec_id", "embedding",
+        trainedQuantizer(e, d), 64, m = 8, k = 16, maxIter = 5)
+      () => m
+    })()
+
   private val pqCache =
     new java.util.concurrent.ConcurrentHashMap[String, () => Pq.Model]()
   private def pqModel(e: org.apache.spark.sql.DataFrame, d: String): Pq.Model =
@@ -1186,6 +1198,26 @@ object SparkEntry {
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
       Pq.topKIvf(s, path, e, "vec_id", "embedding", probe, model, cents,
         k = 20, mCand = 50, nProbe = 4)
+    }),
+
+    // RESIDUAL IVF-PQ (the full Jégou et al. recipe past q83's
+    // raw-vector codes): codebooks trained on coarse-cell residuals —
+    // the centroid absorbs location, so the same m×k budget quantizes
+    // the much smaller residual cloud; each probed cell scans with its
+    // own driver-built ADC tables (probe − that cell's centroid).
+    // Rows-only: iterative training; PqSpec asserts lower ADC error
+    // than raw codes and exhaustive == brute force.
+    "q93_ivfpq_residual" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = trainedQuantizer(e, d)
+      val model = pqResidModel(e, d)
+      val path = cachedStorePath("ivfpqresid:" + d) { pth =>
+        Pq.writeStoreIvfResidual(e, "vec_id", "embedding", pth, model, cents)
+      }
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      Pq.topKIvfResidual(s, path, e, "vec_id", "embedding", probe, model,
+        cents, k = 20, mCand = 50, nProbe = 4)
     }),
 
     // product-quantized vector store (the compression step past q73's

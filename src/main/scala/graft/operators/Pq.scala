@@ -171,6 +171,84 @@ object Pq {
       .limit(k)
   }
 
+  // --- residual IVF-PQ (the Jégou et al. recipe) ---------------------
+
+  /** Residual of a vector against its nearest coarse centroid —
+    * v − c(cell(v)), computed in-plan: the cell comes from the same
+    * plan-literal argmin the index uses, the centroid matrix rides as
+    * one typedlit, and zip_with does the element-wise subtract. The
+    * zip_with is interpreted (HOF), but it runs ONCE per row per
+    * training/encode pass, never inside the probe's hot scoring path
+    * (probes subtract on the driver). */
+  def residualExpr(vecCol: Column, centroids: Seq[Array[Double]]): Column = {
+    val cell = Similarity.assignExpr(vecCol, centroids)
+    val centLit = typedlit(centroids.map(_.toIndexedSeq).toIndexedSeq)
+    zip_with(vecCol.cast("array<double>"), element_at(centLit, cell + 1),
+      (a, b) => a - b)
+  }
+
+  /** Train PQ codebooks on coarse-cell RESIDUALS — the actual IVF-PQ
+    * recipe: the coarse centroid absorbs the vector's location, so the
+    * codebooks only have to cover the (much smaller) residual cloud,
+    * and the same m×k budget buys a finer quantization grid. One
+    * shared residual codebook set across cells (standard; per-cell
+    * books would be nList× the model state for marginal gain). */
+  def trainResidual(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Double]], dim: Int, m: Int = 8, k: Int = 16,
+      maxIter: Int = 5): Model = {
+    val resid = df.select(col(idCol),
+      residualExpr(col(vecCol), centroids).as("__res"))
+    train(resid, idCol, "__res", dim, m, k, maxIter)
+  }
+
+  /** IVF-PQ store with residual codes: partitioned by the trained
+    * coarse cell, each row carrying the PQ codes of its RESIDUAL. */
+  def writeStoreIvfResidual(df: DataFrame, idCol: String, vecCol: String,
+      path: String, model: Model, centroids: Seq[Array[Double]]): Unit =
+    df.select(col(idCol),
+        Similarity.assignExpr(col(vecCol), centroids).as("cell"),
+        encodeExpr(residualExpr(col(vecCol), centroids), model).as("codes"))
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** Residual IVF-PQ probe: each probed cell scans with its OWN ADC
+    * tables, built from the probe's residual against THAT cell's
+    * centroid (driver math — the tables differ per cell, which is the
+    * price of residual encoding and why classic implementations
+    * precompute them per probe exactly like this). Each branch is a
+    * single-directory scan (`cell = c` prunes at plan time) with its
+    * literal tables; branches union, the global top-`mCand` by ADC
+    * distance reranks exactly from `source`. With nProbe = nList and
+    * mCand ≥ corpus this equals the brute-force top-k. */
+  /** The scoring stage of [[topKIvfResidual]] (no rerank/limit):
+    * per-cell single-directory scans, each with its own literal ADC
+    * tables, unioned. Exposed so specs can measure ADC error. */
+  def topKIvfResidualAdc(spark: SparkSession, path: String, idCol: String,
+      probe: Seq[Double], model: Model, centroids: Seq[Array[Double]],
+      nProbe: Int): DataFrame = {
+    val cells = probeCells(probe, centroids, nProbe)
+    cells.map { c =>
+      val pres = probe.zip(centroids(c).toIndexedSeq)
+        .map { case (p, ce) => p - ce }
+      spark.read.parquet(path)
+        .filter(col("cell") === c)
+        .select(col(idCol), adcDistExpr(col("codes"), pres, model).as("adc_dist"))
+    }.reduce(_.union(_))
+  }
+
+  def topKIvfResidual(spark: SparkSession, path: String, source: DataFrame,
+      idCol: String, vecCol: String, probe: Seq[Double], model: Model,
+      centroids: Seq[Array[Double]], k: Int, mCand: Int,
+      nProbe: Int): DataFrame = {
+    val probeCol = array(probe.map(lit): _*)
+    topKIvfResidualAdc(spark, path, idCol, probe, model, centroids, nProbe)
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(mCand)
+      .join(source.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col(idCol), VectorOps.cosine6(col(vecCol), probeCol).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** ADC probe with exact rerank: the PQ store is what gets scanned;
     * only the surviving `mCand` ids fetch their full-precision vectors
     * from `source` for the exact cosine top-`k`. With mCand ≥ the

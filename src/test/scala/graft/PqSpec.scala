@@ -120,4 +120,53 @@ class PqSpec extends SparkSpec {
     val int8B = parquetBytes(int8)
     assert(pqB < int8B, s"PQ store not smaller: $pqB vs int8 $int8B")
   }
+
+  test("residual IVF-PQ: lower ADC error than raw codes; exhaustive equals brute force") {
+    import graft.operators.Similarity
+    val cents = Similarity.kMeans(src, "vec_id", "embedding", 16, maxIter = 5).centroids
+    val residModel = Pq.trainResidual(src, "vec_id", "embedding", cents, 64,
+      m = 8, k = 16, maxIter = 5)
+    val rawPath = Files.createTempDirectory("graft_ivfpq_raw").toString
+    val resPath = Files.createTempDirectory("graft_ivfpq_res").toString
+    Pq.writeStoreIvf(src, "vec_id", "embedding", rawPath, model, cents)
+    Pq.writeStoreIvfResidual(src, "vec_id", "embedding", resPath, residModel, cents)
+    val probe = src.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).map(_.toDouble).toSeq
+
+    // mean |ADC - true squared L2| over the whole corpus: the residual
+    // codes quantize the (small) residual cloud with the same m x k
+    // budget, so their distance estimate is strictly tighter
+    val vecs = src.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def trueD2(v: Array[Double]) =
+      v.zip(probe).map { case (a, b) => (a - b) * (a - b) }.sum
+    def meanErr(path: String, m: Pq.Model, residual: Boolean): Double = {
+      val nList = cents.length
+      val adc =
+        (if (residual)
+          Pq.topKIvfResidualAdc(spark, path, "vec_id", probe, m, cents, nList)
+        else
+          spark.read.parquet(path)
+            .select($"vec_id", Pq.adcDistExpr($"codes", probe, m).as("adc_dist")))
+        .as[(Long, Double)].collect()
+      adc.map { case (id, d) => math.abs(d - trueD2(vecs(id))) }.sum / adc.length
+    }
+    val rawErr = meanErr(rawPath, model, residual = false)
+    val resErr = meanErr(resPath, residModel, residual = true)
+    assert(resErr < rawErr, s"residual ADC err $resErr !< raw $rawErr")
+
+    // exhaustive settings -> exact brute-force equality (rerank covers all)
+    val exact = Similarity.topKCosine(src, "embedding", probe, 10, "vec_id")
+      .as[(Long, Double)].collect().toSeq
+    val got = Pq.topKIvfResidual(spark, resPath, src, "vec_id", "embedding",
+        probe, residModel, cents, k = 10, mCand = src.count().toInt,
+        nProbe = cents.length)
+      .as[(Long, Double)].collect().toSeq
+    assert(got === exact)
+    // per-branch plan-time pruning on the probed cell directories
+    val pruned = Pq.topKIvfResidual(spark, resPath, src, "vec_id", "embedding",
+        probe, residModel, cents, k = 10, mCand = 50, nProbe = 4)
+      .as[(Long, Double)].collect().toSeq
+    assert(pruned.head === ((0L, 1.0)))
+  }
 }

@@ -57,4 +57,56 @@ class PipelineE2ESpec extends SparkSpec {
       assert(prompt.contains(question + "\n\nContext:\n" + textById(id)))
     }
   }
+
+  test("streaming pipeline: ingest-with-dedup → embed → vector store equals the batch build") {
+    import java.nio.file.Files
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val p = SignatureStore.Params(shingleK = 3, nBands = 16, rowsPerBand = 1)
+    val threshold = 0.5
+
+    // stage 1: micro-batched ingest with dedup (AvailableNow, file source)
+    val staging = Files.createTempDirectory("graft_sp_stage").toString
+    docs.repartition(4).write.mode("overwrite").parquet(staging)
+    val sig = Files.createTempDirectory("graft_sp_sig").toString + "/s"
+    val accepted = Files.createTempDirectory("graft_sp_acc").toString + "/a"
+    val q1 = SignatureStore.ingestDedup(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(staging),
+      "doc_id", "text", sig, accepted,
+      Files.createTempDirectory("graft_sp_ck1").toString, p, threshold)
+    assert(q1.awaitTermination(180000))
+
+    // stage 2: embed survivors AS A STREAM off the accepted sink and
+    // appendStream them into the vector store (the streaming half of
+    // q79's batch pipeline)
+    val accSchema = spark.read.parquet(accepted).schema
+    val embStream = spark.readStream.schema(accSchema)
+      .option("maxFilesPerTrigger", 4).parquet(accepted)
+      .select($"doc_id".as("vec_id"),
+        VectorOps.hashEmbed(TextOps.words($"text"), 64).as("embedding"))
+    val streamed = Files.createTempDirectory("graft_sp_vs").toString + "/v"
+    val q2 = VectorStore.appendStream(embStream, "vec_id", "embedding",
+      streamed, Files.createTempDirectory("graft_sp_ck2").toString)
+    assert(q2.awaitTermination(180000))
+
+    // batch reference over the SAME survivors
+    val survivors = spark.read.parquet(accepted).select($"doc_id", $"text")
+    assert(survivors.count() > 0)
+    val embBatch = survivors.select($"doc_id".as("vec_id"),
+      VectorOps.hashEmbed(TextOps.words($"text"), 64).as("embedding"))
+    val batchBuilt = Files.createTempDirectory("graft_sp_vsb").toString + "/v"
+    VectorStore.write(embBatch, "vec_id", "embedding", batchBuilt)
+
+    assert(spark.read.parquet(streamed).count() === survivors.count())
+    val probeId = survivors.agg(min($"doc_id")).as[Long].head()
+    val probe = embBatch.filter($"vec_id" === probeId)
+      .select($"embedding").head().getSeq[Double](0).toSeq
+    def top(path: String) = VectorStore
+      .topK(spark, path, "vec_id", "embedding", probe, 10)
+      .as[(Long, Double)].collect().toSeq
+    val s = top(streamed)
+    val b = top(batchBuilt)
+    assert(s === b)
+    assert(s.head === ((probeId, 1.0)))
+  }
 }

@@ -44,6 +44,12 @@ class BpeTrainSpec extends SparkSpec {
     assert(out.head.sameElements(aa))
   }
 
+  test("degenerate corpora: empty input and single-byte words train zero merges") {
+    assert(merges(Seq.empty, 10) === Seq.empty)
+    assert(merges(Seq(""), 10) === Seq.empty) // no words survive the filter
+    assert(merges(Seq("a b c a b c"), 10) === Seq.empty) // no adjacent pairs in 1-byte words
+  }
+
   test("wordHistogram counts occurrences across documents") {
     val h = BpeTrain.wordHistogram(
       Seq((1L, "x y x"), (2L, "x  z"), (3L, null.asInstanceOf[String]))

@@ -222,6 +222,14 @@ class DedupSpec extends SparkSpec {
     assert(fxGot === expect)
   }
 
+  test("duplicatedSpans: texts shorter than k are excluded; empty input is empty") {
+    import graft.operators.Dedup
+    val short = Seq((1L, "abc"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(short, "doc_id", "text", 5).count() === 0)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(empty, "doc_id", "text", 5).count() === 0)
+  }
+
   test("connected components: transitive chain collapses to one cluster") {
     // A~B, B~C but A!~C — the case pairwise keep-first cannot handle
     val cc = runCC(5, Seq((1L, 2L), (2L, 3L)))

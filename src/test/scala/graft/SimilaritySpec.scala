@@ -261,6 +261,14 @@ class SimilaritySpec extends SparkSpec {
     got.values.foreach { case (_, _, ps, _, ns) => assert(ns <= ps - 0.05) }
   }
 
+  test("tripletMine with k=1 emits nothing (no candidate can clear the margin)") {
+    val e = Tables.embeddings(spark, sf)
+    val out = Similarity.tripletMine(
+      e.filter($"vec_id" < 3), e.filter($"vec_id" >= 3),
+      "vec_id", "vec_id", "embedding", k = 1, margin = 0.05)
+    assert(out.count() === 0)
+  }
+
   test("semDedup drops exactly keep-first over within-cluster near-dup pairs") {
     val e = Tables.embeddings(spark, sf)
     val cents = Similarity.kMeans(e, "vec_id", "embedding", 8, maxIter = 5).centroids

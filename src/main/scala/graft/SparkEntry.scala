@@ -1304,6 +1304,18 @@ object SparkEntry {
       "sqrt(list_dot_product(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))))"
   private def cos(a: String, b: String) = cosineSql.format(a, b, a, a, b, b)
   private def dsumSql(e: String) = s"CAST(sum(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
+
+  /** Differential oracle (q75/q86 pattern, widened in round 10): the
+    * expected rows are precomputed by an INDEPENDENT Python replica of
+    * the operator (`tools/gen_expected.py` over `tools/replica.py` —
+    * murmur3 LSH, Lloyd's k-means, PQ/ADC, int8 stores, logistic GD),
+    * pinned to the driver's correctness scale (sf0.01) and checked in;
+    * `ExpectedPinSpec` fails loudly with the regenerate command if the
+    * fixtures drift. */
+  private def expectedSql(q: String, cols: String, order: String): String =
+    s"SELECT $cols FROM read_parquet(" +
+      s"'/root/repo/src/test/resources/graft/expected/${q}_sf001.parquet') " +
+      s"ORDER BY $order"
   private val wsSql = "string_split_regex(trim(text), '\\s+')"
   private val noiseSql = NoiseFilter.noiseLiterals
     .map(l => s"'${l.replace("'", "''")}'").mkString("(", ", ", ")")
@@ -2251,6 +2263,59 @@ object SparkEntry {
          |  CAST((cum_tokens - tokens) // 512 AS INT) AS shard,
          |  CAST((cum_tokens - tokens) % 512 AS INT) AS shard_offset
          |FROM w ORDER BY doc_id""".stripMargin,
+
+    // --- differential oracles (independent Python replicas; see
+    // expectedSql above). Still no_oracle by design: q58 (GK sketch is
+    // merge-order/partition-count dependent — the one documented
+    // nondeterminism), q38 (MLlib BRP-LSH planes come from
+    // java.util.Random#nextGaussian, whose libm rounding is not
+    // portably reproducible outside the JVM), q29 (Spark's HLL++ bias
+    // tables are implementation constants, not an algorithm spec).
+    "q24_minhash_neardup" ->
+      expectedSql("q24", "id_a, id_b, jaccard", "id_a, id_b"),
+    "q25_simhash_neardup" ->
+      expectedSql("q25", "id_a, id_b, hamming", "id_a, id_b"),
+    "q26_hash_embed" ->
+      expectedSql("q26", "doc_id, dim, e0, norm, checksum", "doc_id"),
+    "q59_service_embed" ->
+      expectedSql("q59", "doc_id, dim, e0, norm, checksum", "doc_id"),
+    "q27_ann_lsh" ->
+      expectedSql("q27", "probe_id, neighbor_id, sim, rank", "probe_id, rank"),
+    "q28_fingerprint" ->
+      expectedSql("q28", "doc_id, fp", "doc_id"),
+    "q36_pipeline_e2e" ->
+      expectedSql("q36", "doc_id, chunk_id, chunk_tokens, sim",
+        "sim DESC, doc_id, chunk_id"),
+    "q37_ingest_batch" ->
+      expectedSql("q37", "event_id, chunk_id, tokens, emb_norm, emb_checksum",
+        "event_id, chunk_id"),
+    "q42_ivf_ann" ->
+      expectedSql("q42", "probe_id, neighbor_id, sim, rank", "probe_id, rank"),
+    "q51_multimodal_features" ->
+      expectedSql("q51", "file, mime, bytes, feat_sum", "file"),
+    "q70_vector_store" ->
+      expectedSql("q70", "vec_id, sim", "sim DESC, vec_id"),
+    "q72_incremental_dedup" ->
+      expectedSql("q72", "id_new, id_stored, jaccard", "id_new, id_stored"),
+    "q73_vector_store_int8" ->
+      expectedSql("q73", "vec_id, sim", "sim DESC, vec_id"),
+    "q74_kmeans" ->
+      expectedSql("q74", "cluster, n_members, sum_dist2, c_norm, c_sum, iterations",
+        "cluster"),
+    "q78_ivf_trained" ->
+      expectedSql("q78", "probe_id, neighbor_id, sim, rank", "probe_id, rank"),
+    "q79_pipeline_store" ->
+      expectedSql("q79", "rank, doc_id, sim, prompt", "rank"),
+    "q81_pq_store" ->
+      expectedSql("q81", "vec_id, sim", "sim DESC, vec_id"),
+    "q83_ivfpq_store" ->
+      expectedSql("q83", "vec_id, sim", "sim DESC, vec_id"),
+    "q88_semdedup" ->
+      expectedSql("q88", "vec_id, cluster, kept", "vec_id"),
+    "q89_quality_classifier" ->
+      expectedSql("q89", "doc_id, label, score, pred", "doc_id"),
+    "q93_ivfpq_residual" ->
+      expectedSql("q93", "vec_id, sim", "sim DESC, vec_id"),
 
     "q55_filename_default" ->
       """SELECT event_id,

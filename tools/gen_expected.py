@@ -1,0 +1,576 @@
+#!/usr/bin/env python3
+"""Independent expected-output generator for the non-SQL-expressible
+deterministic queries (the q75/q86 differential-oracle pattern, widened
+per the round-9 verdict's top item).
+
+For each covered query this re-implements the full operator semantics in
+Python (via `tools/replica.py` — murmur3 LSH, Lloyd's k-means, PQ/ADC,
+int8 stores, logistic GD...), INDEPENDENTLY of the Scala kernels, runs
+it over the sf0.01 fixtures, and writes the expected rows to a
+checked-in parquet that the DuckDB oracle reads. Pinned to sf0.01 (the
+driver's correctness scale); regenerate whenever the fixtures change:
+
+  python3 tools/gen_expected.py /root/testdata/sf0.01 \
+      src/test/resources/graft/expected [query ...]
+
+`ExpectedPinSpec` recomputes the Scala side at sf0.01 and fails loudly
+with the regenerate command if these parquets go stale.
+"""
+import math
+import os
+import sys
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from replica import (  # noqa: E402
+    assign, char_shingles, cosine6, dot, fingerprint, hash_embed,
+    hyperplane_bucket, hyperplane_bits, int8_cosine, int8_encode, kmeans,
+    l2_dist_sq, lr_train, minhash_sig, mm3_str, norm2, pq_adc_dist,
+    pq_adc_tables, pq_encode, pq_train, r6, sigmoid6, simhash_bits,
+    spark_round, word_shingles, words)
+
+QUESTION = "query filter join aggregate window shuffle"
+
+SYSTEM_PROMPT = ("You are a friendly and useful Chatbot. "
+                 "Be of assistance the best you can.\n")
+
+
+def llama3_prompt(question, context):
+    return ("\n<|begin_of_text|>\n<|start_header_id|>system<|end_header_id|>\n"
+            + SYSTEM_PROMPT
+            + "<|eot_id|>\n\n<|start_header_id|>user<|end_header_id|>\n"
+            + question + "\n\nContext:\n" + context
+            + "<|eot_id|>\n\n<|start_header_id|>assistant<|end_header_id|>")
+
+
+NOISE_LITERALS = {
+    "failed to derive thread from content",
+    "Null message (for example deleted)",
+    "is calling!", "is typing...", "got PNI signature message",
+    "Empty data message", "presage",
+    "failed to display desktop notification", "Something went wrong!"}
+NOISE_PREFIXES = ("got Delivery receipt", "got Read receipt", "new story:",
+                  "receipt for messages sent at", "Reacted with ")
+
+
+def noise_keep(body):
+    return (body is not None and body not in NOISE_LITERALS
+            and not any(body.startswith(p) for p in NOISE_PREFIXES))
+
+
+def token_count(text):
+    return 0 if text.strip(" ") == "" else len(words(text))
+
+
+def chunker(text, ideal_tokens, chunk_words):
+    """Chunker.chunk semantics: (chunk_id, chunk_text, chunk_tokens)."""
+    ws = words(text)
+    ntok = token_count(text)
+    if ntok <= ideal_tokens:
+        chunks = [text.strip(" ")]
+    else:
+        n = math.ceil(len(ws) / chunk_words)
+        chunks = [" ".join(ws[j * chunk_words:(j + 1) * chunk_words])
+                  for j in range(n)]
+    out = []
+    for j, c in enumerate(chunks):
+        if c.strip(" ") != "":
+            out.append((j, c, token_count(c)))
+    return out
+
+
+# --- fixture loading -------------------------------------------------
+
+class Fixtures:
+    def __init__(self, sf_dir):
+        self.sf_dir = sf_dir
+        con = duckdb.connect()
+        self.docs = con.execute(
+            f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+            "ORDER BY doc_id").fetchall()
+        self.embs = con.execute(
+            f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+            "ORDER BY vec_id").fetchall()
+        self.embs = [(i, [float(x) for x in v]) for i, v in self.embs]
+        self.events = con.execute(
+            f"SELECT event_id, props FROM '{sf_dir}/events.parquet' "
+            "ORDER BY event_id").fetchall()
+        con.close()
+        self._cache = {}
+
+    def cached(self, key, build):
+        if key not in self._cache:
+            self._cache[key] = build()
+        return self._cache[key]
+
+    # shared trained models (mirror SparkEntry's per-dataset caches)
+    def quantizer(self):
+        return self.cached("ivf", lambda: kmeans(self.embs, 16, 5)[0])
+
+    def pq_model(self):
+        return self.cached("pq", lambda: pq_train(self.embs, 64, 8, 16, 5))
+
+    def pq_resid_model(self):
+        def build():
+            cents = self.quantizer()
+            resid = [(i, [x - c for x, c in zip(v, cents[assign(v, cents)[0]])])
+                     for i, v in self.embs]
+            return pq_train(resid, 64, 8, 16, 5)
+        return self.cached("pqresid", build)
+
+    def doc_shingles(self):
+        return self.cached("sh3", lambda: {
+            i: word_shingles(words(t), 3) for i, t in self.docs})
+
+    def doc_embeddings(self):
+        return self.cached("demb", lambda: {
+            i: hash_embed(words(t), 64) for i, t in self.docs})
+
+
+# --- per-query generators: return (schema_sql, rows) -----------------
+
+
+def minhash_bands(sh, n_bands=8, rows_per_band=2):
+    sig = minhash_sig(sh, n_bands * rows_per_band)
+    return [(b, ":".join(str(x) for x in
+                         sig[b * rows_per_band:(b + 1) * rows_per_band]))
+            for b in range(n_bands)]
+
+
+def gen_q24(fx):
+    bands = {i: minhash_bands(sh) for i, sh in fx.doc_shingles().items()}
+    buckets = {}
+    for i, bs in bands.items():
+        for key in bs:
+            buckets.setdefault(key, []).append(i)
+    cands = set()
+    for ids in buckets.values():
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    cands.add((a, b))
+    sh = fx.doc_shingles()
+    rows = []
+    for a, b in sorted(cands):
+        sa, sb = set(sh[a]), set(sh[b])
+        inter = float(len(sa & sb))
+        union = float(len(sh[a]) + len(sh[b])) - inter
+        j = 1.0 if union == 0.0 else inter / union
+        if j >= 0.5:
+            rows.append((a, b, r6(j)))
+    return ("id_a BIGINT, id_b BIGINT, jaccard DOUBLE", rows)
+
+
+def gen_q25(fx):
+    sigs = {i: simhash_bits(list(dict.fromkeys(words(t))), 64)
+            for i, t in fx.docs}
+    buckets = {}
+    for i, s in sigs.items():
+        for b in range(4):
+            buckets.setdefault((b, (s >> (16 * b)) & 0xFFFF), []).append(i)
+    cands = set()
+    for ids in buckets.values():
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    cands.add((a, b))
+    rows = []
+    for a, b in sorted(cands):
+        h = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+        if h <= 3:
+            rows.append((a, b, h))
+    return ("id_a BIGINT, id_b BIGINT, hamming INT", rows)
+
+
+def _embed_digest(fx):
+    rows = []
+    for i, t in fx.docs:
+        e = hash_embed(words(t), 64)
+        rows.append((i, 64, r6(e[0]), r6(norm2(e)), r6(sum_seq(e))))
+    return ("doc_id BIGINT, dim INT, e0 DOUBLE, norm DOUBLE, "
+            "checksum DOUBLE", rows)
+
+
+def sum_seq(xs):
+    acc = 0.0
+    for x in xs:
+        acc += x * 1.0
+    return acc
+
+
+def gen_q26(fx):
+    return _embed_digest(fx)
+
+
+def gen_q59(fx):
+    return _embed_digest(fx)
+
+
+def gen_q27(fx):
+    probes = [(i, v) for i, v in fx.embs if i < 5]
+    corpus = [(i, v) for i, v in fx.embs if i >= 5]
+    n_bands, band_bits = 4, 8
+
+    def sig_strings(v):
+        bits = hyperplane_bits(v, n_bands * band_bits)
+        return [(b, "".join(str(x) for x in
+                            bits[b * band_bits:(b + 1) * band_bits]))
+                for b in range(n_bands)]
+
+    cbuckets = {}
+    for i, v in corpus:
+        for key in sig_strings(v):
+            cbuckets.setdefault(key, []).append(i)
+    pairs = set()
+    for p, v in probes:
+        for key in sig_strings(v):
+            for c in cbuckets.get(key, []):
+                pairs.add((p, c))
+    vecs = dict(fx.embs)
+    norms = {i: norm2(v) for i, v in fx.embs}
+    per_probe = {}
+    for p, c in pairs:
+        sim = r6(dot(vecs[c], vecs[p]) / (norms[c] * norms[p]))
+        per_probe.setdefault(p, []).append((sim, c))
+    rows = []
+    for p in sorted(per_probe):
+        ranked = sorted(per_probe[p], key=lambda t: (-t[0], t[1]))[:5]
+        for r, (sim, c) in enumerate(ranked, 1):
+            rows.append((p, c, sim, r))
+    return ("probe_id BIGINT, neighbor_id BIGINT, sim DOUBLE, rank INT", rows)
+
+
+def gen_q28(fx):
+    rows = [(i, fingerprint(words(t))) for i, t in fx.docs]
+    return ("doc_id BIGINT, fp BIGINT", rows)
+
+
+def gen_q36(fx):
+    probe = hash_embed(words(QUESTION), 64)
+    probe_norm = math.sqrt(sum_sq(probe))
+    scored = []
+    for i, t in fx.docs:
+        if not noise_keep(t):
+            continue
+        for cid, ctext, ctok in chunker(t, 32, 24):
+            e = hash_embed(words(ctext), 64)
+            sim = r6(dot(e, probe) / (norm2(e) * probe_norm))
+            scored.append((sim, i, cid, ctok))
+    scored.sort(key=lambda r: (-r[0], r[1], r[2]))
+    rows = [(i, cid, ctok, sim) for sim, i, cid, ctok in scored[:20]]
+    return ("doc_id BIGINT, chunk_id INT, chunk_tokens INT, sim DOUBLE", rows)
+
+
+def sum_sq(xs):
+    acc = 0.0
+    for x in xs:
+        acc += x * x
+    return acc
+
+
+def gen_q37(fx):
+    ones = [1.0] * 64
+    rows = []
+    for eid, props in fx.events:
+        if not noise_keep(props):
+            continue
+        for cid, ctext, ctok in chunker(props, 48, 36):
+            e = hash_embed(words(ctext), 64)
+            rows.append((eid, cid, ctok, r6(norm2(e)), r6(dot(e, ones))))
+    rows.sort(key=lambda r: (r[0], r[1]))
+    return ("event_id BIGINT, chunk_id INT, tokens INT, emb_norm DOUBLE, "
+            "emb_checksum DOUBLE", rows)
+
+
+def _ivf(fx, seeds):
+    """ivfWithSeeds replica: seeds = [(cell, vec)]; probes vec_id<5,
+    corpus vec_id>=5, nProbe=4, k=5."""
+    probes = [(i, v) for i, v in fx.embs if i < 5]
+    corpus = [(i, v) for i, v in fx.embs if i >= 5]
+    cells = {}
+    for i, v in corpus:
+        best = None
+        for cell, sv in seeds:
+            d = l2_dist_sq(v, sv)
+            if best is None or (d, cell) < best:
+                best = (d, cell)
+        cells.setdefault(best[1], []).append(i)
+    vecs = dict(fx.embs)
+    norms = {i: norm2(v) for i, v in fx.embs}
+    rows = []
+    for p, v in sorted(probes):
+        ds = sorted(((l2_dist_sq(v, sv), cell) for cell, sv in seeds))[:4]
+        cand = []
+        for _, cell in ds:
+            for c in cells.get(cell, []):
+                sim = r6(dot(vecs[c], vecs[p]) / (norms[c] * norms[p]))
+                cand.append((sim, c))
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        for r, (sim, c) in enumerate(cand[:5], 1):
+            rows.append((p, c, sim, r))
+    return ("probe_id BIGINT, neighbor_id BIGINT, sim DOUBLE, rank INT", rows)
+
+
+def gen_q42(fx):
+    corpus = [(i, v) for i, v in fx.embs if i >= 5]
+    seeds = [(i, v) for i, v in sorted(corpus)[:16]]
+    return _ivf(fx, seeds)
+
+
+def gen_q78(fx):
+    cents = fx.quantizer()
+    return _ivf(fx, list(enumerate(cents)))
+
+
+def probe_buckets(probe, n_bits=4):
+    b = hyperplane_bucket(probe, n_bits)
+    return [b] + [b ^ (1 << i) for i in range(n_bits)]
+
+
+def gen_q70(fx):
+    probe = dict(fx.embs)[0]
+    bs = set(probe_buckets(probe))
+    cand = [(i, v) for i, v in fx.embs if hyperplane_bucket(v, 4) in bs]
+    scored = sorted(((cosine6(v, probe), i) for i, v in cand),
+                    key=lambda t: (-t[0], t[1]))[:20]
+    rows = [(i, sim) for sim, i in scored]
+    return ("vec_id BIGINT, sim DOUBLE", rows)
+
+
+def gen_q73(fx):
+    probe = dict(fx.embs)[0]
+    bs = set(probe_buckets(probe))
+    approx = []
+    for i, v in fx.embs:
+        if hyperplane_bucket(v, 4) in bs:
+            codes, vmin, scale = int8_encode(v)
+            approx.append((r6(int8_cosine(codes, vmin, scale, probe)), i))
+    top_m = sorted(approx, key=lambda t: (-t[0], t[1]))[:50]
+    vecs = dict(fx.embs)
+    rer = sorted(((cosine6(vecs[i], probe), i) for _, i in top_m),
+                 key=lambda t: (-t[0], t[1]))[:20]
+    rows = [(i, sim) for sim, i in rer]
+    return ("vec_id BIGINT, sim DOUBLE", rows)
+
+
+def _store_dedup_pairs(fx, threshold):
+    """SignatureStore.dedupAgainstStore replica: store = doc_id%5!=0,
+    batch = doc_id%5==0, Params(3, 8, 2)."""
+    sh = fx.doc_shingles()
+    store = [i for i, _ in fx.docs if i % 5 != 0]
+    batch = [i for i, _ in fx.docs if i % 5 == 0]
+    sbuckets = {}
+    for i in store:
+        for key in minhash_bands(sh[i]):
+            sbuckets.setdefault(key, []).append(i)
+    cands = set()
+    for i in batch:
+        for key in minhash_bands(sh[i]):
+            for s in sbuckets.get(key, []):
+                cands.add((i, s))
+    rows = []
+    for a, b in sorted(cands):
+        sa, sb = set(sh[a]), set(sh[b])
+        inter = float(len(sa & sb))
+        union = float(len(sh[a]) + len(sh[b])) - inter
+        j = 1.0 if union == 0.0 else inter / union
+        if j >= threshold:
+            rows.append((a, b, r6(j)))
+    return rows
+
+
+def gen_q72(fx):
+    rows = _store_dedup_pairs(fx, 0.5)
+    return ("id_new BIGINT, id_stored BIGINT, jaccard DOUBLE", rows)
+
+
+def gen_q79(fx):
+    dup_ids = {a for a, _, _ in _store_dedup_pairs(fx, 0.5)}
+    corpus = [(i, t) for i, t in fx.docs
+              if i % 5 != 0 or i not in dup_ids]
+    emb = {i: hash_embed(words(t), 64) for i, t in corpus}
+    texts = dict(corpus)
+    probe = hash_embed(words(QUESTION), 64)
+    bs = set(probe_buckets(probe))
+    approx = []
+    for i, e in emb.items():
+        if hyperplane_bucket(e, 4) in bs:
+            codes, vmin, scale = int8_encode(e)
+            approx.append((r6(int8_cosine(codes, vmin, scale, probe)), i))
+    top_m = sorted(approx, key=lambda t: (-t[0], t[1]))[:50]
+    top = sorted(((cosine6(emb[i], probe), i) for _, i in top_m),
+                 key=lambda t: (-t[0], t[1]))[:5]
+    rows = []
+    for sim, i in top:
+        rank = sum(1 for s2, d2 in top
+                   if s2 > sim or (s2 == sim and d2 <= i))
+        rows.append((rank, i, sim, llama3_prompt(QUESTION, texts[i])))
+    rows.sort(key=lambda r: r[0])
+    return ("rank INT, doc_id BIGINT, sim DOUBLE, prompt VARCHAR", rows)
+
+
+def gen_q74(fx):
+    cents, iters = kmeans(fx.embs, 8, 10)
+    members = {}
+    dists = {}
+    for i, v in fx.embs:
+        ci, d = assign(v, cents)
+        members[ci] = members.get(ci, 0) + 1
+        dists.setdefault(ci, []).append(r6(d))
+    rows = []
+    for ci, c in enumerate(cents):
+        # DECIMAL(18,6) sum of 6-dp values: exact integer micros
+        # (repr-based, mirroring Spark's double->decimal cast)
+        micros = sum(int((Decimal(repr(d)) * 1000000).to_integral_value())
+                     for d in dists.get(ci, []))
+        sum_d = r6(float(Decimal(micros).scaleb(-6)))
+        c_norm = r6(math.sqrt(sum_sq(c)))
+        c_sum = r6(sum_seq(c))
+        rows.append((ci, members.get(ci, 0), sum_d, c_norm, c_sum, iters))
+    return ("cluster INT, n_members BIGINT, sum_dist2 DOUBLE, "
+            "c_norm DOUBLE, c_sum DOUBLE, iterations INT", rows)
+
+
+def gen_q88(fx):
+    cents = fx.quantizer()
+    assigned = {i: assign(v, cents)[0] for i, v in fx.embs}
+    by_cluster = {}
+    for i, v in fx.embs:
+        by_cluster.setdefault(assigned[i], []).append((i, v))
+    norms = {i: norm2(v) for i, v in fx.embs}
+    vecs = dict(fx.embs)
+    dropped = set()
+    for members in by_cluster.values():
+        ids = sorted(i for i, _ in members)
+        for x, a in enumerate(ids):
+            for b in ids[x + 1:]:
+                sim = r6(dot(vecs[a], vecs[b]) / (norms[a] * norms[b]))
+                if sim >= 0.3:
+                    dropped.add(b)
+    rows = [(i, assigned[i], i not in dropped) for i, _ in fx.embs]
+    return ("vec_id BIGINT, cluster INT, kept BOOLEAN", rows)
+
+
+def _pq_probe(fx, model, probe, cells=None, cents=None, residual=False):
+    """Shared PQ probe: ADC top-50 then exact rerank top-20."""
+    scored = []
+    if cells is None:  # q81: hyperplane-bucket store
+        bs = set(probe_buckets(probe))
+        tables = pq_adc_tables(probe, model)
+        for i, v in fx.embs:
+            if hyperplane_bucket(v, 4) in bs:
+                scored.append((pq_adc_dist(pq_encode(v, model), tables), i))
+    else:  # IVF store on trained cells
+        cell_of = {i: assign(v, cents)[0] for i, v in fx.embs}
+        for c in cells:
+            if residual:
+                pres = [p - cc for p, cc in zip(probe, cents[c])]
+                tables = pq_adc_tables(pres, model)
+            else:
+                tables = pq_adc_tables(probe, model)
+            for i, v in fx.embs:
+                if cell_of[i] != c:
+                    continue
+                enc = ([x - cc for x, cc in zip(v, cents[c])]
+                       if residual else v)
+                scored.append((pq_adc_dist(pq_encode(enc, model), tables), i))
+    top_m = sorted(scored, key=lambda t: (t[0], t[1]))[:50]
+    vecs = dict(fx.embs)
+    rer = sorted(((cosine6(vecs[i], probe), i) for _, i in top_m),
+                 key=lambda t: (-t[0], t[1]))[:20]
+    return [(i, sim) for sim, i in rer]
+
+
+def gen_q81(fx):
+    probe = dict(fx.embs)[0]
+    rows = _pq_probe(fx, fx.pq_model(), probe)
+    return ("vec_id BIGINT, sim DOUBLE", rows)
+
+
+def _probe_cells(probe, cents, n_probe):
+    ds = sorted(((l2_dist_sq(probe, c), i) for i, c in enumerate(cents)))
+    return [i for _, i in ds[:n_probe]]
+
+
+def gen_q83(fx):
+    probe = dict(fx.embs)[0]
+    cents = fx.quantizer()
+    cells = _probe_cells(probe, cents, 4)
+    rows = _pq_probe(fx, fx.pq_model(), probe, cells=cells, cents=cents)
+    return ("vec_id BIGINT, sim DOUBLE", rows)
+
+
+def gen_q93(fx):
+    probe = dict(fx.embs)[0]
+    cents = fx.quantizer()
+    cells = _probe_cells(probe, cents, 4)
+    rows = _pq_probe(fx, fx.pq_resid_model(), probe, cells=cells,
+                     cents=cents, residual=True)
+    return ("vec_id BIGINT, sim DOUBLE", rows)
+
+
+def gen_q89(fx):
+    feats = {i: hash_embed(words(t), 128) for i, t in fx.docs}
+    labels = {i: 1 if "spark" in words(t) else 0 for i, t in fx.docs}
+    data = [(float(labels[i]), feats[i]) for i, _ in fx.docs]
+    w, b = lr_train(data, 128, 80, 8.0)
+    rows = []
+    for i, _ in fx.docs:
+        z = dot(feats[i], w) + b
+        score = sigmoid6(z)
+        rows.append((i, labels[i], score, 1 if score >= 0.5 else 0))
+    return ("doc_id BIGINT, label INT, score DOUBLE, pred INT", rows)
+
+
+def gen_q51(fx):
+    import numpy as np
+    rows = []
+    for fn in sorted(os.listdir(fx.sf_dir)):
+        if not fn.endswith(".parquet"):
+            continue
+        data = open(os.path.join(fx.sf_dir, fn), "rb").read()
+        arr = np.frombuffer(data, dtype=np.uint8)
+        feats = []
+        for rcls in range(16):
+            vals = (arr[rcls::16].astype(np.float32)
+                    / np.float32(255.0))
+            feats.append(float(np.cumsum(vals, dtype=np.float32)[-1])
+                         if len(vals) else 0.0)
+        acc = 0.0
+        for f in feats:
+            acc += f
+        rows.append((fn, "application/vnd.apache.parquet", len(data),
+                     spark_round(acc, 4)))
+    return ("file VARCHAR, mime VARCHAR, bytes BIGINT, feat_sum DOUBLE", rows)
+
+
+GENERATORS = {
+    "q24": gen_q24, "q25": gen_q25, "q26": gen_q26, "q27": gen_q27,
+    "q28": gen_q28, "q36": gen_q36, "q37": gen_q37, "q42": gen_q42,
+    "q51": gen_q51, "q59": gen_q59, "q70": gen_q70, "q72": gen_q72,
+    "q73": gen_q73, "q74": gen_q74, "q78": gen_q78, "q79": gen_q79,
+    "q81": gen_q81, "q83": gen_q83, "q88": gen_q88, "q89": gen_q89,
+    "q93": gen_q93,
+}
+
+
+def main(sf_dir, out_dir, only=()):
+    os.makedirs(out_dir, exist_ok=True)
+    fx = Fixtures(sf_dir)
+    names = list(only) if only else sorted(GENERATORS)
+    for name in names:
+        schema, rows = GENERATORS[name](fx)
+        con = duckdb.connect()
+        con.execute(f"CREATE TABLE t({schema})")
+        ph = ", ".join("?" * (schema.count(",") + 1))
+        con.executemany(f"INSERT INTO t VALUES ({ph})", rows)
+        path = os.path.join(out_dir, f"{name}_sf001.parquet")
+        con.execute(f"COPY t TO '{path}' (FORMAT PARQUET)")
+        con.close()
+        print(f"wrote {len(rows):6d} rows -> {path}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2], sys.argv[3:])

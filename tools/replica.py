@@ -1,0 +1,410 @@
+#!/usr/bin/env python3
+"""Independent Python replicas of graft's non-SQL-expressible kernels.
+
+These re-implement the PUBLIC algorithms (murmur3_x86_32, word/char
+shingling, MinHash/SimHash/hyperplane LSH, Lloyd's k-means with
+quantized-long sums, int8 / product quantization + ADC, hash-BOW
+logistic regression) from their specs, INDEPENDENTLY of the Scala
+kernels in `src/main/scala/graft/expressions` / `operators`. Two
+implementations of the same deterministic algorithm form a differential
+oracle (`tools/gen_expected.py` writes the expected outputs the DuckDB
+oracle reads): a bug in either side shows up as a hash mismatch in the
+driver's correctness gate.
+
+Determinism ground rules mirrored from the Scala side:
+  - murmur3_x86_32 is Spark's variant: 4-byte little-endian blocks,
+    then a SIGNED per-byte tail (`Murmur3_x86_32.hashUnsafeBytes`).
+  - all vector folds are sequential double-precision in array order
+    (Python floats are IEEE doubles - bit-identical).
+  - `round(x, n)` replicates Spark's Round on doubles: BigDecimal of
+    the SHORTEST decimal repr, HALF_UP (Python `repr` produces the
+    same shortest repr).
+  - k-means / LR partials quantize per-row contributions to scaled
+    longs (Math.round resp. Math.rint) and sum as exact ints.
+"""
+import math
+import re
+from decimal import Decimal, ROUND_HALF_UP
+
+M32 = 0xFFFFFFFF
+
+# --- murmur3_x86_32, Spark variant ----------------------------------
+
+
+def _rotl32(x, n):
+    return ((x << n) | (x >> (32 - n))) & M32
+
+
+def _mix_k1(k1):
+    k1 = (k1 * 0xCC9E2D51) & M32
+    k1 = _rotl32(k1, 15)
+    return (k1 * 0x1B873593) & M32
+
+
+def _mix_h1(h1, k1):
+    h1 ^= k1
+    h1 = _rotl32(h1, 13)
+    return (h1 * 5 + 0xE6546B64) & M32
+
+
+def _fmix(h1, length):
+    h1 ^= length
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & M32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & M32
+    h1 ^= h1 >> 16
+    return h1
+
+
+def _signed32(x):
+    return x - (1 << 32) if x & 0x80000000 else x
+
+
+def mm3_int(i, seed):
+    """Murmur3_x86_32.hashInt(i, seed) -> signed 32-bit int."""
+    h1 = _mix_h1(seed & M32, _mix_k1(i & M32))
+    return _signed32(_fmix(h1, 4))
+
+
+def mm3_bytes(b, seed):
+    """Murmur3_x86_32.hashUnsafeBytes(b, seed) -> signed 32-bit int.
+    Spark's historical variant: whole 4-byte LE ints, then the tail
+    bytes one at a time as SIGNED bytes through the int mixer."""
+    n = len(b)
+    aligned = n - n % 4
+    h1 = seed & M32
+    for i in range(0, aligned, 4):
+        blk = b[i] | (b[i + 1] << 8) | (b[i + 2] << 16) | (b[i + 3] << 24)
+        h1 = _mix_h1(h1, _mix_k1(blk))
+    for i in range(aligned, n):
+        byte = b[i] - 256 if b[i] >= 128 else b[i]
+        h1 = _mix_h1(h1, _mix_k1(byte & M32))
+    return _signed32(_fmix(h1, n))
+
+
+def mm3_str(s, seed):
+    return mm3_bytes(s.encode("utf-8"), seed)
+
+
+# --- Spark round / Java rounding helpers ----------------------------
+
+
+def spark_round(x, scale):
+    """Spark Round on DoubleType: BigDecimal(shortest repr), HALF_UP."""
+    if x is None or math.isnan(x) or math.isinf(x):
+        return x
+    q = Decimal(1).scaleb(-scale)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def r6(x):
+    return spark_round(x, 6)
+
+
+def java_round(x):
+    """java.lang.Math.round(double) = floor(x + 0.5) as long."""
+    return math.floor(x + 0.5)
+
+
+def java_rint(x):
+    """java.lang.Math.rint = round-half-even to integral double."""
+    f = math.floor(x)
+    d = x - f
+    if d < 0.5:
+        return int(f)
+    if d > 0.5:
+        return int(f) + 1
+    return int(f) if int(f) % 2 == 0 else int(f) + 1
+
+
+# --- text kernels ----------------------------------------------------
+
+_WS = re.compile(r"\s+", re.ASCII)
+
+
+def words(text):
+    """Spark split(trim(text), '\\s+'): trim strips SPACES only; split
+    keeps leading/trailing empty tokens from non-space whitespace."""
+    if text is None:
+        return None
+    return _WS.split(text.strip(" "))
+
+
+def word_shingles(ws, k):
+    """WordShingles kernel: distinct word k-grams joined by spaces,
+    first-occurrence order; fewer than k words -> the whole text."""
+    if len(ws) < k:
+        return list(dict.fromkeys([" ".join(ws)]))
+    return list(dict.fromkeys(
+        " ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)))
+
+
+def char_shingles(text, k):
+    if len(text) < k:
+        return [text]
+    return list(dict.fromkeys(
+        text[i:i + k] for i in range(len(text) - k + 1)))
+
+
+def minhash_sig(shingles, n_hashes):
+    """MinHashSig kernel: per seed p, min murmur3(shingle, p)."""
+    mins = [2147483647] * n_hashes
+    for s in shingles:
+        b = s.encode("utf-8")
+        for p in range(n_hashes):
+            h = mm3_bytes(b, p)
+            if h < mins[p]:
+                mins[p] = h
+    return mins
+
+
+def simhash_bits(distinct_words, bits):
+    """SimHashBits kernel: signed-vote sign per bit, MSB-first packing
+    (acc*2+bit) -> SIGNED 64-bit long for bits=64."""
+    votes = [0] * bits
+    for w in distinct_words:
+        b = w.encode("utf-8")
+        for p in range(bits):
+            if mm3_bytes(b, p) >= 0:
+                votes[p] += 1
+            else:
+                votes[p] -= 1
+    acc = 0
+    for p in range(bits):
+        acc = acc * 2 + (1 if votes[p] > 0 else 0)
+    if bits == 64 and acc & (1 << 63):
+        acc -= 1 << 64
+    return acc
+
+
+def fingerprint(ws):
+    """FingerprintHash kernel: floorMod(acc*1000003 + murmur3(w,42), 1e9+7)."""
+    acc = 0
+    for w in ws:
+        h = mm3_str(w, 42)
+        acc = (acc * 1000003 + h) % 1000000007
+    return acc
+
+
+def hash_embed(ws, dim):
+    """HashEmbed kernel: murmur3(w,42) bucket counts, L2-normalized."""
+    counts = [0.0] * dim
+    for w in ws:
+        counts[mm3_str(w, 42) % dim] += 1.0
+    ss = 0.0
+    for c in counts:
+        ss += c * c
+    if ss > 0.0:
+        n = math.sqrt(ss)
+        counts = [c / n for c in counts]
+    return counts
+
+
+# --- vector kernels --------------------------------------------------
+
+
+def dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def norm2(a):
+    return math.sqrt(dot(a, a))
+
+
+def cosine6(a, b):
+    return r6(dot(a, b) / (norm2(a) * norm2(b)))
+
+
+def l2_dist_sq(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        d = x - y
+        acc += d * d
+    return acc
+
+
+def hyperplane_coef(i, p):
+    """coefficient for dim i of plane p: murmur3 int mapped to [-1,1]."""
+    return (mm3_int(i, p) % 2000001) / 1000000.0 - 1.0
+
+
+_COEF_CACHE = {}
+
+
+def _coefs(dim, p):
+    key = (dim, p)
+    if key not in _COEF_CACHE:
+        _COEF_CACHE[key] = [hyperplane_coef(i, p) for i in range(dim)]
+    return _COEF_CACHE[key]
+
+
+def hyperplane_bits(vec, bits):
+    out = []
+    for p in range(bits):
+        coefs = _coefs(len(vec), p)
+        proj = 0.0
+        for i, x in enumerate(vec):
+            proj += x * coefs[i]
+        out.append(1 if proj >= 0.0 else 0)
+    return out
+
+
+def hyperplane_bucket(vec, bits):
+    bs = hyperplane_bits(vec, bits)
+    bucket = 0
+    for p in range(bits):
+        if bs[p]:
+            bucket |= 1 << (bits - 1 - p)
+    return bucket
+
+
+def int8_encode(vec):
+    """Int8Encode kernel -> (codes 0..255 list, vmin, scale)."""
+    if not vec:
+        return [], 0.0, 0.0
+    mn = min(vec)
+    mx = max(vec)
+    scale = (mx - mn) / 255.0
+    if scale > 0.0:
+        codes = [java_round((x - mn) / scale) & 0xFF for x in vec]
+    else:
+        codes = [0] * len(vec)
+    return codes, mn, scale
+
+
+def int8_cosine(codes, vmin, scale, probe):
+    d = 0.0
+    nx = 0.0
+    pn = norm2(probe)
+    for i in range(min(len(codes), len(probe))):
+        x = float(codes[i]) * scale + vmin
+        d += x * probe[i]
+        nx += x * x
+    if nx == 0.0 or pn == 0.0:
+        return 0.0
+    return d / (math.sqrt(nx) * pn)
+
+
+# --- k-means (Lloyd's with quantized-long means) ---------------------
+
+
+def assign(vec, cents):
+    """argmin l2_dist_sq, first-match tie-break (lowest cluster id)."""
+    best = None
+    bi = 0
+    for i, c in enumerate(cents):
+        d = l2_dist_sq(vec, c)
+        if best is None or d < best:
+            best = d
+            bi = i
+    return bi, best
+
+
+def kmeans(items, k, max_iter):
+    """items: list of (id, vector(list of double)) - Lloyd's loop with
+    seeds = k lowest-id vectors and CentroidScaledAggregator means
+    (Math.round(v*1e12) long sums; mean = (sum/1e12)/n in doubles).
+    Returns (centroids, iterations)."""
+    srt = sorted(items, key=lambda t: t[0])
+    cents = [list(v) for _, v in srt[:k]]
+    it = 0
+    converged = False
+    while not converged and it < max_iter:
+        sums = [None] * len(cents)
+        counts = [0] * len(cents)
+        for _, v in items:
+            ci, _ = assign(v, cents)
+            if sums[ci] is None:
+                sums[ci] = [0] * len(v)
+            s = sums[ci]
+            for j, x in enumerate(v):
+                s[j] += java_round(x * 1e12)
+            counts[ci] += 1
+        nxt = []
+        for ci, c in enumerate(cents):
+            if counts[ci] == 0:
+                nxt.append(list(c))
+            else:
+                n = counts[ci]
+                nxt.append([float(s) / 1e12 / n for s in sums[ci]])
+        converged = cents == nxt
+        cents = nxt
+        it += 1
+    return cents, it
+
+
+# --- product quantization -------------------------------------------
+
+
+def pq_train(items, dim, m, k, max_iter):
+    """Per-subspace codebooks via kmeans over sliced vectors."""
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        sub = [(i, v[j * dsub:(j + 1) * dsub]) for i, v in items]
+        cents, _ = kmeans(sub, k, max_iter)
+        books.append(cents)
+    return {"m": m, "dsub": dsub, "books": books}
+
+
+def pq_encode(vec, model):
+    dsub = model["dsub"]
+    return [assign(vec[j * dsub:(j + 1) * dsub], model["books"][j])[0]
+            for j in range(model["m"])]
+
+
+def pq_adc_tables(probe, model):
+    dsub = model["dsub"]
+    tables = []
+    for j, book in enumerate(model["books"]):
+        lut = []
+        for cent in book:
+            s = 0.0
+            for i in range(dsub):
+                d = probe[j * dsub + i] - cent[i]
+                s += d * d
+            lut.append(s)
+        tables.append(lut)
+    return tables
+
+
+def pq_adc_dist(codes, tables):
+    """Left-fold sum of table lookups, rounded to 6 dp."""
+    acc = tables[0][codes[0]]
+    for j in range(1, len(tables)):
+        acc = acc + tables[j][codes[j]]
+    return r6(acc)
+
+
+# --- logistic regression (QualityClassifier.train) -------------------
+
+
+def lr_train(data, dim, iters, lr):
+    """data: list of (y, x[dim]); full-batch GD with rint(1e12)-long
+    gradient sums - mirrors QualityClassifier.train."""
+    n = float(len(data))
+    w = [0.0] * dim
+    b = 0.0
+    for _ in range(iters):
+        g = [0] * (dim + 1)
+        for y, x in data:
+            z = b
+            for j in range(dim):
+                z += w[j] * x[j]
+            p = 1.0 / (1.0 + math.exp(-z))
+            d = p - y
+            for j in range(dim):
+                g[j] += java_rint(d * x[j] * 1e12)
+            g[dim] += java_rint(d * 1e12)
+        for j in range(dim):
+            w[j] -= lr * (g[j] / 1e12) / n
+        b -= lr * (g[dim] / 1e12) / n
+    return w, b
+
+
+def sigmoid6(z):
+    return r6(1.0 / (1.0 + math.exp(-z)))

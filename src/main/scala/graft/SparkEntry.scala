@@ -1146,8 +1146,13 @@ object SparkEntry {
 
     // exact substring-span dedup (Lee et al. char-level duplicated-
     // content metric): per doc, how many of its distinct 32-char
-    // windows appear in >= 2 docs. CharShingles kernel + two
-    // key-bounded shuffles; exact ANSI oracle via substr windows.
+    // windows appear in >= 2 docs. CharShingles kernel + key-bounded
+    // shuffles; exact ANSI oracle via substr windows. The hot-span df
+    // cap (the 100 TB OOM guard, r10 — provably result-identical,
+    // DedupSpec) is NOT pinned here: the extra hot-set aggregation
+    // measured +0.5 s at sf0.1 (BenchOne ×3: 1.5/1.1/1.0 uncapped vs
+    // 2.2/1.8/1.5 capped) and the fixtures carry no boilerplate —
+    // web-scale callers pass maxSpanDf (e.g. 1024).
     "q87_dup_spans" -> ((s, d) =>
       Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text", k = 32)
         .orderBy(col("doc_id"))),

@@ -305,6 +305,109 @@ case class HyperplaneBucketExpr(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** Nearest-centroid assignment against a FIXED centroid matrix carried
+  * as ONE reference object: struct(cluster, dist2) = argmin over
+  * sequential squared-L2 folds in centroid-index order (strict `<`, so
+  * ties break to the lowest cluster id — identical to the plan-literal
+  * `array_position(dists, array_min(dists))` form, spec-asserted at
+  * k=1024 with planted duplicate centroids).
+  *
+  * This is the LARGE-k path (r9 verdict #3): the literal formulation
+  * materializes k×dim `Literal` nodes in the plan, which explodes
+  * analysis/codegen time around k ≈ 10⁴ (real IVF coarse quantizers at
+  * 100 TB need exactly that). Here the matrix is a single
+  * `addReferenceObj` — serialized once with the task binary (Spark
+  * torrent-broadcasts task binaries, so this IS the broadcast-variable
+  * posture without leaving the expression layer), and the generated
+  * code is one tight loop independent of k. Mismatched vector/centroid
+  * lengths yield NULL, matching `L2DistSqD`. */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", IntegerType, nullable = false),
+    StructField("dist2", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val vec = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      vec(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    var best = Double.PositiveInfinity
+    var bi = -1
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      if (cent.length != n) return null
+      var acc = 0.0
+      i = 0
+      while (i < n) {
+        val d = vec(i) - cent(i)
+        acc += d * d
+        i += 1
+      }
+      if (acc < best) { best = acc; bi = c }
+      c += 1
+    }
+    if (bi < 0) null else InternalRow(bi, best)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val vec = ctx.freshName("vec")
+      val best = ctx.freshName("best")
+      val bi = ctx.freshName("bi")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val cent = ctx.freshName("cent")
+      s"""
+         |int $n = $a.numElements();
+         |double[] $vec = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $vec[$i] = (double) $a.$get($i);
+         |}
+         |double $best = Double.POSITIVE_INFINITY;
+         |int $bi = -1;
+         |for (int $c = 0; $c < $cents.length && $bi != -2; $c++) {
+         |  double[] $cent = $cents[$c];
+         |  if ($cent.length != $n) { $bi = -2; break; }
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = $vec[$i] - $cent[$i];
+         |    $acc += $d * $d;
+         |  }
+         |  if ($acc < $best) { $best = $acc; $bi = $c; }
+         |}
+         |if ($bi < 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[] { (Object) (Integer) $bi, (Object) (Double) $best });
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One-pass int8 affine quantization of a float/double vector to
   * struct(codes BINARY, vmin DOUBLE, scale DOUBLE) — the storage-path
   * kernel behind the quantized vector store. Identical values to the
@@ -587,6 +690,9 @@ object VectorExpressions {
 
   def int8Encode(vec: Column): Column =
     GraftShims.column(Int8Encode(expr(vec)))
+
+  def nearestCentroid(vec: Column, centroids: Seq[Array[Double]]): Column =
+    GraftShims.column(NearestCentroid(expr(vec), centroids.toArray))
 
   def int8Cosine(codes: Column, vmin: Column, scale: Column,
       probe: Seq[Double]): Column =

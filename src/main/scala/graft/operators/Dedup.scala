@@ -282,24 +282,46 @@ object Dedup {
     * hot-key blowup: a span's fan-out is its true duplication factor,
     * which is exactly the signal. Documents shorter than k are
     * excluded (they have no k-span). */
+  /** `maxSpanDf` is the hot-key guard for the 100 TB regime (r9 verdict
+    * "wrong" #1): "long spans carry no boilerplate" is false at web
+    * scale — license headers, cookie banners and template footers are
+    * ≥k-char strings repeated across millions of docs, and ONE such
+    * span's `collect_list` is a single-executor OOM. With a cap, spans
+    * whose doc frequency exceeds it never enter the doc-list aggregate:
+    * their per-doc contribution is reconstructed from the (tiny,
+    * broadcast) hot set carrying the TRUE df — a span seen >cap(≥1)
+    * times is duplicated for every holder, so the result is
+    * BIT-IDENTICAL to the uncapped form (asserted in DedupSpec) while
+    * every `collect_list` group is bounded by the cap. Price: one extra
+    * narrow (doc, span) aggregation to find the hot set — the same
+    * tradeoff as [[ngramJaccardPairs]]' hot-shingle guard. Default
+    * disables the guard (exact single-aggregate plan). */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
-    val spans = df
-      .filter(col(textCol).isNotNull && length(col(textCol)) >= k)
-      .select(col(idCol).as("doc"), col(textCol))
-      .repartition(par(df), col("doc"))
-      .select(col("doc"),
-        explode(graft.expressions.VectorExpressions
-          .charShingles(col(textCol), k)).as("span"))
-    // one aggregate carries BOTH the doc frequency and the doc list, so
-    // the span stream shuffles once (no rejoin, no sort-merge): the doc
-    // list per span is bounded by that span's true duplication factor
-    // (spans are distinct per doc), which for long spans is exactly the
-    // dedup signal, never boilerplate fan-out. BenchOne at sf0.1:
-    // 2.63 s (groupBy + self-join) → 1.9 s (this shape).
-    spans.groupBy(col("span"))
-      .agg(count(lit(1)).as("span_df"), collect_list(col("doc")).as("docs"))
-      .select(col("span_df"), explode(col("docs")).as("doc"))
+      k: Int, maxSpanDf: Int = Int.MaxValue): DataFrame = {
+    val spans = spanStream(df, idCol, textCol, k)
+    val perSpan =
+      if (maxSpanDf == Int.MaxValue)
+        // one aggregate carries BOTH the doc frequency and the doc
+        // list, so the span stream shuffles once (no rejoin, no
+        // sort-merge): the doc list per span is bounded by that span's
+        // true duplication factor (spans are distinct per doc), which
+        // for long spans is exactly the dedup signal — on corpora KNOWN
+        // boilerplate-free. BenchOne at sf0.1: 2.63 s (groupBy +
+        // self-join) → 1.9 s (this shape).
+        spans.groupBy(col("span"))
+          .agg(count(lit(1)).as("span_df"), collect_list(col("doc")).as("docs"))
+          .select(col("span_df"), explode(col("docs")).as("doc"))
+      else {
+        val cold = coldSpanGroups(spans, maxSpanDf)
+          .select(col("span_df"), explode(col("docs")).as("doc"))
+        // hot spans never carry a doc list: each holder's row rejoins
+        // the broadcast hot set, whose span_df is the true frequency
+        val hotPerDoc = spans
+          .join(broadcast(hotSpans(spans, maxSpanDf)), Seq("span"))
+          .select(col("span_df"), col("doc"))
+        cold.unionByName(hotPerDoc)
+      }
+    perSpan
       .groupBy(col("doc"))
       .agg(
         count(lit(1)).as("total_spans"),
@@ -309,4 +331,30 @@ object Dedup {
         round(col("dup_spans").cast("double")
           / col("total_spans").cast("double"), 6).as("dup_frac"))
   }
+
+  /** The (doc, span) stream of [[duplicatedSpans]] — exposed
+    * `private[graft]` so the spec can drive the capped stages. */
+  private[graft] def spanStream(df: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame =
+    df.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+      .select(col(idCol).as("doc"), col(textCol))
+      .repartition(par(df), col("doc"))
+      .select(col("doc"),
+        explode(graft.expressions.VectorExpressions
+          .charShingles(col(textCol), k)).as("span"))
+
+  /** Spans with doc frequency above the cap — tiny by construction
+    * (only corpus boilerplate qualifies), so it broadcasts. */
+  private[graft] def hotSpans(spans: DataFrame, maxSpanDf: Int): DataFrame =
+    spans.groupBy(col("span"))
+      .agg(count(lit(1)).as("span_df"))
+      .filter(col("span_df") > maxSpanDf)
+
+  /** The doc-list aggregate over NON-hot spans only — every group is
+    * bounded by the cap (spec-asserted). */
+  private[graft] def coldSpanGroups(spans: DataFrame,
+      maxSpanDf: Int): DataFrame =
+    spans.join(broadcast(hotSpans(spans, maxSpanDf)), Seq("span"), "left_anti")
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("span_df"), collect_list(col("doc")).as("docs"))
 }

@@ -230,6 +230,36 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.duplicatedSpans(empty, "doc_id", "text", 5).count() === 0)
   }
 
+  test("duplicatedSpans: hot-span cap bounds groups and stays bit-identical") {
+    import graft.operators.Dedup
+    // boilerplate regime: ONE 32-char span (license-header-style) is
+    // planted in EVERY doc — uncapped, its collect_list group is
+    // corpus-sized (the r9 100 TB OOM finding); capped, it must never
+    // enter the doc-list aggregate while the result stays identical.
+    val boiler = "ALL RIGHTS RESERVED (C) 2026 CO." // exactly 32 chars
+    assert(boiler.length === 32)
+    val docs = Tables.documents(spark, sf)
+      .filter($"text".isNotNull)
+      .select($"doc_id", concat($"text", lit(" " + boiler)).as("text"))
+    val cap = 8
+    val uncapped = Dedup.duplicatedSpans(docs, "doc_id", "text", 32)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val capped = Dedup.duplicatedSpans(docs, "doc_id", "text", 32, cap)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(capped === uncapped)
+    // the planted span (and its shifted variants crossing the glue
+    // space) is hot; every cold group is bounded by the cap
+    val spans = Dedup.spanStream(docs, "doc_id", "text", 32)
+    val hot = Dedup.hotSpans(spans, cap)
+      .select($"span").as[String].collect().toSet
+    assert(hot.contains(boiler))
+    val maxCold = Dedup.coldSpanGroups(spans, cap)
+      .select(max(size($"docs"))).as[Int].head()
+    assert(maxCold <= cap, s"cold group of size $maxCold exceeds cap $cap")
+  }
+
   test("connected components: transitive chain collapses to one cluster") {
     // A~B, B~C but A!~C — the case pairwise keep-first cannot handle
     val cc = runCC(5, Seq((1L, 2L), (2L, 3L)))

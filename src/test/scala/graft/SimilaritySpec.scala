@@ -6,6 +6,46 @@ import graft.operators.Similarity
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("large-k assignment kernel == plan-literal path bit-for-bit (k=1024, dup ties)") {
+    val e = Tables.embeddings(spark, sf)
+    val base = e.select($"vec_id", $"embedding").collect()
+      .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+    // 1024 centroids built by cycling the corpus — EXACT duplicates by
+    // construction (i and i+500 are the same centroid), so equal
+    // distances arise and the first-match tie-break is exercised
+    val cents = (0 until 1024).map(i => base(i % base.length)).toIndexedSeq
+    assert(Similarity.assignExprAuto($"embedding", cents).toString
+      .contains("nearest_centroid"),
+      "auto must pick the reference-object kernel at k=1024")
+    assert(!Similarity.assignExprAuto($"embedding", cents.take(8)).toString
+      .contains("nearest_centroid"),
+      "auto must keep the literal path at k=8")
+    val nc = Similarity.nearestCentroid($"embedding", cents)
+    val kernel = e.select($"vec_id",
+        nc.getField("cluster").as("c"), round(nc.getField("dist2"), 6).as("d"))
+      .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+    // literal path at k=1024: 65k Literal nodes — slow to analyze but
+    // valid; this is exactly the cliff the kernel removes
+    val literal = e.select($"vec_id",
+        Similarity.assignExpr($"embedding", cents).as("c"),
+        round(array_min(array(cents.map(c => graft.functions.VectorOps
+          .l2DistSq($"embedding", array(c.toIndexedSeq.map(lit): _*))): _*)), 6).as("d"))
+      .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+    assert(kernel === literal)
+    // every duplicated centroid pair ties to the LOWER id: cluster < 500
+    assert(kernel.forall(_._2 < base.length))
+    // kMeansAssign auto-switches to the kernel above the cell budget and
+    // agrees with the small-k literal formulation on a truncated set
+    val small = cents.take(8)
+    val viaSmall = Similarity.kMeansAssign(e, "vec_id", "embedding", small)
+      .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+    val viaKernel = e.select($"vec_id",
+        Similarity.nearestCentroid($"embedding", small).getField("cluster").as("c"),
+        round(Similarity.nearestCentroid($"embedding", small).getField("dist2"), 6).as("d"))
+      .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+    assert(viaSmall === viaKernel)
+  }
+
   test("knnJoin: each probe gets exactly k ranked neighbors, best first") {
     val e = Tables.embeddings(spark, sf)
     val out = Similarity.knnJoin(

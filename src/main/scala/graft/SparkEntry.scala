@@ -556,6 +556,12 @@ object SparkEntry {
         "vec_id", "label", "embedding")
         .orderBy(col("vec_id"))),
 
+    // FIXTURE-ONLY exact percentile (the documented q41/q58 pairing):
+    // `percentile` buffers every group value in one agg buffer — a
+    // memory cliff at 100 TB group sizes. It exists for the oracle gate
+    // (both engines interpolate identically); the production path at
+    // scale is q58's GK sketch (approx_percentile), whose 1%-accuracy
+    // envelope is spec-asserted instead of oracled.
     "q41_quantiles" -> ((s, d) =>
       Analytics.quantiles(fan(Tables.lineitem(s, d), "l_orderkey"),
         "l_returnflag", "l_extendedprice")),
@@ -1285,6 +1291,37 @@ object SparkEntry {
       val probe = e.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
       graft.sources.VectorStore.topK(s, path, "vec_id", "embedding", probe, 20)
+    }),
+
+    // P4 — the reference's malformed-row drop as a NAMED operator
+    // (lib.rs:212,263,314,359 filter_map(Result::ok); r10 closes the
+    // last partial §2 row). The fixture is clean, so malformed-ness is
+    // planted deterministically from event_id (q54's pattern): every
+    // 7th row loses its body, every 13th its value. One output frame
+    // carries both surfaces — kept counts per type (dropMalformed) and
+    // dropped counts per (type, first-failing-column reason)
+    // (malformedRows). Exact ANSI oracle.
+    "q94_drop_malformed" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("body",
+          when(pmod(col("event_id"), lit(7)) === 0, lit(null).cast("string"))
+            .otherwise(col("props")))
+        .withColumn("value",
+          when(pmod(col("event_id"), lit(13)) === 0, lit(null).cast("double"))
+            .otherwise(col("value")))
+      val req = Seq("body", "value")
+      MessageOps.dropMalformed(ev, req)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("status", lit("kept"))
+        .unionByName(
+          MessageOps.malformedRows(ev, req)
+            .groupBy(col("event_type"), col("__reason"))
+            .agg(count(lit(1)).as("n"))
+            .withColumn("status", concat(lit("dropped:"), col("__reason")))
+            .drop("__reason"))
+        .select(col("event_type"), col("status"), col("n"))
+        .orderBy(col("event_type"), col("status"))
     }),
 
     // --- P10: filename defaulting -------------------------------------
@@ -2321,6 +2358,24 @@ object SparkEntry {
       expectedSql("q89", "doc_id, label, score, pred", "doc_id"),
     "q93_ivfpq_residual" ->
       expectedSql("q93", "vec_id, sim", "sim DESC, vec_id"),
+
+    // the planted-null replay is pure CASE arithmetic; reason order in
+    // the CASE mirrors dropMalformed's first-failing-column rule
+    "q94_drop_malformed" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE props END AS body,
+        |    CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value
+        |  FROM events),
+        |tagged AS (
+        |  SELECT event_type,
+        |    CASE WHEN body IS NULL THEN 'dropped:body'
+        |         WHEN value IS NULL THEN 'dropped:value'
+        |         ELSE 'kept' END AS status
+        |  FROM ev)
+        |SELECT event_type, status, CAST(count(*) AS BIGINT) AS n
+        |FROM tagged GROUP BY event_type, status
+        |ORDER BY event_type, status""".stripMargin,
 
     "q55_filename_default" ->
       """SELECT event_id,

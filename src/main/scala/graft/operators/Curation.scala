@@ -96,11 +96,16 @@ object Curation {
     * [[decontaminate]] (same oracle), while the joined volume drops by
     * ~(1 − fpp) at any corpus size. This is the same mechanism Spark's
     * own runtime row-level filtering injects for shuffle joins,
-    * applied deliberately. `expectedItems` sizes the filter (eval sets
-    * are bounded by construction); bits = −n·ln(fpp)/ln(2)². */
+    * applied deliberately. `expectedItems` sizes the filter;
+    * bits = −n·ln(fpp)/ln(2)². By default (≤ 0) the size is DERIVED
+    * from the observed benchmark shingle count (one extra count job on
+    * the SMALL side — r9 advice: a fixed default silently saturates at
+    * real eval-suite scale, fpp → 1, and the prune degrades to a no-op
+    * with no signal); an explicit `expectedItems` that the observed
+    * cardinality exceeds logs a saturation warning instead. */
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, k: Int,
-      expectedItems: Long = 1L << 16, fpp: Double = 0.01): DataFrame = {
+      expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.GraftShims
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -109,11 +114,21 @@ object Curation {
       df.filter(col(textCol).isNotNull)
         .select(keep :+ explode(Dedup.shingles(col(textCol), k)).as("__shingle"): _*)
     val bench = shingled(benchmark).select(col("__shingle")).distinct()
+    val observed = bench.count()
+    val items =
+      if (expectedItems > 0L) {
+        if (observed > expectedItems)
+          org.slf4j.LoggerFactory.getLogger("graft.operators.Curation").warn(
+            s"decontaminateBloom: benchmark has $observed distinct shingles " +
+              s"> expectedItems=$expectedItems — filter saturated (fpp -> 1), " +
+              "the bloom prune is a no-op; results stay exact via the confirm join")
+        expectedItems
+      } else math.max(64L, observed)
     val numBits = math.max(64L,
-      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+      math.ceil(-items * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
     val bloomAgg = new BloomFilterAggregate(
       GraftShims.expression(xxhash64(col("__shingle"))),
-      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+      Literal(items), Literal(numBits)).toAggregateExpression()
     val bfBytes = bench.agg(GraftShims.column(bloomAgg).as("bf"))
       .head().getAs[Array[Byte]]("bf")
     val mightHit = GraftShims.column(BloomFilterMightContain(

@@ -105,4 +105,44 @@ object MessageOps {
       idCol.as("profile_id"),
       when(length(keyCol) === 32, keyCol).as("profile_key"),
       (length(keyCol) === 32).as("key_valid"))
+
+  // --- P4: malformed-row drop -----------------------------------------
+
+  /** P4 — the reference's malformed-row drop made a NAMED operator
+    * (`src/lib.rs:212,263,314,359` — every store read runs
+    * `filter_map(Result::ok)`, silently discarding rows that fail to
+    * decode). Kept rows are those where every required column is
+    * non-null; a pure conjunctive filter, so Catalyst pushes it into
+    * the scan. The reference prints errors and moves on — here the
+    * errors side-channel is first-class: [[malformedRows]] returns the
+    * rejects with the first failing column as `__reason`, and
+    * [[dropMalformedObserved]] counts drops IN THE SAME JOB via
+    * `Dataset.observe` (no second scan — at 100 TB a "count the drops"
+    * rescan is a full extra pass). */
+  def dropMalformed(df: DataFrame, requiredCols: Seq[String]): DataFrame =
+    df.filter(requiredCols.map(col(_).isNotNull).reduce(_ && _))
+
+  /** The rejects of [[dropMalformed]] with `__reason` = the FIRST
+    * required column that is null (reference: the decode error it
+    * printed). */
+  def malformedRows(df: DataFrame, requiredCols: Seq[String]): DataFrame =
+    df.filter(requiredCols.map(col(_).isNull).reduce(_ || _))
+      .withColumn("__reason",
+        coalesce(requiredCols.map(c => when(col(c).isNull, lit(c))): _*))
+
+  /** Kept rows + an [[org.apache.spark.sql.Observation]] whose metrics
+    * (`n_seen`, `n_dropped`) materialize from the SAME job that
+    * produced the kept rows — read them after the first action. */
+  def dropMalformedObserved(df: DataFrame, requiredCols: Seq[String])
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("drop_malformed")
+    val ok = requiredCols.map(col(_).isNotNull).reduce(_ && _)
+    val kept = df
+      .withColumn("__ok", ok)
+      .observe(obs, count(lit(1)).as("n_seen"),
+        sum(when(!col("__ok"), 1L).otherwise(0L)).as("n_dropped"))
+      .filter(col("__ok"))
+      .drop("__ok")
+    (kept, obs)
+  }
 }

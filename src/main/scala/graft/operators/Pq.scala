@@ -210,15 +210,6 @@ object Pq {
         encodeExpr(residualExpr(col(vecCol), centroids), model).as("codes"))
       .write.partitionBy("cell").mode("overwrite").parquet(path)
 
-  /** Residual IVF-PQ probe: each probed cell scans with its OWN ADC
-    * tables, built from the probe's residual against THAT cell's
-    * centroid (driver math — the tables differ per cell, which is the
-    * price of residual encoding and why classic implementations
-    * precompute them per probe exactly like this). Each branch is a
-    * single-directory scan (`cell = c` prunes at plan time) with its
-    * literal tables; branches union, the global top-`mCand` by ADC
-    * distance reranks exactly from `source`. With nProbe = nList and
-    * mCand ≥ corpus this equals the brute-force top-k. */
   /** The scoring stage of [[topKIvfResidual]] (no rerank/limit):
     * per-cell single-directory scans, each with its own literal ADC
     * tables, unioned. Exposed so specs can measure ADC error. */
@@ -235,6 +226,15 @@ object Pq {
     }.reduce(_.union(_))
   }
 
+  /** Residual IVF-PQ probe: each probed cell scans with its OWN ADC
+    * tables, built from the probe's residual against THAT cell's
+    * centroid (driver math — the tables differ per cell, which is the
+    * price of residual encoding and why classic implementations
+    * precompute them per probe exactly like this). Each branch is a
+    * single-directory scan (`cell = c` prunes at plan time) with its
+    * literal tables; branches union, the global top-`mCand` by ADC
+    * distance reranks exactly from `source`. With nProbe = nList and
+    * mCand ≥ corpus this equals the brute-force top-k. */
   def topKIvfResidual(spark: SparkSession, path: String, source: DataFrame,
       idCol: String, vecCol: String, probe: Seq[Double], model: Model,
       centroids: Seq[Array[Double]], k: Int, mCand: Int,

@@ -475,7 +475,20 @@ object Similarity {
     * never a cartesian. Centroids come from the caller so the same
     * trained coarse quantizer can serve the ANN index AND the dedup
     * pass (the production pattern — one clustering, many uses).
-    * Returns (id, cluster, kept) for every row. */
+    * Returns (id, cluster, kept) for every row.
+    *
+    * PRODUCTION REGIME (r10, mirroring `nearDupPairsLsh`'s fixture/
+    * production split): k must scale WITH the corpus — pick
+    * k ≈ N / blockTarget so the within-cluster pair stage does
+    * ≈ N · blockTarget work instead of N²/k with a fixed k (a fixed
+    * k=16 over 10¹⁰ rows is 10¹⁹ pairs — the quadratic confinement
+    * only holds if block sizes stay bounded as N grows). Production
+    * tau is 0.95+ (the SemDeDup paper's regime); the fixture's 0.3 is
+    * the random-64-dim setting. The price is recall: a near-dup pair
+    * split across cluster boundaries is missed BY CONSTRUCTION —
+    * SimilaritySpec measures this on a planted straddling pair (and
+    * shows the exact path catching it); corpora needing recall-exact
+    * dedup run [[nearDupPairsLsh]]. */
   def semDedupWithCentroids(df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Array[Double]], tau: Double): DataFrame = {
     val assigned = df.select(col(idCol), col(vecCol))

@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   * is real, and so are the IMAGE codec path (PNG/JPEG/GIF via the
   * JDK's `javax.imageio`) and the AUDIO path for WAV/PCM (via the
   * JDK's `javax.sound.sampled`) — both offline, no external library.
-  * Only compressed audio/video (mp3/mp4) decode is still STUBBED with
-  * a deterministic fake (those codecs are not in this container),
-  * clearly marked below; swapping `fakeDecode` for a real decoder
-  * keeps every other line unchanged.
+  * For compressed audio/video (mp3/mp4) the CONTAINER METADATA parse
+  * is also real (frame/box headers are pure integer arithmetic —
+  * [[containerInfo]]); only full mp3/mp4 SAMPLE decode is still
+  * stubbed with a deterministic fake (those codecs are not in this
+  * container), clearly marked below; swapping `fakeDecode` for a real
+  * decoder keeps every other line unchanged.
   */
 object Multimodal {
 
@@ -305,5 +307,116 @@ object Multimodal {
         }
       }
       .toDF("path", "mime", "n_frames", "frame_idx", "thumb")
+  }
+
+  // --- mp3/mp4 container metadata (REAL parse; r10) -------------------
+  // Frame/box-header parsing is pure-JVM integer arithmetic — no codec
+  // library needed — so duration/bitrate/sample-rate come from the real
+  // bytes. With this, the only remaining stub in the multimodal surface
+  // is FULL mp3/mp4 sample decode (fakeDecode above).
+
+  /** Container-level metadata of one asset:
+    * (duration_ms, bit_rate bps, sample_rate Hz); zeros where the
+    * container does not carry the field. */
+  case class ContainerInfo(path: String, mime: String, bytes: Long,
+      duration_ms: Long, bit_rate: Int, sample_rate: Int)
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+
+  /** MPEG-1 Layer III frame-header parse (the ubiquitous mp3 case):
+    * skip a leading ID3v2 tag (synchsafe size), find the 0xFFE sync,
+    * decode the bitrate/sample-rate index tables, and estimate the CBR
+    * duration from the audio byte count. Returns
+    * (duration_ms, bit_rate bps, sample_rate Hz); None for VBR-less
+    * sync, other MPEG versions/layers, or truncated input. */
+  private[graft] def mp3Metadata(content: Array[Byte]): Option[(Long, Int, Int)] = {
+    val bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    val srates = Array(44100, 48000, 32000)
+    var off = 0
+    if (content.length >= 10 && content(0) == 'I' && content(1) == 'D' && content(2) == '3')
+      off = 10 + (((u8(content, 6) & 0x7f) << 21) | ((u8(content, 7) & 0x7f) << 14) |
+        ((u8(content, 8) & 0x7f) << 7) | (u8(content, 9) & 0x7f))
+    if (off + 4 > content.length) return None
+    val b1 = u8(content, off); val b2 = u8(content, off + 1); val b3 = u8(content, off + 2)
+    val isSync = b1 == 0xff && (b2 & 0xe0) == 0xe0
+    val version = (b2 >> 3) & 3 // 3 = MPEG-1
+    val layer = (b2 >> 1) & 3   // 1 = Layer III
+    val brIdx = (b3 >> 4) & 0xf
+    val srIdx = (b3 >> 2) & 3
+    if (!isSync || version != 3 || layer != 1 || brIdx == 0 || brIdx == 15 || srIdx == 3)
+      return None
+    val bps = bitrates(brIdx) * 1000
+    val audioBytes = (content.length - off).toLong
+    Some((audioBytes * 8L * 1000L / bps, bps, srates(srIdx)))
+  }
+
+  /** ISO-BMFF (mp4) `moov/mvhd` parse: walk top-level boxes to `moov`,
+    * then its children to `mvhd`, and read (timescale, duration) —
+    * version 0 (32-bit) and version 1 (64-bit) layouts. Returns
+    * duration in ms; None when no well-formed mvhd exists. */
+  private[graft] def mp4DurationMs(content: Array[Byte]): Option[Long] = {
+    def boxes(from: Long, until: Long): Iterator[(String, Long, Long)] =
+      new Iterator[(String, Long, Long)] {
+        private var pos = from
+        def hasNext: Boolean = pos + 8 <= until
+        def next(): (String, Long, Long) = {
+          val size0 = be32(content, pos.toInt)
+          val tpe = new String(content, pos.toInt + 4, 4, "ISO-8859-1")
+          val (size, hdr) =
+            if (size0 == 1 && pos + 16 <= until)
+              ((be32(content, pos.toInt + 8) << 32) | be32(content, pos.toInt + 12), 16L)
+            else (size0, 8L)
+          val body = pos + hdr
+          val end = if (size == 0) until else math.min(until, pos + math.max(size, hdr))
+          pos = end
+          (tpe, body, end)
+        }
+      }
+    boxes(0L, content.length.toLong)
+      .collectFirst { case ("moov", b, e) =>
+        boxes(b, e).collectFirst { case ("mvhd", mb, me) =>
+          val i = mb.toInt
+          if (me < mb + 4) None
+          else u8(content, i) match {
+            case 0 if me >= mb + 20 =>
+              val timescale = be32(content, i + 12)
+              val duration = be32(content, i + 16)
+              if (timescale > 0) Some(duration * 1000L / timescale) else None
+            case 1 if me >= mb + 32 =>
+              val timescale = be32(content, i + 20)
+              val duration = (be32(content, i + 24) << 32) | be32(content, i + 28)
+              if (timescale > 0) Some(duration * 1000L / timescale) else None
+            case _ => None
+          }
+        }.flatten
+      }.flatten
+  }
+
+  /** Container metadata over a `binaryFile` frame — the metadata half
+    * of the mp3/mp4 surface, parsed from the REAL bytes (duration,
+    * bitrate, sample rate); WAV durations come through the existing
+    * decode path, images report zeros. Same mapPartitions batch shape
+    * as [[extractFeatures]]. */
+  def containerInfo(spark: SparkSession, binaries: DataFrame): Dataset[ContainerInfo] = {
+    import spark.implicits._
+    binaries.select(col("path"), col("length"), col("content"))
+      .as[(String, Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (path, len, content) =>
+          val mime = sniffMime(content).getOrElse("application/octet-stream")
+          val (dur, br, sr) = mime match {
+            case "audio/mpeg" =>
+              mp3Metadata(content).getOrElse((0L, 0, 0))
+            case "video/mp4" =>
+              val d = mp4DurationMs(content).getOrElse(0L)
+              val bitRate = if (d > 0) (len * 8L * 1000L / d).toInt else 0
+              (d, bitRate, 0)
+            case _ => (0L, 0, 0)
+          }
+          ContainerInfo(path, mime, len, dur, br, sr)
+        }
+      }
   }
 }

@@ -232,4 +232,53 @@ class MultimodalSpec extends SparkSpec {
       .select($"frame_idx").as[Int].collect().sorted.toSeq
     assert(strided === Seq(0, 2))
   }
+
+  private def be(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** Minimal MPEG-1 Layer III stream: empty ID3v2 tag + one CBR frame
+    * header (128 kbps, 44100 Hz) + silence to 4000 audio bytes. */
+  private def mp3Bytes: Array[Byte] = {
+    val id3 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 0)
+    val header = Array(0xff, 0xfb, 0x90, 0x00).map(_.toByte)
+    id3 ++ header ++ Array.fill[Byte](4000 - 4)(0)
+  }
+
+  /** Minimal ISO-BMFF: ftyp + moov/mvhd (v0 or v1), timescale 1000,
+    * duration `durTicks`. */
+  private def mp4Bytes(durTicks: Long, v1: Boolean): Array[Byte] = {
+    val ftyp = be(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be(0)
+    val mvhdBody =
+      if (!v1) Array[Byte](0, 0, 0, 0) ++ be(0) ++ be(0) ++ be(1000) ++ be(durTicks)
+      else Array[Byte](1, 0, 0, 0) ++ be(0) ++ be(0) ++ be(0) ++ be(0) ++
+        be(1000) ++ be(durTicks >> 32) ++ be(durTicks & 0xffffffffL)
+    val mvhd = be(8 + mvhdBody.length) ++ "mvhd".getBytes ++ mvhdBody
+    val moov = be(8 + mvhd.length) ++ "moov".getBytes ++ mvhd
+    ftyp ++ moov
+  }
+
+  test("mp3/mp4 container metadata parses real frame/box headers") {
+    // direct parses: 4000 audio bytes at 128 kbps -> 250 ms
+    assert(Multimodal.mp3Metadata(mp3Bytes) === Some((250L, 128000, 44100)))
+    assert(Multimodal.mp4DurationMs(mp4Bytes(2500L, v1 = false)) === Some(2500L))
+    assert(Multimodal.mp4DurationMs(mp4Bytes(7250L, v1 = true)) === Some(7250L))
+    // garbage and truncation return None rather than throwing
+    assert(Multimodal.mp3Metadata(Array[Byte](1, 2, 3)) === None)
+    assert(Multimodal.mp4DurationMs("ftypnonsense".getBytes) === None)
+    // end-to-end through the binaryFile source
+    val d = Files.createTempDirectory("graft_av")
+    Files.write(d.resolve("tone.mp3"), mp3Bytes)
+    Files.write(d.resolve("clip.mp4"), mp4Bytes(2500L, v1 = false))
+    Files.write(d.resolve("junk.bin"), Array.fill[Byte](64)(7))
+    val got = Multimodal.containerInfo(spark,
+        Multimodal.readBinaryDir(spark, d.toString)).collect()
+      .map(c => (c.path.split("/").last, c.mime, c.duration_ms, c.bit_rate,
+        c.sample_rate)).sortBy(_._1).toSeq
+    val mp4Len = mp4Bytes(2500L, v1 = false).length.toLong
+    assert(got === Seq(
+      ("clip.mp4", "video/mp4", 2500L, (mp4Len * 8L * 1000L / 2500L).toInt, 0),
+      ("junk.bin", "application/octet-stream", 0L, 0, 0),
+      ("tone.mp3", "audio/mpeg", 250L, 128000, 44100)))
+  }
 }

@@ -34,4 +34,28 @@ class NoiseFilterSpec extends SparkSpec {
     val df = Seq(Some("hi"), None).toDF("body")
     assert(NoiseFilter(df, "body").count() === 1)
   }
+
+  test("P4 dropMalformed: kept/rejects partition the input, first-failing reason, one-job observed counts") {
+    import graft.operators.MessageOps
+    val df = Seq(
+      (1L, Some("a"), Some(1.0)),
+      (2L, None, Some(2.0)),
+      (3L, Some("c"), None),
+      (4L, None, None)) // both null -> reason is the FIRST required col
+      .toDF("id", "s", "v")
+    val req = Seq("s", "v")
+    assert(MessageOps.dropMalformed(df, req)
+      .select($"id").as[Long].collect().toSeq === Seq(1L))
+    val rejects = MessageOps.malformedRows(df, req)
+      .select($"id", $"__reason").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(rejects === Seq((2L, "s"), (3L, "v"), (4L, "s")))
+    // kept ∪ rejects == input, disjoint
+    assert(rejects.map(_._1).toSet + 1L ===
+      df.select($"id").as[Long].collect().toSet)
+    val (kept, obs) = MessageOps.dropMalformedObserved(df, req)
+    assert(kept.select($"id").as[Long].collect().toSeq === Seq(1L))
+    // metrics came from the SAME job that produced the kept rows
+    assert(obs.get("n_seen") === 4L)
+    assert(obs.get("n_dropped") === 3L)
+  }
 }

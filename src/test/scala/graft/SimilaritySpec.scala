@@ -46,6 +46,43 @@ class SimilaritySpec extends SparkSpec {
     assert(viaSmall === viaKernel)
   }
 
+  test("semDedup production regime: k ∝ N bounds blocks; the cross-cluster miss is measured") {
+    // 8 well-separated topics × 25 members, k = N/25: every member of a
+    // topic is a planted near-dup of its peers (cos ≈ 0.999 >= 0.95)
+    val n = 200
+    val rows = (0 until n).map { i =>
+      val t = i % 8
+      val v = Array.fill(8)(0.001f)
+      v(t) = 1.0f
+      v((t + 1) % 8) = 0.001f * (1 + i / 8 % 3)
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("id", "vec")
+    val out = Similarity.semDedup(df, "id", "vec", k = n / 25, tau = 0.95,
+      maxIter = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    // block sizes bounded: no cluster larger than 2 × N/k
+    val blocks = out.groupBy(_._2).view.mapValues(_.length)
+    assert(blocks.values.max <= 2 * 25,
+      s"unbounded block: ${blocks.toMap}")
+    // within-topic dups collapse: exactly one kept row per topic
+    val kept = out.filter(_._3).map(_._1)
+    assert(kept.length === 8, s"kept ${kept.toSeq}")
+    assert(kept.map(_ % 8).toSet.size === 8)
+    // the documented miss: an identical-grade pair STRADDLING a cell
+    // boundary (forced via caller centroids) is kept on both sides —
+    // measured miss rate 1/1 here — while the exact path catches it
+    val a = Seq(0.72f, 0.69f); val b = Seq(0.69f, 0.72f)
+    val pairDf = Seq((1L, a), (2L, b)).toDF("id", "vec")
+    val cents = Seq(Array(1.0, 0.0), Array(0.0, 1.0))
+    val split = Similarity.semDedupWithCentroids(pairDf, "id", "vec", cents,
+      tau = 0.95).collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(split.map(_._2).toSet.size === 2, "pair must land in different cells")
+    assert(split.forall(_._3), "cross-cluster near-dup is missed by construction")
+    assert(Similarity.nearDupPairs(pairDf, "id", "vec", 0.95).count() === 1,
+      "the recall-exact path catches the straddling pair")
+  }
+
   test("knnJoin: each probe gets exactly k ranked neighbors, best first") {
     val e = Tables.embeddings(spark, sf)
     val out = Similarity.knnJoin(

@@ -2309,10 +2309,11 @@ object SparkEntry {
     // --- differential oracles (independent Python replicas; see
     // expectedSql above). Still no_oracle by design: q58 (GK sketch is
     // merge-order/partition-count dependent — the one documented
-    // nondeterminism), q38 (MLlib BRP-LSH planes come from
-    // java.util.Random#nextGaussian, whose libm rounding is not
-    // portably reproducible outside the JVM), q29 (Spark's HLL++ bias
-    // tables are implementation constants, not an algorithm spec).
+    // nondeterminism) and q29 (Spark's HLL++ bias-correction tables
+    // are implementation constants, not an algorithm spec — the
+    // fixture cardinalities land in the bias-corrected regime, so an
+    // independent replica cannot reproduce the estimate without
+    // transcribing them).
     "q24_minhash_neardup" ->
       expectedSql("q24", "id_a, id_b, jaccard", "id_a, id_b"),
     "q25_simhash_neardup" ->
@@ -2331,6 +2332,12 @@ object SparkEntry {
     "q37_ingest_batch" ->
       expectedSql("q37", "event_id, chunk_id, tokens, emb_norm, emb_checksum",
         "event_id, chunk_id"),
+    // the MLlib BRP-LSH planes come from java.util.Random(seed=42) —
+    // a fully-specified public generator, so the Python replica
+    // reproduces the join bit-for-bit (JavaRandom in tools/replica.py)
+    "q38_mllib_ann" ->
+      expectedSql("q38", "probe_id, neighbor_id, dist",
+        "probe_id, neighbor_id"),
     "q42_ivf_ann" ->
       expectedSql("q42", "probe_id, neighbor_id, sim, rank", "probe_id, rank"),
     "q51_multimodal_features" ->

@@ -194,9 +194,10 @@ case class SimHashBits(child: Expression, bits: Int)
 
 /** MinHash signature of a shingle array: element p is the minimum of
   * murmur3(shingle, seed=p) over all shingles. One pass per row instead
-  * of nHashes interpreted folds. */
+  * of nHashes interpreted folds; codegen'd (r10 — the q24/q72/q79
+  * signature stage ran interpreted per row). */
 case class MinHashSig(child: Expression, nHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "minhash_sig"
@@ -219,6 +220,31 @@ case class MinHashSig(child: Expression, nHashes: Int)
     }
     ArrayData.toArrayData(mins)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val w = ctx.freshName("w")
+      val h = ctx.freshName("h")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $mins = new int[$nHashes];
+         |java.util.Arrays.fill($mins, Integer.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  org.apache.spark.unsafe.types.UTF8String $w = $a.getUTF8String($i);
+         |  for (int $p = 0; $p < $nHashes; $p++) {
+         |    int $h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+         |      $w.getBaseObject(), $w.getBaseOffset(), $w.numBytes(), $p);
+         |    if ($h < $mins[$p]) $mins[$p] = $h;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($mins);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -517,7 +543,7 @@ case class Int8Cosine(codes: Expression, vmin: Expression, scale: Expression,
   * at dim=64 — the dominant cost of the embed pipeline before this).
   */
 case class HashEmbed(child: Expression, dim: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "hash_embed"
@@ -543,6 +569,38 @@ case class HashEmbed(child: Expression, dim: Int)
     }
     ArrayData.toArrayData(counts)
   }
+
+  // codegen'd (r10): the embed kernel is re-inlined per digest column
+  // by CollapseProject (the measured-cheaper layout), so its per-row
+  // cost is the hottest interpreted path of q26/q37/q59/q79/q89
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val counts = ctx.freshName("counts")
+      val i = ctx.freshName("i")
+      val w = ctx.freshName("w")
+      val h = ctx.freshName("h")
+      val ss = ctx.freshName("ss")
+      val norm = ctx.freshName("norm")
+      s"""
+         |int $n = $a.numElements();
+         |double[] $counts = new double[$dim];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  org.apache.spark.unsafe.types.UTF8String $w = $a.getUTF8String($i);
+         |  int $h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+         |    $w.getBaseObject(), $w.getBaseOffset(), $w.numBytes(), 42);
+         |  $counts[java.lang.Math.floorMod($h, $dim)] += 1.0;
+         |}
+         |double $ss = 0.0;
+         |for (int $i = 0; $i < $dim; $i++) { $ss += $counts[$i] * $counts[$i]; }
+         |if ($ss > 0.0) {
+         |  double $norm = java.lang.Math.sqrt($ss);
+         |  for (int $i = 0; $i < $dim; $i++) { $counts[$i] /= $norm; }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($counts);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

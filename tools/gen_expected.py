@@ -25,11 +25,11 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from replica import (  # noqa: E402
-    assign, char_shingles, cosine6, dot, fingerprint, hash_embed,
-    hyperplane_bucket, hyperplane_bits, int8_cosine, int8_encode, kmeans,
-    l2_dist_sq, lr_train, minhash_sig, mm3_str, norm2, pq_adc_dist,
-    pq_adc_tables, pq_encode, pq_train, r6, sigmoid6, simhash_bits,
-    spark_round, word_shingles, words)
+    assign, brp_unit_vectors, char_shingles, cosine6, dot, fingerprint,
+    hash_embed, hyperplane_bucket, hyperplane_bits, int8_cosine,
+    int8_encode, kmeans, l2_dist_sq, lr_train, minhash_sig, mm3_str,
+    norm2, pq_adc_dist, pq_adc_tables, pq_encode, pq_train, r6, sigmoid6,
+    simhash_bits, spark_round, word_shingles, words)
 
 QUESTION = "query filter join aggregate window shuffle"
 
@@ -240,6 +240,35 @@ def gen_q27(fx):
         for r, (sim, c) in enumerate(ranked, 1):
             rows.append((p, c, sim, r))
     return ("probe_id BIGINT, neighbor_id BIGINT, sim DOUBLE, rank INT", rows)
+
+
+def gen_q38(fx):
+    """MLlib BucketedRandomProjectionLSH approxSimilarityJoin replica:
+    planes from JavaRandom(42) (the model's seed), hash_t =
+    floor(dot(v, plane_t) / bucketLength), candidates share any
+    table's hash, euclidean dist < threshold (strict)."""
+    planes = brp_unit_vectors(42, 3, 64)
+
+    def hashes(v):
+        out = []
+        for p in planes:
+            acc = 0.0
+            for a, b in zip(v, p):
+                acc += a * b
+            out.append(math.floor(acc / 2.0))
+        return out
+
+    hs = {i: hashes(v) for i, v in fx.embs}
+    vecs = dict(fx.embs)
+    rows = []
+    for a in (i for i, _ in fx.embs if i < 5):
+        for b in (i for i, _ in fx.embs if i >= 5):
+            if any(hs[a][t] == hs[b][t] for t in range(3)):
+                d = math.sqrt(l2_dist_sq(vecs[a], vecs[b]))
+                if d < 12.0:
+                    rows.append((a, b, r6(d)))
+    rows.sort()
+    return ("probe_id BIGINT, neighbor_id BIGINT, dist DOUBLE", rows)
 
 
 def gen_q28(fx):
@@ -548,7 +577,8 @@ def gen_q51(fx):
 
 GENERATORS = {
     "q24": gen_q24, "q25": gen_q25, "q26": gen_q26, "q27": gen_q27,
-    "q28": gen_q28, "q36": gen_q36, "q37": gen_q37, "q42": gen_q42,
+    "q28": gen_q28, "q36": gen_q36, "q37": gen_q37, "q38": gen_q38,
+    "q42": gen_q42,
     "q51": gen_q51, "q59": gen_q59, "q70": gen_q70, "q72": gen_q72,
     "q73": gen_q73, "q74": gen_q74, "q78": gen_q78, "q79": gen_q79,
     "q81": gen_q81, "q83": gen_q83, "q88": gen_q88, "q89": gen_q89,

@@ -408,3 +408,62 @@ def lr_train(data, dim, iters, lr):
 
 def sigmoid6(z):
     return r6(1.0 / (1.0 + math.exp(-z)))
+
+
+# --- java.util.Random (the MLlib BRP-LSH plane source) ---------------
+
+
+class JavaRandom:
+    """Bit-exact java.util.Random: 48-bit LCG + the Knuth polar
+    nextGaussian (pair-cached). MLlib's BucketedRandomProjectionLSH
+    draws its random unit vectors from exactly this generator
+    (seed 42 in `Similarity.mllibAnnJoin`), which is what makes the
+    q38 expected output reproducible outside the JVM."""
+
+    MASK48 = (1 << 48) - 1
+
+    def __init__(self, seed):
+        self.seed = (seed ^ 0x5DEECE66D) & self.MASK48
+        self.have = False
+        self.next_g = 0.0
+
+    def _next(self, bits):
+        self.seed = (self.seed * 0x5DEECE66D + 0xB) & self.MASK48
+        return self.seed >> (48 - bits)
+
+    def next_double(self):
+        return ((self._next(26) << 27) + self._next(27)) * (2.0 ** -53)
+
+    def next_gaussian(self):
+        if self.have:
+            self.have = False
+            return self.next_g
+        while True:
+            v1 = 2 * self.next_double() - 1
+            v2 = 2 * self.next_double() - 1
+            s = v1 * v1 + v2 * v2
+            if 0.0 < s < 1.0:
+                break
+        mult = math.sqrt(-2 * math.log(s) / s)
+        self.next_g = v2 * mult
+        self.have = True
+        return v1 * mult
+
+
+def brp_unit_vectors(seed, n_tables, dim):
+    """MLlib createRawLSHModel: n_tables gaussian vectors drawn in
+    order from one JavaRandom, each L2-normalized."""
+    rng = JavaRandom(seed)
+    planes = []
+    for _ in range(n_tables):
+        arr = [rng.next_gaussian() for _ in range(dim)]
+        n = math.sqrt(sum_sq_seq(arr))
+        planes.append([x / n for x in arr])
+    return planes
+
+
+def sum_sq_seq(xs):
+    acc = 0.0
+    for x in xs:
+        acc += x * x
+    return acc

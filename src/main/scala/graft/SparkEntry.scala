@@ -1056,6 +1056,20 @@ object SparkEntry {
         "doc_id", "tokens", 512)
         .orderBy(col("doc_id"))),
 
+    // packed training sequences (r10 — the materialization step past
+    // q80's shard bookkeeping): the corpus's REAL BPE token stream cut
+    // into 512-token concatenate-then-split rows, digested per
+    // sequence (position-weighted checksum, doc-span count, boundary
+    // tokens). Differential oracle: the independent Python encoder
+    // packs the same stream (q75's merge table + prefix arithmetic).
+    "q95_packed_sequences" -> ((s, d) =>
+      Packing.packSequences(
+        fan(Tables.documents(s, d), "doc_id")
+          .select(col("doc_id"),
+            graft.functions.TextOps.bpeTokens(col("text")).as("toks")),
+        "doc_id", "toks", 512)
+        .orderBy(col("seq_id"))),
+
     // domain mixing to a per-source token budget: per-stratum token
     // totals broadcast back in-plan, keep rate = min(100, 100·budget
     // DIV total), deterministic LCG-percent filter (q64's bucket) —
@@ -2367,6 +2381,10 @@ object SparkEntry {
       expectedSql("q89", "doc_id, label, score, pred", "doc_id"),
     "q93_ivfpq_residual" ->
       expectedSql("q93", "vec_id, sim", "sim DESC, vec_id"),
+    "q95_packed_sequences" ->
+      expectedSql("q95",
+        "seq_id, n_tokens, n_docs, first_token, last_token, checksum",
+        "seq_id"),
 
     // the planted-null replay is pure CASE arithmetic; reason order in
     // the CASE mirrors dropMalformed's first-failing-column rule

@@ -66,6 +66,46 @@ object Packing {
           .as("shard_offset"))
   }
 
+  /** The MATERIALIZATION step past [[tokenShards]]' bookkeeping (r10):
+    * cut the concatenated token-id stream into fixed `seqLen`-token
+    * training sequences — concatenate-then-split pretraining rows,
+    * documents straddling boundaries exactly as a real run packs them —
+    * and emit one integer-exact DIGEST row per sequence (the driver
+    * comparator needs scalars; raw packed arrays are a spec concern):
+    * (seq_id, n_tokens, n_docs spanned, first/last token id,
+    * checksum = Σ (pos_in_seq+1)·token — position-weighted, so any
+    * reorder or off-by-one shows).
+    *
+    * Scale shape: doc start offsets come from the same two-phase
+    * distributed prefix scan as [[tokenShards]] (bounded driver state),
+    * the token arrays join back BY ID (one hash shuffle — the payload
+    * never rides the prefix machinery), and the per-sequence digest is
+    * a map-side-combinable `groupBy(seq_id)` aggregate: min_by/max_by
+    * on the unique global position, exact long sums. No window touches
+    * the exploded token stream and nothing corpus-sized reaches the
+    * driver. */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+      seqLen: Long): DataFrame = {
+    val counted = df.select(col(idCol), col(tokensCol))
+      .withColumn("__n", size(col(tokensCol)).cast("long"))
+    val starts = tokenShards(counted.select(col(idCol), col("__n")),
+        idCol, "__n", seqLen)
+      .select(col(idCol), (col("cum_tokens") - col("__n")).as("__start"))
+    counted.join(starts, Seq(idCol))
+      .select(col(idCol), col("__start"),
+        posexplode(col(tokensCol)).as(Seq("__ord", "__tok")))
+      .withColumn("__gpos", col("__start") + col("__ord"))
+      .withColumn("seq_id", expr(s"__gpos DIV $seqLen"))
+      .withColumn("__pos", pmod(col("__gpos"), lit(seqLen)))
+      .groupBy(col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col(idCol)).as("n_docs"),
+        min_by(col("__tok"), col("__gpos")).as("first_token"),
+        max_by(col("__tok"), col("__gpos")).as("last_token"),
+        sum((col("__pos") + 1L) * col("__tok").cast("long")).as("checksum"))
+  }
+
   /** Deterministic global corpus shuffle into `nShards` epoch shards —
     * the step between a curated MIXTURE (q82) and packing (q80): a
     * training run wants documents in pseudo-random order, reproducibly.

@@ -67,4 +67,24 @@ class PackingSpec extends SparkSpec {
     assert(got.map(_._3).distinct.sorted === (0 until 8))
     assert(run() === got)
   }
+
+  test("packSequences: hand-planted stream — boundary straddles, digests exact") {
+    import graft.operators.Packing
+    // token stream 1..9 across three docs at seqLen=4:
+    //   seq0 = [1,2,3,4] (docs 1,2), seq1 = [5,6,7,8] (docs 2,3),
+    //   seq2 = [9] (doc 3 tail) — docs 2 and 3 straddle boundaries
+    val docs = Seq(
+      (1L, Seq(1, 2, 3)), (2L, Seq(4, 5)), (3L, Seq(6, 7, 8, 9)),
+      (4L, Seq.empty[Int])) // empty doc contributes nothing
+      .toDF("doc_id", "toks")
+    val got = Packing.packSequences(docs, "doc_id", "toks", 4)
+      .orderBy($"seq_id")
+      .as[(Long, Long, Long, Int, Int, Long)].collect().toSeq
+    assert(got === Seq(
+      (0L, 4L, 2L, 1, 4, 1L * 1 + 2 * 2 + 3 * 3 + 4 * 4),
+      (1L, 4L, 2L, 5, 8, 1L * 5 + 2 * 6 + 3 * 7 + 4 * 8),
+      (2L, 1L, 1L, 9, 9, 9L)))
+    // total token conservation: sum of n_tokens == corpus token count
+    assert(got.map(_._2).sum === 9L)
+  }
 }

@@ -588,6 +588,38 @@ def gen_q51(fx):
     return ("file VARCHAR, mime VARCHAR, bytes BIGINT, feat_sum DOUBLE", rows)
 
 
+def gen_q95(fx):
+    """Packed-sequence digests: the independent BPE encoder
+    (gen_bpe_expected machinery) produces the same token stream in
+    doc_id order; pack at 512 and digest per sequence."""
+    from gen_bpe_expected import encode_word, load_merges
+    from train_bpe import pretokenize
+    ranks = load_merges()
+    memo = {}
+    seqs = {}
+    gpos = 0
+    for i, t in fx.docs:
+        for w in pretokenize(t or ""):
+            if w not in memo:
+                memo[w] = encode_word(w, ranks)
+            for tok in memo[w]:
+                sid = gpos // 512
+                pos = gpos % 512
+                s = seqs.setdefault(sid, {"n": 0, "docs": set(), "first": None,
+                                          "last": None, "ck": 0})
+                s["n"] += 1
+                s["docs"].add(i)
+                if s["first"] is None:
+                    s["first"] = tok
+                s["last"] = tok
+                s["ck"] += (pos + 1) * tok
+                gpos += 1
+    rows = [(sid, s["n"], len(s["docs"]), s["first"], s["last"], s["ck"])
+            for sid, s in sorted(seqs.items())]
+    return ("seq_id BIGINT, n_tokens BIGINT, n_docs BIGINT, "
+            "first_token INT, last_token INT, checksum BIGINT", rows)
+
+
 GENERATORS = {
     "q24": gen_q24, "q25": gen_q25, "q26": gen_q26, "q27": gen_q27,
     "q28": gen_q28, "q29": gen_q29, "q36": gen_q36, "q37": gen_q37,
@@ -595,7 +627,7 @@ GENERATORS = {
     "q51": gen_q51, "q59": gen_q59, "q70": gen_q70, "q72": gen_q72,
     "q73": gen_q73, "q74": gen_q74, "q78": gen_q78, "q79": gen_q79,
     "q81": gen_q81, "q83": gen_q83, "q88": gen_q88, "q89": gen_q89,
-    "q93": gen_q93,
+    "q93": gen_q93, "q95": gen_q95,
 }
 
 

@@ -85,12 +85,18 @@ object Packing {
     * the exploded token stream and nothing corpus-sized reaches the
     * driver. */
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
-      seqLen: Long): DataFrame = {
+      seqLen: Long): DataFrame =
+    packSequencesFrom(df, idCol, tokensCol, seqLen, offset = 0L)
+
+  /** [[packSequences]] with the stream's carried global token offset —
+    * the per-micro-batch body of [[packStream]]. */
+  private def packSequencesFrom(df: DataFrame, idCol: String,
+      tokensCol: String, seqLen: Long, offset: Long): DataFrame = {
     val counted = df.select(col(idCol), col(tokensCol))
       .withColumn("__n", size(col(tokensCol)).cast("long"))
     val starts = tokenShards(counted.select(col(idCol), col("__n")),
         idCol, "__n", seqLen)
-      .select(col(idCol), (col("cum_tokens") - col("__n")).as("__start"))
+      .select(col(idCol), (col("cum_tokens") - col("__n") + offset).as("__start"))
     counted.join(starts, Seq(idCol))
       .select(col(idCol), col("__start"),
         posexplode(col(tokensCol)).as(Seq("__ord", "__tok")))
@@ -104,6 +110,134 @@ object Packing {
         min_by(col("__tok"), col("__gpos")).as("first_token"),
         max_by(col("__tok"), col("__gpos")).as("last_token"),
         sum((col("__pos") + 1L) * col("__tok").cast("long")).as("checksum"))
+  }
+
+  // --- streaming packing (r10) ----------------------------------------
+
+  /** Carried packing state after a micro-batch: the global token
+    * offset plus the digest of the still-OPEN boundary sequence
+    * (scalars only — a document's tokens never straddle a batch, so
+    * doc counts merge additively). */
+  private[graft] case class PackState(next_gpos: Long, open_seq: Long,
+      open_n: Long, open_docs: Long, open_first: Int, open_last: Int,
+      open_ck: Long)
+
+  private def statePath(stateDir: String, batchId: Long): String =
+    s"$stateDir/batch=$batchId"
+
+  private[graft] def readState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, batchId: Long): PackState = {
+    import spark.implicits._
+    if (batchId == 0L) PackState(0L, -1L, 0L, 0L, 0, 0, 0L)
+    else spark.read.parquet(statePath(stateDir, batchId - 1))
+      .as[PackState].head()
+  }
+
+  /** One micro-batch of continuous packing: digest this batch's token
+    * stream at the carried offset, MERGE the carried open-sequence
+    * partial into its continuation (first/last/checksum/doc counts are
+    * all additive because documents arrive whole), emit every CLOSED
+    * sequence under `out/__batch_id=<id>` and write the new state under
+    * `state/batch=<id>` — both with overwrite, and the state read is
+    * batch `id-1`'s, so a crash between the two writes replays to
+    * BIT-IDENTICAL output (the SignatureStore ingest-key pattern;
+    * spec-asserted by running the same batch twice). Driver state is
+    * one PackState row; the two special rows (carried continuation,
+    * new open boundary) are the only rows collected. */
+  private[graft] def packBatch(batch: DataFrame, batchId: Long,
+      idCol: String, tokensCol: String, seqLen: Long,
+      outDir: String, stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val st = readState(spark, stateDir, batchId)
+    // digest frame stays DISTRIBUTED (a batch can close millions of
+    // sequences); localCheckpoint so the three bounded reads below and
+    // the sink write share one materialization
+    val digests = packSequencesFrom(batch, idCol, tokensCol, seqLen,
+        st.next_gpos)
+      .select(col("seq_id"), col("n_tokens"), col("n_docs"),
+        col("first_token"), col("last_token"), col("checksum"))
+      .localCheckpoint()
+    val batchTokens = digests.agg(coalesce(sum(col("n_tokens")), lit(0L)))
+      .as[Long].head()
+    val end = st.next_gpos + batchTokens
+    val openSeq = if (end % seqLen == 0) -1L else end / seqLen
+    // ONLY the two boundary rows reach the driver
+    val special: Map[Long, (Long, Long, Long, Int, Int, Long)] = digests
+      .filter(col("seq_id").isin(st.open_seq, openSeq))
+      .as[(Long, Long, Long, Int, Int, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // merge the carried open partial with its continuation (doc counts
+    // are additive — a document's tokens never straddle a batch)
+    val carried: Option[(Long, Long, Long, Int, Int, Long)] =
+      if (st.open_seq < 0) None
+      else Some(special.get(st.open_seq) match {
+        case Some((sid, n, d, _, last, ck)) =>
+          (sid, st.open_n + n, st.open_docs + d, st.open_first, last,
+            st.open_ck + ck)
+        case None =>
+          (st.open_seq, st.open_n, st.open_docs, st.open_first,
+            st.open_last, st.open_ck)
+      })
+    val openRow: Option[(Long, Long, Long, Int, Int, Long)] =
+      if (openSeq < 0) None
+      else if (carried.exists(_._1 == openSeq)) carried
+      else special.get(openSeq)
+    val closedCarried = carried.filter(_._1 != openSeq).toSeq
+    val closed = digests
+      .filter(!col("seq_id").isin(st.open_seq, openSeq))
+      .unionByName(closedCarried
+        .toDF("seq_id", "n_tokens", "n_docs", "first_token",
+          "last_token", "checksum"))
+    val nextState = openRow match {
+      case Some((sid, n, d, f, l, ck)) => PackState(end, sid, n, d, f, l, ck)
+      case None => PackState(end, -1L, 0L, 0L, 0, 0, 0L)
+    }
+    closed
+      .withColumn("__batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_id")
+      .parquet(outDir)
+    Seq(nextState).toDF()
+      .write.mode("overwrite").parquet(statePath(stateDir, batchId))
+  }
+
+  /** Continuous sequence packing (AvailableNow drain): each micro-batch
+    * extends the global token stream where the previous one ended and
+    * emits the sequences it closes; the open boundary sequence rides
+    * the state. [[packedResult]] (closed emissions + the open partial)
+    * equals the batch [[packSequences]] over the same corpus when the
+    * stream delivers documents in the same order — asserted in
+    * PackingSpec, along with crash-replay idempotence. */
+  def packStream(stream: DataFrame, idCol: String, tokensCol: String,
+      seqLen: Long, outDir: String, stateDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        packBatch(batch, batchId, idCol, tokensCol, seqLen, outDir, stateDir)
+      }
+      .start()
+
+  /** The stream's complete digest view: all closed emissions plus the
+    * final state's open partial (if any). */
+  def packedResult(spark: org.apache.spark.sql.SparkSession,
+      outDir: String, stateDir: String): DataFrame = {
+    import spark.implicits._
+    val lastBatch = new java.io.File(stateDir).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName.drop(6).toLong).max
+    val st = spark.read.parquet(statePath(stateDir, lastBatch)).as[PackState].head()
+    val closed = spark.read.parquet(outDir)
+      .select(col("seq_id"), col("n_tokens"), col("n_docs"),
+        col("first_token"), col("last_token"), col("checksum"))
+    if (st.open_seq < 0) closed
+    else closed.unionByName(Seq(
+      (st.open_seq, st.open_n, st.open_docs, st.open_first, st.open_last,
+        st.open_ck))
+      .toDF("seq_id", "n_tokens", "n_docs", "first_token", "last_token",
+        "checksum"))
   }
 
   /** Deterministic global corpus shuffle into `nShards` epoch shards —

@@ -87,4 +87,55 @@ class PackingSpec extends SparkSpec {
     // total token conservation: sum of n_tokens == corpus token count
     assert(got.map(_._2).sum === 9L)
   }
+
+  test("packStream: continuous packing equals the batch form; crash-replay bit-identical") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import graft.operators.Packing
+    // deterministic corpus; seqLen 16 forces sequences to straddle
+    // both document AND micro-batch boundaries
+    val docs = (1L to 60L).map(i =>
+      (i, (0 until ((i % 7).toInt + 1)).map(j => ((i * 31 + j * 7) % 97).toInt)))
+    val df = docs.toDF("doc_id", "toks")
+    // one file per slice with ascending mtimes so the file source
+    // delivers slices in id order (arrival order == the batch order)
+    val staging = Files.createTempDirectory("graft_pack_stage")
+    val slices = Seq(1L to 20L, 21L to 40L, 41L to 60L)
+    slices.zipWithIndex.foreach { case (r, i) =>
+      val tmp = Files.createTempDirectory(s"graft_pack_tmp$i")
+      docs.filter(d => r.contains(d._1)).toDF("doc_id", "toks")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = Paths.get(staging.toString, f"slice_$i%03d.parquet")
+      Files.copy(part.toPath, dest)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val out = Files.createTempDirectory("graft_pack_out").toString + "/o"
+    val state = Files.createTempDirectory("graft_pack_state").toString + "/s"
+    val ck = Files.createTempDirectory("graft_pack_ck").toString
+    val q = Packing.packStream(
+      spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1).parquet(staging.toString),
+      "doc_id", "toks", 16, out, state, ck)
+    assert(q.awaitTermination(180000))
+    def result(): Seq[(Long, Long, Long, Int, Int, Long)] =
+      Packing.packedResult(spark, out, state)
+        .orderBy($"seq_id")
+        .as[(Long, Long, Long, Int, Int, Long)].collect().toSeq
+    val streamed = result()
+    val batch = Packing.packSequences(df, "doc_id", "toks", 16)
+      .orderBy($"seq_id")
+      .as[(Long, Long, Long, Int, Int, Long)].collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty && streamed.map(_._2).sum ===
+      docs.map(_._2.length.toLong).sum)
+    // crash-replay: re-run the LAST batch body against the same prior
+    // state (a crash between the emission write and the state write
+    // replays exactly this) — everything must be bit-identical
+    val lastSlice = docs.filter(d => slices.last.contains(d._1))
+      .toDF("doc_id", "toks")
+    Packing.packBatch(lastSlice, 2L, "doc_id", "toks", 16, out, state)
+    assert(result() === streamed)
+  }
 }

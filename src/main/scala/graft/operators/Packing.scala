@@ -112,6 +112,37 @@ object Packing {
         sum((col("__pos") + 1L) * col("__tok").cast("long")).as("checksum"))
   }
 
+  /** The actual training-data product: materialize the packed
+    * sequences as REAL token arrays, written `partitionBy` shard
+    * directories of `seqsPerShard` sequences each (the file layout a
+    * training run streams). Each sequence's array is assembled with a
+    * `collect_list` bounded BY CONSTRUCTION at `seqLen` elements (the
+    * one place a list aggregate is safe at 100 TB — the group is the
+    * fixed-size training row itself), ordered by the in-sequence
+    * position via `sort_array` on (pos, token) structs. Digest rows
+    * ([[packSequences]]) remain the driver-comparator surface; this
+    * sink is spec-verified by reconstructing the digests from the
+    * written arrays. */
+  def writePackedShards(df: DataFrame, idCol: String, tokensCol: String,
+      seqLen: Long, seqsPerShard: Long, outDir: String): Unit = {
+    val counted = df.select(col(idCol), col(tokensCol))
+      .withColumn("__n", size(col(tokensCol)).cast("long"))
+    val starts = tokenShards(counted.select(col(idCol), col("__n")),
+        idCol, "__n", seqLen)
+      .select(col(idCol), (col("cum_tokens") - col("__n")).as("__start"))
+    counted.join(starts, Seq(idCol))
+      .select(col("__start"), posexplode(col(tokensCol)).as(Seq("__ord", "__tok")))
+      .withColumn("__gpos", col("__start") + col("__ord"))
+      .withColumn("seq_id", expr(s"__gpos DIV $seqLen"))
+      .withColumn("__pos", pmod(col("__gpos"), lit(seqLen)).cast("int"))
+      .groupBy(col("seq_id"))
+      .agg(sort_array(collect_list(struct(col("__pos"), col("__tok"))))
+        .getField("__tok").as("tokens"))
+      .withColumn("shard", expr(s"seq_id DIV $seqsPerShard"))
+      .repartition(col("shard"))
+      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+  }
+
   // --- streaming packing (r10) ----------------------------------------
 
   /** Carried packing state after a micro-batch: the global token

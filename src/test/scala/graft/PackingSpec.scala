@@ -88,6 +88,37 @@ class PackingSpec extends SparkSpec {
     assert(got.map(_._2).sum === 9L)
   }
 
+  test("writePackedShards: written arrays reconstruct the digests and the stream") {
+    import java.nio.file.Files
+    import graft.operators.Packing
+    val docs = (1L to 40L).map(i =>
+      (i, (0 until ((i % 5).toInt + 1)).map(j => ((i * 13 + j) % 89).toInt)))
+    val df = docs.toDF("doc_id", "toks")
+    val out = Files.createTempDirectory("graft_shards").toString + "/p"
+    Packing.writePackedShards(df, "doc_id", "toks", seqLen = 8,
+      seqsPerShard = 4, out)
+    val written = spark.read.parquet(out)
+      .select($"seq_id", $"shard", $"tokens")
+      .as[(Long, Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    // the concatenation of written sequences IS the doc-order stream
+    val stream = docs.flatMap(_._2)
+    assert(written.flatMap(_._3) === stream)
+    // every sequence is exactly seqLen except the tail; shard = seq DIV 4
+    written.dropRight(1).foreach { case (sid, sh, toks) =>
+      assert(toks.length === 8 && sh === sid / 4)
+    }
+    // digests derived from the written arrays == packSequences
+    val fromShards = written.map { case (sid, _, toks) =>
+      (sid, toks.length.toLong, toks.head, toks.last,
+        toks.zipWithIndex.map { case (t, p) => (p + 1L) * t }.sum)
+    }
+    val digests = Packing.packSequences(df, "doc_id", "toks", 8)
+      .orderBy($"seq_id")
+      .select($"seq_id", $"n_tokens", $"first_token", $"last_token", $"checksum")
+      .as[(Long, Long, Int, Int, Long)].collect().toSeq
+    assert(fromShards === digests)
+  }
+
   test("packStream: continuous packing equals the batch form; crash-replay bit-identical") {
     import java.nio.file.{Files, Paths}
     import java.nio.file.attribute.FileTime

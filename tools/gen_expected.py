@@ -25,11 +25,11 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from replica import (  # noqa: E402
-    assign, brp_unit_vectors, char_shingles, cosine6, dot, fingerprint,
-    hash_embed, hyperplane_bucket, hyperplane_bits, int8_cosine,
-    int8_encode, kmeans, l2_dist_sq, lr_train, minhash_sig, mm3_str,
-    hllpp_count, norm2, pq_adc_dist, pq_adc_tables, pq_encode, pq_train,
-    r6, sigmoid6, simhash_bits, spark_round, word_shingles, words)
+    assign, brp_unit_vectors, cosine6, dot, fingerprint, hash_embed,
+    hllpp_count, hyperplane_bits, hyperplane_bucket, int8_cosine,
+    int8_encode, kmeans, l2_dist_sq, lr_train, minhash_sig, norm2,
+    pq_adc_dist, pq_adc_tables, pq_encode, pq_train, r6, sigmoid6,
+    simhash_bits, spark_round, word_shingles, words)
 
 QUESTION = "query filter join aggregate window shuffle"
 

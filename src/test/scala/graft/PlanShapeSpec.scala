@@ -111,4 +111,16 @@ class PlanShapeSpec extends SparkSpec {
       assert(plan.contains("partial_"), s"$name lost partial agg:\n$plan")
     }
   }
+
+  test("q95 packing: prefix-scan window is partitioned; digest aggregates partially") {
+    // the textbook failure here is a global Window.orderBy (single
+    // partition for the whole token stream) — the two-phase prefix
+    // scan must keep every window PARTITIONED by the range bucket
+    val plan = physical(SparkEntry.queries("q95_packed_sequences")(spark, sf))
+    val windows = plan.split("\n").filter(_.contains("Window"))
+      .filterNot(_.contains("WindowGroupLimit"))
+    assert(windows.forall(_.contains("__pid")),
+      s"q95 window not partitioned by the range bucket:\n${windows.mkString("\n")}")
+    assert(plan.contains("partial_"), s"q95 lost partial agg:\n$plan")
+  }
 }

@@ -113,7 +113,12 @@ object Curation {
     def shingled(df: DataFrame, keep: Column*) =
       df.filter(col(textCol).isNotNull)
         .select(keep :+ explode(Dedup.shingles(col(textCol), k)).as("__shingle"): _*)
+    // the benchmark shingle set is SMALL by construction (an eval set)
+    // and feeds three consumers — the sizing count, the bloom aggregate
+    // and the exact confirm join. Materialize it once; without this the
+    // shingle explode+distinct recomputes per consumer (r10 advice).
     val bench = shingled(benchmark).select(col("__shingle")).distinct()
+      .localCheckpoint()
     val observed = bench.count()
     val items =
       if (expectedItems > 0L) {

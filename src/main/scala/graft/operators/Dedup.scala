@@ -312,12 +312,18 @@ object Dedup {
           .agg(count(lit(1)).as("span_df"), collect_list(col("doc")).as("docs"))
           .select(col("span_df"), explode(col("docs")).as("doc"))
       else {
-        val cold = coldSpanGroups(spans, maxSpanDf)
+        // the span stream feeds three consumers (hot-set aggregate,
+        // anti-join, hot rejoin) — materialize it ONCE; re-deriving the
+        // explode per consumer is two extra full corpus scans at the
+        // 100 TB regime this cap exists for (r10 advice)
+        val spansCk = spans.localCheckpoint()
+        val hot = hotSpans(spansCk, maxSpanDf).localCheckpoint()
+        val cold = coldSpanGroups(spansCk, hot)
           .select(col("span_df"), explode(col("docs")).as("doc"))
         // hot spans never carry a doc list: each holder's row rejoins
         // the broadcast hot set, whose span_df is the true frequency
-        val hotPerDoc = spans
-          .join(broadcast(hotSpans(spans, maxSpanDf)), Seq("span"))
+        val hotPerDoc = spansCk
+          .join(broadcast(hot), Seq("span"))
           .select(col("span_df"), col("doc"))
         cold.unionByName(hotPerDoc)
       }
@@ -354,7 +360,13 @@ object Dedup {
     * bounded by the cap (spec-asserted). */
   private[graft] def coldSpanGroups(spans: DataFrame,
       maxSpanDf: Int): DataFrame =
-    spans.join(broadcast(hotSpans(spans, maxSpanDf)), Seq("span"), "left_anti")
+    coldSpanGroups(spans, hotSpans(spans, maxSpanDf))
+
+  /** [[coldSpanGroups]] against an already-materialized hot set, so the
+    * capped path computes the hot aggregate exactly once. */
+  private[graft] def coldSpanGroups(spans: DataFrame,
+      hot: DataFrame): DataFrame =
+    spans.join(broadcast(hot), Seq("span"), "left_anti")
       .groupBy(col("span"))
       .agg(count(lit(1)).as("span_df"), collect_list(col("doc")).as("docs"))
 }

@@ -100,6 +100,12 @@ object Packing {
     counted.join(starts, Seq(idCol))
       .select(col(idCol), col("__start"),
         posexplode(col(tokensCol)).as(Seq("__ord", "__tok")))
+      // token ids are vocab indices (bounded far below 2^31): pin the
+      // digest element type to INT so a bigint token column yields the
+      // same digest schema the carried PackState encodes — ANSI cast
+      // fails loudly on a genuinely out-of-range id instead of a
+      // runtime unionByName/encoder mismatch in packBatch
+      .withColumn("__tok", col("__tok").cast("int"))
       .withColumn("__gpos", col("__start") + col("__ord"))
       .withColumn("seq_id", expr(s"__gpos DIV $seqLen"))
       .withColumn("__pos", pmod(col("__gpos"), lit(seqLen)))
@@ -232,6 +238,15 @@ object Packing {
       .parquet(outDir)
     Seq(nextState).toDF()
       .write.mode("overwrite").parquet(statePath(stateDir, batchId))
+    // retention: replay only ever reads batch id-1's state (and a crash
+    // BEFORE this write replays batchId, which also reads id-1), so
+    // everything at id-2 and older is dead — prune it, or a long-running
+    // ingest accretes one tiny parquet dir per micro-batch forever
+    graft.sources.StoreFs.childNames(spark, stateDir)
+      .filter(_.startsWith("batch="))
+      .map(_.drop(6).toLong)
+      .filter(_ <= batchId - 2)
+      .foreach(b => graft.sources.StoreFs.delete(spark, statePath(stateDir, b)))
   }
 
   /** Continuous sequence packing (AvailableNow drain): each micro-batch
@@ -257,18 +272,33 @@ object Packing {
   def packedResult(spark: org.apache.spark.sql.SparkSession,
       outDir: String, stateDir: String): DataFrame = {
     import spark.implicits._
-    val lastBatch = new java.io.File(stateDir).listFiles()
-      .filter(_.getName.startsWith("batch=")).map(_.getName.drop(6).toLong).max
-    val st = spark.read.parquet(statePath(stateDir, lastBatch)).as[PackState].head()
-    val closed = spark.read.parquet(outDir)
-      .select(col("seq_id"), col("n_tokens"), col("n_docs"),
-        col("first_token"), col("last_token"), col("checksum"))
-    if (st.open_seq < 0) closed
-    else closed.unionByName(Seq(
-      (st.open_seq, st.open_n, st.open_docs, st.open_first, st.open_last,
-        st.open_ck))
+    import graft.sources.StoreFs
+    // all listing/probing through the Hadoop FileSystem: the state and
+    // output dirs live wherever the stream writes (hdfs://, s3a://) —
+    // java.io.File would silently see nothing there. A dir that exists
+    // but holds only _temporary debris (crash mid-write) counts as
+    // ABSENT, and schema inference must never run on it.
+    val empty = Seq.empty[(Long, Long, Long, Int, Int, Long)]
       .toDF("seq_id", "n_tokens", "n_docs", "first_token", "last_token",
-        "checksum"))
+        "checksum")
+    val batches = StoreFs.childNames(spark, stateDir)
+      .filter(_.startsWith("batch=")).map(_.drop(6).toLong)
+    if (batches.isEmpty) empty
+    else {
+      val st = spark.read.parquet(statePath(stateDir, batches.max))
+        .as[PackState].head()
+      val closed =
+        if (!StoreFs.hasCommittedData(spark, outDir)) empty
+        else spark.read.parquet(outDir)
+          .select(col("seq_id"), col("n_tokens"), col("n_docs"),
+            col("first_token"), col("last_token"), col("checksum"))
+      if (st.open_seq < 0) closed
+      else closed.unionByName(Seq(
+        (st.open_seq, st.open_n, st.open_docs, st.open_first, st.open_last,
+          st.open_ck))
+        .toDF("seq_id", "n_tokens", "n_docs", "first_token", "last_token",
+          "checksum"))
+    }
   }
 
   /** Deterministic global corpus shuffle into `nShards` epoch shards —

@@ -328,9 +328,15 @@ object Multimodal {
   /** MPEG-1 Layer III frame-header parse (the ubiquitous mp3 case):
     * skip a leading ID3v2 tag (synchsafe size), find the 0xFFE sync,
     * decode the bitrate/sample-rate index tables, and estimate the CBR
-    * duration from the audio byte count. Returns
-    * (duration_ms, bit_rate bps, sample_rate Hz); None for VBR-less
-    * sync, other MPEG versions/layers, or truncated input. */
+    * duration from the audio byte count — a trailing 128-byte ID3v1
+    * `TAG` block is excluded from that count, and a second frame header
+    * whose bitrate index differs from the first marks the stream VBR
+    * (a single-header CBR estimate would be silently wrong) → None.
+    * Returns (duration_ms, bit_rate bps, sample_rate Hz); None for
+    * missing sync, VBR, other MPEG versions/layers, or truncated
+    * input. The estimate is exact for CBR; for a CBR stream with
+    * embedded non-audio tags other than ID3v1/v2 it overestimates by
+    * the tag bytes' play time. */
   private[graft] def mp3Metadata(content: Array[Byte]): Option[(Long, Int, Int)] = {
     val bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
     val srates = Array(44100, 48000, 32000)
@@ -348,8 +354,29 @@ object Multimodal {
     if (!isSync || version != 3 || layer != 1 || brIdx == 0 || brIdx == 15 || srIdx == 3)
       return None
     val bps = bitrates(brIdx) * 1000
-    val audioBytes = (content.length - off).toLong
-    Some((audioBytes * 8L * 1000L / bps, bps, srates(srIdx)))
+    val sr = srates(srIdx)
+    // VBR sniff: MPEG-1 Layer III frame length = 144*bps/sr + padding;
+    // a VALID sync at the next frame with a different bitrate index
+    // means VBR — bail rather than return a wrong CBR estimate. (Zeroed
+    // or absent bytes there are not a header; plain CBR streams pass.)
+    val pad = (b3 >> 1) & 1
+    val next = off + 144 * bps / sr + pad
+    if (next + 4 <= content.length) {
+      val n1 = u8(content, next); val n2 = u8(content, next + 1)
+      val n3 = u8(content, next + 2)
+      val nBr = (n3 >> 4) & 0xf
+      if (n1 == 0xff && (n2 & 0xe0) == 0xe0 && ((n2 >> 3) & 3) == 3 &&
+          ((n2 >> 1) & 3) == 1 && nBr != 0 && nBr != 15 && nBr != brIdx)
+        return None
+    }
+    // a trailing ID3v1 tag is a fixed 128-byte 'TAG' block — metadata,
+    // not audio; excluding it keeps the CBR byte count honest
+    val id3v1 = content.length >= off + 4 + 128 &&
+      content(content.length - 128) == 'T' &&
+      content(content.length - 127) == 'A' &&
+      content(content.length - 126) == 'G'
+    val audioBytes = (content.length - off - (if (id3v1) 128 else 0)).toLong
+    Some((audioBytes * 8L * 1000L / bps, bps, sr))
   }
 
   /** ISO-BMFF (mp4) `moov/mvhd` parse: walk top-level boxes to `moov`,

@@ -192,22 +192,12 @@ object SignatureStore {
   def readShards(spark: SparkSession, path: String, shards: Seq[Int]): DataFrame =
     spark.read.parquet(path + "/bands").filter(col("shard").isin(shards: _*))
 
-  /** True iff `dir` holds at least one COMMITTED data file (Spark hides
-    * `_`/`.`-prefixed paths, so a crashed write's `_temporary` debris
-    * does not count — a store that "exists" but has no committed files
-    * must be treated as absent, both for decision correctness and
-    * because schema inference on it would fail). */
-  private def hasCommittedData(dir: java.io.File): Boolean = {
-    if (!dir.exists()) false
-    else {
-      val children = dir.listFiles()
-      children != null && children.exists { f =>
-        val n = f.getName
-        !n.startsWith("_") && !n.startsWith(".") &&
-          (f.isFile || hasCommittedData(f))
-      }
-    }
-  }
+  /** [[StoreFs.hasCommittedData]] — kept as the store's own vocabulary;
+    * goes through the Hadoop `FileSystem` so a store rooted at
+    * `hdfs://`/`s3a://` probes correctly (r10 verdict: the old
+    * `java.io.File` form was a real 100 TB blocker). */
+  private[graft] def hasCommittedData(spark: SparkSession, dir: String): Boolean =
+    StoreFs.hasCommittedData(spark, dir)
 
   /** The keep decision for one micro-batch: collapse exact within-batch
     * duplicates (deterministic keep-lowest-id), then drop documents
@@ -221,7 +211,7 @@ object SignatureStore {
       jaccardThreshold: Double): DataFrame = {
     val exact = Dedup.exact(batch, idCol, textCol)
     val keep =
-      if (!hasCommittedData(new java.io.File(path + "/bands"))) exact
+      if (!hasCommittedData(batch.sparkSession, path + "/bands")) exact
       else {
         val dupIds = dedupAgainstStore(exact, idCol, textCol, path, p,
           jaccardThreshold, excludeIngest = Some(ingest))

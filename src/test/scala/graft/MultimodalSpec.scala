@@ -281,4 +281,23 @@ class MultimodalSpec extends SparkSpec {
       ("junk.bin", "application/octet-stream", 0L, 0, 0),
       ("tone.mp3", "audio/mpeg", 250L, 128000, 44100)))
   }
+
+  test("mp3: VBR detected via second frame header; ID3v1 trailer excluded") {
+    // MPEG-1 L3 at 128 kbps / 44100 Hz, no padding: frame = 417 bytes
+    val h128 = Array(0xff, 0xfb, 0x90, 0x00).map(_.toByte)
+    val h160 = Array(0xff, 0xfb, 0xa0, 0x00).map(_.toByte)
+    val frame128 = h128 ++ Array.fill[Byte](417 - 4)(0)
+    // differing bitrate index in the second frame header -> VBR -> None
+    assert(Multimodal.mp3Metadata(
+      frame128 ++ h160 ++ Array.fill[Byte](100)(0)) === None)
+    // same-bitrate second frame stays CBR: 834 audio bytes at 128 kbps
+    val cbr = frame128 ++ frame128
+    assert(Multimodal.mp3Metadata(cbr) ===
+      Some((834L * 8L * 1000L / 128000L, 128000, 44100)))
+    // a trailing 128-byte ID3v1 'TAG' block is metadata, not audio —
+    // the duration must not change when it is appended
+    val id3v1 = "TAG".getBytes("UTF-8") ++ Array.fill[Byte](125)(0)
+    assert(Multimodal.mp3Metadata(mp3Bytes ++ id3v1) ===
+      Some((250L, 128000, 44100)))
+  }
 }

@@ -142,8 +142,10 @@ class PackingSpec extends SparkSpec {
       Files.copy(part.toPath, dest)
       Files.setLastModifiedTime(dest, FileTime.fromMillis(1700000000000L + i * 60000L))
     }
-    val out = Files.createTempDirectory("graft_pack_out").toString + "/o"
-    val state = Files.createTempDirectory("graft_pack_state").toString + "/s"
+    // file://-scheme URIs (not bare paths): the result/state machinery
+    // must go through the Hadoop FileSystem, never java.io.File
+    val out = "file://" + Files.createTempDirectory("graft_pack_out").toString + "/o"
+    val state = "file://" + Files.createTempDirectory("graft_pack_state").toString + "/s"
     val ck = Files.createTempDirectory("graft_pack_ck").toString
     val q = Packing.packStream(
       spark.readStream.schema(df.schema)
@@ -168,5 +170,49 @@ class PackingSpec extends SparkSpec {
       .toDF("doc_id", "toks")
     Packing.packBatch(lastSlice, 2L, "doc_id", "toks", 16, out, state)
     assert(result() === streamed)
+    // retention: replay only ever reads batch id-1's state, so after
+    // batch 2 only batch=1 and batch=2 survive (batch=0 pruned) — a
+    // long-running ingest must not accrete one state dir per batch
+    val stateDirs = Paths.get(new java.net.URI(state)).toFile.listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    assert(stateDirs === Seq("batch=1", "batch=2"))
+  }
+
+  test("packedResult edges: absent dirs -> empty; zero-closed batch -> open partial only") {
+    import java.nio.file.Files
+    import graft.operators.Packing
+    val tmp = "file://" + Files.createTempDirectory("graft_pack_edge").toString
+    // nothing ever ran: no state dir, no out dir -> empty digest frame
+    assert(Packing.packedResult(spark, tmp + "/o", tmp + "/s").isEmpty)
+    // one batch that closes ZERO sequences (3 tokens < seqLen=16): the
+    // out dir holds no committed data files, so reading it for schema
+    // would throw — packedResult must return just the open partial
+    Packing.packBatch(Seq((1L, Seq(1, 2, 3))).toDF("doc_id", "toks"),
+      0L, "doc_id", "toks", 16, tmp + "/o", tmp + "/s")
+    val got = Packing.packedResult(spark, tmp + "/o", tmp + "/s")
+      .as[(Long, Long, Long, Int, Int, Long)].collect().toSeq
+    assert(got === Seq((0L, 3L, 1L, 1, 3, 1L * 1 + 2 * 2 + 3 * 3)))
+  }
+
+  test("bigint token columns digest identically (INT pin, carried-state union)") {
+    import java.nio.file.Files
+    import graft.operators.Packing
+    // packSequences: long tokens produce the same INT digest schema
+    val big = Seq((1L, Seq(1L, 2L, 3L, 4L, 5L))).toDF("doc_id", "toks")
+    val d = Packing.packSequences(big, "doc_id", "toks", 4).orderBy($"seq_id")
+      .as[(Long, Long, Long, Int, Int, Long)].collect().toSeq
+    assert(d === Seq((0L, 4L, 1L, 1, 4, 30L), (1L, 1L, 1L, 5, 5, 5L)))
+    // packBatch: the carried open partial from a LONG-token batch 0
+    // merges into batch 1's digests (the unionByName/encoder path the
+    // INT pin protects)
+    val tmp = "file://" + Files.createTempDirectory("graft_pack_big").toString
+    Packing.packBatch(Seq((1L, Seq(1L, 2L, 3L))).toDF("doc_id", "toks"),
+      0L, "doc_id", "toks", 4, tmp + "/o", tmp + "/s")
+    Packing.packBatch(Seq((2L, Seq(4L, 5L))).toDF("doc_id", "toks"),
+      1L, "doc_id", "toks", 4, tmp + "/o", tmp + "/s")
+    val got = Packing.packedResult(spark, tmp + "/o", tmp + "/s")
+      .orderBy($"seq_id")
+      .as[(Long, Long, Long, Int, Int, Long)].collect().toSeq
+    assert(got === Seq((0L, 4L, 2L, 1, 4, 30L), (1L, 1L, 1L, 5, 5, 5L)))
   }
 }

@@ -224,4 +224,21 @@ class SignatureStoreSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(a === b)
   }
+
+  test("hasCommittedData probes through the Hadoop FileSystem (file:// URIs)") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_fsprobe")
+    val uri = "file://" + tmp.toString
+    // absent dir -> absent store
+    assert(!SignatureStore.hasCommittedData(spark, uri + "/absent"))
+    // a dir holding ONLY a crashed write's _temporary debris is absent
+    // (Spark hides _-prefixed paths; schema inference would throw)
+    Files.createDirectories(tmp.resolve("store/_temporary/0"))
+    Files.write(tmp.resolve("store/_temporary/0/part-0"), Array[Byte](1))
+    assert(!SignatureStore.hasCommittedData(spark, uri + "/store"))
+    // one committed nested data file flips it, still through the URI
+    Files.createDirectories(tmp.resolve("store/ingest=base"))
+    Files.write(tmp.resolve("store/ingest=base/part-0.parquet"), Array[Byte](1))
+    assert(SignatureStore.hasCommittedData(spark, uri + "/store"))
+  }
 }

@@ -44,6 +44,23 @@ object Bench {
     // regression (r8 verdict: q01-q16 inflated 1.4-2x with untouched
     // code). Two different orders make a wall-clock window hit
     // DIFFERENT queries in each pass; the seed is logged for replay.
+    // Contention forensics (r10 verdict: three rounds of headline
+    // numbers distorted by neighbor VM load): snapshot loadavg and
+    // cumulative steal ticks around the timed passes so the artifact
+    // itself says whether the window was quiet. steal_pct is the
+    // hypervisor-stolen share of ALL cpu ticks across the run — the
+    // direct signature of the "uniform inflation" failure mode.
+    def loadAvg(): Double = scala.util.Try(
+      scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+")(0).toDouble).getOrElse(-1.0)
+    def cpuTicks(): (Long, Long) = scala.util.Try {
+      val f = scala.io.Source.fromFile("/proc/stat")
+      val parts = try f.getLines().next().split("\\s+").drop(1).map(_.toLong)
+      finally f.close()
+      (parts.sum, if (parts.length > 7) parts(7) else 0L)
+    }.getOrElse((0L, 0L))
+    val loadPre = loadAvg()
+    val (ticksPre, stealPre) = cpuTicks()
     val seed = sys.env.get("SPARK_GRAFT_BENCH_SEED").map(_.toLong)
       .getOrElse(System.nanoTime())
     val rnd = new scala.util.Random(seed)
@@ -70,7 +87,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val coldTotal = merged.collect { case (_, _, Right(t)) => t }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"n_failed":${errors.size},"errors":$errJson,"order_seed":$seed,"queries":$qs,"sf":"$sfDir"}"""
+    val loadPost = loadAvg()
+    val (ticksPost, stealPost) = cpuTicks()
+    val stealPct =
+      if (ticksPost > ticksPre)
+        100.0 * (stealPost - stealPre) / (ticksPost - ticksPre)
+      else -1.0
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"n_failed":${errors.size},"errors":$errJson,"order_seed":$seed,"load_pre":$loadPre,"load_post":$loadPost,"steal_pct":$stealPct,"queries":$qs,"sf":"$sfDir"}"""
     // The driver captures a bounded tail of stdout; Spark's shutdown
     // noise after this line has truncated the artifact before
     // (BENCH_r05 parsed:null). Persist the full line to a file too so

@@ -109,4 +109,69 @@ class PipelineE2ESpec extends SparkSpec {
     assert(s === b)
     assert(s.head === ((probeId, 1.0)))
   }
+
+  test("q96 pretraining pipeline: stages independently rebuilt, digests equal a sequential driver fold") {
+    import graft.operators.{Curation, Packing}
+    val declared = SparkEntry.queries("q96_pretrain_pipeline")(spark, sf)
+      .as[(Long, Long, Long, Int, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(declared.nonEmpty)
+
+    // stage 1 independently: the curated set is q56's declared output
+    // (itself ANSI-oracled) joined back to its text
+    val curated = SparkEntry.queries("q56_curate")(spark, sf)
+      .select($"doc_id", $"source")
+      .join(Tables.documents(spark, sf).select($"doc_id", $"text"), Seq("doc_id"))
+      .select($"doc_id", $"source", $"text",
+        TextOps.tokenCount($"text").as("tokens"))
+      .as[(Long, String, String, Int)].collect().sortBy(_._1).toSeq
+
+    // stage 2 independently: budget rates recomputed by driver
+    // arithmetic from the curated totals; LCG-percent keep set
+    val totals = curated.groupBy(_._2).view.mapValues(_.map(_._4.toLong).sum).toMap
+    val rate = totals.view.mapValues(t =>
+      if (t <= 0L) 100L else math.min(100L, (100L * 600L) / t)).toMap
+    val mixed = curated.filter { case (id, src, _, _) =>
+      (id * 1103515245L + 12345L) % 100L < rate(src) }
+    val mixedSpark = Curation.mixToBudget(
+      curated.map(c => (c._1, c._2, c._3, c._4))
+        .toDF("doc_id", "source", "text", "tokens"),
+      "doc_id", "source", "tokens", 600L)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(mixedSpark === mixed.map(_._1).toSeq)
+
+    // stage 3 independently: shuffle key/shard/pos by driver arithmetic
+    val keyed = mixed.map { case (id, _, t, _) =>
+      val k = ((id % (1L << 31)) * 1103515245L + 12345L) % (1L << 31)
+      (k % 4L, k, id, t)
+    }
+    val ordered = keyed.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (shard, rows) =>
+        rows.sortBy(r => (r._2, r._3)).zipWithIndex.map { case (r, i) =>
+          (shard * (1L << 32) + (i + 1), r._4)
+        }
+    }.sortBy(_._1)
+
+    // stage 4 independently: BPE-tokenize in the shuffled order and
+    // fold the concatenated stream SEQUENTIALLY on the driver — no
+    // prefix-scan machinery, no groupBy
+    val toks = spark.createDataset(ordered).toDF("ord", "text")
+      .select($"ord", TextOps.bpeTokens($"text").as("toks"))
+      .as[(Long, Seq[Int])].collect().sortBy(_._1)
+    val seqLen = 256L
+    val digest = scala.collection.mutable.LinkedHashMap
+      .empty[Long, (Long, Set[Long], Int, Int, Long)]
+    var gpos = 0L
+    for ((ord, ts) <- toks; t <- ts) {
+      val sid = gpos / seqLen; val pos = gpos % seqLen
+      val cur = digest.getOrElse(sid, (0L, Set.empty[Long], t, t, 0L))
+      digest(sid) = (cur._1 + 1, cur._2 + ord,
+        if (cur._1 == 0L) t else cur._3, t, cur._5 + (pos + 1) * t)
+      gpos += 1
+    }
+    val expected = digest.toSeq.map { case (sid, (n, ds, f, l, ck)) =>
+      (sid, n, ds.size.toLong, f, l, ck) }.sortBy(_._1)
+    assert(declared === expected)
+    // token conservation across the whole pipeline
+    assert(declared.map(_._2).sum === toks.map(_._2.length.toLong).sum)
+  }
 }

@@ -583,9 +583,12 @@ def gen_q51(fx):
         acc = 0.0
         for f in feats:
             acc += f
+        # containerInfo over the same binaries: parquet is no media
+        # container -> duration/bit_rate/sample_rate structurally 0
         rows.append((fn, "application/vnd.apache.parquet", len(data),
-                     spark_round(acc, 4)))
-    return ("file VARCHAR, mime VARCHAR, bytes BIGINT, feat_sum DOUBLE", rows)
+                     spark_round(acc, 4), 0, 0, 0))
+    return ("file VARCHAR, mime VARCHAR, bytes BIGINT, feat_sum DOUBLE, "
+            "duration_ms BIGINT, bit_rate INT, sample_rate INT", rows)
 
 
 def gen_q95(fx):
@@ -620,6 +623,153 @@ def gen_q95(fx):
             "first_token INT, last_token INT, checksum BIGINT", rows)
 
 
+def _bpe_token_stream(fx, docs=None):
+    """(doc_id, token) pairs of the corpus BPE stream in the given doc
+    order (default: doc_id order) — the shared front half of q95/q96/
+    q97's packing replicas."""
+    from gen_bpe_expected import encode_word, load_merges
+    from train_bpe import pretokenize
+    ranks = load_merges()
+    memo = {}
+    for i, t in (docs if docs is not None else fx.docs):
+        for w in pretokenize(t or ""):
+            if w not in memo:
+                memo[w] = encode_word(w, ranks)
+            for tok in memo[w]:
+                yield i, tok
+
+
+def _pack_digests(stream, seq_len):
+    """packSequences digests over a (doc, token) stream: one row per
+    seq — (seq_id, n_tokens, n_docs, first, last, pos-weighted ck)."""
+    seqs = {}
+    for gpos, (i, tok) in enumerate(stream):
+        sid = gpos // seq_len
+        pos = gpos % seq_len
+        s = seqs.setdefault(sid, {"n": 0, "docs": set(), "first": None,
+                                  "last": None, "ck": 0})
+        s["n"] += 1
+        s["docs"].add(i)
+        if s["first"] is None:
+            s["first"] = tok
+        s["last"] = tok
+        s["ck"] += (pos + 1) * tok
+    return [(sid, s["n"], len(s["docs"]), s["first"], s["last"], s["ck"])
+            for sid, s in sorted(seqs.items())]
+
+
+PACK_SCHEMA = ("seq_id BIGINT, n_tokens BIGINT, n_docs BIGINT, "
+               "first_token INT, last_token INT, checksum BIGINT")
+
+# TextOps.stopwords / langOrder — the independent replica of the q56
+# language gate (10 words per language; ExpectedPinSpec catches drift)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "fr": ["le", "la", "de", "et", "un", "une", "les", "des", "est", "que"],
+    "es": ["el", "la", "de", "y", "un", "una", "los", "las", "es", "que"],
+    "de": ["der", "die", "das", "und", "ein", "eine", "ist", "zu", "den",
+           "von"],
+    "zh": ["\u7684", "\u4e86", "\u662f", "\u5728", "\u6211", "\u6709",
+           "\u548c", "\u4e0d", "\u4eba", "\u8fd9"]}
+LANG_ORDER = ["en", "fr", "es", "de", "zh"]
+
+
+def _curate(fx):
+    """q56's five-stage curation, independently: noise filter -> en
+    language gate -> quality gate -> exact dedup (keep lowest id) ->
+    within-source 3-gram Jaccard near-dup drop. Returns
+    [(doc_id, source, text, score)] in doc_id order."""
+    import re as _re
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, source, text FROM '{fx.sf_dir}/documents.parquet' "
+        "ORDER BY doc_id").fetchall()
+    con.close()
+    alpha = _re.compile(r"^[a-z]+$", _re.ASCII)
+    stop_sets = [STOPWORDS[l] for l in LANG_ORDER]
+    kept = []
+    for i, src, t in rows:
+        if not noise_keep(t):
+            continue
+        ws = words(t.lower())
+        n = len(ws)
+        hits = [sum(1 for w in ws if w in L) for L in stop_sets]
+        best = max(hits)
+        lang = next((name for name, h in zip(LANG_ORDER, hits)
+                     if h > 0 and h == best), "und")
+        if lang != "en":
+            continue
+        score = spark_round(
+            min(1.0, n / 64.0) * (0.5 + 0.5 * (hits[0] / n))
+            * (sum(1 for w in ws if alpha.match(w)) / n), 6)
+        if score < 0.2:
+            continue
+        kept.append((i, src, t, score))
+    first_by_text = {}
+    for i, src, t, sc in kept:
+        if t not in first_by_text:
+            first_by_text[t] = (i, src, t, sc)
+    ded = sorted(first_by_text.values())
+    sh = {i: set(word_shingles(words(t), 3)) for i, _, t, _ in ded}
+    by_src = {}
+    for i, src, _, _ in ded:
+        by_src.setdefault(src, []).append(i)
+    drop = set()
+    for ids in by_src.values():
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                inter = len(sh[a] & sh[b])
+                union = len(sh[a]) + len(sh[b]) - inter
+                if union and inter / union >= 0.5:
+                    drop.add(b)
+    return [r for r in ded if r[0] not in drop]
+
+
+def gen_q96(fx):
+    """End-to-end pretraining pipeline: curate -> mixToBudget(600) ->
+    shuffleShards(4) -> packSequences(256), each stage replicated
+    independently (integer-exact LCG/rate arithmetic)."""
+    cur = _curate(fx)
+    totals = {}
+    with_tok = []
+    for i, src, t, _ in cur:
+        tk = token_count(t)
+        with_tok.append((i, src, t, tk))
+        totals[src] = totals.get(src, 0) + tk
+    rate = {src: (100 if tot <= 0 else min(100, (100 * 600) // tot))
+            for src, tot in totals.items()}
+    mixed = [(i, src, t) for i, src, t, _ in with_tok
+             if (i * 1103515245 + 12345) % 100 < rate[src]]
+    # epoch shuffle: LCG key, shard = key mod 4, pos ranks (key, id)
+    keyed = [(((i % 2**31) * 1103515245 + 12345) % 2**31, i, t)
+             for i, _, t in mixed]
+    ordered = []
+    for shard in range(4):
+        in_shard = sorted((k, i, t) for k, i, t in keyed if k % 4 == shard)
+        for pos, (_, i, t) in enumerate(in_shard, start=1):
+            ordered.append((shard * 2**32 + pos, t))
+    ordered.sort()
+    return (PACK_SCHEMA,
+            _pack_digests(_bpe_token_stream(fx, docs=ordered), 256))
+
+
+def gen_q97(fx):
+    """writePackedShards digests: the q95 stream packed at 512, 4 seqs
+    per shard dir; per-shard (n_seqs, n_tokens, pos-weighted ck)."""
+    shards = {}
+    for gpos, (_, tok) in enumerate(_bpe_token_stream(fx)):
+        sid = gpos // 512
+        sh = shards.setdefault(sid // 4, {"seqs": set(), "n": 0, "ck": 0})
+        sh["seqs"].add(sid)
+        sh["n"] += 1
+        sh["ck"] += (gpos % 512 + 1) * tok
+    rows = [(sh, d["seqs"].__len__(), d["n"], d["ck"])
+            for sh, d in sorted(shards.items())]
+    return ("shard INT, n_seqs BIGINT, n_tokens BIGINT, checksum BIGINT",
+            rows)
+
+
 GENERATORS = {
     "q24": gen_q24, "q25": gen_q25, "q26": gen_q26, "q27": gen_q27,
     "q28": gen_q28, "q29": gen_q29, "q36": gen_q36, "q37": gen_q37,
@@ -627,7 +777,7 @@ GENERATORS = {
     "q51": gen_q51, "q59": gen_q59, "q70": gen_q70, "q72": gen_q72,
     "q73": gen_q73, "q74": gen_q74, "q78": gen_q78, "q79": gen_q79,
     "q81": gen_q81, "q83": gen_q83, "q88": gen_q88, "q89": gen_q89,
-    "q93": gen_q93, "q95": gen_q95,
+    "q93": gen_q93, "q95": gen_q95, "q96": gen_q96, "q97": gen_q97,
 }
 
 

@@ -92,8 +92,12 @@ object Packing {
     * the per-micro-batch body of [[packStream]]. */
   private def packSequencesFrom(df: DataFrame, idCol: String,
       tokensCol: String, seqLen: Long, offset: Long): DataFrame = {
+    // two consumers read `counted` (the prefix-scan count stream and
+    // the array join-back): materialize it once, or the upstream
+    // tokenization (BPE in q95/q96 — the dominant cost) runs twice
     val counted = df.select(col(idCol), col(tokensCol))
       .withColumn("__n", size(col(tokensCol)).cast("long"))
+      .localCheckpoint()
     val starts = tokenShards(counted.select(col(idCol), col("__n")),
         idCol, "__n", seqLen)
       .select(col(idCol), (col("cum_tokens") - col("__n") + offset).as("__start"))

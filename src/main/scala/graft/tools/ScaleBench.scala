@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-curve harness (SCALING.md, round 11): time named operators
+  * at a given fixture dir — `tools/gen_scale_fixtures.py` generates
+  * the same distribution at any multiplier, so running this across
+  * m=1/3/10 dirs yields per-operator scaling exponents.
+  *
+  * Usage: `runMain graft.tools.ScaleBench <sfDir> <name...>`.
+  * Three timed passes per name (first is the warmup; min of the last
+  * two reported, all three printed). Store-backed declared queries
+  * (q72/q83/q93/q97) build their per-(JVM, dataset) stores during the
+  * warmup pass — across scales the measured number is consistently the
+  * warm probe.
+  *
+  * Beyond the declared queries, `q48_prod` times the production
+  * near-dup regime (threshold 0.8, 8×8-bit bands): the DECLARED q48
+  * pins the fixture regime (0.3, 16×1-bit) where 1-bit bands cannot
+  * prune (p_agree≈0.6 — CLAUDE.md round-2), so its candidate volume is
+  * inherently quadratic; the production regime is the 100 TB shape. */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args.drop(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def build(name: String) = name match {
+      case "q48_prod" =>
+        graft.operators.Similarity.nearDupPairsLsh(
+          graft.Tables.embeddings(spark, sfDir), "vec_id", "embedding")
+      case n => graft.SparkEntry.queries(n)(spark, sfDir)
+    }
+
+    names.foreach { name =>
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        build(name).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[scale] $name%-28s min2=${ts.drop(1).min}%8.3f s  " +
+        f"all=${ts.map(t => f"$t%.2f").mkString("/")}")
+    }
+    spark.stop()
+  }
+}

@@ -171,8 +171,16 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
       maxIter: Int = 30): DataFrame = {
-    val sym = pairs.select(col(aCol).as("cc_src"), col(bCol).as("cc_dst"))
-      .union(pairs.select(col(bCol).as("cc_src"), col(aCol).as("cc_dst")))
+    // materialize the edge list BEFORE symmetrizing: the union's two
+    // branches would otherwise each recompute the upstream pair plan
+    // (exchange reuse does not span AQE-planned union branches), which
+    // doubles the dominant cost when `pairs` is an expensive similarity
+    // join — measured 51.6 s → 29.9 s on the m10 scaling fixture
+    // (SCALING.md q65) with bit-identical output
+    val edges = pairs.select(col(aCol).as("cc_src"), col(bCol).as("cc_dst"))
+      .localCheckpoint()
+    val sym = edges
+      .union(edges.select(col("cc_dst").as("cc_src"), col("cc_src").as("cc_dst")))
       .distinct()
       .localCheckpoint()
     var labels = nodes.select(col(idCol).as("cc_id"), col(idCol).as("cc_label"))

@@ -35,6 +35,26 @@ object ScaleBench {
       case "q48_prod" =>
         graft.operators.Similarity.nearDupPairsLsh(
           graft.Tables.embeddings(spark, sfDir), "vec_id", "embedding")
+      // q65 breakdown: pair generation alone (attributes the super-linear
+      // term — Σ_shingle df² — to the shingle equi-join, not the CC loop)
+      case "q65_pairs" =>
+        import org.apache.spark.sql.functions.{col, lit}
+        graft.operators.Dedup.ngramJaccardPairs(
+          graft.Tables.documents(spark, sfDir).withColumn("__g", lit(1)),
+          "doc_id", "text", "__g", k = 3, threshold = 0.5)
+      // q65 with the hot-shingle guard engaged — the 100 TB regime. A
+      // shingle in >64 docs is corpus boilerplate (here: an artifact of
+      // the closed 30-word fixture vocabulary, whose shingle df grows
+      // ∝ N instead of saturating like natural text); capping bounds
+      // join cost at Σ min(df,64)² = O(#distinct shingles · 64²).
+      case "q65_capped" =>
+        import org.apache.spark.sql.functions.{col, lit}
+        val docs = graft.Tables.documents(spark, sfDir)
+        val pairs = graft.operators.Dedup.ngramJaccardPairs(
+          docs.withColumn("__g", lit(1)), "doc_id", "text", "__g",
+          k = 3, threshold = 0.5, maxShingleDf = 64)
+        graft.operators.Dedup.connectedComponents(
+          docs.select(col("doc_id")), "doc_id", pairs, "id_a", "id_b")
       case n => graft.SparkEntry.queries(n)(spark, sfDir)
     }
 

@@ -12,14 +12,16 @@ import org.apache.spark.sql.functions._
   * (`src/signal/process_incoming_message.rs:46-83`). Here the Spark
   * plumbing — `binaryFile` source, schema, partition-parallel decode —
   * is real, and so are the IMAGE codec path (PNG/JPEG/GIF via the
-  * JDK's `javax.imageio`) and the AUDIO path for WAV/PCM (via the
-  * JDK's `javax.sound.sampled`) — both offline, no external library.
-  * For compressed audio/video (mp3/mp4) the CONTAINER METADATA parse
-  * is also real (frame/box headers are pure integer arithmetic —
-  * [[containerInfo]]); only full mp3/mp4 SAMPLE decode is still
-  * stubbed with a deterministic fake (those codecs are not in this
-  * container), clearly marked below; swapping `fakeDecode` for a real
-  * decoder keeps every other line unchanged.
+  * JDK's `javax.imageio`) and the AUDIO path — PCM and G.711
+  * μ-law/A-law WAVs via the JDK's `javax.sound.sampled`, plus a
+  * from-spec IMA ADPCM decoder ([[imaAdpcmPcm]]) for the 4-bit
+  * compressed WAVs the JDK lacks — all offline, no external library.
+  * For mp3/mp4 the CONTAINER METADATA parse is also real (frame/box
+  * headers are pure integer arithmetic — [[containerInfo]]); only
+  * mp3/mp4 SAMPLE decode is still stubbed with a deterministic fake
+  * (those codecs are not in this container), clearly marked below;
+  * swapping `fakeDecode` for a real decoder keeps every other line
+  * unchanged.
   */
 object Multimodal {
 
@@ -168,7 +170,17 @@ object Multimodal {
     * standard cheap audio fingerprint (silence→0, full-scale→~1).
     * `None` on undecodable bytes (mp3/mp4 need codecs this container
     * lacks) → caller falls back to the stub. */
-  private[graft] def audioFeatures(content: Array[Byte], buckets: Int = 16): Option[Array[Float]] = {
+  private[graft] def audioFeatures(content: Array[Byte], buckets: Int = 16): Option[Array[Float]] =
+    jdkPcm(content).orElse(imaAdpcmPcm(content)).flatMap {
+      case (bytes, ch) => rmsEnvelope(bytes, ch, buckets)
+    }
+
+  /** PCM via the JDK (`javax.sound.sampled`): covers PCM WAVs and —
+    * through the JDK's bundled G.711 `FormatConversionProvider`s —
+    * μ-law/A-law compressed WAVs (format tags 6/7). Returns 16-bit LE
+    * interleaved bytes + channel count; `None` on anything the JDK
+    * can't open or convert (mp3/mp4, IMA ADPCM). */
+  private def jdkPcm(content: Array[Byte]): Option[(Array[Byte], Int)] = {
     import javax.sound.sampled.{AudioFormat, AudioSystem}
     try {
       val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(content))
@@ -178,40 +190,146 @@ object Multimodal {
           src.getSampleRate, 16, src.getChannels, src.getChannels * 2,
           src.getSampleRate, false)
         val pcm = AudioSystem.getAudioInputStream(target, in)
-        val bytes = pcm.readAllBytes()
-        val ch = target.getChannels
-        val nFrames = bytes.length / (2 * ch)
-        if (nFrames <= 0) None
-        else {
-          val sumSq = new Array[Double](buckets)
-          val counts = new Array[Long](buckets)
-          var f = 0
-          while (f < nFrames) {
-            var mono = 0.0
-            var c = 0
-            while (c < ch) {
-              val off = (f * ch + c) * 2
-              val s = ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort
-              mono += s.toDouble
-              c += 1
-            }
-            mono /= ch
-            val b = (f.toLong * buckets / nFrames).toInt
-            sumSq(b) += mono * mono
-            counts(b) += 1
-            f += 1
-          }
-          val out = new Array[Float](buckets)
-          var b = 0
-          while (b < buckets) {
-            out(b) =
-              if (counts(b) == 0) 0.0f
-              else (math.sqrt(sumSq(b) / counts(b)) / 32768.0).toFloat
-            b += 1
-          }
-          Some(out)
-        }
+        Some((pcm.readAllBytes(), target.getChannels))
       } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  private def rmsEnvelope(bytes: Array[Byte], ch: Int, buckets: Int): Option[Array[Float]] = {
+    val nFrames = bytes.length / (2 * ch)
+    if (nFrames <= 0) None
+    else {
+      val sumSq = new Array[Double](buckets)
+      val counts = new Array[Long](buckets)
+      var f = 0
+      while (f < nFrames) {
+        var mono = 0.0
+        var c = 0
+        while (c < ch) {
+          val off = (f * ch + c) * 2
+          val s = ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort
+          mono += s.toDouble
+          c += 1
+        }
+        mono /= ch
+        val b = (f.toLong * buckets / nFrames).toInt
+        sumSq(b) += mono * mono
+        counts(b) += 1
+        f += 1
+      }
+      val out = new Array[Float](buckets)
+      var b = 0
+      while (b < buckets) {
+        out(b) =
+          if (counts(b) == 0) 0.0f
+          else (math.sqrt(sumSq(b) / counts(b)) / 32768.0).toFloat
+        b += 1
+      }
+      Some(out)
+    }
+  }
+
+  // IMA ADPCM tables from the published IMA Digital Audio spec
+  // (IMA Recommended Practices for Enhancing Digital Audio
+  // Compatibility, rev 3.00, 1992) — the same constants every
+  // interoperable decoder ships.
+  private val AdpcmSteps: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767)
+  private val AdpcmIndexDelta: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Decode one 4-bit IMA ADPCM nibble against (predictor, stepIndex);
+    * returns the new (predictor, stepIndex). The exact integer
+    * recurrence from the IMA spec — also used by the test suite's
+    * closed-form fixtures. */
+  private[graft] def adpcmStep(nibble: Int, pred: Int, index: Int): (Int, Int) = {
+    val step = AdpcmSteps(index)
+    var diff = step >> 3
+    if ((nibble & 4) != 0) diff += step
+    if ((nibble & 2) != 0) diff += step >> 1
+    if ((nibble & 1) != 0) diff += step >> 2
+    val p0 = if ((nibble & 8) != 0) pred - diff else pred + diff
+    val p = math.max(-32768, math.min(32767, p0))
+    val i = math.max(0, math.min(88, index + AdpcmIndexDelta(nibble)))
+    (p, i)
+  }
+
+  /** REAL compressed-audio decode for IMA ADPCM WAVs (format tag 0x11
+    * — the common 4-bit compressed WAV the JDK does NOT support): RIFF
+    * chunk walk → per-block per-channel (predictor, stepIndex) headers
+    * → nibble stream through [[adpcmStep]], channels interleaved in
+    * 4-byte groups, low nibble first. Returns 16-bit LE interleaved
+    * PCM + channel count, `None` for anything that isn't a well-formed
+    * IMA ADPCM WAV. With this, only mp3/mp4 compressed-sample decode
+    * remains stubbed (`Multimodal.scala:19`). */
+  private[graft] def imaAdpcmPcm(content: Array[Byte]): Option[(Array[Byte], Int)] = {
+    def le16(o: Int) = (content(o) & 0xff) | ((content(o + 1) & 0xff) << 8)
+    def le32(o: Int) = (content(o) & 0xff) | ((content(o + 1) & 0xff) << 8) |
+      ((content(o + 2) & 0xff) << 16) | ((content(o + 3) & 0xff) << 24)
+    def tag(o: Int) = new String(content.slice(o, o + 4), "US-ASCII")
+    try {
+      if (content.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var off = 12
+      var fmtOff = -1; var fmtLen = 0; var dataOff = -1; var dataLen = 0
+      while (off + 8 <= content.length) {
+        val id = tag(off); val len = le32(off + 4)
+        if (id == "fmt ") { fmtOff = off + 8; fmtLen = len }
+        if (id == "data") { dataOff = off + 8; dataLen = len }
+        off += 8 + len + (len & 1)
+      }
+      if (fmtOff < 0 || dataOff < 0 || fmtLen < 16) return None
+      val formatTag = le16(fmtOff)
+      val ch = le16(fmtOff + 2)
+      val blockAlign = le16(fmtOff + 12)
+      if (formatTag != 0x11 || ch < 1 || ch > 2 ||
+        blockAlign < 4 * ch || (blockAlign % (4 * ch)) != 0) return None
+      val end = math.min(dataOff + dataLen, content.length)
+      val out = new java.io.ByteArrayOutputStream()
+      def emit(s: Int): Unit = { out.write(s & 0xff); out.write((s >> 8) & 0xff) }
+      var blk = dataOff
+      while (blk + 4 * ch <= end) {
+        val blkEnd = math.min(blk + blockAlign, end)
+        val pred = new Array[Int](ch); val idx = new Array[Int](ch)
+        var c = 0
+        while (c < ch) {
+          pred(c) = le16(blk + 4 * c).toShort.toInt
+          idx(c) = math.max(0, math.min(88, content(blk + 4 * c + 2) & 0xff))
+          emit(pred(c)) // the block header predictor IS the first sample
+          c += 1
+        }
+        // body: one 4-byte group per channel in rotation, 8 nibbles
+        // per group, low nibble of each byte first
+        var g = blk + 4 * ch
+        while (g + 4 * ch <= blkEnd) {
+          val frames = Array.ofDim[Int](8, ch)
+          c = 0
+          while (c < ch) {
+            var k = 0
+            while (k < 4) {
+              val b = content(g + 4 * c + k) & 0xff
+              val (p1, i1) = adpcmStep(b & 0xf, pred(c), idx(c))
+              pred(c) = p1; idx(c) = i1; frames(2 * k)(c) = p1
+              val (p2, i2) = adpcmStep(b >> 4, pred(c), idx(c))
+              pred(c) = p2; idx(c) = i2; frames(2 * k + 1)(c) = p2
+              k += 1
+            }
+            c += 1
+          }
+          var f = 0
+          while (f < 8) { c = 0; while (c < ch) { emit(frames(f)(c)); c += 1 }; f += 1 }
+          g += 4 * ch
+        }
+        blk += blockAlign
+      }
+      val bytes = out.toByteArray
+      if (bytes.length < 2 * ch) None else Some((bytes, ch))
     } catch { case _: Exception => None }
   }
 

@@ -180,6 +180,104 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.fakeDecode(corrupt, 16).toSeq)
   }
 
+  test("IMA ADPCM WAV decode: closed-form constant blocks, encoder round-trip " +
+      "tracks a square wave, stereo, JDK mu-law path, e2e fallback order") {
+    // hand-build an IMA ADPCM WAV (format tag 0x11) from raw blocks
+    def adpcmWav(blocks: Array[Byte], channels: Int, blockAlign: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def w16(v: Int) = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+      def w32(v: Int) = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+      bos.write("RIFF".getBytes); w32(4 + 8 + 20 + 8 + blocks.length)
+      bos.write("WAVE".getBytes)
+      bos.write("fmt ".getBytes); w32(20)
+      w16(0x11); w16(channels); w32(8000); w32(8000 * blockAlign / 505)
+      w16(blockAlign); w16(4) // bits per sample
+      val spb = (blockAlign - 4 * channels) * 2 / channels + 1
+      w16(2); w16(spb) // cbSize + samplesPerBlock
+      bos.write("data".getBytes); w32(blocks.length); bos.write(blocks)
+      bos.toByteArray
+    }
+    // CLOSED-FORM: nibble 0 adds step>>3 and at index 0 step=7>>3=0, so a
+    // block of predictor P + all-zero nibbles decodes to EXACTLY P repeated
+    val constBlock = {
+      val b = new Array[Byte](4 + 32) // mono, 4-byte header + 32 body bytes
+      b(0) = (12345 & 0xff).toByte; b(1) = ((12345 >> 8) & 0xff).toByte
+      b(2) = 0; b(3) = 0
+      b
+    }
+    val (constPcm, ch1) = Multimodal.imaAdpcmPcm(adpcmWav(constBlock, 1, 36)).get
+    assert(ch1 === 1)
+    val constSamples = constPcm.grouped(2)
+      .map(p => (((p(0) & 0xff) | (p(1) << 8)).toShort).toInt).toSeq
+    assert(constSamples.length === 65) // 1 header sample + 64 nibbles
+    assert(constSamples.forall(_ === 12345))
+    // encoder round-trip: greedy IMA encoder (the spec's inverse recurrence
+    // via adpcmStep itself picking the best nibble) must track a +-8000
+    // square wave closely once the step size has adapted
+    def encode(samples: Array[Int], blockAlign: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var pred = samples.head; var idx = 0
+      val spb = (blockAlign - 4) * 2 + 1
+      samples.grouped(spb).foreach { blk =>
+        out.write(pred & 0xff); out.write((pred >> 8) & 0xff)
+        out.write(idx); out.write(0)
+        val nib = blk.drop(1).padTo(spb - 1, blk.last).map { s =>
+          val best = (0 until 16).minBy { n =>
+            val (p, _) = Multimodal.adpcmStep(n, pred, idx)
+            math.abs(p - s)
+          }
+          val (p, i) = Multimodal.adpcmStep(best, pred, idx)
+          pred = p; idx = i; best
+        }
+        nib.grouped(2).foreach(p => out.write((p(0) | (p(1) << 4)) & 0xff))
+      }
+      out.toByteArray
+    }
+    // period-8 square (4-sample plateaus): Nyquist-rate alternation is
+    // the one signal ADPCM tracks worst (~8% RMS undershoot); plateaus
+    // let the greedy encoder settle within quantization error
+    val square = Array.tabulate(505)(i => if ((i / 4) % 2 == 0) 8000 else -8000)
+    val wav = adpcmWav(encode(square, 132), 1, 132)
+    assert(Multimodal.sniffMime(wav) === Some("audio/wav"))
+    val env = Multimodal.audioFeatures(wav, 4).get
+    // RMS of the tracked square wave ~ 8000/32768 ~ 0.244; allow the
+    // first bucket its adaptation ramp
+    env.drop(1).foreach(v => assert(math.abs(v - 8000.0 / 32768) < 0.02, v.toString))
+    // stereo: L = const 5000 (zero nibbles), R = const -5000 -> per-channel
+    // constants survive the interleave, mono mix cancels to 0
+    val stBlock = new Array[Byte](8 + 8) // two 4-byte headers + one group each
+    stBlock(0) = (5000 & 0xff).toByte; stBlock(1) = ((5000 >> 8) & 0xff).toByte
+    val m5000 = (-5000 & 0xffff)
+    stBlock(4) = (m5000 & 0xff).toByte; stBlock(5) = ((m5000 >> 8) & 0xff).toByte
+    val stEnv = Multimodal.audioFeatures(adpcmWav(stBlock, 2, 16), 2).get
+    stEnv.foreach(v => assert(math.abs(v) < 1e-6))
+    // G.711 mu-law WAV decodes through the JDK conversion path
+    import javax.sound.sampled._
+    val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+    val ulawFmt = new AudioFormat(AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false)
+    val raw = new Array[Byte](1600 * 2)
+    (0 until 1600).foreach { i =>
+      val s = if (i % 2 == 0) 16000 else -16000
+      raw(2 * i) = (s & 0xff).toByte; raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ulawAis = AudioSystem.getAudioInputStream(ulawFmt,
+      new AudioInputStream(new java.io.ByteArrayInputStream(raw), pcmFmt, 1600))
+    val ulawBos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ulawAis, AudioFileFormat.Type.WAVE, ulawBos)
+    val ulawEnv = Multimodal.audioFeatures(ulawBos.toByteArray, 4).get
+    // mu-law is logarithmic 8-bit: top-segment quantization error is up
+    // to ~512/32768 at this level, so allow 2% absolute
+    ulawEnv.foreach(v => assert(math.abs(v - 16000.0 / 32768) < 0.02, v.toString))
+    // e2e: the ADPCM wav decodes real through extractFeatures (not the stub)
+    val d = Files.createTempDirectory("graft_adpcm")
+    Files.write(d.resolve("sq.wav"), wav)
+    val got = Multimodal.extractFeatures(spark,
+        Multimodal.readBinaryDir(spark, d.toString), dim = 4)
+      .collect().head
+    assert(got.mime === "audio/wav")
+    assert(got.features.toSeq === Multimodal.audioFeatures(wav, 4).get.toSeq)
+  }
+
   test("frame sampling emits stride-spaced ordinals") {
     val frames = Multimodal.sampleFrames(
       Multimodal.readBinaryDir(spark, dir, "c.bin"), stride = 1)

@@ -59,13 +59,19 @@ object ScaleBench {
     }
 
     names.foreach { name =>
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        build(name).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+      try {
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          build(name).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[scale] $name%-28s min2=${ts.drop(1).min}%8.3f s  " +
+          f"all=${ts.map(t => f"$t%.2f").mkString("/")}")
+      } catch {
+        case e: Exception =>
+          println(s"[scale] $name ERROR: ${e.getClass.getSimpleName}: " +
+            s"${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}")
       }
-      println(f"[scale] $name%-28s min2=${ts.drop(1).min}%8.3f s  " +
-        f"all=${ts.map(t => f"$t%.2f").mkString("/")}")
     }
     spark.stop()
   }

@@ -970,14 +970,15 @@ object SparkEntry {
         .orderBy(col("cluster"))
     }),
 
-    // real WAV audio decode (javax.sound.sampled, offline): 8
-    // deterministic square-wave tones (half silence, half ±amplitude —
-    // integer-exact PCM, no transcendental sample synthesis, so the
-    // bytes are bit-reproducible) are generated once per JVM, decoded
-    // through the binaryFile → extractFeatures path, and the 16-bucket
-    // RMS envelope is digested to scalars. Rows-only (file generation
-    // is not SQL-expressible); the envelope VALUES are hand-verified in
-    // MultimodalSpec.
+    // real audio decode (offline): 8 square-wave PCM tones (half
+    // silence, half ±amplitude — integer-exact, bit-reproducible
+    // bytes) through javax.sound.sampled, PLUS 8 IMA ADPCM compressed
+    // tones built from constant blocks (predictor P + all-zero
+    // nibbles: at step index 0 the per-nibble delta is 7>>3 = 0, so
+    // every decoded sample is EXACTLY P — the compressed path is as
+    // closed-form as the PCM one). Both envelope families land in the
+    // analytic DuckDB oracle; the decoder recurrence itself is
+    // hand-verified in MultimodalSpec.
     "q76_audio_features" -> ((s, d) => {
       import javax.sound.sampled._
       val path = cachedStorePath("wav:" + d) { pth =>
@@ -996,6 +997,24 @@ object SparkEntry {
             new java.io.ByteArrayInputStream(raw), fmt, samples.length)
           AudioSystem.write(ais, AudioFileFormat.Type.WAVE,
             new java.io.File(pth, s"tone_$i.wav"))
+        }
+        for (i <- 0 until 8) {
+          val p = 2000 * (i + 1)
+          val bos = new java.io.ByteArrayOutputStream()
+          def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+          def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+          val dataLen = 4 * 36 // four mono blocks of blockAlign 36
+          bos.write("RIFF".getBytes("US-ASCII")); w32(4 + 28 + 8 + dataLen)
+          bos.write("WAVE".getBytes("US-ASCII"))
+          bos.write("fmt ".getBytes("US-ASCII")); w32(20)
+          w16(0x11); w16(1); w32(8000); w32(4064); w16(36); w16(4); w16(2); w16(65)
+          bos.write("data".getBytes("US-ASCII")); w32(dataLen)
+          for (_ <- 0 until 4) {
+            w16(p); bos.write(0); bos.write(0) // predictor, stepIndex 0
+            bos.write(new Array[Byte](32))     // 64 zero nibbles
+          }
+          java.nio.file.Files.write(
+            new java.io.File(pth, s"adpcm_$i.wav").toPath, bos.toByteArray)
         }
       }
       Multimodal.extractFeatures(s, Multimodal.readBinaryDir(s, path), dim = 16)
@@ -2351,14 +2370,27 @@ object SparkEntry {
     // in binary floating point).
     "q76_audio_features" ->
       """WITH t AS (SELECT unnest(generate_series(0, 7)) AS i)
-        |SELECT 'tone_' || CAST(i AS VARCHAR) || '.wav' AS file,
-        |  'audio/wav' AS mime,
-        |  CAST(3244 AS BIGINT) AS bytes,
-        |  round(CAST(8 AS DOUBLE) * CAST(2000 * (i + 1) AS DOUBLE)
-        |    / CAST(32768 AS DOUBLE), 4) AS env_sum,
-        |  round(CAST(2000 * (i + 1) AS DOUBLE) / CAST(32768 AS DOUBLE), 4) AS env_max,
-        |  CAST(0.0 AS DOUBLE) AS env_first
-        |FROM t ORDER BY file""".stripMargin,
+        |SELECT file, mime, bytes, env_sum, env_max, env_first FROM (
+        |  SELECT 'tone_' || CAST(i AS VARCHAR) || '.wav' AS file,
+        |    'audio/wav' AS mime,
+        |    CAST(3244 AS BIGINT) AS bytes,
+        |    round(CAST(8 AS DOUBLE) * CAST(2000 * (i + 1) AS DOUBLE)
+        |      / CAST(32768 AS DOUBLE), 4) AS env_sum,
+        |    round(CAST(2000 * (i + 1) AS DOUBLE) / CAST(32768 AS DOUBLE), 4) AS env_max,
+        |    CAST(0.0 AS DOUBLE) AS env_first
+        |  FROM t
+        |  UNION ALL
+        |  -- IMA ADPCM constant blocks decode to exactly P everywhere:
+        |  -- all 16 buckets read P/32768
+        |  SELECT 'adpcm_' || CAST(i AS VARCHAR) || '.wav' AS file,
+        |    'audio/wav' AS mime,
+        |    CAST(192 AS BIGINT) AS bytes,
+        |    round(CAST(16 AS DOUBLE) * CAST(2000 * (i + 1) AS DOUBLE)
+        |      / CAST(32768 AS DOUBLE), 4) AS env_sum,
+        |    round(CAST(2000 * (i + 1) AS DOUBLE) / CAST(32768 AS DOUBLE), 4) AS env_max,
+        |    round(CAST(2000 * (i + 1) AS DOUBLE) / CAST(32768 AS DOUBLE), 4) AS env_first
+        |  FROM t)
+        |ORDER BY file""".stripMargin,
 
     // Differential oracle: expected counts computed by the independent
     // Python BPE encoder (tools/gen_bpe_expected.py) over the same

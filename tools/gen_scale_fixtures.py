@@ -74,13 +74,77 @@ def gen_embeddings(con, out, m, rng):
     con.execute(f"COPY embeddings TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
 
 
+def gen_events(con, out, n, rng):
+    """Matches the observed sf0.1 events distribution: 5 uniform event
+    types, user_id uniform over n/67 users, ts uniform over 30 days of
+    2024-01, value ~ |N(0,1)|-scaled into the observed 0-560 range,
+    props = {"k": int}. Written as TIMESTAMPTZ (UTC-adjusted micros) so
+    Spark reads TimestampType, matching what Tables.events yields after
+    its NANOS conversion — a naive TIMESTAMP would surface as
+    TIMESTAMP_NTZ and break unix_micros-based queries (q13)."""
+    types = np.array(["signup", "purchase", "view", "click", "error"])
+    users = max(1, n // 67)  # sf0.1: 100k events / 1500 users
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = t0 + rng.integers(0, 30 * 86400 * 1_000_000, size=n).astype("timedelta64[us]")
+    ev_type = types[rng.integers(0, 5, size=n)]
+    value = np.round(np.abs(rng.standard_normal(n)) * 120.0, 2)
+    props_k = rng.integers(0, 100, size=n)
+    con.execute("SET timezone = 'UTC'")
+    con.execute("CREATE TABLE events(event_id BIGINT, ts TIMESTAMPTZ, "
+                "user_id BIGINT, event_type VARCHAR, value DOUBLE, props VARCHAR)")
+    con.executemany(
+        "INSERT INTO events VALUES (?, ?, ?, ?, ?, ?)",
+        [(i, ts[i].item(), int(rng.integers(0, users)), ev_type[i],
+          float(value[i]), '{"k": %d}' % props_k[i]) for i in range(n)])
+    con.execute(f"COPY events TO '{out}/events.parquet' (FORMAT PARQUET)")
+
+
+def gen_lineitem(con, out, n_orders, rng):
+    """Matches the observed sf0.1 lineitem shape: lines-per-order ~
+    Poisson(4) with empty orders dropped (the observed multiplicity
+    histogram), l_linenumber uniform 1-7 INDEPENDENT of position
+    ((orderkey, linenumber) is NOT unique — CLAUDE.md), part/supp keys
+    uniform at the observed scale ratios, uniform flags, price in the
+    observed 900-105000 band, shipdate uniform 1995-2001."""
+    n_lines = rng.poisson(4.0, size=n_orders)
+    rows = []
+    t0 = np.datetime64("1995-01-01", "s")
+    span = int((np.datetime64("2001-11-04", "s") - t0) / np.timedelta64(1, "s"))
+    flags = ["A", "N", "R"]
+    for ok in range(n_orders):
+        for _ in range(n_lines[ok]):
+            rows.append((
+                ok, int(rng.integers(0, max(1, n_orders // 8))),
+                int(rng.integers(0, max(1, n_orders // 150))),
+                int(rng.integers(1, 8)),
+                float(rng.integers(1, 51)),
+                round(900.0 + float(rng.random()) * 104100.0, 2),
+                round(float(rng.integers(0, 11)) / 100.0, 2),
+                round(float(rng.integers(0, 9)) / 100.0, 2),
+                flags[rng.integers(0, 3)],
+                "F" if rng.random() < 0.5 else "O",
+                (t0 + np.timedelta64(int(rng.integers(0, span)), "s")).item()))
+    con.execute(
+        "CREATE TABLE lineitem(l_orderkey BIGINT, l_partkey BIGINT, "
+        "l_suppkey BIGINT, l_linenumber INT, l_quantity DOUBLE, "
+        "l_extendedprice DOUBLE, l_discount DOUBLE, l_tax DOUBLE, "
+        "l_returnflag VARCHAR, l_linestatus VARCHAR, l_shipdate TIMESTAMP)")
+    con.executemany(
+        "INSERT INTO lineitem VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?)", rows)
+    con.execute(f"COPY lineitem TO '{out}/lineitem.parquet' (FORMAT PARQUET)")
+    return len(rows)
+
+
 def main(out, mult):
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     gen_documents(con, out, 5000 * mult, np.random.default_rng(42))
     gen_embeddings(con, out, 2000 * mult, np.random.default_rng(43))
+    gen_events(con, out, 10000 * mult, np.random.default_rng(44))
+    nl = gen_lineitem(con, out, 15000 * mult, np.random.default_rng(45))
     con.close()
-    print(f"wrote {5000 * mult} docs / {2000 * mult} vecs -> {out}")
+    print(f"wrote {5000 * mult} docs / {2000 * mult} vecs / "
+          f"{10000 * mult} events / {nl} lineitem -> {out}")
 
 
 if __name__ == "__main__":

@@ -135,6 +135,38 @@ def gen_lineitem(con, out, n_orders, rng):
     return len(rows)
 
 
+def gen_orders_customer(con, out, n_orders, rng):
+    """orders + customer at the observed sf0.1 shape: 10 orders per
+    customer, uniform status/priority/mktsegment categories, totalprice
+    uniform in the observed band, orderdate uniform 1995-2001 (naive
+    TIMESTAMP — the real fixtures are TIMESTAMP_NTZ)."""
+    n_cust = max(1, n_orders // 10)
+    t0 = np.datetime64("1995-01-01", "s")
+    span = int((np.datetime64("2001-08-01", "s") - t0) / np.timedelta64(1, "s"))
+    statuses = ["O", "P", "F"]
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    segs = ["MACHINERY", "BUILDING", "FURNITURE", "HOUSEHOLD", "AUTOMOBILE"]
+    con.execute("CREATE TABLE orders(o_orderkey BIGINT, o_custkey BIGINT, "
+                "o_orderstatus VARCHAR, o_totalprice DOUBLE, "
+                "o_orderdate TIMESTAMP, o_orderpriority VARCHAR)")
+    con.executemany(
+        "INSERT INTO orders VALUES (?, ?, ?, ?, ?, ?)",
+        [(i, int(rng.integers(0, n_cust)), statuses[rng.integers(0, 3)],
+          round(1000.0 + float(rng.random()) * 499000.0, 2),
+          (t0 + np.timedelta64(int(rng.integers(0, span)), "s")).item(),
+          prios[rng.integers(0, 5)]) for i in range(n_orders)])
+    con.execute(f"COPY orders TO '{out}/orders.parquet' (FORMAT PARQUET)")
+    con.execute("CREATE TABLE customer(c_custkey BIGINT, c_name VARCHAR, "
+                "c_nationkey INT, c_acctbal DOUBLE, c_mktsegment VARCHAR)")
+    con.executemany(
+        "INSERT INTO customer VALUES (?, ?, ?, ?, ?)",
+        [(i, f"Customer#{i:09d}", int(rng.integers(0, 25)),
+          round(-1000.0 + float(rng.random()) * 11000.0, 2),
+          segs[rng.integers(0, 5)]) for i in range(n_cust)])
+    con.execute(f"COPY customer TO '{out}/customer.parquet' (FORMAT PARQUET)")
+    return n_cust
+
+
 def main(out, mult):
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
@@ -142,9 +174,11 @@ def main(out, mult):
     gen_embeddings(con, out, 2000 * mult, np.random.default_rng(43))
     gen_events(con, out, 10000 * mult, np.random.default_rng(44))
     nl = gen_lineitem(con, out, 15000 * mult, np.random.default_rng(45))
+    nc = gen_orders_customer(con, out, 15000 * mult, np.random.default_rng(46))
     con.close()
     print(f"wrote {5000 * mult} docs / {2000 * mult} vecs / "
-          f"{10000 * mult} events / {nl} lineitem -> {out}")
+          f"{10000 * mult} events / {nl} lineitem / "
+          f"{15000 * mult} orders / {nc} customers -> {out}")
 
 
 if __name__ == "__main__":

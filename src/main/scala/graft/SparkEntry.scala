@@ -1183,6 +1183,18 @@ object SparkEntry {
         .orderBy(col("shard"))
     }),
 
+    // linear-OUTPUT near-dup clustering (SCALING.md q25 finding): on a
+    // corpus whose signature space collapses, pairwise output is
+    // quadratic in the duplicated mass; clusters stay one row per doc.
+    // Identical signatures collapse before the band join, so pair
+    // generation runs over distinct signatures only. Same transitive
+    // semantics as CC over the full q25 pair set (DedupSpec asserts the
+    // equivalence; the oracle replays CC over the pinned q25 pairs).
+    "q98_simhash_clusters" -> ((s, d) =>
+      Dedup.simhashClusters(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3)
+        .orderBy(col("doc_id"))),
+
     // domain mixing to a per-source token budget: per-stratum token
     // totals broadcast back in-plan, keep rate = min(100, 100·budget
     // DIV total), deterministic LCG-percent filter (q64's bucket) —
@@ -2454,6 +2466,22 @@ object SparkEntry {
       expectedSql("q24", "id_a, id_b, jaccard", "id_a, id_b"),
     "q25_simhash_neardup" ->
       expectedSql("q25", "id_a, id_b, hamming", "id_a, id_b"),
+
+    // transitive closure over the PINNED q25 pair set (staleness is
+    // guarded transitively: a simhash change fails the q25 pin) — the
+    // same recursive-CTE CC replay as the q65 oracle
+    "q98_simhash_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT id_a, id_b FROM read_parquet(
+        |    '/root/repo/src/test/resources/graft/expected/q25_sf001.parquet')),
+        |edges AS (SELECT id_a AS ea, id_b AS eb FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea)
+        |SELECT src AS doc_id, MIN(dst) AS cluster_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "q26_hash_embed" ->
       expectedSql("q26", "doc_id, dim, e0, norm, checksum", "doc_id"),
     "q59_service_embed" ->

@@ -127,18 +127,68 @@ object Dedup {
     val sigs = df.select(col(idCol).as("doc"), col(textCol))
       .repartition(par(df), col("doc"))
       .select(col("doc"), simhash(col(textCol), 64).as("sig"))
+    simhashBandPairs(sigs, maxHamming)
+  }
+
+  /** The band-bucketed candidate join + exact-hamming verify over a
+    * precomputed (doc, sig) frame — shared by [[simhashNearDups]]
+    * (doc-level ids) and [[simhashClusters]] (one representative per
+    * distinct signature). */
+  private[graft] def simhashBandPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
     val bandsArr = array((0 until 4).map(b =>
       shiftright(col("sig"), 16 * b).bitwiseAND(lit(0xFFFFL))): _*)
     val banded = sigs.select(col("doc"), col("sig"),
       posexplode(bandsArr).as(Seq("band", "half")))
     val a = banded.select(col("band"), col("half"), col("doc").as("id_a"), col("sig").as("__siga"))
     val b = banded.select(col("band"), col("half"), col("doc").as("id_b"), col("sig").as("__sigb"))
+    // hamming-verify BEFORE dropDuplicates: the dedup is a full
+    // shuffle of every candidate row, and on a dense signature cloud
+    // candidates dwarf survivors (m10 scaling fixture: 61.6M bucket
+    // candidates vs 206k verified pairs — SCALING.md q98). The filter
+    // is a codegen'd bit_count evaluated in the join's output stream,
+    // and every duplicate of a pair carries the same two sigs, so
+    // filtering first is result-identical while shrinking the dedup
+    // shuffle ~75×. Catalyst cannot do this itself: above the
+    // aggregate the filter reads first(__siga)/first(__sigb) and is
+    // not pushable through them.
     a.join(b, Seq("band", "half"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", hamming(col("__siga"), col("__sigb")))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Linear-OUTPUT form of [[simhashNearDups]] for corpora whose
+    * signature space collapses (boilerplate, templates, closed
+    * vocabularies — the regime SCALING.md's q25 analysis measured:
+    * near-dup PAIRS are quadratic in the duplicated mass, 14.2M rows
+    * at 50k docs on the scale fixtures). Identical signatures collapse
+    * to one representative (min doc id) BEFORE the band join, pair
+    * generation runs over DISTINCT signatures only, and
+    * [[connectedComponents]] labels each signature group; docs then
+    * rejoin their group's cluster. Output: exactly one row per doc,
+    * (id, cluster_id = min doc id of its transitive near-dup cluster)
+    * — identical to running connectedComponents over the full
+    * pairwise output, because every doc pair across two signature
+    * groups shares the same hamming distance. */
+  def simhashClusters(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("doc"), col(textCol))
+      .repartition(par(df), col("doc"))
+      .select(col("doc"), simhash(col(textCol), 64).as("sig"))
+    // one row per distinct signature; materialized once for its three
+    // consumers (band join, CC nodes, membership join) — the round-11
+    // union-recompute lesson applied at birth
+    val groups = sigs.groupBy(col("sig")).agg(min(col("doc")).as("rep"))
+      .localCheckpoint()
+    val pairs = simhashBandPairs(
+      groups.select(col("rep").as("doc"), col("sig")), maxHamming)
+    val cc = connectedComponents(groups.select(col("rep")), "rep",
+      pairs, "id_a", "id_b")
+    sigs.join(groups, Seq("sig"))
+      .join(cc, Seq("rep"))
+      .select(col("doc").as(idCol), col("cluster_id"))
   }
 
   /** Distributed connected components over an undirected edge list —

@@ -55,6 +55,28 @@ object ScaleBench {
           k = 3, threshold = 0.5, maxShingleDf = 64)
         graft.operators.Dedup.connectedComponents(
           docs.select(col("doc_id")), "doc_id", pairs, "id_a", "id_b")
+      // q98 breakdown: attribute the cluster form's cost across its
+      // stages — signature kernel, distinct-sig collapse, band join
+      // over distinct sigs, CC over the group graph
+      case "q98_sigs" | "q98_groups" | "q98_gpairs" | "q98_cc" =>
+        import org.apache.spark.sql.functions.{col, min}
+        val docs = graft.Tables.documents(spark, sfDir)
+        val sigs = docs.select(col("doc_id").as("doc"), col("text"))
+          .repartition(64, col("doc"))
+          .select(col("doc"), graft.operators.Dedup.simhash(col("text"), 64).as("sig"))
+        name match {
+          case "q98_sigs" => sigs
+          case "q98_groups" =>
+            sigs.groupBy(col("sig")).agg(min(col("doc")).as("rep"))
+          case _ =>
+            val groups = sigs.groupBy(col("sig")).agg(min(col("doc")).as("rep"))
+              .localCheckpoint()
+            val pairs = graft.operators.Dedup.simhashBandPairs(
+              groups.select(col("rep").as("doc"), col("sig")), 3)
+            if (name == "q98_gpairs") pairs
+            else graft.operators.Dedup.connectedComponents(
+              groups.select(col("rep")), "rep", pairs, "id_a", "id_b")
+        }
       case n => graft.SparkEntry.queries(n)(spark, sfDir)
     }
 

@@ -132,6 +132,36 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("simhashClusters == connectedComponents over the full pairwise output; " +
+      "identical-signature mass collapses before the band join") {
+    // the q98 semantic claim: collapsing identical signatures to one
+    // representative before pair generation yields the SAME clusters as
+    // CC over every doc-level pair, because all doc pairs across two
+    // signature groups share one hamming distance
+    val rows =
+      // a 6-doc identical-text block (one signature group)
+      (0 until 6).map(i => (i.toLong, "alpha beta gamma delta epsilon")) ++
+      // a near block one word off (should chain to the block above iff
+      // within hamming 3 — whichever way, both forms must agree)
+      (6 until 9).map(i => (i.toLong, "alpha beta gamma delta zeta")) ++
+      // far-away singletons
+      Seq((9L, "one two three four five"), (10L, "six seven eight nine ten"))
+    val df = rows.toDF("doc_id", "text")
+    val viaPairs = Dedup.connectedComponents(
+        df.select($"doc_id"), "doc_id",
+        Dedup.simhashNearDups(df, "doc_id", "text", 3), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val viaClusters = Dedup.simhashClusters(df, "doc_id", "text", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(viaClusters === viaPairs)
+    // the identical block is one cluster labeled by its min id
+    assert((0L until 6L).map(viaClusters).toSet === Set(0L))
+    // singletons label themselves
+    assert(viaClusters(9L) === 9L && viaClusters(10L) === 10L)
+    // output is exactly one row per doc (the linear-output contract)
+    assert(Dedup.simhashClusters(df, "doc_id", "text", 3).count() === 11)
+  }
+
   test("shingle df cap: unchanged below the cap, drops boilerplate shingles above it") {
     // fixture dfs are far below 50, so the capped plan must reproduce
     // the exact output (backs the q22/q47 unchanged-hash requirement)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Typed readers for the driver-generated fixture parquet
   * (see /root/repo/FIXTURES.md). One function per table; all reads are
@@ -22,18 +22,28 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = read(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark does not model
-    * (µs is the engine's granularity) — read nanos as long and convert
-    * to a µs timestamp. The fixture data is µs-granular (verified:
-    * no sub-µs components), so the truncation is lossless here; at the
-    * design point a ns-precision source would keep a separate
+  /** events.ts has shipped under two parquet physical types across
+    * fixture generations, both normalized here to a session-zone
+    * TIMESTAMP so every downstream query (unix_millis, watermarks,
+    * window()) sees one type:
+    *  - TIMESTAMP(NANOS), which Spark does not model (µs is the
+    *    engine's granularity) — read nanos as long and convert; the
+    *    fixture data is µs-granular so the truncation is lossless;
+    *  - TIMESTAMP(MICROS) without isAdjustedToUTC → TIMESTAMP_NTZ —
+    *    the wall clock is UTC by generation, and sessions run UTC, so
+    *    the cast to TIMESTAMP preserves every instant bit-for-bit.
+    * At the design point a ns-precision source would keep a separate
     * `ts_nanos` long column for sub-µs ordering. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")

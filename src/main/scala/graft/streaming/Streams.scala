@@ -41,9 +41,17 @@ object Streams {
     // (e.g. self-union).
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    // normalize ts to a session-zone TIMESTAMP whichever physical type
+    // the fixture generation used (see Tables.events): watermarks
+    // reject TIMESTAMP_NTZ, and sessions run UTC so the cast is exact.
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** The ingest pipeline as a pure batch→batch transform, so the exact

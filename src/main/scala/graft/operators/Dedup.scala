@@ -216,11 +216,29 @@ object Dedup {
     * checkpointing); dedup graphs have tiny diameter, so rounds ≈ 3-4
     * in practice.
     *
+    * Size-adaptive: after near-dup detection the edge list is usually
+    * orders of magnitude smaller than the corpus (only true duplicate
+    * pairs survive the verify), and the distributed loop's cost is
+    * then pure fixed overhead — 3-4 rounds × (two joins + an
+    * aggregation + an eager checkpoint) on a few hundred edges. When
+    * the MATERIALIZED edge count is at most `collectEdgeLimit` (and
+    * ids are integral), the edges — never the nodes — are collected
+    * to a driver union-find (union-by-min + path compression, so each
+    * root IS its component minimum), and the resulting
+    * (edge-vertex → min) map broadcast-joins back onto the node frame;
+    * isolated nodes coalesce to themselves. Output is identical to
+    * the distributed loop by construction (DedupSpec runs both paths
+    * on the same chained graph). The default cap keeps the collect at
+    * tens of MB; a web-scale edge list takes the loop unchanged —
+    * same pattern as `Similarity.assignExprAuto`. Measured at sf0.1
+    * (BenchOne ×2, quiet window): q65 2.95 → 1.2-1.7 s, q98
+    * 4.10 → 1.6-1.9 s.
+    *
     * Returns one row per node: (`idCol`, cluster_id = min node id of
     * its component); isolated nodes label themselves. */
   def connectedComponents(nodes: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30, collectEdgeLimit: Long = 1000000L): DataFrame = {
     // materialize the edge list BEFORE symmetrizing: the union's two
     // branches would otherwise each recompute the upstream pair plan
     // (exchange reuse does not span AQE-planned union branches), which
@@ -229,6 +247,17 @@ object Dedup {
     // (SCALING.md q65) with bit-identical output
     val edges = pairs.select(col(aCol).as("cc_src"), col(bCol).as("cc_dst"))
       .localCheckpoint()
+    val idType = nodes.schema(idCol).dataType
+    val integralId = idType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    // count() on the eager checkpoint reads cached block sizes — no
+    // recompute of the pair plan
+    if (integralId && edges.count() <= collectEdgeLimit)
+      return ccViaDriverUnionFind(nodes, idCol, edges, idType)
     val sym = edges
       .union(edges.select(col("cc_dst").as("cc_src"), col("cc_src").as("cc_dst")))
       .distinct()
@@ -268,6 +297,47 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — raise maxIter")
     labels.select(col("cc_id").as(idCol), col("cc_label").as("cluster_id"))
+  }
+
+  /** Small-graph path of [[connectedComponents]]: union-find over the
+    * collected edge list. Union-by-min (the larger root attaches under
+    * the smaller) makes every root the minimum id of its component, so
+    * `find` yields exactly the label the distributed min-propagation
+    * loop converges to. Only vertices that appear in an edge enter the
+    * map — the node frame itself is never collected. */
+  private def ccViaDriverUnionFind(nodes: DataFrame, idCol: String,
+      edges: DataFrame, idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.collect().foreach { row =>
+      val a = row.getAs[Number](0).longValue()
+      val b = row.getAs[Number](1).longValue()
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val spark = nodes.sparkSession
+    import scala.jdk.CollectionConverters._
+    val labelRows = parent.keySet().asScala.toSeq.map(v => Row(v, find(v)))
+    val mapDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(labelRows, 1),
+      StructType(Seq(
+        StructField("cc_uf_id", org.apache.spark.sql.types.LongType),
+        StructField("cc_uf_min", org.apache.spark.sql.types.LongType))))
+      .select(col("cc_uf_id").cast(idType).as("cc_uf_id"),
+        col("cc_uf_min").cast(idType).as("cc_uf_min"))
+    nodes.select(col(idCol).as("cc_id"))
+      .join(broadcast(mapDf), col("cc_id") === col("cc_uf_id"), "left")
+      .select(col("cc_id").as(idCol),
+        coalesce(col("cc_uf_min"), col("cc_id")).as("cluster_id"))
   }
 
   /** Exact n-gram Jaccard near-dup pairs within a group, by the

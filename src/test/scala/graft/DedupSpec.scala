@@ -206,10 +206,11 @@ class DedupSpec extends SparkSpec {
   }
 
   private def runCC(n: Long, edges: Seq[(Long, Long)],
-      maxIter: Int = 30): Map[Long, Long] = {
+      maxIter: Int = 30, collectEdgeLimit: Long = 1000000L): Map[Long, Long] = {
     val nodes = spark.range(n).toDF("id")
     val pairs = edges.toDF("id_a", "id_b")
-    Dedup.connectedComponents(nodes, "id", pairs, maxIter = maxIter)
+    Dedup.connectedComponents(nodes, "id", pairs, maxIter = maxIter,
+        collectEdgeLimit = collectEdgeLimit)
       .as[(Long, Long)].collect().toMap
   }
 
@@ -298,10 +299,24 @@ class DedupSpec extends SparkSpec {
 
   test("connected components: long path converges via pointer jumping") {
     // 64-node path: diameter 63, but pointer jumping needs O(log n)
-    // rounds — 15 would time out plain min-propagation (63 rounds)
+    // rounds — 15 would time out plain min-propagation (63 rounds).
+    // collectEdgeLimit = -1 pins the DISTRIBUTED loop (the default
+    // would take the small-graph union-find path here).
     val path = (0L until 63L).map(i => (i, i + 1))
-    val cc = runCC(64, path, maxIter = 15)
+    val cc = runCC(64, path, maxIter = 15, collectEdgeLimit = -1L)
     assert(cc.values.toSet === Set(0L))
+  }
+
+  test("connected components: driver union-find path == distributed loop") {
+    // same chained+isolated graph through both paths — the adaptive
+    // switch must be invisible in the result
+    val rnd = new scala.util.Random(7)
+    val edges = (0L until 40L).map(i => (i, i + 1)) ++          // long chain
+      Seq.fill(60)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+        .filter { case (a, b) => a != b }
+    val viaDriver = runCC(220, edges)                            // under the cap
+    val viaLoop = runCC(220, edges, collectEdgeLimit = -1L)      // forced loop
+    assert(viaDriver === viaLoop)
   }
 
   test("connected components equal a union-find baseline on a random graph") {

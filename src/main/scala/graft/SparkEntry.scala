@@ -613,12 +613,13 @@ object SparkEntry {
         "vec_id", "label", "embedding")
         .orderBy(col("vec_id"))),
 
-    // FIXTURE-ONLY exact percentile (the documented q41/q58 pairing):
-    // `percentile` buffers every group value in one agg buffer — a
-    // memory cliff at 100 TB group sizes. It exists for the oracle gate
-    // (both engines interpolate identically); the production path at
-    // scale is q58's GK sketch (approx_percentile), whose 1%-accuracy
-    // envelope is spec-asserted instead of oracled.
+    // Exact interpolated percentiles (the q41/q58 pairing). Formerly
+    // fixture-only: the `percentile` built-in buffers every group
+    // value in one agg buffer — a memory cliff at 100 TB group sizes.
+    // Now a (group, value)-histogram + windowed-rank plan with
+    // bit-identical output (ScaleSpec differential): per-task memory
+    // is the spill-able sort, not the group. q58's GK sketch remains
+    // the cheaper alternative when 1% rank error is acceptable.
     "q41_quantiles" -> ((s, d) =>
       Analytics.quantiles(fan(Tables.lineitem(s, d), "l_orderkey"),
         "l_returnflag", "l_extendedprice")),

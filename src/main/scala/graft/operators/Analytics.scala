@@ -108,29 +108,61 @@ object Analytics {
       dsum(col("l_quantity")).as("sum_qty"),
       max(col("l_extendedprice")).as("max_price"))
 
-  /** Exact interpolated quantiles per group (`percentile` — exact, vs.
-    * the sketch-based `percentile_approx`). Oracle-expressible because
-    * both engines interpolate (1-d)·lower + d·upper over the sorted
-    * exact values.
+  /** Exact interpolated quantiles per group. Oracle-expressible
+    * because both engines interpolate over the sorted exact values;
+    * the interpolation below replicates Spark's `Percentile` formula
+    * exactly — position = p·(n−1), and (ceil−pos)·lower +
+    * (pos−floor)·upper when the position is fractional — so the
+    * output is bit-identical to the built-in (spec-asserted).
     *
-    * BOUNDED-INPUT ONLY (like q23's all-pairs baseline): `percentile`
-    * buffers every value of the group in one aggregation buffer, so a
-    * 100× group blows executor memory. The production path at scale is
-    * [[quantilesApprox]]; this exact form exists for the oracle gate
-    * and for groups known to be small. */
-  def quantiles(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
-    // one percentile call with an array of percentages — a SINGLE
-    // value buffer per group built and merged once, instead of three
-    // independent buffers over the same column (3× the aggregation
-    // state and merge work for identical results)
-    df.groupBy(col(groupCol))
-      .agg(percentile(col(valueCol),
-        array(lit(0.5), lit(0.9), lit(0.99))).as("__q"))
-      .select(col(groupCol),
-        round(element_at(col("__q"), 1), 6).as("p50"),
-        round(element_at(col("__q"), 2), 6).as("p90"),
-        round(element_at(col("__q"), 3), 6).as("p99"))
-      .orderBy(col(groupCol))
+    * SCALE SHAPE (closes the former bounded-input caveat): the
+    * built-in `percentile` buffers EVERY row of a group inside one
+    * aggregation buffer — a 100× group is an executor OOM, which is
+    * why this query used to be documented fixture-only. This plan
+    * instead aggregates a per-(group, value) HISTOGRAM (map-side
+    * combinable; state ∝ distinct values, and duplicates collapse
+    * before the shuffle), then ranks it with a windowed running sum
+    * ordered by value — Spark's window sort is spill-able external
+    * sort, not a heap buffer — and selects the two bracketing values
+    * per percentile with conditional aggregates. Memory per task is
+    * bounded by the sort spill threshold regardless of group size;
+    * heavy duplication (the common case for prices/quantities at
+    * 100 TB) shrinks the histogram further. [[quantilesApprox]]
+    * remains the sketch alternative when a rank-error tolerance is
+    * acceptable. */
+  def quantiles(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val ps = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+    val rows = df.filter(col(valueCol).isNotNull)
+    val hist = rows.groupBy(col(groupCol), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+    val cum = hist
+      .withColumn("__hi", sum(col("__cnt")).over(w))
+      .withColumn("__lo", (col("__hi") - col("__cnt")).cast("double"))
+      .withColumn("__hid", col("__hi").cast("double"))
+      .withColumn("__n", max(col("__hi")).over(Window.partitionBy(col(groupCol))))
+    // position of percentile p in the 0-based sorted sequence; a value
+    // with cumulative range [__lo, __hi) holds ranks __lo..__hi-1
+    def pos(p: Double): Column = lit(p) * (col("__n") - 1).cast("double")
+    def valueAtRank(k: Column): Column =
+      max(when(col("__lo") <= k && k < col("__hid"), col("__v")))
+        .cast("double")
+    val aggs = ps.flatMap { case (nme, p) =>
+      Seq(valueAtRank(floor(pos(p)).cast("double")).as(s"__f_$nme"),
+        valueAtRank(ceil(pos(p)).cast("double")).as(s"__c_$nme"))
+    } :+ first(col("__n")).as("__n")
+    val picked = cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val outs = ps.map { case (nme, p) =>
+      val r = lit(p) * (col("__n") - 1).cast("double")
+      val kf = floor(r).cast("double")
+      val kc = ceil(r).cast("double")
+      val vf = col(s"__f_$nme")
+      val vc = col(s"__c_$nme")
+      round(when(kf === kc, vf)
+        .otherwise((kc - r) * vf + (r - kf) * vc), 6).as(nme)
+    }
+    picked.select(col(groupCol) +: outs: _*).orderBy(col(groupCol))
+  }
 
   /** Scale-safe quantiles: `approx_percentile` (Greenwald-Khanna
     * sketch) with a fixed-size buffer per group — rank error bounded by

@@ -112,6 +112,34 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("histogram-plan exact quantiles == the buffered percentile built-in") {
+    import graft.operators.Analytics
+    // the scalable histogram+window plan must reproduce Spark's
+    // Percentile interpolation BIT-identically — fixture differential
+    // over a high-cardinality decimal column...
+    val li = Tables.lineitem(spark, sf)
+    def viaBuiltin(df: org.apache.spark.sql.DataFrame, g: String, v: String) =
+      df.groupBy(col(g))
+        .agg(percentile(col(v), array(lit(0.5), lit(0.9), lit(0.99))).as("__q"))
+        .select(col(g), round(element_at(col("__q"), 1), 6).as("p50"),
+          round(element_at(col("__q"), 2), 6).as("p90"),
+          round(element_at(col("__q"), 3), 6).as("p99"))
+        .orderBy(col(g))
+    assert(Analytics.quantiles(li, "l_returnflag", "l_extendedprice").collect().toSeq
+      === viaBuiltin(li, "l_returnflag", "l_extendedprice").collect().toSeq)
+    // ...and over hand-built edges: single-row group (position 0 ==
+    // floor == ceil), heavy duplication (one histogram row spans many
+    // ranks), integral positions (n = 11 puts p50 exactly on rank 5),
+    // and fractional interpolation between adjacent distinct values
+    val edges = (Seq((1, 42.0)) ++                   // singleton group
+      (1 to 10).map(_ => (2, 7.0)) ++                // all-duplicate group
+      (0 until 11).map(i => (3, i.toDouble)) ++      // integral positions
+      Seq((4, 1.0), (4, 2.0), (4, 4.0), (4, 8.0)))   // fractional interp
+      .toDF("g", "v")
+    assert(Analytics.quantiles(edges, "g", "v").collect().toSeq
+      === viaBuiltin(edges, "g", "v").collect().toSeq)
+  }
+
   test("z-order: interleave round-trips, files cover disjoint z-ranges") {
     import graft.operators.Scale
     // zValue == a reference driver-side interleave on every (x, y) pair

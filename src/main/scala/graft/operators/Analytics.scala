@@ -136,11 +136,14 @@ object Analytics {
     val hist = rows.groupBy(col(groupCol), col(valueCol).as("__v"))
       .agg(count(lit(1)).as("__cnt"))
     val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+    // group totals as a broadcast join, not a second (unordered) window
+    // pass over the histogram — the totals frame is one row per group
+    val totals = rows.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
     val cum = hist
       .withColumn("__hi", sum(col("__cnt")).over(w))
       .withColumn("__lo", (col("__hi") - col("__cnt")).cast("double"))
       .withColumn("__hid", col("__hi").cast("double"))
-      .withColumn("__n", max(col("__hi")).over(Window.partitionBy(col(groupCol))))
+      .join(broadcast(totals), Seq(groupCol))
     // position of percentile p in the 0-based sorted sequence; a value
     // with cumulative range [__lo, __hi) holds ranks __lo..__hi-1
     def pos(p: Double): Column = lit(p) * (col("__n") - 1).cast("double")

@@ -112,6 +112,20 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q41 quantiles: histogram aggregates partially; rank window stays partitioned") {
+    // the scale contract of the histogram quantile plan: the
+    // (group, value) histogram must combine map-side (duplicates
+    // collapse BEFORE the shuffle), and the cumulative-rank window
+    // must be partitioned by the group column — a global orderBy
+    // window would serialize the whole histogram through one task
+    val plan = physical(SparkEntry.queries("q41_quantiles")(spark, sf))
+    assert(plan.contains("partial_"), s"q41 lost partial agg:\n$plan")
+    val windows = plan.split("\n").filter(_.contains("Window"))
+      .filterNot(_.contains("WindowGroupLimit"))
+    assert(windows.nonEmpty && windows.forall(_.contains("l_returnflag")),
+      s"q41 window not partitioned by the group column:\n${windows.mkString("\n")}")
+  }
+
   test("q95 packing: prefix-scan window is partitioned; digest aggregates partially") {
     // the textbook failure here is a global Window.orderBy (single
     // partition for the whole token stream) — the two-phase prefix

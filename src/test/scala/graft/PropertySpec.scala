@@ -106,4 +106,27 @@ class PropertySpec extends SparkSpec {
     val got = once.select($"doc_id").as[Long].collect().sorted.toSeq
     assert(got === expected)
   }
+
+  test("histogram quantiles == buffered percentile on random groups " +
+      "(nulls, duplicates, skewed sizes)") {
+    // one batched dataset: group sizes 1..~400, heavy duplication via a
+    // small value domain, ~10% nulls (percentile ignores them — the
+    // histogram plan must too)
+    val rows = sample(
+      for {
+        g <- Gen.chooseNum(0, 11)
+        v <- Gen.option(Gen.chooseNum(-50, 50).map(_ * 0.25))
+      } yield (g, v), 2500)
+    val df = rows.toDF("g", "v")
+    val viaHistogram = graft.operators.Analytics.quantiles(df, "g", "v")
+      .collect().toSeq
+    val viaBuiltin = df.filter($"v".isNotNull)
+      .groupBy($"g")
+      .agg(percentile($"v", array(lit(0.5), lit(0.9), lit(0.99))).as("__q"))
+      .select($"g", round(element_at($"__q", 1), 6).as("p50"),
+        round(element_at($"__q", 2), 6).as("p90"),
+        round(element_at($"__q", 3), 6).as("p99"))
+      .orderBy($"g").collect().toSeq
+    assert(viaHistogram === viaBuiltin)
+  }
 }

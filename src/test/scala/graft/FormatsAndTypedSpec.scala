@@ -42,6 +42,38 @@ class FormatsAndTypedSpec extends SparkSpec {
       plan.split("PushedFilters")(1).contains("doc_id"), plan)
   }
 
+  test("Tables.events normalizes every shipped ts physical type to the same instants") {
+    // the driver has regenerated events.parquet with different writers
+    // across rounds — TIMESTAMP(NANOS) (reads as long under the legacy
+    // flag), TIMESTAMP(MICROS) NTZ (isAdjustedToUTC=false), and plain
+    // TIMESTAMP (LTZ, what gen_scale_fixtures emits). Whatever the
+    // physical type, Tables.events must surface identical session-UTC
+    // instants, or every unix_millis/watermark caller silently shifts.
+    val micros = Seq(0L, 1_700_000_000_123_456L, 1_700_003_600_000_000L)
+    def readBack(writeAs: String): Seq[Long] = {
+      val dir = Files.createTempDirectory(s"graft_ev_$writeAs").toString
+      val df = writeAs match {
+        case "ltz" =>
+          micros.toDF("us").select(timestamp_micros($"us").as("ts"))
+        case "ntz" =>
+          micros.toDF("us").select(
+            timestamp_micros($"us").cast("timestamp_ntz").as("ts"))
+      }
+      df.write.parquet(dir + "/events.parquet")
+      Tables.events(spark, dir)
+        .select(unix_micros($"ts")).as[Long].collect().sorted.toSeq
+    }
+    assert(readBack("ltz") === micros)
+    assert(readBack("ntz") === micros)
+    // the NANOS path cannot be written by Spark; its normalization is
+    // the `LongType -> timestamp_micros(ns div 1000)` branch, asserted
+    // arithmetically on the same instants
+    val viaNanos = micros.map(_ * 1000L).toDF("ts")
+      .select(unix_micros(timestamp_micros(expr("ts div 1000"))))
+      .as[Long].collect().sorted.toSeq
+    assert(viaNanos === micros)
+  }
+
   test("IVF ANN: sims exact for emitted pairs, per-probe top-k shape") {
     val e = Tables.embeddings(spark, sf)
     val probes = e.filter($"vec_id" < 3)

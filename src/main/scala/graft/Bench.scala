@@ -65,17 +65,29 @@ object Bench {
       .getOrElse(System.nanoTime())
     val rnd = new scala.util.Random(seed)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val passStart = System.nanoTime()
     val pass1 = rnd.shuffle(ordered).map { case (n, f) => n -> runOnce(n, f) }
     val pass2 = rnd.shuffle(ordered).map { case (n, f) => n -> runOnce(n, f) }
+    // A single-query contention spike can survive min-of-2 (r11: q41
+    // measured 3.09 s in one Bench while BenchOne x3 right after read
+    // 1.64-1.87 s). A third independently-shuffled pass makes that need
+    // THREE unlucky windows on the same query — but only when the first
+    // two passes were fast enough that the extra pass cannot threaten
+    // the driver's run budget.
+    val twoPassSecs = (System.nanoTime() - passStart) / 1e9
+    val pass3 =
+      if (twoPassSecs < 240.0)
+        rnd.shuffle(ordered).map { case (n, f) => n -> runOnce(n, f) }
+      else Seq.empty
+    val nPasses = if (pass3.nonEmpty) 3 else 2
     val p2ByName = pass2.toMap
+    val p3ByName = pass3.toMap
     val merged = pass1.map { case (n, r1) =>
-      val r2 = p2ByName(n)
-      val best = (r1, r2) match {
-        case (Right(t1), Right(t2)) => Right(math.min(t1, t2))
-        case (Right(t1), Left(_)) => Right(t1)
-        case (Left(_), Right(t2)) => Right(t2)
-        case (Left(e), Left(_)) => Left(e)
-      }
+      val attempts = Seq(Some(r1), Some(p2ByName(n)), p3ByName.get(n)).flatten
+      val times = attempts.collect { case Right(t) => t }
+      val best =
+        if (times.nonEmpty) Right(times.min)
+        else attempts.head
       (n, best, r1)
     }.sortBy(_._1)
     val results = merged.collect { case (n, Right(t), _) => n -> t }
@@ -93,7 +105,7 @@ object Bench {
       if (ticksPost > ticksPre)
         100.0 * (stealPost - stealPre) / (ticksPost - ticksPre)
       else -1.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"n_failed":${errors.size},"errors":$errJson,"order_seed":$seed,"load_pre":$loadPre,"load_post":$loadPost,"steal_pct":$stealPct,"queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"n_passes":$nPasses,"n_failed":${errors.size},"errors":$errJson,"order_seed":$seed,"load_pre":$loadPre,"load_post":$loadPost,"steal_pct":$stealPct,"queries":$qs,"sf":"$sfDir"}"""
     // The driver captures a bounded tail of stdout; Spark's shutdown
     // noise after this line has truncated the artifact before
     // (BENCH_r05 parsed:null). Persist the full line to a file too so

@@ -137,8 +137,12 @@ object Analytics {
       .agg(count(lit(1)).as("__cnt"))
     val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
     // group totals as a broadcast join, not a second (unordered) window
-    // pass over the histogram — the totals frame is one row per group
-    val totals = rows.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    // pass over the histogram — the totals frame is one row per group.
+    // Derived from the HISTOGRAM (sum of counts), not from `rows`: the
+    // identical hist subtree lets Spark reuse the aggregate exchange,
+    // so the source table is scanned exactly once — a second full scan
+    // is real money at the 100 TB design point even when column-pruned
+    val totals = hist.groupBy(col(groupCol)).agg(sum(col("__cnt")).as("__n"))
     val cum = hist
       .withColumn("__hi", sum(col("__cnt")).over(w))
       .withColumn("__lo", (col("__hi") - col("__cnt")).cast("double"))

@@ -1196,6 +1196,23 @@ object SparkEntry {
         maxHamming = 3)
         .orderBy(col("doc_id"))),
 
+    // FUZZY decontamination (r11): corpus docs that are near-dups
+    // (exact Jaccard >= 0.8 over 3-shingles) of any benchmark doc —
+    // the precision-oriented whole-document complement of q63's
+    // one-shared-shingle flag. Declared at the fixture-exact 16x1-bit
+    // banding (q48 precedent: miss prob (1-j)^16 <= 6.5e-12 at the
+    // threshold, spec-checked equal to the all-pairs definition), so
+    // the oracle is the PURE-SQL exact form; production callers keep
+    // the operator's 8x2 default.
+    "q99_decontaminate_fuzzy" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.decontaminateFuzzy(
+        docs.filter(col("doc_id") >= 100), docs.filter(col("doc_id") < 100),
+        "doc_id", "text", shingleK = 3, nBands = 16, rowsPerBand = 1,
+        jaccardThreshold = 0.8)
+        .orderBy(col("doc_id"))
+    }),
+
     // domain mixing to a per-source token budget: per-stratum token
     // totals broadcast back in-plan, keep rate = min(100, 100·budget
     // DIV total), deterministic LCG-percent filter (q64's bucket) —
@@ -2483,6 +2500,32 @@ object SparkEntry {
         |  SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea)
         |SELECT src AS doc_id, MIN(dst) AS cluster_id
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    // exact all-pairs Jaccard between the corpus and benchmark slices
+    // (the SQL definition the fixture-exact 16x1 banding reproduces);
+    // jaccard rounded to 6 dp BEFORE the threshold/max on both sides,
+    // list_intersect used via len() only (it is unordered)
+    "q99_decontaminate_fuzzy" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |      ELSE list_transform(generate_series(0, len(ws) - 3),
+        |        i -> array_to_string(ws[i+1 : i+3], ' ')) END) AS sh
+        |  FROM d),
+        |b AS (SELECT doc_id AS bid, sh AS bsh FROM s WHERE doc_id < 100),
+        |c AS (SELECT doc_id AS cid, sh AS csh FROM s WHERE doc_id >= 100),
+        |j AS (
+        |  SELECT cid, bid,
+        |    round(len(list_intersect(csh, bsh))::DOUBLE /
+        |      (len(csh) + len(bsh) - len(list_intersect(csh, bsh)))::DOUBLE,
+        |      6) AS jac
+        |  FROM c, b)
+        |SELECT cid AS doc_id, count(*) AS n_matches, max(jac) AS max_jaccard
+        |FROM j WHERE jac >= 0.8
+        |GROUP BY cid ORDER BY doc_id""".stripMargin,
     "q26_hash_embed" ->
       expectedSql("q26", "doc_id, dim, e0, norm, checksum", "doc_id"),
     "q59_service_embed" ->

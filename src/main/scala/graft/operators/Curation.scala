@@ -146,6 +146,62 @@ object Curation {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** FUZZY decontamination — the whole-document complement of the
+    * shingle-overlap guards above: flag corpus documents that are
+    * NEAR-DUPLICATES (exact Jaccard ≥ threshold over word k-shingle
+    * sets) of any benchmark document. [[decontaminate]] is the
+    * recall-oriented check (one shared shingle flags), which at web
+    * scale flags far too much to act on; this is the precision-
+    * oriented one — "this training doc IS a lightly-edited copy of an
+    * eval item" — the standard fuzzy-contamination pass run before
+    * pretraining. Scale shape: MinHash banding makes the candidate
+    * stage an equi-join (never |corpus|×|benchmark| pairwise), the
+    * benchmark side is an eval set and BROADCASTS in both the band
+    * join and the verify rejoin, and only (band, bucket, id) triples
+    * flow through the candidate join — shingle payloads rejoin per
+    * surviving DISTINCT pair (late materialization, r2 discipline).
+    * Defaults are the production LSH regime (0.8, 8×2 bands); the
+    * declared q99 pins 16×1-bit bands, where a true pair at j ≥ 0.8
+    * escapes banding with probability (1−j)^16 ≤ 6.5e-12 — fixture-
+    * exact, spec-checked against the all-pairs definition (the same
+    * regime precedent as q48). Returns one row per contaminated
+    * corpus doc: (id, n_matches, max_jaccard). */
+  def decontaminateFuzzy(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, shingleK: Int = 3,
+      nBands: Int = 8, rowsPerBand: Int = 2,
+      jaccardThreshold: Double = 0.8): DataFrame = {
+    val nHashes = nBands * rowsPerBand
+    // corpus side parallelize-first (single-row-group fixture scans
+    // give one partition; the shingle/minhash kernels must run wide)
+    val corp = corpus.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__cid"), col(textCol))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
+        col("__cid"))
+      .select(col("__cid"), Dedup.shingles(col(textCol), shingleK).as("__csh"))
+    val bench = benchmark.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__bid"),
+        Dedup.shingles(col(textCol), shingleK).as("__bsh"))
+    def banded(df: DataFrame, id: String, sh: String): DataFrame =
+      df.withColumn("__sig", Dedup.minhashSignature(col(sh), nHashes))
+        .select(col(id), posexplode(transform(
+          sequence(lit(0), lit(nBands - 1)),
+          b => array_join(
+            slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ":")))
+          .as(Seq("__band", "__bucket")))
+    val candidates = banded(corp, "__cid", "__csh")
+      .join(broadcast(banded(bench, "__bid", "__bsh")),
+        Seq("__band", "__bucket"))
+      .select(col("__cid"), col("__bid")).distinct()
+    candidates
+      .join(corp, Seq("__cid"))
+      .join(broadcast(bench), Seq("__bid"))
+      .withColumn("__j", round(Dedup.jaccard(col("__csh"), col("__bsh")), 6))
+      .filter(col("__j") >= jaccardThreshold)
+      .groupBy(col("__cid"))
+      .agg(count(lit(1)).as("n_matches"), max(col("__j")).as("max_jaccard"))
+      .select(col("__cid").as(idCol), col("n_matches"), col("max_jaccard"))
+  }
+
   /** Deterministic stratified sampling: per-stratum keep-rates applied
     * through an arithmetic hash of the row id (an LCG step mod 100) —
     * reproducible across engines, partitionings and runs, unlike

@@ -188,4 +188,52 @@ class CurationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("LessThan(doc_id,10)"), plan)
   }
+
+  test("decontaminateFuzzy: planted near-dup of an eval item flagged; " +
+      "partial overlap below threshold is not") {
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")).toDF("id", "text")
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),     // exact copy
+      (11L, "alpha beta gamma delta epsilon zeta eta iota"),      // near dup
+      (12L, "one two three something else entirely different x"), // partial
+      (13L, "unrelated words with zero overlap whatsoever here")) // none
+      .toDF("id", "text")
+    val got = Curation.decontaminateFuzzy(corpus, bench, "id", "text",
+      shingleK = 3, nBands = 16, rowsPerBand = 1, jaccardThreshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet === Set(10L, 11L))
+    assert(got(10L)._2 === 1.0)               // exact copy: jaccard 1
+    assert(got(11L)._2 < 1.0 && got(11L)._2 >= 0.5)
+  }
+
+  test("decontaminateFuzzy at 16x1 bands == the all-pairs exact definition " +
+      "on the fixture (the q99 regime); benchmark side broadcasts") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val fuzzy = Curation.decontaminateFuzzy(
+      docs.filter($"doc_id" >= 100), docs.filter($"doc_id" < 100),
+      "doc_id", "text", shingleK = 3, nBands = 16, rowsPerBand = 1,
+      jaccardThreshold = 0.8)
+    // all-pairs reference: cross join the two shingled slices, exact
+    // rounded jaccard, same threshold/aggregation
+    def sh(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+        as: String) =
+      docs.filter(f($"doc_id")).filter($"text".isNotNull)
+        .select($"doc_id".as(s"__$as"),
+          Dedup.shingles($"text", 3).as(s"__sh_$as"))
+    val ref = sh(_ >= 100, "c").crossJoin(sh(_ < 100, "b"))
+      .withColumn("__j", round(Dedup.jaccard($"__sh_c", $"__sh_b"), 6))
+      .filter($"__j" >= 0.8)
+      .groupBy($"__c")
+      .agg(count(lit(1)).as("n_matches"), max($"__j").as("max_jaccard"))
+      .select($"__c".as("doc_id"), $"n_matches", $"max_jaccard")
+    val a = fuzzy.as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val b = ref.as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(a.nonEmpty, "fixture has no cross-slice near-dups — pick a new slice")
+    assert(a === b)
+    val plan = fuzzy.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
 }

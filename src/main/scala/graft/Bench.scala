@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -94,6 +95,12 @@ object Bench {
     val errors = merged.collect { case (n, Left(e), _) => n -> e }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query pass-1 times: the honest cold cost of the queries whose
+    // warm number excludes a per-(JVM, dataset) cached build (stores,
+    // quantizers, curated sets) — cold_total alone lumps them together
+    val coldQs = merged.collect { case (n, _, Right(t)) => n -> t }
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val errJson = errors.map { case (k, e) =>
       s"\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
       .mkString("{", ",", "}")
@@ -105,7 +112,7 @@ object Bench {
       if (ticksPost > ticksPre)
         100.0 * (stealPost - stealPre) / (ticksPost - ticksPre)
       else -1.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"n_passes":$nPasses,"n_failed":${errors.size},"errors":$errJson,"order_seed":$seed,"load_pre":$loadPre,"load_post":$loadPost,"steal_pct":$stealPct,"queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"n_passes":$nPasses,"n_failed":${errors.size},"errors":$errJson,"order_seed":$seed,"load_pre":$loadPre,"load_post":$loadPost,"steal_pct":$stealPct,"queries":$qs,"cold_queries":$coldQs,"sf":"$sfDir"}"""
     // The driver captures a bounded tail of stdout; Spark's shutdown
     // noise after this line has truncated the artifact before
     // (BENCH_r05 parsed:null). Persist the full line to a file too so

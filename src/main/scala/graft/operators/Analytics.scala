@@ -132,9 +132,16 @@ object Analytics {
     * acceptable. */
   def quantiles(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val ps = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
-    val rows = df.filter(col(valueCol).isNotNull)
-    val hist = rows.groupBy(col(groupCol), col(valueCol).as("__v"))
+    // histogram over ALL rows (nulls included as their own row), then
+    // split: the null-filtered view feeds the rank math, while the
+    // unfiltered aggregate also yields every group key — so a group
+    // whose values are all null still emits a row (null p50/p90/p99),
+    // matching the built-in `percentile` contract. Both views share the
+    // same aggregate subtree, so the exchange is reused and the source
+    // is scanned once.
+    val all = df.groupBy(col(groupCol), col(valueCol).as("__v"))
       .agg(count(lit(1)).as("__cnt"))
+    val hist = all.filter(col("__v").isNotNull)
     val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
     // group totals as a broadcast join, not a second (unordered) window
     // pass over the histogram — the totals frame is one row per group.
@@ -168,7 +175,12 @@ object Analytics {
       round(when(kf === kc, vf)
         .otherwise((kc - r) * vf + (r - kf) * vc), 6).as(nme)
     }
-    picked.select(col(groupCol) +: outs: _*).orderBy(col(groupCol))
+    // one row per group key seen in df, even when every value was null
+    // (picked has no row there → outs evaluate to null, as the built-in
+    // does); picked is one row per group, safely broadcast
+    val groups = all.select(col(groupCol)).distinct()
+    groups.join(broadcast(picked), Seq(groupCol), "left")
+      .select(col(groupCol) +: outs: _*).orderBy(col(groupCol))
   }
 
   /** Scale-safe quantiles: `approx_percentile` (Greenwald-Khanna

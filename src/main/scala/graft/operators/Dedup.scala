@@ -245,15 +245,24 @@ object Dedup {
     // doubles the dominant cost when `pairs` is an expensive similarity
     // join — measured 51.6 s → 29.9 s on the m10 scaling fixture
     // (SCALING.md q65) with bit-identical output
+    // null edge endpoints would be dropped by the loop's equi-joins
+    // anyway; filtering them up front keeps the driver path (which
+    // collects raw values) equivalent rather than NPE-ing
     val edges = pairs.select(col(aCol).as("cc_src"), col(bCol).as("cc_dst"))
+      .where(col("cc_src").isNotNull && col("cc_dst").isNotNull)
       .localCheckpoint()
     val idType = nodes.schema(idCol).dataType
-    val integralId = idType match {
+    def integral(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.ShortType => true
       case _ => false
     }
+    // the driver path round-trips edge values through Long, so BOTH the
+    // node ids and the pair columns must be integral — a fractional pair
+    // column would silently truncate instead of falling to the loop
+    val integralId = integral(idType) &&
+      integral(pairs.schema(aCol).dataType) && integral(pairs.schema(bCol).dataType)
     // count() on the eager checkpoint reads cached block sizes — no
     // recompute of the pair plan
     if (integralId && edges.count() <= collectEdgeLimit)
@@ -308,11 +317,18 @@ object Dedup {
   private def ccViaDriverUnionFind(nodes: DataFrame, idCol: String,
       edges: DataFrame, idType: org.apache.spark.sql.types.DataType): DataFrame = {
     val parent = new java.util.HashMap[Long, Long]()
+    // parent.get on a missing key returns null, which Scala would unbox
+    // to 0L and silently label a component 0 — fail fast instead
+    def look(v: Long): Long = {
+      val n: java.lang.Long = parent.get(v)
+      require(n != null, s"union-find: vertex $v missing from parent map")
+      n.longValue()
+    }
     def find(x: Long): Long = {
       var r = x
-      while (parent.get(r) != r) r = parent.get(r)
+      while (look(r) != r) r = look(r)
       var c = x
-      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      while (look(c) != r) { val n = look(c); parent.put(c, r); c = n }
       r
     }
     edges.collect().foreach { row =>

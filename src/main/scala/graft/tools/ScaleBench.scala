@@ -1,6 +1,36 @@
 package graft.tools
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
+/** Per-query task telemetry (round 12): spill bytes, peak execution
+  * memory, and the max/median task-time ratio — the skew signature.
+  * A uniform shuffle has ratio ≈ 1-3; a hot key pushes one task's time
+  * far past the median while wall-clock hides it behind the other 31
+  * cores. Stats accumulate between `reset()` and `snapshot()`. */
+private final class TaskStatsListener extends SparkListener {
+  private val durations = scala.collection.mutable.ArrayBuffer.empty[Long]
+  private var spillBytes = 0L
+  private var peakMem = 0L
+  override def onTaskEnd(e: SparkListenerTaskEnd): Unit = synchronized {
+    val m = e.taskMetrics
+    if (m != null && e.taskInfo != null) {
+      durations += e.taskInfo.duration
+      spillBytes += m.memoryBytesSpilled + m.diskBytesSpilled
+      peakMem = math.max(peakMem, m.peakExecutionMemory)
+    }
+  }
+  def reset(): Unit = synchronized {
+    durations.clear(); spillBytes = 0L; peakMem = 0L
+  }
+  /** (nTasks, maxTaskMs, medianTaskMs, spillBytes, peakExecMemBytes) */
+  def snapshot(): (Int, Long, Long, Long, Long) = synchronized {
+    val d = durations.sorted
+    val max = if (d.nonEmpty) d.last else 0L
+    val med = if (d.nonEmpty) d(d.length / 2) else 0L
+    (d.length, max, med, spillBytes, peakMem)
+  }
+}
 
 /** Scaling-curve harness (SCALING.md, round 11): time named operators
   * at a given fixture dir — `tools/gen_scale_fixtures.py` generates
@@ -27,6 +57,7 @@ object ScaleBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -80,15 +111,29 @@ object ScaleBench {
       case n => graft.SparkEntry.queries(n)(spark, sfDir)
     }
 
+    val stats = new TaskStatsListener
+    spark.sparkContext.addSparkListener(stats)
+
     names.foreach { name =>
       try {
-        val ts = (1 to 3).map { _ =>
+        val ts = (1 to 3).map { pass =>
+          if (pass == 3) {
+            // telemetry from the final (warmest) pass only: stats from
+            // the warmup pass would include store builds / checkpoints
+            stats.reset()
+          }
           val t0 = System.nanoTime()
           build(name).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
+        // listener delivery is async; give the bus a beat to drain
+        Thread.sleep(300)
+        val (nTasks, maxMs, medMs, spill, peak) = stats.snapshot()
+        val ratio = if (medMs > 0) maxMs.toDouble / medMs else 0.0
         println(f"[scale] $name%-28s min2=${ts.drop(1).min}%8.3f s  " +
-          f"all=${ts.map(t => f"$t%.2f").mkString("/")}")
+          f"all=${ts.map(t => f"$t%.2f").mkString("/")}  " +
+          f"tasks=$nTasks%d maxTask=${maxMs / 1e3}%.2fs medTask=${medMs / 1e3}%.3fs " +
+          f"ratio=$ratio%.1f spillMB=${spill / 1048576.0}%.1f peakMemMB=${peak / 1048576.0}%.1f")
       } catch {
         case e: Exception =>
           println(s"[scale] $name ERROR: ${e.getClass.getSimpleName}: " +

@@ -117,10 +117,12 @@ class PropertySpec extends SparkSpec {
         g <- Gen.chooseNum(0, 11)
         v <- Gen.option(Gen.chooseNum(-50, 50).map(_ * 0.25))
       } yield (g, v), 2500)
-    val df = rows.toDF("g", "v")
+    // plus a group whose values are ALL null: the built-in keeps the
+    // group row (null quantiles), and the histogram plan must too
+    val df = (rows ++ Seq.fill(5)((99, Option.empty[Double]))).toDF("g", "v")
     val viaHistogram = graft.operators.Analytics.quantiles(df, "g", "v")
       .collect().toSeq
-    val viaBuiltin = df.filter($"v".isNotNull)
+    val viaBuiltin = df
       .groupBy($"g")
       .agg(percentile($"v", array(lit(0.5), lit(0.9), lit(0.99))).as("__q"))
       .select($"g", round(element_at($"__q", 1), 6).as("p50"),

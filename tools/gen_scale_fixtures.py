@@ -18,8 +18,26 @@ in SCALING.md read nothing else. Same generator at every multiplier, so
 cross-scale comparisons are apples-to-apples; the m=1 point doubles as
 a calibration check against the driver's real sf0.1.
 
-  python3 tools/gen_scale_fixtures.py <outdir> <multiplier>
+  python3 tools/gen_scale_fixtures.py <outdir> <multiplier> [zipf_s]
   # sf0.1-equivalent: m=1 (5k docs / 2k vecs); sf1: m=10
+
+Round 12: an optional third arg switches on Zipf(s)-skewed keys — the
+100 TB dimension the near-uniform fixtures cannot measure (hot
+sources, boilerplate docs, celebrity users). With zipf_s > 0 (the
+study uses 1.2):
+
+  documents.source   ~ Zipf over the 20 sources (top ~22%)
+  duplicate texts    rate 10%, copied from a 20-text boilerplate pool
+                     picked with Zipf weights — duplicated mass
+                     concentrates on one hot text (~2.2% of the corpus
+                     is ONE string at s=1.2)
+  events.user_id     ~ Zipf over the user domain (top user ~22% of
+                     all events)
+  orders.o_custkey   ~ Zipf over customers (one window partition /
+                     join key carries ~21% of orders)
+
+zipf_s=0 (the default) reproduces the round-11 uniform fixtures
+byte-for-byte — the skew branches never touch the rng otherwise.
 """
 import os
 import sys
@@ -36,15 +54,31 @@ LANGS = ["en", "fr", "es", "de", "zh"]
 LANG_P = [0.4118, 0.1484, 0.1488, 0.1404, 0.1506]
 
 
-def gen_documents(con, out, n, rng):
+def zipf_p(k, s):
+    w = np.arange(1, k + 1, dtype=float) ** (-s)
+    return w / w.sum()
+
+
+def gen_documents(con, out, n, rng, zipf_s=0.0):
     lens = rng.integers(10, 101, size=n)
     langs = rng.choice(LANGS, size=n, p=LANG_P)
-    sources = rng.integers(0, 20, size=n)
-    dup_of = rng.random(size=n) < 0.0016
+    if zipf_s > 0:
+        sources = rng.choice(20, size=n, p=zipf_p(20, zipf_s))
+        dup_of = rng.random(size=n) < 0.10
+        # boilerplate pool: which text a duplicate copies is itself
+        # Zipf-picked, so duplicated mass concentrates on one hot string
+        pool = [" ".join(VOCAB[j] for j in
+                         rng.integers(0, len(VOCAB), size=pl))
+                for pl in rng.integers(10, 101, size=20)]
+        pool_pick = rng.choice(20, size=n, p=zipf_p(20, zipf_s))
+    else:
+        sources = rng.integers(0, 20, size=n)
+        dup_of = rng.random(size=n) < 0.0016
     texts = []
     for i in range(n):
         if dup_of[i] and i > 0:
-            texts.append(texts[rng.integers(0, i)])
+            texts.append(pool[pool_pick[i]] if zipf_s > 0
+                         else texts[rng.integers(0, i)])
             continue
         idx = rng.integers(0, len(VOCAB), size=lens[i])
         ws = [VOCAB[j] for j in idx]
@@ -74,7 +108,7 @@ def gen_embeddings(con, out, m, rng):
     con.execute(f"COPY embeddings TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
 
 
-def gen_events(con, out, n, rng):
+def gen_events(con, out, n, rng, zipf_s=0.0):
     """Matches the observed sf0.1 events distribution: 5 uniform event
     types, user_id uniform over n/67 users, ts uniform over 30 days of
     2024-01, value ~ |N(0,1)|-scaled into the observed 0-560 range,
@@ -89,12 +123,19 @@ def gen_events(con, out, n, rng):
     ev_type = types[rng.integers(0, 5, size=n)]
     value = np.round(np.abs(rng.standard_normal(n)) * 120.0, 2)
     props_k = rng.integers(0, 100, size=n)
+    # celebrity users: Zipf over the user domain (skew mode only; the
+    # default keeps the original per-row uniform draw so the uniform
+    # fixtures stay byte-identical across rounds)
+    uids = (rng.choice(users, size=n, p=zipf_p(users, zipf_s))
+            if zipf_s > 0 else None)
     con.execute("SET timezone = 'UTC'")
     con.execute("CREATE TABLE events(event_id BIGINT, ts TIMESTAMPTZ, "
                 "user_id BIGINT, event_type VARCHAR, value DOUBLE, props VARCHAR)")
     con.executemany(
         "INSERT INTO events VALUES (?, ?, ?, ?, ?, ?)",
-        [(i, ts[i].item(), int(rng.integers(0, users)), ev_type[i],
+        [(i, ts[i].item(),
+          int(uids[i]) if uids is not None else int(rng.integers(0, users)),
+          ev_type[i],
           float(value[i]), '{"k": %d}' % props_k[i]) for i in range(n)])
     con.execute(f"COPY events TO '{out}/events.parquet' (FORMAT PARQUET)")
 
@@ -135,7 +176,7 @@ def gen_lineitem(con, out, n_orders, rng):
     return len(rows)
 
 
-def gen_orders_customer(con, out, n_orders, rng):
+def gen_orders_customer(con, out, n_orders, rng, zipf_s=0.0):
     """orders + customer at the observed sf0.1 shape: 10 orders per
     customer, uniform status/priority/mktsegment categories, totalprice
     uniform in the observed band, orderdate uniform 1995-2001 (naive
@@ -146,12 +187,19 @@ def gen_orders_customer(con, out, n_orders, rng):
     statuses = ["O", "P", "F"]
     prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
     segs = ["MACHINERY", "BUILDING", "FURNITURE", "HOUSEHOLD", "AUTOMOBILE"]
+    # hot customer: one window partition / join key carrying ~21% of all
+    # orders at s=1.2 (skew mode only)
+    cust_pick = (rng.choice(n_cust, size=n_orders, p=zipf_p(n_cust, zipf_s))
+                 if zipf_s > 0 else None)
     con.execute("CREATE TABLE orders(o_orderkey BIGINT, o_custkey BIGINT, "
                 "o_orderstatus VARCHAR, o_totalprice DOUBLE, "
                 "o_orderdate TIMESTAMP, o_orderpriority VARCHAR)")
     con.executemany(
         "INSERT INTO orders VALUES (?, ?, ?, ?, ?, ?)",
-        [(i, int(rng.integers(0, n_cust)), statuses[rng.integers(0, 3)],
+        [(i,
+          int(cust_pick[i]) if cust_pick is not None
+          else int(rng.integers(0, n_cust)),
+          statuses[rng.integers(0, 3)],
           round(1000.0 + float(rng.random()) * 499000.0, 2),
           (t0 + np.timedelta64(int(rng.integers(0, span)), "s")).item(),
           prios[rng.integers(0, 5)]) for i in range(n_orders)])
@@ -167,19 +215,22 @@ def gen_orders_customer(con, out, n_orders, rng):
     return n_cust
 
 
-def main(out, mult):
+def main(out, mult, zipf_s=0.0):
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
-    gen_documents(con, out, 5000 * mult, np.random.default_rng(42))
+    gen_documents(con, out, 5000 * mult, np.random.default_rng(42), zipf_s)
     gen_embeddings(con, out, 2000 * mult, np.random.default_rng(43))
-    gen_events(con, out, 10000 * mult, np.random.default_rng(44))
+    gen_events(con, out, 10000 * mult, np.random.default_rng(44), zipf_s)
     nl = gen_lineitem(con, out, 15000 * mult, np.random.default_rng(45))
-    nc = gen_orders_customer(con, out, 15000 * mult, np.random.default_rng(46))
+    nc = gen_orders_customer(con, out, 15000 * mult, np.random.default_rng(46),
+                             zipf_s)
     con.close()
+    skew = f" zipf_s={zipf_s}" if zipf_s > 0 else ""
     print(f"wrote {5000 * mult} docs / {2000 * mult} vecs / "
           f"{10000 * mult} events / {nl} lineitem / "
-          f"{15000 * mult} orders / {nc} customers -> {out}")
+          f"{15000 * mult} orders / {nc} customers{skew} -> {out}")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], int(sys.argv[2]))
+    main(sys.argv[1], int(sys.argv[2]),
+         float(sys.argv[3]) if len(sys.argv) > 3 else 0.0)

@@ -293,16 +293,92 @@ object SignatureStore {
     }
   }
 
+  /** Test-only crash injection for [[stageAndSwap]] (0 = off) — the
+    * compaction crash-replay spec kills the swap at each window and
+    * asserts recovery converges to one committed layout. */
+  private[graft] object SwapCrash {
+    final val AfterStage = 1   // staged dir written, live untouched
+    final val AfterMoveOut = 2 // live moved to .trash, staged not yet live
+    final val AfterSwapIn = 3  // staged now live, .trash not yet deleted
+    @volatile var point: Int = 0
+    // which stageAndSwap invocation fires (1-based) — SignatureStore
+    // compaction swaps bands then shingles; 2 targets the shingles swap
+    @volatile var fireAtCall: Int = 1
+    private val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    final class Injected extends RuntimeException("injected swap crash")
+    private[sources] def begin(): Unit = calls.incrementAndGet()
+    def maybe(p: Int): Unit =
+      if (point == p && calls.get() == fireAtCall) throw new Injected
+    def reset(): Unit = { point = 0; fireAtCall = 1; calls.set(0) }
+  }
+
   /** Read `live`, write its replacement to `<live>.compact` via
-    * `rewrite`, then swap the staged dir into place. */
+    * `rewrite`, then swap the staged dir into place.
+    *
+    * The swap is TWO atomic renames (live → `.trash`, staged → live)
+    * with the delete deferred to last — there is no instant at which
+    * both copies are gone (the old single delete-then-rename had a
+    * window where a crash lost the live dir with nothing marking the
+    * staged dir as adoptable). Every crash window leaves a state
+    * [[recoverSwap]] resolves; it runs at entry, so re-running
+    * compaction after any crash self-heals first. */
   private[graft] def stageAndSwap(spark: SparkSession, live: String)(
       rewrite: (DataFrame, String) => Unit): Unit = {
+    val hLive = new org.apache.hadoop.fs.Path(live)
+    val fs = hLive.getFileSystem(spark.sessionState.newHadoopConf())
+    SwapCrash.begin()
+    recoverSwap(fs, live)
     val staged = live + ".compact"
     rewrite(spark.read.parquet(live), staged)
-    val hPath = new org.apache.hadoop.fs.Path(live)
-    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(hPath, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(staged), hPath),
+    SwapCrash.maybe(SwapCrash.AfterStage)
+    val hStaged = new org.apache.hadoop.fs.Path(staged)
+    val hTrash = new org.apache.hadoop.fs.Path(live + ".trash")
+    require(fs.rename(hLive, hTrash),
+      s"compaction swap failed: move-out $live")
+    SwapCrash.maybe(SwapCrash.AfterMoveOut)
+    require(fs.rename(hStaged, hLive),
       s"compaction swap failed: rename $staged -> $live")
+    SwapCrash.maybe(SwapCrash.AfterSwapIn)
+    fs.delete(hTrash, true)
+  }
+
+  /** Complete or clean an interrupted [[stageAndSwap]]. Crash-window
+    * states and their resolution:
+    *  - live + `.compact`: crash during/after staging — the staged dir
+    *    is untrusted debris (its write may be partial); drop it.
+    *  - no live + `.compact`: crash between the renames — the staged
+    *    dir is COMPLETE (the move-out only runs after a successful
+    *    rewrite); adopt it as live.
+    *  - no live + no `.compact` + `.trash`: defensive — restore trash.
+    *  - live + `.trash`: crash before the final delete; drop trash.
+    * After this, exactly one committed layout exists at `live`. */
+  private[graft] def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+      live: String): Unit = {
+    val hLive = new org.apache.hadoop.fs.Path(live)
+    val hStaged = new org.apache.hadoop.fs.Path(live + ".compact")
+    val hTrash = new org.apache.hadoop.fs.Path(live + ".trash")
+    if (!fs.exists(hLive)) {
+      if (fs.exists(hStaged))
+        require(fs.rename(hStaged, hLive),
+          s"swap recovery failed: adopt ${live}.compact")
+      else if (fs.exists(hTrash))
+        require(fs.rename(hTrash, hLive),
+          s"swap recovery failed: restore ${live}.trash")
+    } else if (fs.exists(hStaged)) {
+      fs.delete(hStaged, true)
+    }
+    if (fs.exists(hLive)) fs.delete(hTrash, true)
+  }
+
+  /** Recover an interrupted [[compact]] without compacting again:
+    * completes or cleans any half-finished stage-then-swap on both
+    * store surfaces. Safe whenever compaction is not running — readers
+    * hitting a missing live dir after a crash call this first. */
+  def recover(spark: SparkSession, path: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    Seq(path + "/bands", path + "/shingles").foreach { live =>
+      val h = new org.apache.hadoop.fs.Path(live)
+      recoverSwap(h.getFileSystem(conf), live)
+    }
   }
 }

@@ -85,6 +85,15 @@ object VectorStore {
         .write.partitionBy(partCol).mode("overwrite").parquet(staged)
     }
 
+  /** Recover an interrupted [[compact]] without compacting again —
+    * completes or cleans a half-finished stage-then-swap (see
+    * `SignatureStore.recoverSwap` for the window-by-window states). */
+  def recover(spark: SparkSession, path: String): Unit = {
+    val h = new org.apache.hadoop.fs.Path(path)
+    SignatureStore.recoverSwap(
+      h.getFileSystem(spark.sessionState.newHadoopConf()), path)
+  }
+
   /** The probe's bucket plus its `1+nBits` hamming≤1 neighbors —
     * multi-probe compensates for boundary vectors the way the
     * in-memory LSH path's extra bands do. */

@@ -78,6 +78,14 @@ object ScaleBench {
       // the closed 30-word fixture vocabulary, whose shingle df grows
       // ∝ N instead of saturating like natural text); capping bounds
       // join cost at Σ min(df,64)² = O(#distinct shingles · 64²).
+      // q22 with the hot-shingle guard — the skew-study mitigation: the
+      // Zipf fixture's hot source concentrates Σdf² in one group, and
+      // the cap bounds exactly that term (SCALING.md skew section)
+      case "q22_capped" =>
+        graft.operators.Dedup.ngramJaccardPairs(
+          graft.Tables.documents(spark, sfDir),
+          "doc_id", "text", "source", k = 3, threshold = 0.5,
+          maxShingleDf = 64)
       case "q65_capped" =>
         import org.apache.spark.sql.functions.{col, lit}
         val docs = graft.Tables.documents(spark, sfDir)

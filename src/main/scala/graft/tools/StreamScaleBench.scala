@@ -13,12 +13,19 @@ import org.apache.spark.sql.functions._
   * scaling curve with the micro-batch COUNT held constant — so the
   * comparison isolates per-row cost from per-batch machinery.
   *
-  * Usage: `runMain graft.tools.StreamScaleBench <sfDir> [nBatches]`.
+  * Usage: `runMain graft.tools.StreamScaleBench <sfDir> [nFiles]
+  * [filesPerTrigger]`. The third arg (round 12) sweeps the production
+  * batch-size axis: the stage is cut into `nFiles` files and the drain
+  * consumes `filesPerTrigger` of them per micro-batch — fpt=1 is the
+  * per-batch-overhead-dominated regime, fpt=nFiles is one bulk batch.
+  * rows/s across the sweep measures how much of the fpt=1 wall time is
+  * per-batch machinery that amortizes at production batch sizes.
   */
 object StreamScaleBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val nBatches = if (args.length > 1) args(1).toInt else 8
+    val filesPerTrigger = if (args.length > 2) args(2).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -36,8 +43,9 @@ object StreamScaleBench {
       val q = start()
       q.awaitTermination()
       val s = (System.nanoTime() - t0) / 1e9
+      val batches = (nBatches + filesPerTrigger - 1) / filesPerTrigger
       println(f"[streamscale] $label%-16s $s%8.2f s  ${rows / s}%,10.0f rows/s" +
-        f"  ($rows rows / $nBatches batches)")
+        f"  ($rows rows / $batches batches of $filesPerTrigger files)")
     }
 
     // --- events ingest (ST1: normalize -> filter -> chunk -> embed) ---
@@ -48,7 +56,7 @@ object StreamScaleBench {
     val evSchema = spark.read.parquet(evStaged).schema
     drain("events_ingest", nEvents) { () =>
       val stream = spark.readStream.schema(evSchema)
-        .option("maxFilesPerTrigger", 1).parquet(evStaged)
+        .option("maxFilesPerTrigger", filesPerTrigger).parquet(evStaged)
         .withColumnRenamed("props", "body")
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
@@ -75,7 +83,7 @@ object StreamScaleBench {
     drain("ingest_dedup", nDocs) { () =>
       graft.sources.SignatureStore.ingestDedup(
         spark.readStream.schema(docSchema)
-          .option("maxFilesPerTrigger", 1).parquet(docStaged),
+          .option("maxFilesPerTrigger", filesPerTrigger).parquet(docStaged),
         "doc_id", "text",
         s"$root/sigstore", s"$root/accepted", s"$root/dedup_ckpt")
     }
@@ -89,7 +97,7 @@ object StreamScaleBench {
     drain("pack_stream", nDocs) { () =>
       graft.operators.Packing.packStream(
         spark.readStream.schema(tokSchema)
-          .option("maxFilesPerTrigger", 1).parquet(tokStaged),
+          .option("maxFilesPerTrigger", filesPerTrigger).parquet(tokStaged),
         "doc_id", "toks", 512,
         s"$root/pack_out", s"$root/pack_state", s"$root/pack_ckpt")
     }

@@ -17,11 +17,15 @@ import org.apache.spark.sql.functions._
   * from-spec IMA ADPCM decoder ([[imaAdpcmPcm]]) for the 4-bit
   * compressed WAVs the JDK lacks — all offline, no external library.
   * For mp3/mp4 the CONTAINER METADATA parse is also real (frame/box
-  * headers are pure integer arithmetic — [[containerInfo]]); only
-  * mp3/mp4 SAMPLE decode is still stubbed with a deterministic fake
-  * (those codecs are not in this container), clearly marked below;
-  * swapping `fakeDecode` for a real decoder keeps every other line
-  * unchanged.
+  * headers are pure integer arithmetic — [[containerInfo]]); mp3/mp4
+  * SAMPLE decode is an EXPLICIT out-of-scope decision (r12, SURVEY
+  * §8): a from-spec Layer III decoder is a conformance-tested DSP
+  * chain whose planted-tone oracle would require writing a full
+  * encoder — the check would test this repo's code against its own
+  * inverse, not the spec, and the only closed-form frame (silence)
+  * cannot discriminate a real chain from the labeled fake below.
+  * Production callers plug a codec library into the same
+  * `fakeDecode` fallback slot; every other line stays unchanged.
   */
 object Multimodal {
 

@@ -1213,6 +1213,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // exact distributed heavy hitters over the event stream's user key
+    // — the skew-DETECTION primitive the r12 Zipf sweep motivated (find
+    // the hot keys, then feed q53's saltedJoin / the hot-set caps).
+    // Per-partition Misra–Gries candidates carry a superset guarantee,
+    // so the exact verify pass makes the result partition-layout
+    // independent — which is what lets a sketch-shaped operator have a
+    // plain ANSI oracle where a raw sketch could not.
+    "q100_heavy_hitters" -> ((s, d) =>
+      Scale.heavyHitters(Tables.events(s, d), "user_id",
+        minShare = 0.008)),
+
     // domain mixing to a per-source token budget: per-stratum token
     // totals broadcast back in-plan, keep rate = min(100, 100·budget
     // DIV total), deterministic LCG-percent filter (q64's bucket) —
@@ -2526,6 +2537,18 @@ object SparkEntry {
         |SELECT cid AS doc_id, count(*) AS n_matches, max(jac) AS max_jaccard
         |FROM j WHERE jac >= 0.8
         |GROUP BY cid ORDER BY doc_id""".stripMargin,
+
+    // exact heavy hitters: the MG candidate pass is a pure superset
+    // filter, so the SQL definition is the plain threshold groupBy
+    "q100_heavy_hitters" ->
+      """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events
+        |           WHERE user_id IS NOT NULL)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
+        |  round(CAST(count(*) AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS share
+        |FROM events, t WHERE user_id IS NOT NULL
+        |GROUP BY user_id, t.n
+        |HAVING CAST(count(*) AS DOUBLE) > CAST(0.008 AS DOUBLE) * CAST(t.n AS DOUBLE)
+        |ORDER BY user_id""".stripMargin,
     "q26_hash_embed" ->
       expectedSql("q26", "doc_id, dim, e0, norm, checksum", "doc_id"),
     "q59_service_embed" ->

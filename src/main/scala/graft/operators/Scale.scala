@@ -11,6 +11,87 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** EXACT distributed heavy hitters — the "find the hot keys before
+    * you join" primitive that feeds the [[saltedJoin]] decision (and
+    * hot-set guards like `Dedup.duplicatedSpans(maxSpanDf)`). Keys
+    * whose exact frequency exceeds `minShare` of all rows, found in
+    * two bounded passes and one metadata count, never a full
+    * groupBy-over-all-keys shuffle:
+    *
+    *  1. CANDIDATES: one scan, per-partition Misra–Gries summaries of
+    *     `capacity` counters ([[heavyHitterCandidates]]). MG's
+    *     guarantee makes the union a SUPERSET of the true heavy
+    *     hitters: a key with global count > N/(capacity+1) must
+    *     exceed n_p/(capacity+1) in at least one partition
+    *     (pigeonhole over the partition sums), and a key above a
+    *     partition's threshold always survives that partition's
+    *     summary. `capacity` is clamped to ≥ ceil(1/minShare), so no
+    *     true hitter is ever missed — results are EXACT and
+    *     partition-layout independent, which is what makes the
+    *     operator oracle-able where a plain sketch is not.
+    *  2. VERIFY: candidates (≤ partitions × capacity rows — a
+    *     driver-safe bound that does not grow with key cardinality)
+    *     are distinct-ed, broadcast, and semi-join-filter the input;
+    *     only the surviving rows enter the exact groupBy count
+    *     (map-side combinable, ≤ candidates distinct keys).
+    *
+    * At 100 TB this is the difference between counting every key
+    * (shuffle of |keys| rows) and counting ~hundreds of candidates.
+    * Returns (key, cnt, share = round(cnt/N, 6)) for keys with
+    * cnt > minShare·N, ordered by key. Null keys are excluded (a
+    * null hot key is a data-quality finding, not a join-salt input).
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, minShare: Double,
+      capacity: Int = 64): DataFrame = {
+    require(minShare > 0.0 && minShare < 1.0,
+      s"minShare must be in (0,1): $minShare")
+    val cap = math.max(capacity, math.ceil(1.0 / minShare).toInt)
+    val keys = df.select(col(keyCol)).filter(col(keyCol).isNotNull)
+    val n = keys.count()
+    val cands = heavyHitterCandidates(keys, cap).distinct()
+    keys.join(broadcast(cands), Seq(keyCol), "left_semi")
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt").cast("double") > lit(minShare) * lit(n.toDouble))
+      .select(col(keyCol), col("cnt"),
+        round(col("cnt").cast("double") / lit(n.toDouble), 6).as("share"))
+      .orderBy(col(keyCol))
+  }
+
+  /** Phase 1 of [[heavyHitters]]: per-partition Misra–Gries summary
+    * over a single-column frame, emitting each partition's surviving
+    * candidate keys (≤ `capacity` rows per partition). The classic
+    * decrement-all step runs only on a miss with a full table, so the
+    * per-row cost is O(1) amortized. Exposed for spec use. */
+  private[graft] def heavyHitterCandidates(keys: DataFrame,
+      capacity: Int): DataFrame = {
+    val schema = keys.schema
+    keys.mapPartitions { it =>
+      // boxed Long values: j.u.HashMap.get on a missing key returns
+      // null, which an unboxed scala.Long would silently read as 0
+      // (the Dedup union-find footgun — keep the box explicit)
+      val counts = new java.util.HashMap[Any, java.lang.Long](capacity * 2)
+      it.foreach { r =>
+        val k = r.get(0)
+        val c: java.lang.Long = counts.get(k)
+        if (c != null) counts.put(k, c + 1L)
+        else if (counts.size < capacity) counts.put(k, 1L)
+        else {
+          // miss with a full table: decrement every counter, drop zeros
+          val iter = counts.entrySet().iterator()
+          while (iter.hasNext) {
+            val e = iter.next()
+            if (e.getValue == 1L) iter.remove()
+            else e.setValue(e.getValue - 1L)
+          }
+        }
+      }
+      scala.jdk.CollectionConverters.IteratorHasAsScala(
+        counts.keySet().iterator()).asScala
+        .map(k => org.apache.spark.sql.Row(k))
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** Salted equi-join for skewed keys: the big (skewed) side is salted
     * deterministically by `saltOf` into `buckets` sub-keys; the small
     * side is replicated once per salt value, so each hot key fans out

@@ -173,6 +173,56 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("heavy hitters: exact across partition layouts, MG superset holds " +
+      "under adversarial churn, capacity clamps, nulls excluded") {
+    // planted mix: one hot key (300), one warm key (120), 100 singletons
+    val rows = Seq.fill(300)("hot") ++ Seq.fill(120)("warm") ++
+      (1 to 100).map(i => s"k$i")
+    def brute(df: org.apache.spark.sql.DataFrame, minShare: Double) = {
+      val n = df.filter($"k".isNotNull).count()
+      df.filter($"k".isNotNull).groupBy($"k").count()
+        .filter($"count".cast("double") > minShare * n)
+        .select($"k", $"count".as("cnt"),
+          round($"count".cast("double") / n, 6).as("share"))
+        .as[(String, Long, Double)].collect().sorted.toSeq
+    }
+    // exactness must be independent of partition layout (the MG
+    // candidate sets differ per layout; the verify pass must not)
+    for (parts <- Seq(1, 3, 8)) {
+      val df = spark.sparkContext
+        // interleave deterministically so every partition sees a mix
+        .parallelize(rows.zipWithIndex.sortBy(_._2 % 7).map(_._1), parts)
+        .toDF("k")
+      val got = Scale.heavyHitters(df, "k", 0.1)
+        .as[(String, Long, Double)].collect().sorted.toSeq
+      assert(got === brute(df, 0.1), s"parts=$parts")
+      assert(got.map(_._1) === Seq("hot", "warm"))
+    }
+    // a tiny explicit capacity is clamped to ceil(1/minShare) — still exact
+    val one = spark.sparkContext.parallelize(rows, 4).toDF("k")
+    val clamped = Scale.heavyHitters(one, "k", 0.25, capacity = 2)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(clamped.map(_._1) === Seq("hot"))
+    // adversarial churn: 1000 distinct singletons force constant MG
+    // decrements; the 5.7% hitter must still survive (count 60 >
+    // n/(capacity+1) = 1060/21 with the clamp at ceil(1/0.05) = 20)
+    val churn = spark.sparkContext.parallelize(
+      (Seq.fill(60)("H") ++ (1 to 1000).map(i => s"x$i"))
+        .zipWithIndex.sortBy(_._2 % 13).map(_._1), 6).toDF("k")
+    val hh = Scale.heavyHitters(churn, "k", 0.05)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(hh === brute(churn, 0.05))
+    assert(hh.map(_._1) === Seq("H"))
+    // null keys are excluded from both the result and the denominator
+    val withNulls = spark.sparkContext.parallelize(
+      Seq.fill(50)(Some("hot")) ++ Seq.fill(30)(Option.empty[String]) ++
+        (1 to 20).map(i => Some(s"k$i")), 3).toDF("k")
+    val nn = Scale.heavyHitters(withNulls, "k", 0.5)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(nn.map(_._1) === Seq("hot"))
+    assert(nn.head._3 === math.rint(50.0 / 70.0 * 1e6) / 1e6)
+  }
+
   test("whole queries run through spark.sql over registered views") {
     Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem")
     val viaSql = spark.sql(

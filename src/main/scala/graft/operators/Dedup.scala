@@ -122,25 +122,24 @@ object Dedup {
     * threshold; 64 bits keeps homogeneous corpora from collapsing into
     * a few buckets the way 32-bit signatures do). */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, selfJoinBlocks: Int = 1): DataFrame = {
     // parallelize-first exchange only (see minhashNearDups)
     val sigs = df.select(col(idCol).as("doc"), col(textCol))
       .repartition(par(df), col("doc"))
       .select(col("doc"), simhash(col(textCol), 64).as("sig"))
-    simhashBandPairs(sigs, maxHamming)
+    simhashBandPairs(sigs, maxHamming, selfJoinBlocks)
   }
 
   /** The band-bucketed candidate join + exact-hamming verify over a
     * precomputed (doc, sig) frame — shared by [[simhashNearDups]]
     * (doc-level ids) and [[simhashClusters]] (one representative per
     * distinct signature). */
-  private[graft] def simhashBandPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+  private[graft] def simhashBandPairs(sigs: DataFrame, maxHamming: Int,
+      selfJoinBlocks: Int = 1): DataFrame = {
     val bandsArr = array((0 until 4).map(b =>
       shiftright(col("sig"), 16 * b).bitwiseAND(lit(0xFFFFL))): _*)
     val banded = sigs.select(col("doc"), col("sig"),
       posexplode(bandsArr).as(Seq("band", "half")))
-    val a = banded.select(col("band"), col("half"), col("doc").as("id_a"), col("sig").as("__siga"))
-    val b = banded.select(col("band"), col("half"), col("doc").as("id_b"), col("sig").as("__sigb"))
     // hamming-verify BEFORE dropDuplicates: the dedup is a full
     // shuffle of every candidate row, and on a dense signature cloud
     // candidates dwarf survivors (m10 scaling fixture: 61.6M bucket
@@ -151,12 +150,50 @@ object Dedup {
     // shuffle ~75×. Catalyst cannot do this itself: above the
     // aggregate the filter reads first(__siga)/first(__sigb) and is
     // not pushable through them.
-    a.join(b, Seq("band", "half"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", hamming(col("__siga"), col("__sigb")))
-      .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("id_a", "id_b")
-      .select(col("id_a"), col("id_b"), col("hamming"))
+    def verified(a: DataFrame, b: DataFrame, keys: Seq[String]) =
+      a.join(b, keys)
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("hamming", hamming(col("__siga"), col("__sigb")))
+        .filter(col("hamming") <= maxHamming)
+        .dropDuplicates("id_a", "id_b")
+        .select(col("id_a"), col("id_b"), col("hamming"))
+    if (selfJoinBlocks <= 1) {
+      val a = banded.select(col("band"), col("half"),
+        col("doc").as("id_a"), col("sig").as("__siga"))
+      val b = banded.select(col("band"), col("half"),
+        col("doc").as("id_b"), col("sig").as("__sigb"))
+      verified(a, b, Seq("band", "half"))
+    } else {
+      // Block-decomposed self-join for HOT band-value buckets (the
+      // r12 skew-study finding: one low-entropy band value can
+      // collect a large sig group whose quadratic pair generation
+      // serializes on the single task owning that join key — and AQE
+      // cannot split it, because skew-join triggers on input partition
+      // BYTES while this bucket is tiny in bytes and huge in OUTPUT).
+      // Each row gets a deterministic block id blk(doc) ∈ [0, nB); A
+      // is replicated across all right-blocks j, B across all
+      // left-blocks i, and the join key grows to (band, half, i, j) —
+      // every (a, b) pair is produced exactly once, at key
+      // (blk(a), blk(b)), so a B-row bucket fans its B² pair stream
+      // out over nB² tasks. Cost: the candidate shuffle carries nB×
+      // the (narrow) banded rows. Result-identical to the plain path
+      // (DedupSpec asserts bit-equality).
+      val nB = selfJoinBlocks
+      val withBlk = banded.withColumn("__blk", pmod(hash(col("doc")), lit(nB)))
+      val a = withBlk.select(col("band"), col("half"),
+        col("__blk").as("__i"),
+        explode(sequence(lit(0), lit(nB - 1))).as("__j"),
+        col("doc").as("id_a"), col("sig").as("__siga"))
+      val b = withBlk.select(col("band"), col("half"),
+        explode(sequence(lit(0), lit(nB - 1))).as("__i"),
+        col("__blk").as("__j"),
+        col("doc").as("id_b"), col("sig").as("__sigb"))
+      // the decomposition only helps if the join actually PARTITIONS
+      // by the widened key — at fixture byte sizes Spark would pick a
+      // broadcast join, whose task boundaries come from the streamed
+      // side's partitioning and ignore (i, j) entirely
+      verified(a.hint("shuffle_hash"), b, Seq("band", "half", "__i", "__j"))
+    }
   }
 
   /** Linear-OUTPUT form of [[simhashNearDups]] for corpora whose
@@ -173,7 +210,7 @@ object Dedup {
     * pairwise output, because every doc pair across two signature
     * groups shares the same hamming distance. */
   def simhashClusters(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, selfJoinBlocks: Int = 1): DataFrame = {
     val sigs = df.select(col(idCol).as("doc"), col(textCol))
       .repartition(par(df), col("doc"))
       .select(col("doc"), simhash(col(textCol), 64).as("sig"))
@@ -183,7 +220,8 @@ object Dedup {
     val groups = sigs.groupBy(col("sig")).agg(min(col("doc")).as("rep"))
       .localCheckpoint()
     val pairs = simhashBandPairs(
-      groups.select(col("rep").as("doc"), col("sig")), maxHamming)
+      groups.select(col("rep").as("doc"), col("sig")), maxHamming,
+      selfJoinBlocks)
     val cc = connectedComponents(groups.select(col("rep")), "rep",
       pairs, "id_a", "id_b")
     sigs.join(groups, Seq("sig"))

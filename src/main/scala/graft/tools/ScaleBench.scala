@@ -94,6 +94,20 @@ object ScaleBench {
           k = 3, threshold = 0.5, maxShingleDf = 64)
         graft.operators.Dedup.connectedComponents(
           docs.select(col("doc_id")), "doc_id", pairs, "id_a", "id_b")
+      // the r12 hot-band-bucket mitigation measured: clusters with the
+      // block-decomposed self-join (8 blocks → a B-row bucket's pair
+      // stream fans over 64 tasks instead of 1)
+      case "q98_blocks" =>
+        graft.operators.Dedup.simhashClusters(
+          graft.Tables.documents(spark, sfDir), "doc_id", "text",
+          maxHamming = 3, selfJoinBlocks = 8)
+      // the doc-level pair form with the same decomposition
+      case "q25_blocks" =>
+        import org.apache.spark.sql.functions.col
+        graft.operators.Dedup.simhashNearDups(
+          graft.Tables.documents(spark, sfDir), "doc_id", "text",
+          maxHamming = 3, selfJoinBlocks = 8)
+          .orderBy(col("id_a"), col("id_b"))
       // q98 breakdown: attribute the cluster form's cost across its
       // stages — signature kernel, distinct-sig collapse, band join
       // over distinct sigs, CC over the group graph

@@ -162,6 +162,32 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.simhashClusters(df, "doc_id", "text", 3).count() === 11)
   }
 
+  test("block-decomposed band self-join is bit-identical to the plain path " +
+      "(pairs and clusters, fixture + planted hot bucket)") {
+    // the r12 hot-band-bucket mitigation: every (a, b) pair must be
+    // produced exactly once at key (blk(a), blk(b)) — same pairs, same
+    // hammings, same clusters as the single-key join, on real fixture
+    // docs and on a planted corpus whose identical texts concentrate
+    // one band bucket (the regime the decomposition exists for)
+    val docs = Tables.documents(spark, sf)
+    def pairsOf(blocks: Int) =
+      Dedup.simhashNearDups(docs, "doc_id", "text", 3, selfJoinBlocks = blocks)
+        .as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(pairsOf(8) === pairsOf(1))
+    val hot = ((0 until 40).map(i => (i.toLong, "alpha beta gamma delta")) ++
+      (40 until 50).map(i => (i.toLong, s"unique text number $i payload")))
+      .toDF("doc_id", "text")
+    def hotPairs(blocks: Int) =
+      Dedup.simhashNearDups(hot, "doc_id", "text", 3, selfJoinBlocks = blocks)
+        .as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(hotPairs(4) === hotPairs(1))
+    assert(hotPairs(1).size >= 40 * 39 / 2) // the hot block really is dense
+    def clustersOf(blocks: Int) =
+      Dedup.simhashClusters(hot, "doc_id", "text", 3, selfJoinBlocks = blocks)
+        .as[(Long, Long)].collect().sorted.toSeq
+    assert(clustersOf(4) === clustersOf(1))
+  }
+
   test("shingle df cap: unchanged below the cap, drops boilerplate shingles above it") {
     // fixture dfs are far below 50, so the capped plan must reproduce
     // the exact output (backs the q22/q47 unchanged-hash requirement)

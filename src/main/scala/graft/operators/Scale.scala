@@ -92,6 +92,28 @@ object Scale {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** The detect→mitigate composition: measure the big side's key skew
+    * with [[heavyHitters]] and salt the join ONLY when a hot key
+    * actually exists. Plain-join semantics either way (inner/left —
+    * [[saltedJoin]]'s contract); the decision costs two bounded passes
+    * over the key column, trivial next to the join it protects. This
+    * replaces the "do we need to salt?" guess with a measurement —
+    * the r12 skew study's operational loop in one operator.
+    * `saltOf` defaults to a hash of the whole big-side row so hot-key
+    * rows spread without the caller naming a spread column. */
+  def autoSaltedJoin(big: DataFrame, small: DataFrame, key: String,
+      minShare: Double = 0.05, buckets: Int = 8,
+      joinType: String = "inner",
+      saltOf: Column = null): DataFrame = {
+    val hot = heavyHitters(big, key, minShare).limit(1).count() > 0
+    if (!hot) big.join(small, Seq(key), joinType)
+    else {
+      val salt = Option(saltOf).getOrElse(
+        hash(big.columns.map(col).toIndexedSeq: _*))
+      saltedJoin(big, small, key, salt, buckets, joinType)
+    }
+  }
+
   /** Salted equi-join for skewed keys: the big (skewed) side is salted
     * deterministically by `saltOf` into `buckets` sub-keys; the small
     * side is replicated once per salt value, so each hot key fans out

@@ -223,6 +223,28 @@ class ScaleSpec extends SparkSpec {
     assert(nn.head._3 === math.rint(50.0 / 70.0 * 1e6) / 1e6)
   }
 
+  test("autoSaltedJoin equals the plain join on skewed and uniform keys " +
+      "(both decision branches)") {
+    val dims = (0 until 30).map(i => (i.toLong, s"dim$i")).toDF("k", "v")
+    def facts(hot: Boolean) = {
+      val rows =
+        if (hot) (1 to 400).map(i => (0L, i)) ++ (1 to 200).map(i => ((i % 30).toLong, i))
+        else (1 to 600).map(i => ((i % 30).toLong, i))
+      spark.sparkContext.parallelize(rows, 5).toDF("k", "p")
+    }
+    for (hot <- Seq(true, false); jt <- Seq("inner", "left")) {
+      val f = facts(hot)
+      val plain = f.join(dims, Seq("k"), jt)
+        .select($"k", $"p", $"v").as[(Long, Int, String)]
+        .collect().sorted.toSeq
+      val auto = Scale.autoSaltedJoin(f, dims, "k", minShare = 0.25, buckets = 4,
+          joinType = jt)
+        .select($"k", $"p", $"v").as[(Long, Int, String)]
+        .collect().sorted.toSeq
+      assert(auto === plain, s"hot=$hot join=$jt")
+    }
+  }
+
   test("whole queries run through spark.sql over registered views") {
     Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem")
     val viaSql = spark.sql(

@@ -1229,6 +1229,26 @@ object SparkEntry {
       Scale.heavyHitters(Tables.events(s, d), "user_id",
         minShare = 0.008)),
 
+    // detect→mitigate composed: measure the big side's key skew with
+    // exact heavy hitters (q100) and salt the join (q53) ONLY when a
+    // hot key exists. At sf0.01 events.user_id tops out at share
+    // ~0.0086 > minShare, so the salted branch runs here; the result
+    // is the plain left join on either branch — the operator's
+    // contract, which is what makes the oracle pure ANSI and
+    // branch-independent.
+    "q101_auto_salted_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("value"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      Scale.autoSaltedJoin(ev, cust, "user_id",
+        minShare = 0.008, buckets = 8, joinType = "left")
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          Analytics.dsum(col("value")).as("sum_value"))
+        .orderBy(col("c_mktsegment"), col("event_type"))
+    }),
+
     // domain mixing to a per-source token budget: per-stratum token
     // totals broadcast back in-plan, keep rate = min(100, 100·budget
     // DIV total), deterministic LCG-percent filter (q64's bucket) —
@@ -2554,6 +2574,16 @@ object SparkEntry {
         |GROUP BY user_id, t.n
         |HAVING CAST(count(*) AS DOUBLE) > CAST(0.008 AS DOUBLE) * CAST(t.n AS DOUBLE)
         |ORDER BY user_id""".stripMargin,
+
+    // auto-salted join == the plain left join by contract (the salt
+    // decision changes the plan, never the result)
+    "q101_auto_salted_join" ->
+      s"""SELECT c_mktsegment, event_type,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM events LEFT JOIN customer ON user_id = c_custkey
+         |GROUP BY c_mktsegment, event_type
+         |ORDER BY c_mktsegment, event_type""".stripMargin,
     "q26_hash_embed" ->
       expectedSql("q26", "doc_id, dim, e0, norm, checksum", "doc_id"),
     "q59_service_embed" ->

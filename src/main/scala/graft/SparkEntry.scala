@@ -1249,6 +1249,46 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"), col("event_type"))
     }),
 
+    // leakage-free train/val split: the near-dup CLUSTER (q98's exact
+    // form) is the unit of assignment, so a validation doc can never
+    // have a near-duplicate in train. Split = deterministic LCG
+    // permille of the cluster id. Oracle: the q98 recursive-CTE CC
+    // over the pinned q25 pairs plus the same integer LCG arithmetic.
+    "q102_split_by_cluster" -> ((s, d) =>
+      Curation.splitByCluster(Tables.documents(s, d), "doc_id", "text",
+        valPermille = 100, maxHamming = 3, selfJoinBlocks = 8)
+        .orderBy(col("doc_id"))),
+
+    // quality-weighted sampling: keep probability = the q17 quality
+    // score (already 6-dp rounded → engine-portable), decided by the
+    // LCG permille bucket of the doc id — the importance-sampling knob
+    // between uniform q64 and a hard score threshold. Exact ANSI
+    // oracle (q17's score CTE + the integer LCG filter).
+    "q103_weighted_sample" -> ((s, d) => {
+      val stats = fan(Tables.documents(s, d), "doc_id")
+        .withColumn("__ts",
+          TextOps.textStats(TextOps.words(lower(col("text"))), Seq(enStop)))
+      val n = col("__ts").getField("n_words")
+      val hits = element_at(col("__ts").getField("hits"), 1)
+      val alpha = col("__ts").getField("alpha_hits")
+      val scored = stats.select(col("doc_id"),
+        TextOps.qualityScore(n,
+          hits.cast("double") / n.cast("double"),
+          alpha.cast("double") / n.cast("double")).as("score"))
+      Curation.weightedSample(scored, "doc_id", "score")
+        .orderBy(col("doc_id"))
+    }),
+
+    // corpus Zipf diagnostic: least-squares ln(tf) ~ ln(rank) over the
+    // vocabulary (rank via the q80 two-phase prefix scan — no global
+    // window). The fixtures' closed 31-word vocabulary reads a FLAT
+    // slope — exactly the regime where shingle df grows ∝ N and the
+    // maxShingleDf cap stops pruning (SCALING.md); this measures that
+    // before a cap is chosen. Exact oracle: same rank + 1e6-scaled
+    // integer log sums in ANSI SQL.
+    "q104_zipf_fit" -> ((s, d) =>
+      Curation.zipfFit(Tables.documents(s, d), "text")),
+
     // domain mixing to a per-source token budget: per-stratum token
     // totals broadcast back in-plan, keep rate = min(100, 100·budget
     // DIV total), deterministic LCG-percent filter (q64's bucket) —
@@ -2584,6 +2624,86 @@ object SparkEntry {
          |FROM events LEFT JOIN customer ON user_id = c_custkey
          |GROUP BY c_mktsegment, event_type
          |ORDER BY c_mktsegment, event_type""".stripMargin,
+
+    // q98's recursive-CTE connected components over the pinned q25
+    // pair set, plus the deterministic LCG permille split on the
+    // cluster id (all ids non-negative → % == pmod)
+    "q102_split_by_cluster" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT id_a, id_b FROM read_parquet(
+        |    '/root/repo/src/test/resources/graft/expected/q25_sf001.parquet')),
+        |edges AS (SELECT id_a AS ea, id_b AS eb FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea),
+        |cc AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+        |       FROM reach GROUP BY src)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN (((cluster_id % 2147483648) * 1103515245 + 12345)
+        |             % 2147483648) % 1000 < 100
+        |       THEN 'val' ELSE 'train' END AS split
+        |FROM cc ORDER BY doc_id""".stripMargin,
+
+    // q17's score CTE + the integer LCG keep filter (keep iff the
+    // permille bucket of doc_id < floor(score·1000))
+    "q103_weighted_sample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+         |  FROM documents),
+         |x AS (
+         |  SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+         |    CAST(len(list_filter(ws, w -> w IN $enStopSql)) AS INT) AS stop_hits,
+         |    CAST(len(list_filter(ws, w -> regexp_matches(w, '^[a-z]+$$'))) AS INT) AS alpha_hits
+         |  FROM d),
+         |sc AS (
+         |  SELECT doc_id,
+         |    round(least(1.0, CAST(n_words AS DOUBLE) / 64.0)
+         |      * (0.5 + 0.5 * (CAST(stop_hits AS DOUBLE) / CAST(n_words AS DOUBLE)))
+         |      * (CAST(alpha_hits AS DOUBLE) / CAST(n_words AS DOUBLE)), 6) AS score
+         |  FROM x)
+         |SELECT doc_id, score FROM sc
+         |WHERE (((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) % 1000
+         |      < least(1000, greatest(0, CAST(floor(score * 1000) AS BIGINT)))
+         |ORDER BY doc_id""".stripMargin,
+
+    // same rank order (tf desc, term) and the same 1e6-scaled integer
+    // log sums; slope/intercept evaluated in DOUBLE in the identical
+    // operation order
+    "q104_zipf_fit" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |v AS (SELECT term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY term),
+        |r AS (SELECT tf,
+        |  CAST(row_number() OVER (ORDER BY tf DESC, term) AS BIGINT) AS rnk
+        |  FROM v),
+        |p AS (SELECT tf,
+        |  CAST(CAST(round(ln(CAST(rnk AS DOUBLE)), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x6,
+        |  CAST(CAST(round(ln(CAST(tf AS DOUBLE)), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS y6
+        |  FROM r),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(tf) AS BIGINT) AS tok,
+        |  sum(CAST(x6 AS DECIMAL(38,0))) AS sxs, sum(CAST(y6 AS DECIMAL(38,0))) AS sys,
+        |  sum(CAST(x6 * x6 AS DECIMAL(38,0))) AS sxxs,
+        |  sum(CAST(x6 * y6 AS DECIMAL(38,0))) AS sxys
+        |  FROM p)
+        |SELECT n AS n_terms, tok AS total_tokens,
+        |  round(CASE WHEN CAST(n AS DOUBLE) * (CAST(sxxs AS DOUBLE) / 1e12)
+        |               - (CAST(sxs AS DOUBLE) / 1e6) * (CAST(sxs AS DOUBLE) / 1e6) <> 0.0
+        |    THEN (CAST(n AS DOUBLE) * (CAST(sxys AS DOUBLE) / 1e12)
+        |          - (CAST(sxs AS DOUBLE) / 1e6) * (CAST(sys AS DOUBLE) / 1e6))
+        |       / (CAST(n AS DOUBLE) * (CAST(sxxs AS DOUBLE) / 1e12)
+        |          - (CAST(sxs AS DOUBLE) / 1e6) * (CAST(sxs AS DOUBLE) / 1e6)) END, 6) AS zipf_slope,
+        |  round(CASE WHEN CAST(n AS DOUBLE) * (CAST(sxxs AS DOUBLE) / 1e12)
+        |               - (CAST(sxs AS DOUBLE) / 1e6) * (CAST(sxs AS DOUBLE) / 1e6) <> 0.0
+        |    THEN ((CAST(sys AS DOUBLE) / 1e6)
+        |          - ((CAST(n AS DOUBLE) * (CAST(sxys AS DOUBLE) / 1e12)
+        |              - (CAST(sxs AS DOUBLE) / 1e6) * (CAST(sys AS DOUBLE) / 1e6))
+        |             / (CAST(n AS DOUBLE) * (CAST(sxxs AS DOUBLE) / 1e12)
+        |                - (CAST(sxs AS DOUBLE) / 1e6) * (CAST(sxs AS DOUBLE) / 1e6)))
+        |            * (CAST(sxs AS DOUBLE) / 1e6)) / CAST(n AS DOUBLE) END, 6) AS zipf_intercept
+        |FROM s""".stripMargin,
     "q26_hash_embed" ->
       expectedSql("q26", "doc_id, dim, e0, norm, checksum", "doc_id"),
     "q59_service_embed" ->

@@ -327,4 +327,132 @@ object Curation {
           / count(lit(1)), 6).as("avg_nll"))
       .select(col("__doc").as(idCol), col("n_bigrams"), col("avg_nll"))
   }
+
+  /** ANSI-safe deterministic LCG bucket in [0, `mod`): an inner mod
+    * before the multiply keeps the product under 2^62 at any id
+    * magnitude (the q90 shuffle-shard arithmetic). Non-negative ids
+    * make pmod == `%`, so the oracle replays it with plain `%`. */
+  private def lcgBucket(id: Column, mod: Long): Column =
+    pmod(
+      pmod(pmod(id, lit(1L << 31)) * lit(1103515245L) + lit(12345L),
+        lit(1L << 31)),
+      lit(mod))
+
+  /** Leakage-free train/validation split: the unit of assignment is the
+    * near-duplicate CLUSTER, not the document. A plain random split of
+    * a deduplicated-but-not-perfectly corpus leaks: a validation doc
+    * with a near-duplicate in train is memorization measured as
+    * generalization. Splitting by [[Dedup.simhashClusters]]' cluster_id
+    * keeps every member of a near-dup family on the SAME side by
+    * construction.
+    *
+    * The split decision is the deterministic LCG permille bucket of the
+    * cluster id (min doc id of the component) — no RNG, independent of
+    * partitioning, replayable in ANSI SQL. Expected val share is
+    * `valPermille`/1000 of CLUSTERS (≈ of docs when duplication mass is
+    * spread; heavy families move together — that is the point).
+    *
+    * Scale: adds one codegen projection to the cluster frame; the cost
+    * IS simhashClusters (linear-output, SCALING.md §6). Returns
+    * (`idCol`, cluster_id, split ∈ {train, val}). */
+  def splitByCluster(df: DataFrame, idCol: String, textCol: String,
+      valPermille: Int, maxHamming: Int = 3,
+      selfJoinBlocks: Int = 1): DataFrame = {
+    require(valPermille >= 0 && valPermille <= 1000,
+      s"valPermille must be in [0,1000]: $valPermille")
+    Dedup.simhashClusters(df, idCol, textCol, maxHamming, selfJoinBlocks)
+      .withColumn("split",
+        when(lcgBucket(col("cluster_id"), 1000L) < valPermille, lit("val"))
+          .otherwise(lit("train")))
+  }
+
+  /** Deterministic quality-weighted sampling: keep each row with
+    * probability `scoreCol` (clamped to [0,1]) — the importance-style
+    * upsampling knob between uniform [[stratifiedSample]] and a hard
+    * score threshold (high-quality docs survive at their score rate
+    * instead of all-or-nothing). Keep iff the LCG permille bucket of
+    * the id falls below floor(score·1000); both sides of that
+    * comparison are exact integer/IEEE arithmetic on the stored score,
+    * so the keep set is partition-independent and ANSI-replayable.
+    * Callers pass a score already rounded to 6 dp (the engine-portable
+    * discipline). Pure codegen filter — no shuffle, pushes to the
+    * scan when `scoreCol` is a stored column. */
+  def weightedSample(df: DataFrame, idCol: String, scoreCol: String): DataFrame = {
+    val keepPermille = least(lit(1000L),
+      greatest(lit(0L), floor(col(scoreCol) * lit(1000.0)).cast("long")))
+    df.filter(lcgBucket(col(idCol), 1000L) < keepPermille)
+  }
+
+  /** Zipf diagnostic over the corpus vocabulary: least-squares fit of
+    * ln(tf) against ln(rank) over the (tf desc, term) rank order —
+    * natural text reads slope ≈ −1; a flat slope is the
+    * closed-vocabulary signature under which shingle df grows ∝ N and
+    * caps like `maxShingleDf` stop pruning (the r11/r12 scaling-study
+    * lesson, measurable per-corpus before choosing mitigation).
+    *
+    * Scale: the regression runs over the VOCABULARY (sub-linear in
+    * corpus size on natural text), and the global rank is the q80
+    * two-phase prefix scan — range-partition by (tf desc, term),
+    * per-partition counts to a driver prefix of n_partitions longs,
+    * within-partition row_number + offset — never a single-partition
+    * global window. Log terms round to 6 dp and sum as exact DECIMAL
+    * partials (order-independent); the closed-form slope/intercept are
+    * evaluated in IEEE double on those exact sums, so the result is
+    * bit-identical at any partitioning and replayable in ANSI SQL.
+    * Returns one row: (n_terms, total_tokens, zipf_slope,
+    * zipf_intercept); slope/intercept are null below 2 distinct
+    * ln(rank) values (degenerate fit). */
+  def zipfFit(df: DataFrame, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.sparkContext.defaultParallelism
+    val tf = df.filter(col(textCol).isNotNull)
+      .select(explode(graft.functions.TextOps.words(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    // materialize the range partitioning once: the partial-count job
+    // and the rank pass must see the same row→partition assignment
+    val base = tf.repartitionByRange(n, col("tf").desc, col("term"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val partials = base.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxPid = if (partials.isEmpty) 0 else partials.keys.max
+    val prefix: Map[Int, Long] = (0 to maxPid)
+      .scanLeft(0L)((acc, p) => acc + partials.getOrElse(p, 0L))
+      .dropRight(1).zipWithIndex.map { case (s, p) => p -> s }.toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("tf").desc, col("term"))
+    val ranked = base.withColumn("__rank",
+      row_number().over(w).cast("long") + element_at(typedlit(prefix), col("__pid")))
+    // 1e6-scaled integer log terms: round(ln, 6 dp) is engine-portable
+    // (the q92 discipline), and the ×1e6 lift runs in DECIMAL so it is
+    // exact (a double multiply + truncating cast would diverge between
+    // Spark's truncate and DuckDB's round). Products are per-row
+    // BIGINT (|x6| ≤ ~4e7 → product < 2^62), summed as DECIMAL(38,0)
+    // — exact integers at any corpus size, and the final
+    // decimal→double conversions are of INTEGERS, which both engines
+    // round identically (a scale-12 decimal sum would risk a ULP
+    // difference in the conversion itself).
+    def scaled(c: Column): Column =
+      (round(log(c), 6).cast("decimal(18,6)") * lit(1000000)).cast("bigint")
+    val sums = ranked
+      .select(scaled(col("__rank").cast("double")).as("__x"),
+        scaled(col("tf").cast("double")).as("__y"), col("tf"))
+      .agg(count(lit(1)).as("__n"), sum(col("tf")).as("__tok"),
+        sum(col("__x").cast("decimal(38,0)")).as("__sx"),
+        sum(col("__y").cast("decimal(38,0)")).as("__sy"),
+        sum((col("__x") * col("__x")).cast("decimal(38,0)")).as("__sxx"),
+        sum((col("__x") * col("__y")).cast("decimal(38,0)")).as("__sxy"))
+    val nD = col("__n").cast("double")
+    val sx = col("__sx").cast("double") / lit(1e6)
+    val sy = col("__sy").cast("double") / lit(1e6)
+    val sxx = col("__sxx").cast("double") / lit(1e12)
+    val sxy = col("__sxy").cast("double") / lit(1e12)
+    val denom = nD * sxx - sx * sx
+    val slope = (nD * sxy - sx * sy) / denom
+    sums.select(col("__n").cast("bigint").as("n_terms"),
+      col("__tok").cast("bigint").as("total_tokens"),
+      round(when(denom =!= lit(0.0), slope), 6).as("zipf_slope"),
+      round(when(denom =!= lit(0.0), (sy - slope * sx) / nD), 6)
+        .as("zipf_intercept"))
+  }
 }

@@ -236,4 +236,89 @@ class CurationSpec extends SparkSpec {
     val plan = fuzzy.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
+
+  private def lcgBucket(id: Long, mod: Long): Long =
+    (((id % 2147483648L) * 1103515245L + 12345L) % 2147483648L) % mod
+
+  test("splitByCluster: near-dup cluster members share a side; split is the " +
+    "LCG permille of the cluster id; permille bounds hold") {
+    val df = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (12L, "totally different words entirely unrelated content here now"),
+      (13L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val out = Curation.splitByCluster(df, "doc_id", "text", valPermille = 500)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.size === 4)
+    // identical docs collapse to one cluster and therefore one side
+    assert(out(10L) === out(11L) && out(11L) === out(13L))
+    assert(out(10L)._1 === 10L)
+    // every split label is exactly the LCG decision on its cluster id
+    out.values.foreach { case (c, s) =>
+      assert(s === (if (lcgBucket(c, 1000L) < 500) "val" else "train"))
+    }
+    val all0 = Curation.splitByCluster(df, "doc_id", "text", 0)
+      .select("split").distinct().as[String].collect().toSeq
+    assert(all0 === Seq("train"))
+    val all1000 = Curation.splitByCluster(df, "doc_id", "text", 1000)
+      .select("split").distinct().as[String].collect().toSeq
+    assert(all1000 === Seq("val"))
+  }
+
+  test("weightedSample: keep set == per-row LCG-vs-floor(score*1000) replay; " +
+    "out-of-range scores clamp") {
+    val rows = (0L until 200L).map(i => (i, (i % 11).toDouble / 10.0))
+    val df = rows.toDF("id", "score")
+    val kept = Curation.weightedSample(df, "id", "score")
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val expect = rows.filter { case (i, s) =>
+      lcgBucket(i, 1000L) <
+        math.min(1000L, math.max(0L, math.floor(s * 1000.0).toLong))
+    }.map(_._1).toSet
+    assert(kept === expect)
+    assert(kept.nonEmpty && kept.size < rows.size)
+    val clamp = Seq((1L, -0.5), (2L, 2.0)).toDF("id", "score")
+    val ck = Curation.weightedSample(clamp, "id", "score")
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(ck === Set(2L)) // prob 0 drops, prob >1 clamps to always-keep
+  }
+
+  test("zipfFit: exact scaled-integer regression on a hand corpus; " +
+    "partition-count independent") {
+    val df = Seq((1L, "a a a a b b c")).toDF("doc_id", "text")
+    val got = Curation.zipfFit(df, "text")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(got._1 === 3L && got._2 === 7L)
+    // replicate the operator's arithmetic: 6-dp HALF_UP ln terms lifted
+    // to 1e6-scaled longs, exact integer sums, IEEE double closed form
+    def s6(v: Double): Long =
+      (BigDecimal(java.lang.Double.toString(v))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP) * BigDecimal(1000000))
+        .toLongExact
+    val terms = Seq((1L, 4L), (2L, 2L), (3L, 1L)) // (rank, tf): a=4 b=2 c=1
+    val xs = terms.map { case (r, _) => s6(math.log(r.toDouble)) }
+    val ys = terms.map { case (_, t) => s6(math.log(t.toDouble)) }
+    val nD = terms.size.toDouble
+    val sx = xs.sum.toDouble / 1e6; val sy = ys.sum.toDouble / 1e6
+    val sxx = xs.map(v => v * v).sum.toDouble / 1e12
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum.toDouble / 1e12
+    val denom = nD * sxx - sx * sx
+    val slope = (nD * sxy - sx * sy) / denom
+    def r6(v: Double): Double =
+      BigDecimal(java.lang.Double.toString(v))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._3 === r6(slope))
+    assert(got._4 === r6((sy - slope * sx) / nD))
+    assert(got._3 < 0.0) // more frequent → lower rank: negative slope
+    // the two-phase rank is partition-layout independent
+    val corpus = (0L until 97L)
+      .map(i => (i, s"w${i % 13} w${i % 7} w${i % 7} common common"))
+      .toDF("doc_id", "text")
+    val a = Curation.zipfFit(corpus.repartition(1), "text")
+      .as[(Long, Long, Double, Double)].collect().head
+    val b = Curation.zipfFit(corpus.repartition(13), "text")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(a === b)
+  }
 }

@@ -1289,6 +1289,28 @@ object SparkEntry {
     "q104_zipf_fit" -> ((s, d) =>
       Curation.zipfFit(Tables.documents(s, d), "text")),
 
+    // corpus-LEVEL contamination: exact shingle-set Jaccard +
+    // containment between the corpus and the benchmark slice (q99's
+    // doc_id < 100). The scalar complement to the per-doc q63/q84/q99
+    // surfaces. Distinct sets are map-side-combined; the benchmark
+    // set broadcasts. Exact ANSI oracle (q63's shingle CTE).
+    "q105_corpus_overlap" -> ((s, d) => {
+      val docs = fan(Tables.documents(s, d), "doc_id")
+      Curation.corpusOverlap(
+        docs.filter(col("doc_id") >= 100),
+        docs.filter(col("doc_id") < 100), "text", k = 3)
+    }),
+
+    // Heaps-law profile: vocabulary size at geometric token-stream
+    // prefixes (global positions from the q80 prefix scan — never a
+    // global window). The fixture saturates almost immediately (closed
+    // 31-word vocabulary) — the signature that predicts df ∝ N and
+    // feeds the same cap decision as q104. Integer-exact end to end →
+    // plain ANSI oracle.
+    "q106_heaps_profile" -> ((s, d) =>
+      Curation.heapsProfile(fan(Tables.documents(s, d), "doc_id"),
+        "doc_id", "text")),
+
     // domain mixing to a per-source token budget: per-stratum token
     // totals broadcast back in-plan, keep rate = min(100, 100·budget
     // DIV total), deterministic LCG-percent filter (q64's bucket) —
@@ -2704,6 +2726,58 @@ object SparkEntry {
         |                - (CAST(sxs AS DOUBLE) / 1e6) * (CAST(sxs AS DOUBLE) / 1e6)))
         |            * (CAST(sxs AS DOUBLE) / 1e6)) / CAST(n AS DOUBLE) END, 6) AS zipf_intercept
         |FROM s""".stripMargin,
+
+    // q63's shingle CTE at the q99 benchmark slice; three exact counts
+    // and two IEEE divisions of exact BIGINTs
+    "q105_corpus_overlap" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |      ELSE list_transform(generate_series(0, len(ws) - 3),
+        |        i -> array_to_string(ws[i+1 : i+3], ' ')) END) AS sh
+        |  FROM d),
+        |bench AS (
+        |  SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE doc_id < 100),
+        |corp AS (
+        |  SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE doc_id >= 100),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n_c FROM corp),
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM bench),
+        |i AS (SELECT CAST(count(*) AS BIGINT) AS n_i
+        |      FROM corp JOIN bench USING (shingle))
+        |SELECT n_c AS n_corpus_shingles, n_b AS n_benchmark_shingles,
+        |  n_i AS n_shared,
+        |  round(CAST(n_i AS DOUBLE) / CAST(n_c + n_b - n_i AS DOUBLE), 6) AS jaccard,
+        |  round(CAST(n_i AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS containment
+        |FROM c, b, i""".stripMargin,
+
+    // same doc-order global positions (window cumsum of per-doc token
+    // counts), per-term min first occurrence, vocab counted at the
+    // same geometric points (integer bit-shift powers of two)
+    "q106_heaps_profile" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n FROM d),
+        |o AS (SELECT doc_id, ws, n,
+        |  sum(n) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS strt
+        |  FROM c),
+        |tok AS (SELECT doc_id, ws, strt,
+        |  unnest(generate_series(1, CAST(n AS INT))) AS i FROM o),
+        |t2 AS (SELECT ws[i] AS term, strt + i AS pos FROM tok),
+        |f AS (SELECT term, min(pos) AS fp FROM t2 GROUP BY term),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+        |pts AS (
+        |  SELECT p FROM (
+        |    SELECT (CAST(1 AS BIGINT) << unnest(generate_series(4, 62))) AS p), tot
+        |  WHERE p < tot.t
+        |  UNION ALL SELECT t FROM tot)
+        |SELECT p AS sample_n, CAST(count(f.term) AS BIGINT) AS vocab
+        |FROM pts LEFT JOIN f ON f.fp <= p
+        |GROUP BY p ORDER BY sample_n""".stripMargin,
     "q26_hash_embed" ->
       expectedSql("q26", "doc_id, dim, e0, norm, checksum", "doc_id"),
     "q59_service_embed" ->

@@ -383,6 +383,85 @@ object Curation {
     df.filter(lcgBucket(col(idCol), 1000L) < keepPermille)
   }
 
+  /** Corpus-LEVEL contamination diagnostic: exact k-shingle set
+    * overlap between a corpus and a benchmark suite — the scalar
+    * "how much of the eval is in my training set" number that the
+    * per-document surfaces (q63 flags, q84 bloom, q99 fuzzy) do not
+    * give. `containment` (shared / benchmark shingles) is the
+    * decontamination-relevant direction; `jaccard` the symmetric one.
+    *
+    * Scale: both sides reduce to DISTINCT shingle sets (map-side
+    * combinable aggregates — shuffle volume is the distinct set, not
+    * the token stream); the intersection probes the benchmark set as
+    * a broadcast (eval suites are small by definition). The three
+    * 1-row aggregates cross-join broadcast. The distinct frames are
+    * localCheckpointed once — each feeds two consumers, and exchange
+    * reuse does not span AQE branches (the q65 lesson). */
+  def corpusOverlap(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, k: Int): DataFrame = {
+    def distinctShingles(df: DataFrame) =
+      df.filter(col(textCol).isNotNull)
+        .select(explode(Dedup.shingles(col(textCol), k)).as("__shingle"))
+        .distinct()
+    val c = distinctShingles(corpus).localCheckpoint()
+    val b = distinctShingles(benchmark).localCheckpoint()
+    val cCnt = c.agg(count(lit(1)).as("n_corpus_shingles"))
+    val bCnt = b.agg(count(lit(1)).as("n_benchmark_shingles"))
+    val iCnt = c.join(broadcast(b), Seq("__shingle"))
+      .agg(count(lit(1)).as("n_shared"))
+    cCnt.crossJoin(broadcast(bCnt)).crossJoin(broadcast(iCnt))
+      .select(col("n_corpus_shingles"), col("n_benchmark_shingles"),
+        col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("n_corpus_shingles") + col("n_benchmark_shingles")
+            - col("n_shared")).cast("double"), 6).as("jaccard"),
+        round(col("n_shared").cast("double")
+          / col("n_benchmark_shingles").cast("double"), 6).as("containment"))
+  }
+
+  /** Heaps-law profile: vocabulary size at geometric prefixes of the
+    * doc-order token stream — V(n) at n = 16, 32, 64, … and the full
+    * corpus. On natural text V(n) ≈ K·n^β (β ≈ 0.5); a curve that
+    * SATURATES (flat after small n) is the closed-vocabulary
+    * signature under which shingle df grows ∝ N and df caps stop
+    * pruning — the companion measurement to [[zipfFit]], read from
+    * the same corpus the cap decision targets.
+    *
+    * Scale: global token positions come from the q80 two-phase prefix
+    * scan over per-DOC token counts (doc-bounded, never a global
+    * window over the token stream); each term reduces to its min
+    * first-occurrence position (map-side combinable); the ≤64 sample
+    * counts are conditional sums in ONE aggregate over the term
+    * frame, whose single output row is the only thing the driver ever
+    * holds. Exact integers end to end — no floats, so
+    * partition-layout independence is structural. */
+  def heapsProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__doc"),
+        graft.functions.TextOps.words(col(textCol)).as("__ws"))
+    val counts = words.select(col("__doc"), size(col("__ws")).cast("long").as("__n"))
+    val total = counts.agg(coalesce(sum(col("__n")), lit(0L))).first().getLong(0)
+    if (total == 0L)
+      return Seq.empty[(Long, Long)].toDF("sample_n", "vocab")
+    // doc start offset = cumulative tokens before the doc (q80 scan;
+    // the budget is irrelevant — only cum_tokens is used)
+    val offs = Packing.tokenShards(counts, "__doc", "__n", budget = 1L << 60)
+      .select(col("__doc"), (col("cum_tokens") - col("__n")).as("__start"))
+    val first = words.join(offs, "__doc")
+      .select(col("__start"), posexplode(col("__ws")).as(Seq("__i", "__term")))
+      .select(col("__term"), (col("__start") + col("__i") + 1).as("__pos"))
+      .groupBy(col("__term")).agg(min(col("__pos")).as("__first"))
+    val points = (Iterator.iterate(16L)(_ * 2).takeWhile(_ < total).toSeq :+ total)
+    val aggs = points.zipWithIndex.map { case (p, j) =>
+      sum(when(col("__first") <= p, 1L).otherwise(0L)).as(s"__v$j") }
+    val r = first.agg(aggs.head, aggs.tail: _*).first()
+    points.zipWithIndex.map { case (p, j) => (p, r.getLong(j)) }
+      .toDF("sample_n", "vocab")
+      .orderBy(col("sample_n"))
+  }
+
   /** Zipf diagnostic over the corpus vocabulary: least-squares fit of
     * ln(tf) against ln(rank) over the (tf desc, term) rank order —
     * natural text reads slope ≈ −1; a flat slope is the

@@ -284,6 +284,41 @@ class CurationSpec extends SparkSpec {
     assert(ck === Set(2L)) // prob 0 drops, prob >1 clamps to always-keep
   }
 
+  test("corpusOverlap: exact hand-computed set counts, jaccard and containment") {
+    val corpus = Seq((100L, "a b c"), (101L, "x y")).toDF("doc_id", "text")
+    val bench = Seq((1L, "b c d")).toDF("doc_id", "text")
+    // k=2 shingles: corpus {a b, b c, x y}, bench {b c, c d}, shared {b c}
+    val got = Curation.corpusOverlap(corpus, bench, "text", k = 2)
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(got === ((3L, 2L, 1L, 0.25, 0.5)))
+    // disjoint benchmark → zero overlap, zero containment
+    val none = Curation.corpusOverlap(corpus,
+      Seq((1L, "p q r")).toDF("doc_id", "text"), "text", k = 2)
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(none._3 === 0L && none._4 === 0.0 && none._5 === 0.0)
+  }
+
+  test("heapsProfile: exact vocab-at-prefix on a hand corpus; " +
+    "partition-count independent") {
+    val df = Seq(
+      (1L, "a a a a a a a a a a"),          // tokens 1-10, vocab {a}
+      (2L, "b c d e f g h i j k"))          // tokens 11-20, +10 terms
+      .toDF("doc_id", "text")
+    val got = Curation.heapsProfile(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toSeq
+    // points: 16 (< 20) and the 20-token total; V(16)=a..g=7, V(20)=11
+    assert(got === Seq((16L, 7L), (20L, 11L)))
+    val a = Curation.heapsProfile(df.repartition(1), "doc_id", "text")
+      .as[(Long, Long)].collect().toSeq
+    val b = Curation.heapsProfile(df.repartition(5), "doc_id", "text")
+      .as[(Long, Long)].collect().toSeq
+    assert(a === got && b === got)
+    // empty corpus → empty profile, no NPE
+    assert(Curation.heapsProfile(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+      .count() === 0L)
+  }
+
   test("zipfFit: exact scaled-integer regression on a hand corpus; " +
     "partition-count independent") {
     val df = Seq((1L, "a a a a b b c")).toDF("doc_id", "text")

@@ -1301,6 +1301,14 @@ object SparkEntry {
         docs.filter(col("doc_id") < 100), "text", k = 3)
     }),
 
+    // duplication profile: the cluster-size histogram of q98's
+    // clusters — size-1 mass is unique, the rest is what keep-first
+    // drops; a heavy tail flags family structure driving pair cost.
+    // Oracle: the q98 recursive-CTE CC + two GROUP BYs.
+    "q107_dup_profile" -> ((s, d) =>
+      Dedup.clusterSizeProfile(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3, selfJoinBlocks = 8)),
+
     // Heaps-law profile: vocabulary size at geometric token-stream
     // prefixes (global positions from the q80 prefix scan — never a
     // global window). The fixture saturates almost immediately (closed
@@ -2752,6 +2760,26 @@ object SparkEntry {
         |  round(CAST(n_i AS DOUBLE) / CAST(n_c + n_b - n_i AS DOUBLE), 6) AS jaccard,
         |  round(CAST(n_i AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS containment
         |FROM c, b, i""".stripMargin,
+
+    // the q98 CC oracle rolled up twice: per-cluster sizes, then the
+    // size histogram
+    "q107_dup_profile" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT id_a, id_b FROM read_parquet(
+        |    '/root/repo/src/test/resources/graft/expected/q25_sf001.parquet')),
+        |edges AS (SELECT id_a AS ea, id_b AS eb FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea),
+        |cc AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+        |       FROM reach GROUP BY src),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |       FROM cc GROUP BY cluster_id)
+        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+        |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
 
     // same doc-order global positions (window cumsum of per-doc token
     // counts), per-term min first occurrence, vocab counted at the

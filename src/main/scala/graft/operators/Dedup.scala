@@ -229,6 +229,24 @@ object Dedup {
       .select(col("doc").as(idCol), col("cluster_id"))
   }
 
+  /** Duplication profile: the cluster-SIZE histogram of
+    * [[simhashClusters]] — (cluster_size, n_clusters, n_docs =
+    * size·count), ordered by size. The operational read-out of dedup:
+    * the size-1 row is the unique mass, everything above it is what
+    * keep-first would drop, and a heavy tail says the near-dup family
+    * structure (not volume) drives the q98-style pair cost. Two
+    * map-side-combinable aggregations over the cluster frame — the
+    * histogram is bounded by the LARGEST family, not the corpus. */
+  def clusterSizeProfile(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, selfJoinBlocks: Int = 1): DataFrame =
+    simhashClusters(df, idCol, textCol, maxHamming, selfJoinBlocks)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
   /** Distributed connected components over an undirected edge list —
     * the canonicalization step a near-dup pipeline needs AFTER pair
     * generation: pairwise keep-first (q47) breaks on transitive chains

@@ -188,6 +188,21 @@ class DedupSpec extends SparkSpec {
     assert(clustersOf(4) === clustersOf(1))
   }
 
+  test("clusterSizeProfile: exact size histogram on a planted corpus") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "totally different words entirely unrelated content here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.clusterSizeProfile(df, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSeq
+    // one singleton cluster (doc 4) + one family of three (docs 1-3)
+    assert(got === Seq((1L, 1L, 1L), (3L, 1L, 3L)))
+    // doc conservation: histogram masses sum back to the corpus
+    assert(got.map(_._3).sum === 4L)
+  }
+
   test("shingle df cap: unchanged below the cap, drops boilerplate shingles above it") {
     // fixture dfs are far below 50, so the capped plan must reproduce
     // the exact output (backs the q22/q47 unchanged-hash requirement)

@@ -1309,6 +1309,22 @@ object SparkEntry {
       Dedup.clusterSizeProfile(Tables.documents(s, d), "doc_id", "text",
         maxHamming = 3, selfJoinBlocks = 8)),
 
+    // ordered event funnel over the event stream: stage i counts only
+    // at-or-after the user's stage i-1 time; per-stage frames are
+    // |users|-bounded aggregates. Counts exact, rates = IEEE division
+    // of exact longs → plain ANSI oracle.
+    "q108_funnel" -> ((s, d) =>
+      Analytics.funnel(Tables.events(s, d), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))),
+
+    // weekly cohort retention: integral unix_micros DIV period ids
+    // (exact at any timestamp), distinct (user, period) activity,
+    // retained via a period-shifted left-semi self-join. epoch_us //
+    // matches Spark's DIV bit-for-bit (the q13/q90 precedent).
+    "q109_retention" -> ((s, d) =>
+      Analytics.retention(Tables.events(s, d), "user_id", "ts",
+        periodDays = 7)),
+
     // Heaps-law profile: vocabulary size at geometric token-stream
     // prefixes (global positions from the q80 prefix scan — never a
     // global window). The fixture saturates almost immediately (closed
@@ -2780,6 +2796,55 @@ object SparkEntry {
         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
         |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+
+    // per-stage CTEs gated on the previous stage's per-user min time;
+    // scalar-subquery counts, guarded IEEE rates
+    "q108_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        |  GROUP BY e.user_id)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase,
+        |  round(CASE WHEN (SELECT count(*) FROM v) > 0 THEN
+        |    CAST((SELECT count(*) FROM c) AS DOUBLE)
+        |      / CAST((SELECT count(*) FROM v) AS DOUBLE) END, 6) AS view_to_click,
+        |  round(CASE WHEN (SELECT count(*) FROM c) > 0 THEN
+        |    CAST((SELECT count(*) FROM p) AS DOUBLE)
+        |      / CAST((SELECT count(*) FROM c) AS DOUBLE) END, 6) AS click_to_purchase""".stripMargin,
+
+    // distinct (user, period) activity + the period-shifted self-join;
+    // // == Spark DIV on BIGINT
+    "q109_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS period
+        |  FROM events),
+        |r AS (
+        |  SELECT a.period, CAST(count(*) AS BIGINT) AS n_ret
+        |  FROM a JOIN a a2 ON a2.user_id = a.user_id
+        |                  AND a2.period = a.period + 1
+        |  GROUP BY a.period),
+        |u AS (SELECT period, CAST(count(*) AS BIGINT) AS n_users
+        |      FROM a GROUP BY period)
+        |SELECT u.period,
+        |  CAST(u.period * 604800000000 AS BIGINT) AS period_start_us,
+        |  u.n_users,
+        |  CAST(coalesce(r.n_ret, 0) AS BIGINT) AS n_retained,
+        |  round(CAST(coalesce(r.n_ret, 0) AS DOUBLE)
+        |    / CAST(u.n_users AS DOUBLE), 6) AS retention
+        |FROM u LEFT JOIN r ON r.period = u.period
+        |ORDER BY u.period""".stripMargin,
 
     // same doc-order global positions (window cumsum of per-doc token
     // counts), per-term min first occurrence, vocab counted at the

@@ -210,4 +210,76 @@ object Analytics {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
+
+  /** Ordered event funnel: how many users reach each stage of
+    * `stages`, where stage i counts only if it happens AT OR AFTER
+    * the user's stage-(i−1) time (the classic view→click→purchase
+    * conversion shape). Per stage: one filtered scan reduced to the
+    * user's earliest qualifying time (map-side-combinable min), gated
+    * by an equi-join on the previous stage's per-user frame — the
+    * stage frames are |users|-bounded, never event-stream-sized, and
+    * each join key is the user id (co-partitioned aggregates).
+    * Returns ONE row: per-stage user counts `n_<stage>` plus
+    * step-conversion rates `<a>_to_<b>` (IEEE division of exact
+    * longs, 6 dp, null when the upstream stage is empty). */
+  def funnel(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val perStage = stages.foldLeft(List.empty[DataFrame]) { (acc, stage) =>
+      val base = df.filter(col(typeCol) === stage)
+        .select(col(userCol).as("__u"), col(tsCol).as("__ts"))
+      val gated = acc.headOption match {
+        case None => base
+        case Some(prev) =>
+          base.join(prev.select(col("__u"), col("__t").as("__prev")), Seq("__u"))
+            .filter(col("__ts") >= col("__prev"))
+            .select(col("__u"), col("__ts"))
+      }
+      gated.groupBy(col("__u")).agg(min(col("__ts")).as("__t")) :: acc
+    }.reverse
+    val counts = perStage.zip(stages).map { case (f, s) =>
+      f.agg(count(lit(1)).as(s"n_$s")) }
+    val joined = counts.reduce((a, b) => a.crossJoin(broadcast(b)))
+    val rates = stages.sliding(2).collect { case Seq(a, b) =>
+      round(when(col(s"n_$a") > 0,
+        col(s"n_$b").cast("double") / col(s"n_$a").cast("double")), 6)
+        .as(s"${a}_to_$b")
+    }.toSeq
+    joined.select(stages.map(s => col(s"n_$s")) ++ rates: _*)
+  }
+
+  /** Cohort retention: for each activity period (fixed-length buckets
+    * of `periodDays` on the event time), the count of active users and
+    * the fraction also active in the NEXT period. Period ids are
+    * integral `unix_micros DIV period` (exact at any timestamp — a
+    * double division would not be), activity reduces to distinct
+    * (user, period) pairs (map-side combine), and "retained" is a
+    * left-semi self-join against the period-shifted activity set —
+    * everything is |users × periods|-bounded, never event-sized.
+    * Returns (period, period_start, n_users, n_retained, retention)
+    * ordered by period; the last period's retention is its honest
+    * value against an empty future (0.0) — callers drop it when
+    * reporting. */
+  def retention(df: DataFrame, userCol: String, tsCol: String,
+      periodDays: Int = 7): DataFrame = {
+    require(periodDays > 0, s"periodDays must be positive: $periodDays")
+    val periodUs = periodDays.toLong * 86400L * 1000000L
+    val act = df
+      .select(col(userCol).as("__u"),
+        expr(s"unix_micros($tsCol) DIV $periodUs").as("period"))
+      .distinct()
+      .localCheckpoint() // three consumers below; do not recompute
+    val nxt = act.select(col("__u"), (col("period") - 1).as("period"))
+    val retained = act.join(nxt, Seq("__u", "period"), "left_semi")
+      .groupBy(col("period")).agg(count(lit(1)).as("n_retained"))
+    act.groupBy(col("period")).agg(count(lit(1)).as("n_users"))
+      .join(retained, Seq("period"), "left")
+      .select(col("period"),
+        (col("period") * periodUs).cast("bigint").as("period_start_us"),
+        col("n_users"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        round(coalesce(col("n_retained"), lit(0L)).cast("double")
+          / col("n_users").cast("double"), 6).as("retention"))
+      .orderBy(col("period"))
+  }
 }

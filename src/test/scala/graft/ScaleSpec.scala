@@ -258,4 +258,43 @@ class ScaleSpec extends SparkSpec {
       .as[(String, String, Double, Long)].collect().toSeq
     assert(viaSql === viaApi)
   }
+
+  test("funnel: stage gating at-or-after the previous stage; exact counts and rates") {
+    import graft.operators.Analytics
+    val ev = Seq(
+      (1L, "view", 1L), (1L, "click", 2L), (1L, "purchase", 3L), // full path
+      (2L, "click", 1L), (2L, "view", 2L), (2L, "purchase", 5L), // click BEFORE view → gated out, purchase too
+      (3L, "view", 1L),                                          // view only
+      (4L, "view", 5L), (4L, "click", 5L))                       // same-instant click counts (>=)
+      .toDF("user_id", "event_type", "ts")
+    val got = Analytics.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(got === ((4L, 2L, 1L, 0.5, 0.5)))
+    // an empty upstream stage nulls the rate instead of dividing by zero
+    val none = Analytics.funnel(ev.filter($"event_type" =!= "view"),
+      "user_id", "event_type", "ts", Seq("view", "click"))
+      .select($"n_view", $"view_to_click".isNull)
+      .as[(Long, Boolean)].collect().head
+    assert(none === ((0L, true)))
+  }
+
+  test("retention: exact per-period counts and next-period semantics") {
+    import graft.operators.Analytics
+    val day = 86400000000L
+    val ev = Seq((1L, 0L), (2L, 100L), (1L, day + 5L), (1L, 2 * day),
+      (3L, 2 * day + 7L))
+      .toDF("user_id", "us")
+      .select($"user_id", timestamp_micros($"us").as("ts"))
+    val got = Analytics.retention(ev, "user_id", "ts", periodDays = 1)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (0L, 0L, 2L, 1L, 0.5),         // u1,u2 active; only u1 returns
+      (1L, day, 1L, 1L, 1.0),        // u1 active and returns
+      (2L, 2 * day, 2L, 0L, 0.0)))   // last period: empty future
+    // duplicate activity within a period counts once
+    val dup = Analytics.retention(ev.union(ev), "user_id", "ts", 1)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(dup === got)
+  }
 }

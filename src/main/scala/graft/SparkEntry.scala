@@ -1309,6 +1309,30 @@ object SparkEntry {
       Dedup.clusterSizeProfile(Tables.documents(s, d), "doc_id", "text",
         maxHamming = 3, selfJoinBlocks = 8)),
 
+    // bucketed range join: shipments landing inside each sampled
+    // order's 7-day window. The naive point-in-interval predicate
+    // plans as a nested-loop join; bucketizing turns it into an
+    // equi-join on the bucket key with an exact containment filter —
+    // pair-identical output (a point is in exactly one bucket).
+    // Integer micros both sides → plain ANSI oracle.
+    "q110_range_join" -> ((s, d) => {
+      val week = 604800000000L
+      val iv = Tables.orders(s, d)
+        .filter(pmod(col("o_orderkey"), lit(199)) === 0)
+        .select(col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("w_start"))
+        .withColumn("w_end", col("w_start") + lit(week))
+      val pts = Tables.lineitem(s, d)
+        .select(col("l_quantity"),
+          unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+      Scale.rangeJoin(pts, iv, "ship_us", "w_start", "w_end",
+        bucketWidth = week)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_shipments"),
+          Analytics.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ordered event funnel over the event stream: stage i counts only
     // at-or-after the user's stage i-1 time; per-stage frames are
     // |users|-bounded aggregates. Counts exact, rates = IEEE division
@@ -2796,6 +2820,20 @@ object SparkEntry {
         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
         |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+
+    // the range join's DEFINITION is the naive predicate join — the
+    // bucket decomposition must be invisible in the result
+    "q110_range_join" ->
+      s"""WITH iv AS (
+         |  SELECT o_orderkey, epoch_us(o_orderdate) AS w_start,
+         |         epoch_us(o_orderdate) + 604800000000 AS w_end
+         |  FROM orders WHERE o_orderkey % 199 = 0)
+         |SELECT iv.o_orderkey, CAST(count(*) AS BIGINT) AS n_shipments,
+         |  ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem l JOIN iv
+         |  ON epoch_us(l.l_shipdate) >= iv.w_start
+         | AND epoch_us(l.l_shipdate) < iv.w_end
+         |GROUP BY iv.o_orderkey ORDER BY o_orderkey""".stripMargin,
 
     // per-stage CTEs gated on the previous stage's per-user min time;
     // scalar-subquery counts, guarded IEEE rates

@@ -131,6 +131,35 @@ object Scale {
     bigS.join(smallS, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** Bucketed point-in-interval range join — the operator Spark plans
+    * as a BroadcastNestedLoopJoin (or a cartesian) when written
+    * naively as `points.join(intervals, p >= s && p < e)`, which stops
+    * scaling the moment the interval side outgrows a broadcast. Both
+    * sides quantize to fixed `bucketWidth` buckets: a point lands in
+    * exactly ONE bucket, an interval explodes over the buckets it
+    * covers (fan-out = len/width + 1 — pick width ≈ the typical
+    * interval length), the join becomes a plain equi-join on the
+    * bucket key (shuffle-partitionable, AQE-skew-splittable), and the
+    * exact half-open containment filter runs after. Because the point
+    * is in one bucket, each matching (point, interval) pair is
+    * produced exactly once — no dedup pass. Works for any integral
+    * columns (truncating DIV is monotone, so an interval's bucket
+    * range always covers its points' buckets, negatives included).
+    * Semantics: inner join on `start ≤ point < end`, empty intervals
+    * (end ≤ start) match nothing. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, pointCol: String,
+      startCol: String, endCol: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val p = points.withColumn("__bkt", expr(s"$pointCol DIV $bucketWidth"))
+    val iv = intervals.filter(col(endCol) > col(startCol))
+      .withColumn("__bkt",
+        explode(sequence(expr(s"$startCol DIV $bucketWidth"),
+          expr(s"($endCol - 1) DIV $bucketWidth"))))
+    p.join(iv, Seq("__bkt"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bkt")
+  }
+
   /** Z-order (Morton) interleave of two non-negative bucket columns,
     * each already reduced to `bits` bits: bit i of `x` lands at z-bit
     * 2i, bit i of `y` at 2i+1. Points close in BOTH dimensions are

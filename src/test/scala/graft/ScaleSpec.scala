@@ -259,6 +259,33 @@ class ScaleSpec extends SparkSpec {
     assert(viaSql === viaApi)
   }
 
+  test("rangeJoin == the naive predicate join: boundaries, multi-bucket " +
+    "spans, negatives, empty intervals; plans as an equi-join") {
+    val pts = Seq(-9L, -7L, -1L, 0L, 1L, 5L, 9L, 10L, 14L, 15L, 99L)
+      .map(p => (p, s"p$p")).toDF("p", "ptag")
+    val ivs = Seq(
+      (1L, 0L, 10L),    // covers [0,10): boundary 0 in, 10 out
+      (2L, -8L, 2L),    // negative span crossing zero
+      (3L, 5L, 35L),    // spans multiple width-10 buckets
+      (4L, 20L, 20L),   // empty: matches nothing
+      (5L, 50L, 40L))   // inverted: matches nothing
+      .toDF("iv_id", "s", "e")
+    val got = Scale.rangeJoin(pts, ivs, "p", "s", "e", bucketWidth = 10L)
+      .select($"p", $"iv_id").as[(Long, Long)].collect().sorted.toSeq
+    val naive = pts.join(ivs, $"p" >= $"s" && $"p" < $"e")
+      .select($"p", $"iv_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(got === naive)
+    assert(got.nonEmpty && !got.exists { case (_, iv) => iv == 4L || iv == 5L })
+    // each matching pair exactly once (no multi-bucket duplicates)
+    assert(got.distinct === got)
+    // the bucket decomposition must produce an equi-join, never a
+    // nested-loop/cartesian plan
+    val plan = Scale.rangeJoin(pts, ivs, "p", "s", "e", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("funnel: stage gating at-or-after the previous stage; exact counts and rates") {
     import graft.operators.Analytics
     val ev = Seq(

@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 110 declared queries × multiple shuffled bench passes generate
+  // more whole-stage-codegen classes than the JVM's default 240 MB
+  // code cache holds; once it fills, the JIT stops compiling and the
+  // whole suite runs partially interpreted. Measured same-window A/B
+  // on the full Bench: 90.6 s (2 passes) at the default vs 75.4 s
+  // (3 passes) at 512 MB.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -225,6 +225,13 @@ object Analytics {
   def funnel(df: DataFrame, userCol: String, typeCol: String,
       tsCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    // output column names derive from the stage strings (n_<stage>,
+    // <a>_to_<b>): duplicates would silently collide and non-identifier
+    // characters produce ambiguous columns — reject both up front
+    require(stages.distinct.size == stages.size,
+      s"duplicate stage names: ${stages.mkString(", ")}")
+    stages.foreach(s => require(s.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"stage name is not a simple identifier: '$s'"))
     val perStage = stages.foldLeft(List.empty[DataFrame]) { (acc, stage) =>
       val base = df.filter(col(typeCol) === stage)
         .select(col(userCol).as("__u"), col(tsCol).as("__ts"))

@@ -409,14 +409,19 @@ object Curation {
     val bCnt = b.agg(count(lit(1)).as("n_benchmark_shingles"))
     val iCnt = c.join(broadcast(b), Seq("__shingle"))
       .agg(count(lit(1)).as("n_shared"))
+    // empty benchmark/corpus: 0/0 is NaN in Spark but NULL in DuckDB —
+    // null-guard the divisions (the funnel-rate CASE WHEN discipline)
+    val unionSize = (col("n_corpus_shingles") + col("n_benchmark_shingles")
+      - col("n_shared")).cast("double")
     cCnt.crossJoin(broadcast(bCnt)).crossJoin(broadcast(iCnt))
       .select(col("n_corpus_shingles"), col("n_benchmark_shingles"),
         col("n_shared"),
-        round(col("n_shared").cast("double") /
-          (col("n_corpus_shingles") + col("n_benchmark_shingles")
-            - col("n_shared")).cast("double"), 6).as("jaccard"),
-        round(col("n_shared").cast("double")
-          / col("n_benchmark_shingles").cast("double"), 6).as("containment"))
+        round(when(unionSize > 0,
+          col("n_shared").cast("double") / unionSize), 6).as("jaccard"),
+        round(when(col("n_benchmark_shingles") > 0,
+          col("n_shared").cast("double")
+            / col("n_benchmark_shingles").cast("double")), 6)
+          .as("containment"))
   }
 
   /** Heaps-law profile: vocabulary size at geometric prefixes of the

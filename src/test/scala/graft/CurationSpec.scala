@@ -296,6 +296,19 @@ class CurationSpec extends SparkSpec {
       Seq((1L, "p q r")).toDF("doc_id", "text"), "text", k = 2)
       .as[(Long, Long, Long, Double, Double)].collect().head
     assert(none._3 === 0L && none._4 === 0.0 && none._5 === 0.0)
+    // EMPTY benchmark: divisors are 0 — the ratios must be NULL (the
+    // DuckDB semantics), never NaN (Spark's raw 0/0 double)
+    val empty = Curation.corpusOverlap(corpus,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", k = 2)
+      .select($"n_shared", $"jaccard".isNull, $"containment".isNull)
+      .as[(Long, Boolean, Boolean)].collect().head
+    assert(empty === ((0L, false, true))) // union=3 nonzero → jaccard 0.0
+    val bothEmpty = Curation.corpusOverlap(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", k = 2)
+      .select($"jaccard".isNull, $"containment".isNull)
+      .as[(Boolean, Boolean)].collect().head
+    assert(bothEmpty === ((true, true)))
   }
 
   test("heapsProfile: exact vocab-at-prefix on a hand corpus; " +

@@ -129,6 +129,29 @@ object SparkEntry {
         "doc_id", "toks", seqLen = 512L, seqsPerShard = 4L, path)
     }
 
+  /** q111's bucketed tables — events and customer written once per
+    * (JVM, dataset) bucketed+sorted on user_id with the SAME bucket
+    * count, so every later join on user_id needs no exchange and no
+    * sort (the write-once-shuffle-never layout). External tables at a
+    * process-unique temp path; names carry the dataset hash so
+    * concurrent sf dirs never collide in the shared catalog. */
+  private def bucketedTables(s: SparkSession, d: String): (String, String) = {
+    val suffix = (d.hashCode & Int.MaxValue).toString
+    val evT = s"graft_ev_bkt_$suffix"
+    val custT = s"graft_cust_bkt_$suffix"
+    cachedStorePath("bkt:" + d) { path =>
+      graft.operators.Scale.writeBucketed(
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("value")),
+        evT, "user_id", buckets = 8, path = path + "/ev")
+      graft.operators.Scale.writeBucketed(
+        Tables.customer(s, d)
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment")),
+        custT, "user_id", buckets = 8, path = path + "/cust")
+    }
+    (evT, custT)
+  }
+
   /** q78's trained IVF quantizer — k-means centroids cached once per
     * (JVM, dataset), like the persisted stores. */
   private val quantizerCache =
@@ -1242,11 +1265,15 @@ object SparkEntry {
       val cust = Tables.customer(s, d)
         .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
       Scale.autoSaltedJoin(ev, cust, "user_id",
-        minShare = 0.008, buckets = 8, joinType = "left")
+        minShare = 0.008, buckets = 8, joinType = "left",
+        cacheKey = "events:" + d)
         .groupBy(col("c_mktsegment"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           Analytics.dsum(col("value")).as("sum_value"))
-        .orderBy(col("c_mktsegment"), col("event_type"))
+        // left join: a future fixture could leave c_mktsegment NULL for
+        // unmatched users, and Spark sorts NULLS FIRST where DuckDB
+        // defaults NULLS LAST — pin the ordering on BOTH sides
+        .orderBy(col("c_mktsegment").asc_nulls_last, col("event_type"))
     }),
 
     // leakage-free train/val split: the near-dup CLUSTER (q98's exact
@@ -1331,6 +1358,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_shipments"),
           Analytics.dsum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // co-bucketed join over Scale.writeBucketed tables: both sides
+    // bucketed+sorted on user_id with equal bucket counts, so the join
+    // AND the user_id aggregate after it plan with ZERO hash exchanges
+    // (ScaleSpec asserts the plan shape with broadcast disabled) — the
+    // shuffle was paid once at write time. Bucketing is
+    // result-invisible, so the oracle is the plain ANSI join on the
+    // raw fixtures.
+    "q111_bucketed_join" -> ((s, d) => {
+      val (evT, custT) = bucketedTables(s, d)
+      s.table(evT).join(s.table(custT), Seq("user_id"))
+        .groupBy(col("user_id"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          Analytics.dsum(col("value")).as("sum_value"))
+        .orderBy(col("user_id"))
     }),
 
     // ordered event funnel over the event stream: stage i counts only
@@ -2693,7 +2736,7 @@ object SparkEntry {
          |  ${dsumSql("value")} AS sum_value
          |FROM events LEFT JOIN customer ON user_id = c_custkey
          |GROUP BY c_mktsegment, event_type
-         |ORDER BY c_mktsegment, event_type""".stripMargin,
+         |ORDER BY c_mktsegment NULLS LAST, event_type""".stripMargin,
 
     // q98's recursive-CTE connected components over the pinned q25
     // pair set, plus the deterministic LCG permille split on the
@@ -2834,6 +2877,17 @@ object SparkEntry {
          |  ON epoch_us(l.l_shipdate) >= iv.w_start
          | AND epoch_us(l.l_shipdate) < iv.w_end
          |GROUP BY iv.o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    // the bucketed layout is result-invisible: oracle = the plain
+    // inner join on the raw fixtures (user_id = c_custkey is unique,
+    // so ORDER BY user_id is total)
+    "q111_bucketed_join" ->
+      s"""SELECT user_id, c_mktsegment,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY user_id, c_mktsegment
+         |ORDER BY user_id""".stripMargin,
 
     // per-stage CTEs gated on the previous stage's per-user min time;
     // scalar-subquery counts, guarded IEEE rates

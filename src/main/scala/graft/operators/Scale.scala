@@ -47,16 +47,52 @@ object Scale {
       s"minShare must be in (0,1): $minShare")
     val cap = math.max(capacity, math.ceil(1.0 / minShare).toInt)
     val keys = df.select(col(keyCol)).filter(col(keyCol).isNotNull)
-    val n = keys.count()
-    val cands = heavyHitterCandidates(keys, cap).distinct()
-    keys.join(broadcast(cands), Seq(keyCol), "left_semi")
-      .groupBy(col(keyCol))
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt").cast("double") > lit(minShare) * lit(n.toDouble))
-      .select(col(keyCol), col("cnt"),
-        round(col("cnt").cast("double") / lit(n.toDouble), 6).as("share"))
-      .orderBy(col(keyCol))
+    // pass 1: MG candidates, collected — bounded by partitions × cap,
+    // never by key cardinality, so the driver hold is safe by design
+    val cands = heavyHitterCandidates(keys, cap).collect()
+      .map(_.get(0)).distinct.toSeq
+    // pass 2 (the ONLY other scan): one groupBy that counts each
+    // candidate exactly AND folds every non-candidate into a single
+    // null bucket — ≤ cands+1 groups, map-side combinable — so the
+    // exact total N comes from summing the same tiny frame instead of
+    // a separate count() scan (two passes total, down from three)
+    val k = col(keyCol)
+    val isCand = if (cands.isEmpty) lit(false) else k.isInCollection(cands)
+    val grouped = keys
+      .groupBy(when(isCand, k).as(keyCol)).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // tiny; feeds two consumers (q65 lesson)
+    val tot = grouped.agg(sum(col("cnt")).as("__n"))
+    grouped.filter(k.isNotNull)
+      .crossJoin(broadcast(tot))
+      .filter(col("cnt").cast("double") >
+        lit(minShare) * col("__n").cast("double"))
+      .select(k, col("cnt"),
+        round(col("cnt").cast("double") / col("__n").cast("double"), 6)
+          .as("share"))
+      .orderBy(k)
   }
+
+  /** Per-(JVM, cacheKey) memo of the exact hot-key set: a pipeline that
+    * salts N joins against the same fact table should pay the
+    * [[heavyHitters]] scans once, not per join. `cacheKey` names the
+    * DATASET identity (e.g. its path) — the caller's contract is that
+    * the data behind a key is immutable for the JVM's lifetime (the
+    * store-cache convention); if it is rewritten in-process, call
+    * [[invalidateHotKeys]]. The lazy-holder shape keeps the multi-
+    * second Spark scans outside the map's per-bin lock while still
+    * guaranteeing exactly-once per key. */
+  private val hotKeyCache =
+    new java.util.concurrent.ConcurrentHashMap[String, () => Seq[Any]]()
+  def cachedHotKeys(df: DataFrame, keyCol: String, minShare: Double,
+      cacheKey: String, capacity: Int = 64): Seq[Any] =
+    hotKeyCache.computeIfAbsent(s"$cacheKey|$keyCol|$minShare|$capacity",
+      _ => {
+        lazy val hot: Seq[Any] =
+          heavyHitters(df, keyCol, minShare, capacity)
+            .select(col(keyCol)).collect().map(_.get(0)).toSeq
+        () => hot
+      })()
+  def invalidateHotKeys(): Unit = hotKeyCache.clear()
 
   /** Phase 1 of [[heavyHitters]]: per-partition Misra–Gries summary
     * over a single-column frame, emitting each partition's surviving
@@ -104,8 +140,15 @@ object Scale {
   def autoSaltedJoin(big: DataFrame, small: DataFrame, key: String,
       minShare: Double = 0.05, buckets: Int = 8,
       joinType: String = "inner",
-      saltOf: Column = null): DataFrame = {
-    val hot = heavyHitters(big, key, minShare).limit(1).count() > 0
+      saltOf: Column = null,
+      cacheKey: String = null): DataFrame = {
+    // cacheKey ties the skew measurement to the dataset's identity so
+    // repeated joins against the same fact table pay the two
+    // heavyHitters scans once per JVM (null = measure every call)
+    val hot =
+      if (cacheKey != null)
+        cachedHotKeys(big, key, minShare, cacheKey).nonEmpty
+      else heavyHitters(big, key, minShare).limit(1).count() > 0
     if (!hot) big.join(small, Seq(key), joinType)
     else {
       val salt = Option(saltOf).getOrElse(
@@ -148,13 +191,29 @@ object Scale {
     * Semantics: inner join on `start ≤ point < end`, empty intervals
     * (end ≤ start) match nothing. */
   def rangeJoin(points: DataFrame, intervals: DataFrame, pointCol: String,
-      startCol: String, endCol: String, bucketWidth: Long): DataFrame = {
+      startCol: String, endCol: String, bucketWidth: Long,
+      maxBucketsPerInterval: Long = 65536L): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    require(maxBucketsPerInterval > 0,
+      s"maxBucketsPerInterval must be positive: $maxBucketsPerInterval")
     val p = points.withColumn("__bkt", expr(s"$pointCol DIV $bucketWidth"))
+    // fan-out guard: an interval vastly longer than bucketWidth (or a
+    // corrupt end value) would materialize a huge covered-bucket array
+    // per row — raise a CLEAR error from the bucket-count arithmetic
+    // BEFORE sequence() allocates anything, instead of an executor OOM
+    // or the opaque array-size-limit failure. The check rides the same
+    // projection as the explode, so pruning can't drop it.
+    val bktFrom = expr(s"$startCol DIV $bucketWidth")
+    val bktTo = expr(s"($endCol - 1) DIV $bucketWidth")
+    val guarded = when(bktTo - bktFrom < lit(maxBucketsPerInterval),
+      sequence(bktFrom, bktTo))
+      .otherwise(raise_error(concat(
+        lit("rangeJoin: interval ["), col(startCol).cast("string"),
+        lit(", "), col(endCol).cast("string"),
+        lit(s") covers over $maxBucketsPerInterval buckets of width " +
+          s"$bucketWidth - raise bucketWidth or maxBucketsPerInterval"))))
     val iv = intervals.filter(col(endCol) > col(startCol))
-      .withColumn("__bkt",
-        explode(sequence(expr(s"$startCol DIV $bucketWidth"),
-          expr(s"($endCol - 1) DIV $bucketWidth"))))
+      .withColumn("__bkt", explode(guarded))
     p.join(iv, Seq("__bkt"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bkt")
@@ -197,8 +256,12 @@ object Scale {
     * join/aggregation on that key. This is the storage-layout answer
     * to "the fact table shuffles for every join" at 100 TB. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
-    df.write.mode("overwrite").format("parquet")
+      buckets: Int, path: String = null): Unit = {
+    // an explicit path makes the table EXTERNAL there (bucketed writes
+    // must go through saveAsTable — Spark records the bucket spec only
+    // in the catalog); null lands in the session warehouse dir
+    val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
-      .saveAsTable(table)
+    (if (path != null) w.option("path", path) else w).saveAsTable(table)
+  }
 }

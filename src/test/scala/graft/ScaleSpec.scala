@@ -45,6 +45,21 @@ class ScaleSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS o_bkt")
   }
 
+  test("q111 declared query: the co-bucketed join AND the user_id " +
+    "aggregate after it plan with zero hash exchanges") {
+    // force the sort-merge path: a broadcast join would make the
+    // no-exchange assertion trivially true without exercising bucketing
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q111_bucketed_join")(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
+      assert(plan.contains("SortMergeJoin"), plan.take(3000))
+      assert(df.limit(1).count() === 1)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("custom kernels are callable from SQL after registration") {
     GraftFunctions.register(spark)
     Tables.embeddings(spark, sf).limit(10).createOrReplaceTempView("emb_v")
@@ -284,6 +299,54 @@ class ScaleSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("rangeJoin: an interval covering more buckets than the cap raises " +
+    "a clear error instead of materializing a huge array") {
+    val pts = Seq((5L, "p")).toDF("p", "ptag")
+    val ivs = Seq((1L, 0L, 1000000L)).toDF("iv_id", "s", "e")
+    val ex = intercept[Exception] {
+      Scale.rangeJoin(pts, ivs, "p", "s", "e", bucketWidth = 10L,
+        maxBucketsPerInterval = 100L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("rangeJoin: interval")), ex.toString)
+    // an interval under the cap passes untouched
+    val ivsOk = Seq((1L, 0L, 1000L)).toDF("iv_id", "s", "e")
+    val ok = Scale.rangeJoin(pts, ivsOk, "p", "s", "e", bucketWidth = 10L,
+      maxBucketsPerInterval = 100L)
+      .select($"iv_id").as[Long].collect().toSeq
+    assert(ok === Seq(1L))
+  }
+
+  test("cachedHotKeys memoizes per (JVM, cacheKey): a second call with " +
+    "different data but the same key returns the cached set") {
+    val key = s"spec:${java.util.UUID.randomUUID()}"
+    val skewed = spark.sparkContext.parallelize(
+      Seq.fill(50)("hot") ++ (1 to 20).map(i => s"k$i"), 3).toDF("k")
+    val first = Scale.cachedHotKeys(skewed, "k", 0.3, key)
+    assert(first === Seq("hot"))
+    // an EMPTY frame would measure zero hot keys if rescanned — the
+    // memo must return the first measurement instead
+    val empty = Seq.empty[String].toDF("k")
+    assert(Scale.cachedHotKeys(empty, "k", 0.3, key) === Seq("hot"))
+    // a different cacheKey DOES measure the new data
+    val key2 = s"spec:${java.util.UUID.randomUUID()}"
+    assert(Scale.cachedHotKeys(empty, "k", 0.3, key2).isEmpty)
+  }
+
+  test("funnel rejects duplicate and non-identifier stage names") {
+    import graft.operators.Analytics
+    val ev = Seq((1L, "view", 1L)).toDF("user_id", "event_type", "ts")
+    intercept[IllegalArgumentException] {
+      Analytics.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "view"))
+    }
+    intercept[IllegalArgumentException] {
+      Analytics.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "add to cart"))
+    }
   }
 
   test("funnel: stage gating at-or-after the previous stage; exact counts and rates") {

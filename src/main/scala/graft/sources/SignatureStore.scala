@@ -277,7 +277,9 @@ object SignatureStore {
     * the rewrite lands in a sibling staging dir, then replaces the live
     * dir via the Hadoop FileSystem (works on local FS and HDFS alike).
     * Must not run concurrently with an active ingest — it collapses the
-    * per-batch partitions a replay would overwrite. */
+    * per-batch partitions a replay would overwrite. Concurrent PROBES
+    * are fine under the [[withReadRetry]] reader contract (the swap's
+    * transient windows retry; results are bit-identical either side). */
   def compact(spark: SparkSession, path: String, p: Params = Params()): Unit = {
     stageAndSwap(spark, path + "/bands") { (src, staged) =>
       src.select(col("doc"), col("band"), col("bucket"), col("shard"))
@@ -291,6 +293,38 @@ object SignatureStore {
         .repartition(spark.sparkContext.defaultParallelism)
         .write.partitionBy("ingest").mode("overwrite").parquet(staged)
     }
+  }
+
+  /** Reader contract for probes running CONCURRENTLY with [[compact]]:
+    * wrap the whole probe — building the read AND running the action —
+    * in this retry. The swap's no-live window is two directory renames
+    * (milliseconds), but a reader can catch it (PATH_NOT_FOUND), or
+    * hold a pre-swap file listing whose files disappear mid-scan
+    * (FileNotFoundException) — both transient, both retried with a
+    * session file-cache refresh of the store's two surfaces
+    * ([[StoreFs.retryingRead]]). Probe results are bit-identical
+    * before/after compaction, so WHICH side of the swap a retry lands
+    * on is invisible. After a compactor CRASH (not a race) the no-live
+    * state is permanent — run [[recover]] instead. */
+  def withReadRetry[T](spark: SparkSession, path: String,
+      attempts: Int = 6)(thunk: => T): T =
+    StoreFs.retryingRead(spark,
+      Seq(path + "/bands", path + "/shingles"), attempts)(thunk)
+
+  /** Test-only pause hook for [[stageAndSwap]]'s between-renames
+    * window: the concurrent-reader spec holds the swap open here (live
+    * dir absent) while a racing probe exercises [[withReadRetry]].
+    * Null latches = zero-cost no-op in production. */
+  private[graft] object SwapPause {
+    @volatile var entered: java.util.concurrent.CountDownLatch = null
+    @volatile var gate: java.util.concurrent.CountDownLatch = null
+    def maybePause(): Unit = {
+      val e = entered
+      if (e != null) e.countDown()
+      val g = gate
+      if (g != null) g.await()
+    }
+    def reset(): Unit = { entered = null; gate = null }
   }
 
   /** Test-only crash injection for [[stageAndSwap]] (0 = off) — the
@@ -336,6 +370,7 @@ object SignatureStore {
     require(fs.rename(hLive, hTrash),
       s"compaction swap failed: move-out $live")
     SwapCrash.maybe(SwapCrash.AfterMoveOut)
+    SwapPause.maybePause()
     require(fs.rename(hStaged, hLive),
       s"compaction swap failed: rename $staged -> $live")
     SwapCrash.maybe(SwapCrash.AfterSwapIn)

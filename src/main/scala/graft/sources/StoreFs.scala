@@ -51,4 +51,50 @@ private[graft] object StoreFs {
     fs.delete(p, true)
     ()
   }
+
+  /** Run a store probe with retry-on-recoverable-read — the reader's
+    * half of the compaction contract. A probe racing a concurrent
+    * `compact()` can observe two transient states: (a) the between-
+    * renames window where no live dir exists (reads throw
+    * PATH_NOT_FOUND), and (b) a file listing captured BEFORE the swap
+    * whose files were renamed away before the scan opened them
+    * (FileNotFoundException mid-job; Spark's session file-status cache
+    * can also serve the stale listing to a fresh read). Both are
+    * transient — the swap itself is two directory renames — so the
+    * resolution is: refresh the session's cached listings for
+    * `refreshPaths`, back off briefly, and re-run the probe from plan
+    * construction. `thunk` must therefore BUILD the read and run the
+    * action (not reuse a pre-built DataFrame, whose file index is the
+    * stale state being retried away). Non-recoverable errors and
+    * exhausted attempts propagate unchanged. NOT a substitute for
+    * `recover()` after a compactor CRASH — a dead compactor leaves the
+    * no-live state permanently and retries here will exhaust; crash
+    * recovery stays an explicit owner-side operation because running it
+    * mid-swap would fight a live compactor for the same renames. */
+  def retryingRead[T](spark: SparkSession, refreshPaths: Seq[String],
+      attempts: Int = 6)(thunk: => T): T = {
+    def recoverable(t: Throwable): Boolean = {
+      val chain = Iterator.iterate(t)(_.getCause)
+        .takeWhile(_ != null).take(10).toSeq
+      chain.exists { e =>
+        val m = Option(e.getMessage).getOrElse("")
+        e.isInstanceOf[java.io.FileNotFoundException] ||
+          m.contains("PATH_NOT_FOUND") ||
+          m.contains("Path does not exist") ||
+          m.contains("FileNotFoundException")
+      }
+    }
+    def loop(attempt: Int): T =
+      try thunk
+      catch {
+        case e: Throwable if attempt < attempts && recoverable(e) =>
+          refreshPaths.foreach { p =>
+            try spark.catalog.refreshByPath(p)
+            catch { case _: Throwable => () } // path absent mid-swap: fine
+          }
+          Thread.sleep(100L * attempt)
+          loop(attempt + 1)
+      }
+    loop(1)
+  }
 }

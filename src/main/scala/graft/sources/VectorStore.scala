@@ -77,13 +77,26 @@ object VectorStore {
     * same schema; spec-asserted). Works unchanged on the quantized
     * store: every non-partition column is passed through untouched.
     * Stage-then-swap via the Hadoop FileSystem (local FS and HDFS
-    * alike); must not run concurrently with an active append. */
+    * alike); must not run concurrently with an active append.
+    * Concurrent PROBES are fine under the [[withReadRetry]] reader
+    * contract. */
   def compact(spark: SparkSession, path: String, nBits: Int = 4,
       partCol: String = "bucket"): Unit =
     SignatureStore.stageAndSwap(spark, path) { (src, staged) =>
       src.repartition(1 << nBits, col(partCol))
         .write.partitionBy(partCol).mode("overwrite").parquet(staged)
     }
+
+  /** Reader contract for probes racing [[compact]]: wrap the whole
+    * probe (plan construction + action) here — the swap's no-live
+    * window and stale pre-swap file listings both surface as transient
+    * read errors, retried with a file-cache refresh
+    * ([[StoreFs.retryingRead]]). Probe results are bit-identical
+    * before/after compaction. After a compactor CRASH run [[recover]]
+    * instead — the no-live state is then permanent. */
+  def withReadRetry[T](spark: SparkSession, path: String,
+      attempts: Int = 6)(thunk: => T): T =
+    StoreFs.retryingRead(spark, Seq(path), attempts)(thunk)
 
   /** Recover an interrupted [[compact]] without compacting again —
     * completes or cleans a half-finished stage-then-swap (see

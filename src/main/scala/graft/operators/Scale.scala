@@ -130,11 +130,19 @@ object Scale {
 
   /** The detect→mitigate composition: measure the big side's key skew
     * with [[heavyHitters]] and salt the join ONLY when a hot key
-    * actually exists. Plain-join semantics either way (inner/left —
-    * [[saltedJoin]]'s contract); the decision costs two bounded passes
-    * over the key column, trivial next to the join it protects. This
-    * replaces the "do we need to salt?" guess with a measurement —
+    * actually exists — and only for the HOT SLICE. Plain-join
+    * semantics either way (inner/left); the decision costs two bounded
+    * passes over the key column, trivial next to the join it protects.
+    * This replaces the "do we need to salt?" guess with a measurement —
     * the r12 skew study's operational loop in one operator.
+    *
+    * Because the measurement yields the hot keys themselves (bounded,
+    * not just a boolean), the mitigation is [[saltedJoinHotKeys]]: only
+    * rows whose key IS hot are salted, and only the matching slice of
+    * the small side is replicated `buckets`× — at 100 TB, blanket
+    * salting replicates the ENTIRE dimension table per bucket, which
+    * trades a straggler for buckets× shuffle volume; the split keeps
+    * the cold 95%+ of the join untouched.
     * `saltOf` defaults to a hash of the whole big-side row so hot-key
     * rows spread without the caller naming a spread column. */
   def autoSaltedJoin(big: DataFrame, small: DataFrame, key: String,
@@ -144,17 +152,39 @@ object Scale {
       cacheKey: String = null): DataFrame = {
     // cacheKey ties the skew measurement to the dataset's identity so
     // repeated joins against the same fact table pay the two
-    // heavyHitters scans once per JVM (null = measure every call)
-    val hot =
-      if (cacheKey != null)
-        cachedHotKeys(big, key, minShare, cacheKey).nonEmpty
-      else heavyHitters(big, key, minShare).limit(1).count() > 0
-    if (!hot) big.join(small, Seq(key), joinType)
+    // heavyHitters scans once per JVM (null = measure every call);
+    // either way the result is the bounded hot-key set itself
+    val hotKeys =
+      if (cacheKey != null) cachedHotKeys(big, key, minShare, cacheKey)
+      else heavyHitters(big, key, minShare)
+        .select(col(key)).collect().map(_.get(0)).toSeq
+    if (hotKeys.isEmpty) big.join(small, Seq(key), joinType)
     else {
       val salt = Option(saltOf).getOrElse(
         hash(big.columns.map(col).toIndexedSeq: _*))
-      saltedJoin(big, small, key, salt, buckets, joinType)
+      saltedJoinHotKeys(big, small, key, hotKeys, salt, buckets, joinType)
     }
+  }
+
+  /** Differentiated salting: salt ONLY the measured hot keys. The big
+    * side splits on key∈hotKeys (null keys are cold — a null never
+    * equi-joins, and a left join must preserve the row); the hot slice
+    * takes [[saltedJoin]] against the small side's matching slice
+    * (tiny — ≤ |hotKeys| key groups — so its buckets× replication is
+    * noise, and Catalyst typically broadcasts it), the cold slice
+    * takes the plain join. Each big row lands in exactly one branch
+    * and small-side matches are branch-local, so the union IS the
+    * plain join for inner/left. */
+  def saltedJoinHotKeys(big: DataFrame, small: DataFrame, key: String,
+      hotKeys: Seq[Any], saltOf: Column, buckets: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(hotKeys.nonEmpty, "saltedJoinHotKeys needs a non-empty hot set")
+    val isHot = coalesce(col(key).isInCollection(hotKeys), lit(false))
+    val hotPart = saltedJoin(big.filter(isHot),
+      small.filter(coalesce(col(key).isInCollection(hotKeys), lit(false))),
+      key, saltOf, buckets, joinType)
+    val coldPart = big.filter(!isHot).join(small, Seq(key), joinType)
+    hotPart.unionByName(coldPart)
   }
 
   /** Salted equi-join for skewed keys: the big (skewed) side is salted

@@ -260,6 +260,28 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("autoSaltedJoin hot branch with NULL big-side keys: left join " +
+      "preserves the null rows, inner drops them — both == plain join") {
+    val dims = (0 until 5).map(i => (i.toLong, s"d$i")).toDF("k", "v")
+    val rows: Seq[(Option[Long], Int)] =
+      (1 to 200).map(i => (Some(0L), i)) ++             // hot key 0
+        (1 to 50).map(i => (Some((i % 5).toLong), i)) ++
+        Seq((Option.empty[Long], 901), (Option.empty[Long], 902))
+    val f = spark.sparkContext.parallelize(rows, 4).toDF("k", "p")
+    for (jt <- Seq("inner", "left")) {
+      val plain = f.join(dims, Seq("k"), jt)
+        .select($"k", $"p", $"v").as[(Option[Long], Int, Option[String])]
+        .collect().sorted.toSeq
+      val auto = Scale.autoSaltedJoin(f, dims, "k", minShare = 0.3,
+          buckets = 4, joinType = jt)
+        .select($"k", $"p", $"v").as[(Option[Long], Int, Option[String])]
+        .collect().sorted.toSeq
+      assert(auto === plain, s"join=$jt")
+      val nullRows = auto.count(_._1.isEmpty)
+      assert(nullRows === (if (jt == "left") 2 else 0), s"join=$jt")
+    }
+  }
+
   test("whole queries run through spark.sql over registered views") {
     Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem")
     val viaSql = spark.sql(

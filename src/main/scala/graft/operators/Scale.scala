@@ -286,11 +286,31 @@ object Scale {
     * join/aggregation on that key. This is the storage-layout answer
     * to "the fact table shuffles for every join" at 100 TB. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int, path: String = null): Unit = {
+      buckets: Int, path: String = null): Unit =
+    writeBucketedAs(df, table, key, buckets, path, "overwrite")
+
+  /** Append a (micro-)batch into an existing bucketed table — the
+    * daily maintenance half of the write-once-shuffle-never story
+    * (same posture as `VectorStore.append`): each append writes its
+    * own per-bucket files under the SAME bucket spec (Spark validates
+    * the spec matches the catalog's), so joins stay exchange-free.
+    * What accretes is files-per-bucket — a bucket's scan partition
+    * reads every append's file, and within-bucket sort order across
+    * files is gone, so the join plans a (cheap, spill-able) Sort but
+    * still NO exchange (spec-asserted). Periodically rewrite with
+    * [[writeBucketed]] to restore one-file-per-bucket, the same
+    * rhythm as the stores' `compact()`. */
+  def appendBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    writeBucketedAs(df, table, key, buckets, null, "append")
+
+  private def writeBucketedAs(df: DataFrame, table: String, key: String,
+      buckets: Int, path: String, mode: String): Unit = {
     // an explicit path makes the table EXTERNAL there (bucketed writes
     // must go through saveAsTable — Spark records the bucket spec only
-    // in the catalog); null lands in the session warehouse dir
-    val w = df.write.mode("overwrite").format("parquet")
+    // in the catalog); null lands in the session warehouse dir (or,
+    // for append, the table's existing location)
+    val w = df.write.mode(mode).format("parquet")
       .bucketBy(buckets, key).sortBy(key)
     (if (path != null) w.option("path", path) else w).saveAsTable(table)
   }

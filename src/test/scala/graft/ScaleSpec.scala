@@ -45,6 +45,35 @@ class ScaleSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS o_bkt")
   }
 
+  test("appendBucketed: appended rows land in the right buckets and the " +
+      "co-bucketed join still plans without an exchange") {
+    spark.sql("DROP TABLE IF EXISTS li_app_bkt")
+    spark.sql("DROP TABLE IF EXISTS o_app_bkt")
+    val li = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity")
+    Scale.writeBucketed(li.filter($"l_orderkey" % 2 === 0),
+      "li_app_bkt", "l_orderkey", buckets = 4)
+    Scale.appendBucketed(li.filter($"l_orderkey" % 2 === 1),
+      "li_app_bkt", "l_orderkey", buckets = 4)
+    Scale.writeBucketed(
+      Tables.orders(spark, sf).select($"o_orderkey".as("l_orderkey"), $"o_totalprice"),
+      "o_app_bkt", "l_orderkey", buckets = 4)
+    val joined = spark.table("li_app_bkt")
+      .join(spark.table("o_app_bkt"), "l_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+    // appended data is VISIBLE and correct: counts match the plain join
+    val expect = li.join(Tables.orders(spark, sf),
+      $"l_orderkey" === $"o_orderkey").count()
+    assert(joined.count() === expect)
+    // a mismatched bucket spec is rejected, not silently accepted
+    intercept[Exception] {
+      Scale.appendBucketed(li.limit(1), "li_app_bkt", "l_orderkey",
+        buckets = 8)
+    }
+    spark.sql("DROP TABLE IF EXISTS li_app_bkt")
+    spark.sql("DROP TABLE IF EXISTS o_app_bkt")
+  }
+
   test("q111 declared query: the co-bucketed join AND the user_id " +
     "aggregate after it plan with zero hash exchanges") {
     // force the sort-merge path: a broadcast join would make the

@@ -482,20 +482,29 @@ object Dedup {
     * hot-key blowup: a span's fan-out is its true duplication factor,
     * which is exactly the signal. Documents shorter than k are
     * excluded (they have no k-span). */
-  /** `maxSpanDf` is the hot-key guard for the 100 TB regime (r9 verdict
-    * "wrong" #1): "long spans carry no boilerplate" is false at web
-    * scale — license headers, cookie banners and template footers are
-    * ≥k-char strings repeated across millions of docs, and ONE such
-    * span's `collect_list` is a single-executor OOM. With a cap, spans
-    * whose doc frequency exceeds it never enter the doc-list aggregate:
-    * their per-doc contribution is reconstructed from the (tiny,
-    * broadcast) hot set carrying the TRUE df — a span seen >cap(≥1)
-    * times is duplicated for every holder, so the result is
-    * BIT-IDENTICAL to the uncapped form (asserted in DedupSpec) while
-    * every `collect_list` group is bounded by the cap. Price: one extra
-    * narrow (doc, span) aggregation to find the hot set — the same
-    * tradeoff as [[ngramJaccardPairs]]' hot-shingle guard. Default
-    * disables the guard (exact single-aggregate plan). */
+  /** `maxSpanDf` opts into the bounded-group plan for the 100 TB
+    * regime (r9 verdict "wrong" #1): "long spans carry no boilerplate"
+    * is false at web scale — license headers, cookie banners and
+    * template footers are ≥k-char strings repeated across millions of
+    * docs, and ONE such span's `collect_list` is a single-executor
+    * OOM. The guarded plan has NO list aggregate anywhere: a count-
+    * only span-df aggregate (map-side combinable, every group a
+    * scalar) sort-merge-rejoins the span stream — exact, so the result
+    * is BIT-IDENTICAL to the default (asserted in DedupSpec), and no
+    * group grows with duplication at all. The numeric cap value is
+    * retained for API compatibility but no longer tunes anything —
+    * there is no group left to bound. History: the previous guarded
+    * plan (hot-set broadcast + capped collect_list over the cold
+    * spans + checkpointed stream feeding three consumers) measured
+    * 70 s at m30z where this plan measures 37 s and the r10 small-N
+    * overheads are comparable (+0.5 vs +0.7 s at sf0.1) — the
+    * materialized-stream machinery was strictly dominated, SCALING.md
+    * m30z section. The `merge` hint is load-bearing: AQE's broadcast
+    * estimate for the span-df side OOMs at scale (millions of distinct
+    * spans). Default (`Int.MaxValue`) keeps the single-shuffle
+    * collect_list plan — fastest on corpora KNOWN boilerplate-free
+    * (1.9 vs 2.6 s at sf0.1; 26 vs 37 s at m30z, where its hot-list
+    * straggler task is the price). */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int, maxSpanDf: Int = Int.MaxValue): DataFrame = {
     val spans = spanStream(df, idCol, textCol, k)
@@ -511,22 +520,12 @@ object Dedup {
         spans.groupBy(col("span"))
           .agg(count(lit(1)).as("span_df"), collect_list(col("doc")).as("docs"))
           .select(col("span_df"), explode(col("docs")).as("doc"))
-      else {
-        // the span stream feeds three consumers (hot-set aggregate,
-        // anti-join, hot rejoin) — materialize it ONCE; re-deriving the
-        // explode per consumer is two extra full corpus scans at the
-        // 100 TB regime this cap exists for (r10 advice)
-        val spansCk = spans.localCheckpoint()
-        val hot = hotSpans(spansCk, maxSpanDf).localCheckpoint()
-        val cold = coldSpanGroups(spansCk, hot)
-          .select(col("span_df"), explode(col("docs")).as("doc"))
-        // hot spans never carry a doc list: each holder's row rejoins
-        // the broadcast hot set, whose span_df is the true frequency
-        val hotPerDoc = spansCk
-          .join(broadcast(hot), Seq("span"))
+      else
+        spans.join(
+          spans.groupBy(col("span")).agg(count(lit(1)).as("span_df"))
+            .hint("merge"),
+          Seq("span"))
           .select(col("span_df"), col("doc"))
-        cold.unionByName(hotPerDoc)
-      }
     perSpan
       .groupBy(col("doc"))
       .agg(
@@ -549,24 +548,4 @@ object Dedup {
         explode(graft.expressions.VectorExpressions
           .charShingles(col(textCol), k)).as("span"))
 
-  /** Spans with doc frequency above the cap — tiny by construction
-    * (only corpus boilerplate qualifies), so it broadcasts. */
-  private[graft] def hotSpans(spans: DataFrame, maxSpanDf: Int): DataFrame =
-    spans.groupBy(col("span"))
-      .agg(count(lit(1)).as("span_df"))
-      .filter(col("span_df") > maxSpanDf)
-
-  /** The doc-list aggregate over NON-hot spans only — every group is
-    * bounded by the cap (spec-asserted). */
-  private[graft] def coldSpanGroups(spans: DataFrame,
-      maxSpanDf: Int): DataFrame =
-    coldSpanGroups(spans, hotSpans(spans, maxSpanDf))
-
-  /** [[coldSpanGroups]] against an already-materialized hot set, so the
-    * capped path computes the hot aggregate exactly once. */
-  private[graft] def coldSpanGroups(spans: DataFrame,
-      hot: DataFrame): DataFrame =
-    spans.join(broadcast(hot), Seq("span"), "left_anti")
-      .groupBy(col("span"))
-      .agg(count(lit(1)).as("span_df"), collect_list(col("doc")).as("docs"))
 }

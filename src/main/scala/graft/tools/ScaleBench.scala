@@ -86,6 +86,15 @@ object ScaleBench {
           graft.Tables.documents(spark, sfDir),
           "doc_id", "text", "source", k = 3, threshold = 0.5,
           maxShingleDf = 64)
+      // q87's guarded plan — exact count-agg + sort-merge rejoin, no
+      // list aggregate anywhere (the m30z straggler/OOM answer; the
+      // former hot-set machinery measured 70 s here vs this plan's 37)
+      case "q87_capped" =>
+        import org.apache.spark.sql.functions.col
+        graft.operators.Dedup.duplicatedSpans(
+          graft.Tables.documents(spark, sfDir), "doc_id", "text",
+          k = 32, maxSpanDf = 64)
+          .orderBy(col("doc_id"))
       case "q65_capped" =>
         import org.apache.spark.sql.functions.{col, lit}
         val docs = graft.Tables.documents(spark, sfDir)

@@ -302,34 +302,38 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.duplicatedSpans(empty, "doc_id", "text", 5).count() === 0)
   }
 
-  test("duplicatedSpans: hot-span cap bounds groups and stays bit-identical") {
+  test("duplicatedSpans: the guarded plan is bit-identical and carries " +
+      "no list aggregate (the single-executor-OOM shape is gone)") {
     import graft.operators.Dedup
     // boilerplate regime: ONE 32-char span (license-header-style) is
-    // planted in EVERY doc — uncapped, its collect_list group is
-    // corpus-sized (the r9 100 TB OOM finding); capped, it must never
-    // enter the doc-list aggregate while the result stays identical.
+    // planted in EVERY doc — in the default plan its collect_list
+    // group is corpus-sized (the r9 100 TB OOM finding); the guarded
+    // plan must produce the identical result with NO list aggregate
+    // anywhere (count-agg + sort-merge rejoin — every group a scalar).
     val boiler = "ALL RIGHTS RESERVED (C) 2026 CO." // exactly 32 chars
     assert(boiler.length === 32)
     val docs = Tables.documents(spark, sf)
       .filter($"text".isNotNull)
       .select($"doc_id", concat($"text", lit(" " + boiler)).as("text"))
-    val cap = 8
     val uncapped = Dedup.duplicatedSpans(docs, "doc_id", "text", 32)
       .orderBy($"doc_id")
       .as[(Long, Long, Long, Double)].collect().toSeq
-    val capped = Dedup.duplicatedSpans(docs, "doc_id", "text", 32, cap)
-      .orderBy($"doc_id")
+    val guardedDf = Dedup.duplicatedSpans(docs, "doc_id", "text", 32,
+      maxSpanDf = 8)
+    val guarded = guardedDf.orderBy($"doc_id")
       .as[(Long, Long, Long, Double)].collect().toSeq
-    assert(capped === uncapped)
-    // the planted span (and its shifted variants crossing the glue
-    // space) is hot; every cold group is bounded by the cap
-    val spans = Dedup.spanStream(docs, "doc_id", "text", 32)
-    val hot = Dedup.hotSpans(spans, cap)
-      .select($"span").as[String].collect().toSet
-    assert(hot.contains(boiler))
-    val maxCold = Dedup.coldSpanGroups(spans, cap)
-      .select(max(size($"docs"))).as[Int].head()
-    assert(maxCold <= cap, s"cold group of size $maxCold exceeds cap $cap")
+    assert(guarded === uncapped)
+    // the safety property itself, asserted on the plan: no group in
+    // the guarded plan accumulates a list, so no span's duplication
+    // factor — however hot — can blow up a single task's memory
+    val plan = guardedDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"), plan.take(3000))
+    assert(plan.contains("SortMergeJoin"), plan.take(3000))
+    // and the default plan IS the list shape (the contrast that makes
+    // the assertion meaningful)
+    val defaultPlan = Dedup.duplicatedSpans(docs, "doc_id", "text", 32)
+      .queryExecution.executedPlan.toString
+    assert(defaultPlan.contains("collect_list"), defaultPlan.take(3000))
   }
 
   test("connected components: transitive chain collapses to one cluster") {

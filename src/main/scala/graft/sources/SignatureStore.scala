@@ -163,8 +163,14 @@ object SignatureStore {
       jaccardThreshold: Double = 0.8,
       excludeIngest: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession
-    def visible(df: DataFrame): DataFrame =
-      excludeIngest.fold(df)(ex => df.filter(col("ingest") =!= lit(ex)))
+    val dead = tombstones(spark, path)
+    def visible(df: DataFrame): DataFrame = {
+      val scoped =
+        excludeIngest.fold(df)(ex => df.filter(col("ingest") =!= lit(ex)))
+      // logically deleted docs never act as dedup evidence
+      dead.fold(scoped)(t =>
+        scoped.join(broadcast(t.toDF("doc")), Seq("doc"), "left_anti"))
+    }
     val batchBanded = banded(batch, idCol, textCol, p)
     val shards = batchBanded.select(col("shard")).distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -281,18 +287,52 @@ object SignatureStore {
     * are fine under the [[withReadRetry]] reader contract (the swap's
     * transient windows retry; results are bit-identical either side). */
   def compact(spark: SparkSession, path: String, p: Params = Params()): Unit = {
+    // apply pending deletes physically on both surfaces; the tombstone
+    // dir is cleared only AFTER both swaps commit, so a crash between
+    // them leaves the delete still logically in force (probes keep
+    // masking) and a re-run re-applies it as a no-op
+    val dead = tombstones(spark, path)
+    def cleaned(src: DataFrame): DataFrame =
+      dead.fold(src)(t =>
+        src.join(broadcast(t.toDF("doc")), Seq("doc"), "left_anti"))
     stageAndSwap(spark, path + "/bands") { (src, staged) =>
-      src.select(col("doc"), col("band"), col("bucket"), col("shard"))
+      cleaned(src.select(col("doc"), col("band"), col("bucket"), col("shard")))
         .withColumn("ingest", lit("base"))
         .repartition(p.nShards, col("shard"))
         .write.partitionBy("ingest", "shard").mode("overwrite").parquet(staged)
     }
     stageAndSwap(spark, path + "/shingles") { (src, staged) =>
-      src.select(col("doc"), col("sh"))
+      cleaned(src.select(col("doc"), col("sh")))
         .withColumn("ingest", lit("base"))
         .repartition(spark.sparkContext.defaultParallelism)
         .write.partitionBy("ingest").mode("overwrite").parquet(staged)
     }
+    StoreFs.delete(spark, tombstoneDir(path))
+  }
+
+  /** Logical delete of documents from the store (the right-to-be-
+    * forgotten path): ids land in `_tombstones/` under the store root
+    * (hidden from every store scan by the `_` prefix), probes exclude
+    * them immediately ([[dedupAgainstStore]] — a deleted doc never
+    * acts as dedup evidence), and [[compact]] removes the rows from
+    * both surfaces physically and clears the tombstones. Same contract
+    * as `VectorStore.delete`: a single id column; ids not present are
+    * harmless; a tombstone wins over any later append of the same doc
+    * until compaction. */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    require(ids.columns.length == 1,
+      s"delete expects a single id column, got ${ids.columns.mkString(",")}")
+    ids.distinct().write.mode("append").parquet(tombstoneDir(path))
+  }
+
+  private def tombstoneDir(path: String): String = path + "/_tombstones"
+
+  private[graft] def tombstones(spark: SparkSession,
+      path: String): Option[DataFrame] = {
+    val dir = tombstoneDir(path)
+    if (StoreFs.hasCommittedData(spark, dir))
+      Some(spark.read.parquet(dir).distinct())
+    else None
   }
 
   /** Reader contract for probes running CONCURRENTLY with [[compact]]:

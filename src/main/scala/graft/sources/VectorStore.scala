@@ -67,6 +67,60 @@ object VectorStore {
       }
       .start()
 
+  // --- deletes (tombstones) --------------------------------------------
+
+  /** Logical delete: append the ids to `_tombstones/` under the store
+    * root — the `_` prefix hides them from every parquet scan of the
+    * store itself, the same visibility rule the write path's
+    * `_temporary` debris relies on. Probes ([[topK]],
+    * [[topKQuantizedApprox]]/[[topKQuantized]]) anti-join the
+    * (bounded, broadcast) tombstone set, so a delete is visible
+    * immediately without touching any data file — the
+    * right-to-be-forgotten shape at 100 TB, where rewriting a bucket
+    * per delete is not an option. [[compact]] applies tombstones
+    * PHYSICALLY (the rewrite drops the rows and the swap discards the
+    * tombstone dir with the old layout), which is also the reset that
+    * allows re-inserting a previously deleted id: until then a
+    * tombstone wins over any later [[append]] of the same id.
+    * `ids` must be a single column carrying the store's id column
+    * name (the natural shape — probe outputs feed deletes). Ids not
+    * present in the store are harmless. */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    require(ids.columns.length == 1,
+      s"delete expects a single id column, got ${ids.columns.mkString(",")}")
+    val dir = tombstoneDir(path)
+    if (StoreFs.hasCommittedData(spark, dir)) {
+      val existing = spark.read.parquet(dir).columns.head
+      require(existing == ids.columns.head,
+        s"tombstone id column mismatch: store has '$existing', " +
+          s"delete got '${ids.columns.head}'")
+    }
+    ids.distinct().write.mode("append").parquet(dir)
+  }
+
+  private def tombstoneDir(path: String): String = path + "/_tombstones"
+
+  /** The pending tombstone set (one column, the store's id column
+    * name), or None when no delete is pending. Bounded by deletes
+    * since the last compaction — the broadcast in the probes' anti-
+    * join is the same bounded-set bet the hot-key caches make. */
+  private[graft] def tombstones(spark: SparkSession,
+      path: String): Option[DataFrame] = {
+    val dir = tombstoneDir(path)
+    if (StoreFs.hasCommittedData(spark, dir))
+      Some(spark.read.parquet(dir).distinct())
+    else None
+  }
+
+  /** Filter `df` to rows not logically deleted. The tombstone frame's
+    * single column is renamed to `idCol`, so the caller's column
+    * naming at probe time always wins. */
+  private def withoutDeleted(spark: SparkSession, path: String,
+      df: DataFrame, idCol: String): DataFrame =
+    tombstones(spark, path).fold(df) { t =>
+      df.join(broadcast(t.toDF(idCol)), Seq(idCol), "left_anti")
+    }
+
   /** Compact the store in place: rewrite every bucket directory to ONE
     * file (all rows of a bucket hash to the same task under
     * `repartition(n, bucket)`, and each task writes one file per
@@ -83,7 +137,17 @@ object VectorStore {
   def compact(spark: SparkSession, path: String, nBits: Int = 4,
       partCol: String = "bucket"): Unit =
     SignatureStore.stageAndSwap(spark, path) { (src, staged) =>
-      src.repartition(1 << nBits, col(partCol))
+      // apply pending deletes physically: the staged layout drops the
+      // tombstoned rows, and the swap discards `_tombstones` together
+      // with the old live dir — compaction is also the delete-apply
+      val cleaned = tombstones(spark, path).fold(src) { t =>
+        val idc = t.columns.head
+        require(src.columns.contains(idc),
+          s"tombstone column '$idc' not in store schema " +
+            s"${src.columns.mkString(",")}")
+        src.join(broadcast(t), Seq(idc), "left_anti")
+      }
+      cleaned.repartition(1 << nBits, col(partCol))
         .write.partitionBy(partCol).mode("overwrite").parquet(staged)
     }
 
@@ -129,7 +193,8 @@ object VectorStore {
   def topK(spark: SparkSession, path: String, idCol: String, vecCol: String,
       probe: Seq[Double], k: Int, nBits: Int = 4): DataFrame = {
     val probeCol = array(probe.map(lit): _*)
-    readCandidates(spark, path, probeBuckets(spark, probe, nBits))
+    withoutDeleted(spark, path,
+        readCandidates(spark, path, probeBuckets(spark, probe, nBits)), idCol)
       .select(col(idCol),
         VectorOps.cosine6(col(vecCol), probeCol).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
@@ -163,7 +228,8 @@ object VectorStore {
     * kernel — dequantized values never materialize as an array). */
   def topKQuantizedApprox(spark: SparkSession, path: String, idCol: String,
       probe: Seq[Double], m: Int, nBits: Int = 4): DataFrame =
-    readCandidates(spark, path, probeBuckets(spark, probe, nBits))
+    withoutDeleted(spark, path,
+        readCandidates(spark, path, probeBuckets(spark, probe, nBits)), idCol)
       .select(col(idCol),
         round(graft.expressions.VectorExpressions.int8Cosine(
           col("codes"), col("vmin"), col("scale"), probe), 6).as("qsim"))

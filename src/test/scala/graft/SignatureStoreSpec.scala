@@ -201,6 +201,31 @@ class SignatureStoreSpec extends SparkSpec {
     assert(nFiles() < filesBefore, s"$filesBefore -> ${nFiles()}")
   }
 
+  test("delete: a tombstoned doc stops acting as dedup evidence " +
+      "immediately; compact removes its rows and clears the tombstones") {
+    val dir = Files.createTempDirectory("graft_sigstore_del").toString
+    SignatureStore.write(stored, "doc_id", "text", dir, p)
+    def pairs(): Seq[(Long, Long, Double)] =
+      SignatureStore.dedupAgainstStore(batch, "doc_id", "text", dir, p,
+          threshold)
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+    val before = pairs()
+    assert(before.nonEmpty)
+    val victim = before.head._2 // a stored doc that currently matches
+    SignatureStore.delete(spark, dir, Seq(victim, -1L).toDF("doc_id"))
+    val after = pairs()
+    assert(after === before.filterNot(_._2 == victim))
+    // compact: physically gone on both surfaces, tombstones cleared,
+    // probe unchanged
+    SignatureStore.compact(spark, dir, p)
+    assert(pairs() === after)
+    assert(spark.read.parquet(dir + "/bands")
+      .filter($"doc" === victim).count() === 0L)
+    assert(spark.read.parquet(dir + "/shingles")
+      .filter($"doc" === victim).count() === 0L)
+    assert(!new java.io.File(dir + "/_tombstones").exists())
+  }
+
   test("streaming AvailableNow store build equals the batch-built store") {
     val staging = Files.createTempDirectory("graft_sig_stage").toString
     stored.repartition(4).write.mode("overwrite").parquet(staging)

@@ -164,6 +164,53 @@ class VectorStoreSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === src.count())
   }
 
+  test("delete: tombstones mask ids immediately (full-precision and " +
+      "quantized probes); compact applies them physically and clears them") {
+    val dir = Files.createTempDirectory("graft_vecstore_del").toString
+    val qdir = Files.createTempDirectory("graft_vecstore_delq").toString
+    val src = Tables.embeddings(spark, sf)
+    VectorStore.write(src, "vec_id", "embedding", dir, nBits)
+    VectorStore.writeQuantized(src, "vec_id", "embedding", qdir, nBits)
+    val probe = src.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).map(_.toDouble).toSeq
+    def top(): Seq[(Long, Double)] =
+      VectorStore.topK(spark, dir, "vec_id", "embedding", probe, 5, nBits)
+        .as[(Long, Double)].collect().toSeq
+    val before = top()
+    assert(before.head._1 === 0L) // self ranks first
+    // delete the top hit plus a non-existent id (harmless)
+    val dead = Seq(0L, -12345L).toDF("vec_id")
+    VectorStore.delete(spark, dir, dead)
+    VectorStore.delete(spark, qdir, dead)
+    val after = top()
+    assert(!after.exists(_._1 == 0L), after.toString)
+    assert(after === before.filterNot(_._1 == 0L) :+ after.last)
+    // a second delete accumulates; mismatched column names are rejected
+    VectorStore.delete(spark, dir, Seq(before(1)._1).toDF("vec_id"))
+    assert(!top().exists(r => r._1 == 0L || r._1 == before(1)._1))
+    intercept[IllegalArgumentException] {
+      VectorStore.delete(spark, dir, Seq(1L).toDF("other_id"))
+    }
+    // quantized probe masks too
+    val qtop = VectorStore.topKQuantized(spark, qdir, src, "vec_id",
+      "embedding", probe, 5, m = 50, nBits)
+      .as[(Long, Double)].collect().toSeq
+    assert(!qtop.exists(_._1 == 0L))
+    // compact: rows physically gone, tombstone dir cleared, probe stable
+    val expected = top()
+    VectorStore.compact(spark, dir, nBits)
+    assert(top() === expected)
+    val back = spark.read.parquet(dir)
+    assert(back.filter($"vec_id" === 0L || $"vec_id" === before(1)._1)
+      .count() === 0L)
+    assert(back.count() === src.count() - 2)
+    assert(!new java.io.File(dir + "/_tombstones").exists())
+    // post-compact, the id can be re-inserted and is visible again
+    VectorStore.append(src.filter($"vec_id" === 0L), "vec_id", "embedding",
+      dir, nBits)
+    assert(top().head._1 === 0L)
+  }
+
   test("pruned top-k equals brute-force top-k over the candidate buckets; self ranks first") {
     val probe = Tables.embeddings(spark, sf).filter($"vec_id" === 0)
       .select($"embedding").head().getSeq[Float](0).map(_.toDouble).toSeq

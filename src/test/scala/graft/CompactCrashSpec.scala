@@ -144,6 +144,36 @@ class CompactCrashSpec extends SparkSpec {
     }
   }
 
+  test("signature store: a crash AFTER both swaps but BEFORE the " +
+      "tombstone clear keeps the delete in force; re-run converges") {
+    val path = freshSigStore()
+    val before = sigProbe(path)
+    assert(before.nonEmpty)
+    val victim = before.head._2
+    SignatureStore.delete(spark,  path, Seq(victim).toDF("doc_id"))
+    val masked = before.filterNot(_._2 == victim)
+    assert(sigProbe(path) === masked)
+    // kill at the END of the SECOND (shingles) swap: both surfaces are
+    // committed with the delete applied, but StoreFs.delete on
+    // _tombstones never ran
+    SwapCrash.reset()
+    SwapCrash.point = SwapCrash.AfterSwapIn
+    SwapCrash.fireAtCall = 2
+    try intercept[SwapCrash.Injected] { SignatureStore.compact(spark, path, p) }
+    finally SwapCrash.reset()
+    assert(exists(path + "/_tombstones"), "tombstones must survive the crash")
+    // the delete stays logically in force through the debris state
+    assert(sigProbe(path) === masked)
+    // re-running compaction re-applies the (now no-op) delete and clears
+    SignatureStore.compact(spark, path, p)
+    oneCommittedLayout(path + "/bands")
+    oneCommittedLayout(path + "/shingles")
+    assert(!exists(path + "/_tombstones"))
+    assert(sigProbe(path) === masked)
+    assert(spark.read.parquet(path + "/bands")
+      .filter(col("doc") === victim).count() === 0L)
+  }
+
   test("signature store: recover() alone restores a probe-able store " +
       "from the moved-out window") {
     val path = freshSigStore()

@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout/stderr through UNPREFIXED: sbt's default
+// LoggedOutput re-logs every line as "[info] ..."/"[error] ...", which is
+// why all thirteen driver rounds recorded parsed:null for the bench
+// artifact — the driver's JSON-line scan never saw a line starting with
+// '{'. StdoutOutput lets Bench's single JSON line reach stdout verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

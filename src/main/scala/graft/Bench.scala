@@ -129,7 +129,17 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(10)
       .map { case (k, v) => f""""$k":${v}%.3f""" }
       .mkString("{", ",", "}")
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total":$coldTotal%.3f,"n_queries":${results.size},"n_passes":$nPasses,"n_failed":${errors.size},"errors":$errJson,"order_seed":$seed,"load_pre":$loadPre,"load_post":$loadPost,"steal_pct":$stealPct%.2f,"queries":$slowest,"queries_note":"slowest 10 of ${results.size}; full per-query + cold maps in $outPath","sf":"$sfDir"}"""
+    // the stdout line must stay inside the driver's ~2000-char tail even
+    // in the many-failures case (exactly when the artifact matters most):
+    // cap errors to the first 5 query NAMES — full messages are in the
+    // errJson that goes to BENCH.out above
+    val errNames = errors.take(5).map { case (k, _) => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val errCompact =
+      if (errors.size > 5) s"""{"failed_first5":$errNames,"note":"messages in $outPath"}"""
+      else if (errors.nonEmpty) s"""{"failed":$errNames,"note":"messages in $outPath"}"""
+      else "{}"
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total":$coldTotal%.3f,"n_queries":${results.size},"n_passes":$nPasses,"n_failed":${errors.size},"errors":$errCompact,"order_seed":$seed,"load_pre":$loadPre,"load_post":$loadPost,"steal_pct":$stealPct%.2f,"queries":$slowest,"queries_note":"slowest 10 of ${results.size}; full per-query + cold maps in $outPath","sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

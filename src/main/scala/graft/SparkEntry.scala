@@ -701,12 +701,13 @@ object SparkEntry {
     "q47_dedup_keep_first" -> ((s, d) => {
       // canonicalization after near-dup detection: drop any doc that has
       // a near-duplicate (3-gram jaccard >= 0.5, same source) with a
-      // smaller id — the keep-first policy over the sparse dup graph
+      // smaller id — the keep-first policy over the sparse dup graph.
+      // Fixture-exact UNCAPPED pairs; production hot-source corpora feed
+      // keepFirst the capped stream instead (Dedup.keepFirst scaladoc,
+      // ScaleBench q47_capped, SCALING.md m30z)
       val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, d),
         "doc_id", "text", "source", 3, 0.5)
-        .select(col("id_b").as("doc_id")).distinct()
-      Tables.documents(s, d)
-        .join(pairs, Seq("doc_id"), "left_anti")
+      Dedup.keepFirst(Tables.documents(s, d), "doc_id", pairs)
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
@@ -1504,7 +1505,7 @@ object SparkEntry {
     // DedupSpec) is NOT pinned here: the extra hot-set aggregation
     // measured +0.5 s at sf0.1 (BenchOne ×3: 1.5/1.1/1.0 uncapped vs
     // 2.2/1.8/1.5 capped) and the fixtures carry no boilerplate —
-    // web-scale callers pass maxSpanDf (e.g. 1024).
+    // web-scale callers pass boundedPlan = true.
     "q87_dup_spans" -> ((s, d) =>
       Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text", k = 32)
         .orderBy(col("doc_id"))),

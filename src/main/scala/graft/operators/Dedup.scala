@@ -412,6 +412,29 @@ object Dedup {
         coalesce(col("cc_uf_min"), col("cc_id")).as("cluster_id"))
   }
 
+  /** Keep-first canonicalization over ANY near-dup pair stream whose
+    * pairs are oriented smaller-id-first (`id_a < id_b`, the contract
+    * of [[ngramJaccardPairs]] / [[simhashNearDups]] /
+    * `Similarity.nearDupPairsLsh`): drop every doc that appears on the
+    * larger side of a pair — i.e. keep the smallest id of each matched
+    * pair. One distinct + one left-anti join over the pair stream;
+    * never materializes groups.
+    *
+    * Production guidance (m30z, SCALING.md): at hot-source skew ×
+    * 30× volume the UNCAPPED pair stream is the cost (q47 107 s /
+    * 56 GB spill — the pair join's Σdf² term, not this policy); feed
+    * this operator the CAPPED stream
+    * (`ngramJaccardPairs(maxShingleDf = 64)`) and the whole keep-first
+    * pipeline stays flat (`q47_capped` in ScaleBench). The fixture
+    * query q47 stays uncapped — fixture-exact, oracle-checked; the cap
+    * changes which docs count as near-dups (boilerplate-only overlap
+    * stops matching), which is the desired semantics on web corpora,
+    * not a result-identical rewrite. */
+  def keepFirst(df: DataFrame, idCol: String, pairs: DataFrame,
+      dropCol: String = "id_b"): DataFrame =
+    df.join(pairs.select(col(dropCol).as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** Exact n-gram Jaccard near-dup pairs within a group, by the
     * scalable explode-join formulation: explode each document's
     * distinct shingle set, equi-join on (group, shingle), and COUNT the
@@ -482,34 +505,33 @@ object Dedup {
     * hot-key blowup: a span's fan-out is its true duplication factor,
     * which is exactly the signal. Documents shorter than k are
     * excluded (they have no k-span). */
-  /** `maxSpanDf` opts into the bounded-group plan for the 100 TB
-    * regime (r9 verdict "wrong" #1): "long spans carry no boilerplate"
-    * is false at web scale — license headers, cookie banners and
-    * template footers are ≥k-char strings repeated across millions of
-    * docs, and ONE such span's `collect_list` is a single-executor
-    * OOM. The guarded plan has NO list aggregate anywhere: a count-
-    * only span-df aggregate (map-side combinable, every group a
-    * scalar) sort-merge-rejoins the span stream — exact, so the result
-    * is BIT-IDENTICAL to the default (asserted in DedupSpec), and no
-    * group grows with duplication at all. The numeric cap value is
-    * retained for API compatibility but no longer tunes anything —
-    * there is no group left to bound. History: the previous guarded
-    * plan (hot-set broadcast + capped collect_list over the cold
-    * spans + checkpointed stream feeding three consumers) measured
-    * 70 s at m30z where this plan measures 37 s and the r10 small-N
-    * overheads are comparable (+0.5 vs +0.7 s at sf0.1) — the
-    * materialized-stream machinery was strictly dominated, SCALING.md
-    * m30z section. The `merge` hint is load-bearing: AQE's broadcast
-    * estimate for the span-df side OOMs at scale (millions of distinct
-    * spans). Default (`Int.MaxValue`) keeps the single-shuffle
-    * collect_list plan — fastest on corpora KNOWN boilerplate-free
-    * (1.9 vs 2.6 s at sf0.1; 26 vs 37 s at m30z, where its hot-list
-    * straggler task is the price). */
+  /** `boundedPlan = true` opts into the bounded-group plan for the
+    * 100 TB regime (r9 verdict "wrong" #1): "long spans carry no
+    * boilerplate" is false at web scale — license headers, cookie
+    * banners and template footers are ≥k-char strings repeated across
+    * millions of docs, and ONE such span's `collect_list` is a
+    * single-executor OOM. The bounded plan has NO list aggregate
+    * anywhere: a count-only span-df aggregate (map-side combinable,
+    * every group a scalar) sort-merge-rejoins the span stream — exact,
+    * so the result is BIT-IDENTICAL to the default (asserted in
+    * DedupSpec), and no group grows with duplication at all. History:
+    * the previous guarded plan (hot-set broadcast + capped
+    * collect_list over the cold spans + checkpointed stream feeding
+    * three consumers, tuned by a numeric `maxSpanDf`) measured 70 s at
+    * m30z where this plan measures 37 s and the r10 small-N overheads
+    * are comparable (+0.5 vs +0.7 s at sf0.1) — the materialized-
+    * stream machinery was strictly dominated, SCALING.md m30z section.
+    * The `merge` hint is load-bearing: AQE's broadcast estimate for
+    * the span-df side OOMs at scale (millions of distinct spans).
+    * Default (`false`) keeps the single-shuffle collect_list plan —
+    * fastest on corpora KNOWN boilerplate-free (1.9 vs 2.6 s at
+    * sf0.1; 26 vs 37 s at m30z, where its hot-list straggler task is
+    * the price). */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-      k: Int, maxSpanDf: Int = Int.MaxValue): DataFrame = {
+      k: Int, boundedPlan: Boolean = false): DataFrame = {
     val spans = spanStream(df, idCol, textCol, k)
     val perSpan =
-      if (maxSpanDf == Int.MaxValue)
+      if (!boundedPlan)
         // one aggregate carries BOTH the doc frequency and the doc
         // list, so the span stream shuffles once (no rejoin, no
         // sort-merge): the doc list per span is bounded by that span's
@@ -536,6 +558,16 @@ object Dedup {
         round(col("dup_spans").cast("double")
           / col("total_spans").cast("double"), 6).as("dup_frac"))
   }
+
+  /** Pre-r14 signature. The numeric value stopped tuning anything when
+    * the r13 rewrite removed the capped group — callers were invited to
+    * calibrate a no-op; the boolean plan choice is all that remains. */
+  @deprecated("maxSpanDf's numeric value no longer tunes anything; " +
+    "use duplicatedSpans(df, idCol, textCol, k, boundedPlan = true)", "r14")
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, maxSpanDf: Int): DataFrame =
+    duplicatedSpans(df, idCol, textCol, k,
+      boundedPlan = maxSpanDf != Int.MaxValue)
 
   /** The (doc, span) stream of [[duplicatedSpans]] — exposed
     * `private[graft]` so the spec can drive the capped stages. */

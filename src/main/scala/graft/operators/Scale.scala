@@ -13,27 +13,38 @@ object Scale {
 
   /** EXACT distributed heavy hitters — the "find the hot keys before
     * you join" primitive that feeds the [[saltedJoin]] decision (and
-    * hot-set guards like `Dedup.duplicatedSpans(maxSpanDf)`). Keys
+    * hot-set guards like `Dedup.duplicatedSpans(boundedPlan)`). Keys
     * whose exact frequency exceeds `minShare` of all rows, found in
     * two bounded passes and one metadata count, never a full
     * groupBy-over-all-keys shuffle:
     *
     *  1. CANDIDATES: one scan, per-partition Misra–Gries summaries of
-    *     `capacity` counters ([[heavyHitterCandidates]]). MG's
-    *     guarantee makes the union a SUPERSET of the true heavy
-    *     hitters: a key with global count > N/(capacity+1) must
-    *     exceed n_p/(capacity+1) in at least one partition
-    *     (pigeonhole over the partition sums), and a key above a
-    *     partition's threshold always survives that partition's
-    *     summary. `capacity` is clamped to ≥ ceil(1/minShare), so no
-    *     true hitter is ever missed — results are EXACT and
-    *     partition-layout independent, which is what makes the
-    *     operator oracle-able where a plain sketch is not.
-    *  2. VERIFY: candidates (≤ partitions × capacity rows — a
-    *     driver-safe bound that does not grow with key cardinality)
-    *     are distinct-ed, broadcast, and semi-join-filter the input;
-    *     only the surviving rows enter the exact groupBy count
-    *     (map-side combinable, ≤ candidates distinct keys).
+    *     `capacity` weighted counters ([[heavyHitterCandidates]]),
+    *     TREE-MERGED down to a single summary of ≤ capacity rows
+    *     before anything reaches the driver ([[mergedCandidates]]).
+    *     MG summaries are mergeable with the error bound intact
+    *     (Agarwal et al., "Mergeable Summaries": every prune op that
+    *     subtracts the (capacity+1)-st largest counter value v
+    *     removes ≥ (capacity+1)·v of total weight, so the cumulative
+    *     undercount of ANY key over the whole merge tree is
+    *     ≤ N/(capacity+1)) — a key with global count > N/(capacity+1)
+    *     always survives to the final summary. `capacity` is clamped
+    *     to ≥ ceil(1/minShare), so no true hitter is ever missed —
+    *     results are EXACT and partition-layout independent, which is
+    *     what makes the operator oracle-able where a plain sketch is
+    *     not. The driver hold is ≤ capacity rows REGARDLESS of input
+    *     partition count — at 100 TB split counts (~10⁵–10⁶ input
+    *     partitions) the pre-r14 collect of partitions × capacity
+    *     partials would have been ~10⁸ rows; the tree fans in 32× per
+    *     level, so 10⁶ partitions are 4 tiny extra exchanges of
+    *     ≤ partitions × capacity weighted rows total.
+    *  2. VERIFY: the ≤ capacity candidates filter the input for the
+    *     exact groupBy count (map-side combinable, ≤ candidates
+    *     distinct keys). Small candidate sets ride the plan as an
+    *     `isInCollection` literal; past `maxLiteralCandidates` the
+    *     filter becomes a broadcast join instead — a literal list
+    *     serializes into every task binary, a broadcast ships once
+    *     per executor. Identical results either way (spec-asserted).
     *
     * At 100 TB this is the difference between counting every key
     * (shuffle of |keys| rows) and counting ~hundreds of candidates.
@@ -42,24 +53,43 @@ object Scale {
     * null hot key is a data-quality finding, not a join-salt input).
     */
   def heavyHitters(df: DataFrame, keyCol: String, minShare: Double,
-      capacity: Int = 64): DataFrame = {
+      capacity: Int = 64): DataFrame =
+    heavyHittersImpl(df, keyCol, minShare, capacity)
+
+  /** `maxLiteralCandidates` exposed for the spec to force the
+    * broadcast-join verify path on a small candidate set. */
+  private[graft] def heavyHittersImpl(df: DataFrame, keyCol: String,
+      minShare: Double, capacity: Int,
+      maxLiteralCandidates: Int = 1024): DataFrame = {
     require(minShare > 0.0 && minShare < 1.0,
       s"minShare must be in (0,1): $minShare")
     val cap = math.max(capacity, math.ceil(1.0 / minShare).toInt)
     val keys = df.select(col(keyCol)).filter(col(keyCol).isNotNull)
-    // pass 1: MG candidates, collected — bounded by partitions × cap,
-    // never by key cardinality, so the driver hold is safe by design
-    val cands = heavyHitterCandidates(keys, cap).collect()
-      .map(_.get(0)).distinct.toSeq
+    // pass 1: tree-merged MG candidates — the driver holds ≤ cap rows
+    val cands = mergedCandidates(keys, cap)
     // pass 2 (the ONLY other scan): one groupBy that counts each
     // candidate exactly AND folds every non-candidate into a single
     // null bucket — ≤ cands+1 groups, map-side combinable — so the
     // exact total N comes from summing the same tiny frame instead of
     // a separate count() scan (two passes total, down from three)
     val k = col(keyCol)
-    val isCand = if (cands.isEmpty) lit(false) else k.isInCollection(cands)
-    val grouped = keys
-      .groupBy(when(isCand, k).as(keyCol)).agg(count(lit(1)).as("cnt"))
+    val candTagged =
+      if (cands.isEmpty) keys.select(when(lit(false), k).as(keyCol))
+      else if (cands.size <= maxLiteralCandidates)
+        keys.select(when(k.isInCollection(cands), k).as(keyCol))
+      else {
+        // past the literal threshold: broadcast-join the candidate
+        // frame (built driver-side from the ≤ cap merged summary)
+        val spark = df.sparkSession
+        val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        cands.foreach(c => rows.add(org.apache.spark.sql.Row(c)))
+        val candsDf = spark.createDataFrame(rows, keys.schema)
+          .withColumn("__cand", lit(1))
+        keys.join(broadcast(candsDf), Seq(keyCol), "left")
+          .select(when(col("__cand").isNotNull, k).as(keyCol))
+      }
+    val grouped = candTagged
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
       .localCheckpoint() // tiny; feeds two consumers (q65 lesson)
     val tot = grouped.agg(sum(col("cnt")).as("__n"))
     grouped.filter(k.isNotNull)
@@ -70,6 +100,59 @@ object Scale {
         round(col("cnt").cast("double") / col("__n").cast("double"), 6)
           .as("share"))
       .orderBy(k)
+  }
+
+  /** Tree-merge of the per-partition MG summaries down to ONE summary,
+    * collected — ≤ `capacity` candidate keys ever reach the driver, no
+    * matter the input partition count. Each level round-robins the
+    * weighted (key, wt) partials into ceil(P / fanIn) partitions and
+    * re-merges with the weighted MG prune ([[mgMergePartition]]);
+    * splitting one summary's rows across merge tasks is harmless — the
+    * mergeability argument tracks only total pruned weight, not summary
+    * boundaries. All levels are lazy; one job runs at the collect. */
+  private[graft] def mergedCandidates(keys: DataFrame, capacity: Int,
+      fanIn: Int = 32): Seq[Any] = {
+    var partials = heavyHitterCandidates(keys, capacity)
+    var parts = keys.rdd.getNumPartitions
+    val schema = partials.schema
+    while (parts > 1) {
+      parts = math.max(1, (parts + fanIn - 1) / fanIn)
+      partials = partials.repartition(parts)
+        .mapPartitions(it => mgMergePartition(it, capacity))(
+          org.apache.spark.sql.Encoders.row(schema))
+    }
+    partials.collect().map(_.get(0)).toSeq
+  }
+
+  /** Weighted Misra–Gries merge of (key, wt) rows: sum weights per
+    * key; while over capacity, subtract the (capacity+1)-st largest
+    * counter value from every counter and drop the non-positive —
+    * exactly the mergeable-summaries prune, ≤ capacity rows out. */
+  private def mgMergePartition(it: Iterator[org.apache.spark.sql.Row],
+      capacity: Int): Iterator[org.apache.spark.sql.Row] = {
+    val counts = new java.util.HashMap[Any, java.lang.Long](capacity * 4)
+    it.foreach { r =>
+      val k = r.get(0)
+      val w = r.getLong(1)
+      val c: java.lang.Long = counts.get(k)
+      counts.put(k, if (c != null) c + w else w)
+    }
+    if (counts.size > capacity) {
+      // v = (capacity+1)-st largest value; subtracting it from all and
+      // dropping ≤0 leaves only counters strictly above v — ≤ capacity
+      val vals = new java.util.ArrayList[java.lang.Long](counts.values())
+      java.util.Collections.sort(vals, java.util.Collections.reverseOrder())
+      val v = vals.get(capacity).longValue()
+      val iter = counts.entrySet().iterator()
+      while (iter.hasNext) {
+        val e = iter.next()
+        if (e.getValue <= v) iter.remove()
+        else e.setValue(e.getValue - v)
+      }
+    }
+    scala.jdk.CollectionConverters.IteratorHasAsScala(
+      counts.entrySet().iterator()).asScala
+      .map(e => org.apache.spark.sql.Row(e.getKey, e.getValue.longValue()))
   }
 
   /** Per-(JVM, cacheKey) memo of the exact hot-key set: a pipeline that
@@ -96,12 +179,17 @@ object Scale {
 
   /** Phase 1 of [[heavyHitters]]: per-partition Misra–Gries summary
     * over a single-column frame, emitting each partition's surviving
-    * candidate keys (≤ `capacity` rows per partition). The classic
-    * decrement-all step runs only on a miss with a full table, so the
-    * per-row cost is O(1) amortized. Exposed for spec use. */
+    * weighted counters as (key, `__wt`) — ≤ `capacity` rows per
+    * partition, the input to the [[mergedCandidates]] tree. The
+    * classic decrement-all step runs only on a miss with a full
+    * table, so the per-row cost is O(1) amortized. Exposed for spec
+    * use. */
   private[graft] def heavyHitterCandidates(keys: DataFrame,
       capacity: Int): DataFrame = {
-    val schema = keys.schema
+    val schema = org.apache.spark.sql.types.StructType(
+      keys.schema.fields :+
+        org.apache.spark.sql.types.StructField("__wt",
+          org.apache.spark.sql.types.LongType, nullable = false))
     keys.mapPartitions { it =>
       // boxed Long values: j.u.HashMap.get on a missing key returns
       // null, which an unboxed scala.Long would silently read as 0
@@ -123,8 +211,8 @@ object Scale {
         }
       }
       scala.jdk.CollectionConverters.IteratorHasAsScala(
-        counts.keySet().iterator()).asScala
-        .map(k => org.apache.spark.sql.Row(k))
+        counts.entrySet().iterator()).asScala
+        .map(e => org.apache.spark.sql.Row(e.getKey, e.getValue.longValue()))
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
@@ -235,7 +323,14 @@ object Scale {
     // projection as the explode, so pruning can't drop it.
     val bktFrom = expr(s"$startCol DIV $bucketWidth")
     val bktTo = expr(s"($endCol - 1) DIV $bucketWidth")
-    val guarded = when(bktTo - bktFrom < lit(maxBucketsPerInterval),
+    // the guard's own subtraction must not throw before the guard can
+    // fire: bounds near Long.MinValue/MaxValue overflow `bktTo -
+    // bktFrom` under ANSI mode — try_subtract yields NULL there, and
+    // NULL < cap is NULL → the otherwise() branch raises the intended
+    // clear error instead of an opaque ArithmeticException
+    val span = expr(s"try_subtract(($endCol - 1) DIV $bucketWidth, " +
+      s"$startCol DIV $bucketWidth)")
+    val guarded = when(span < lit(maxBucketsPerInterval),
       sequence(bktFrom, bktTo))
       .otherwise(raise_error(concat(
         lit("rangeJoin: interval ["), col(startCol).cast("string"),

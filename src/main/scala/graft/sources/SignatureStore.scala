@@ -84,6 +84,10 @@ object SignatureStore {
   private def writeAs(df: DataFrame, idCol: String, textCol: String,
       path: String, ingest: String, p: Params, mode: String,
       dynamicOverwrite: Boolean): Unit = {
+    // writer-vs-compact exclusion: fail fast instead of writing into a
+    // surface compact() is about to rename away (see StoreFs lease note)
+    StoreFs.failIfLeased(df.sparkSession, lockPath(path),
+      s"SignatureStore write (ingest=$ingest)")
     def w(out: DataFrame, parts: Seq[String], dest: String): Unit = {
       val writer = out.write.partitionBy(parts: _*).mode(mode)
       (if (dynamicOverwrite) writer.option("partitionOverwriteMode", "dynamic")
@@ -282,16 +286,30 @@ object SignatureStore {
     * results (same rows, same schema; spec-asserted). Stage-then-swap:
     * the rewrite lands in a sibling staging dir, then replaces the live
     * dir via the Hadoop FileSystem (works on local FS and HDFS alike).
-    * Must not run concurrently with an active ingest — it collapses the
-    * per-batch partitions a replay would overwrite. Concurrent PROBES
-    * are fine under the [[withReadRetry]] reader contract (the swap's
-    * transient windows retry; results are bit-identical either side). */
+    * WRITERS are excluded for the duration by the `_compact_lock`
+    * lease — a racing [[append]]/[[appendBatch]]/[[delete]] fails fast
+    * with a clear error instead of writing into a surface mid-swap (a
+    * write landing in the no-live window would even recreate the live
+    * path and break the swap's rename). A compactor CRASH leaves the
+    * lease in place: writers keep failing until [[recover]] clears it
+    * (or a fresh compact() re-acquires and self-heals). Concurrent
+    * PROBES are fine under the [[withReadRetry]] reader contract (the
+    * swap's transient windows retry; results are bit-identical either
+    * side). */
   def compact(spark: SparkSession, path: String, p: Params = Params()): Unit = {
-    // apply pending deletes physically on both surfaces; the tombstone
-    // dir is cleared only AFTER both swaps commit, so a crash between
-    // them leaves the delete still logically in force (probes keep
-    // masking) and a re-run re-applies it as a no-op
-    val dead = tombstones(spark, path)
+    StoreFs.acquireLease(spark, lockPath(path))
+    // apply pending deletes physically on both surfaces, reading a
+    // SNAPSHOT of the tombstone dir's files taken now — a delete()
+    // racing past the lease's probe window appends a NEW file, which
+    // this compaction neither applies nor removes: it stays in force
+    // (probes keep masking) and the next compaction applies it. The
+    // snapshot files are removed only AFTER both swaps commit, so a
+    // crash between them leaves the delete still logically in force
+    // and a re-run re-applies it as a no-op.
+    val tsFiles = StoreFs.listDataFiles(spark, tombstoneDir(path))
+    val dead =
+      if (tsFiles.isEmpty) None
+      else Some(spark.read.parquet(tsFiles: _*).distinct())
     def cleaned(src: DataFrame): DataFrame =
       dead.fold(src)(t =>
         src.join(broadcast(t.toDF("doc")), Seq("doc"), "left_anti"))
@@ -307,8 +325,30 @@ object SignatureStore {
         .repartition(spark.sparkContext.defaultParallelism)
         .write.partitionBy("ingest").mode("overwrite").parquet(staged)
     }
-    StoreFs.delete(spark, tombstoneDir(path))
+    // remove ONLY the snapshot's files: a tombstone appended after the
+    // snapshot survives to the next compaction instead of being wiped
+    // unapplied (the delete-vs-compact race)
+    tsFiles.foreach { f =>
+      val (fs, hp) = StoreFs.fileSystem(spark, f)
+      fs.delete(hp, false)
+    }
+    // then clear the write-protocol debris (_SUCCESS etc.) and the dir
+    // itself NON-recursively — rmdir on a non-empty dir fails atomically,
+    // so a late tombstone file keeps the dir (and itself) alive
+    val (tfs, hDir) = StoreFs.fileSystem(spark, tombstoneDir(path))
+    if (tfs.exists(hDir)) {
+      tfs.listStatus(hDir).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && (n.startsWith("_") || n.startsWith(".")))
+          tfs.delete(st.getPath, false)
+      }
+      try tfs.delete(hDir, false)
+      catch { case _: java.io.IOException => () } // non-empty: keep it
+    }
+    StoreFs.releaseLease(spark, lockPath(path))
   }
+
+  private def lockPath(path: String): String = path + "/_compact_lock"
 
   /** Logical delete of documents from the store (the right-to-be-
     * forgotten path): ids land in `_tombstones/` under the store root
@@ -318,11 +358,30 @@ object SignatureStore {
     * both surfaces physically and clears the tombstones. Same contract
     * as `VectorStore.delete`: a single id column; ids not present are
     * harmless; a tombstone wins over any later append of the same doc
-    * until compaction. */
+    * until compaction.
+    *
+    * Operational posture: the pending set rides every probe as a
+    * BROADCAST anti-join — the same bounded-set bet as the hot-key
+    * caches. Past ~10⁶ pending ids the broadcast (and its per-probe
+    * rebuild) stops being noise: that is the signal that [[compact]]
+    * is due, which applies the deletes physically and empties the
+    * set. */
   def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
     require(ids.columns.length == 1,
       s"delete expects a single id column, got ${ids.columns.mkString(",")}")
-    ids.distinct().write.mode("append").parquet(tombstoneDir(path))
+    StoreFs.failIfLeased(spark, lockPath(path), "SignatureStore delete")
+    val dir = tombstoneDir(path)
+    // mixed column names across delete calls would append mixed-schema
+    // parquet files whose non-mergeSchema read returns NULL ids for one
+    // of them — those deletes would silently stop masking probes; the
+    // same check VectorStore.delete makes
+    if (StoreFs.hasCommittedData(spark, dir)) {
+      val existing = spark.read.parquet(dir).columns.head
+      require(existing == ids.columns.head,
+        s"tombstone id column mismatch: store has '$existing', " +
+          s"delete got '${ids.columns.head}'")
+    }
+    ids.distinct().write.mode("append").parquet(dir)
   }
 
   private def tombstoneDir(path: String): String = path + "/_tombstones"
@@ -358,13 +417,26 @@ object SignatureStore {
   private[graft] object SwapPause {
     @volatile var entered: java.util.concurrent.CountDownLatch = null
     @volatile var gate: java.util.concurrent.CountDownLatch = null
+    // second pause point: staged dir written, live not yet moved out —
+    // the delete-vs-compact race spec injects a post-snapshot tombstone
+    // here (it must survive the swap, not be wiped unapplied)
+    @volatile var enteredStage: java.util.concurrent.CountDownLatch = null
+    @volatile var gateStage: java.util.concurrent.CountDownLatch = null
     def maybePause(): Unit = {
       val e = entered
       if (e != null) e.countDown()
       val g = gate
       if (g != null) g.await()
     }
-    def reset(): Unit = { entered = null; gate = null }
+    def maybePauseStaged(): Unit = {
+      val e = enteredStage
+      if (e != null) e.countDown()
+      val g = gateStage
+      if (g != null) g.await()
+    }
+    def reset(): Unit = {
+      entered = null; gate = null; enteredStage = null; gateStage = null
+    }
   }
 
   /** Test-only crash injection for [[stageAndSwap]] (0 = off) — the
@@ -395,8 +467,17 @@ object SignatureStore {
     * window where a crash lost the live dir with nothing marking the
     * staged dir as adoptable). Every crash window leaves a state
     * [[recoverSwap]] resolves; it runs at entry, so re-running
-    * compaction after any crash self-heals first. */
-  private[graft] def stageAndSwap(spark: SparkSession, live: String)(
+    * compaction after any crash self-heals first.
+    *
+    * `beforeTrashDelete` (optional) runs after the staged dir is live
+    * and before the trash delete — `VectorStore.compact` uses it to
+    * rescue tombstone files appended after its snapshot, which ride
+    * the old live dir into `.trash` (its tombstone dir lives INSIDE
+    * the swapped dir). A crash inside that window still loses them
+    * (recovery deletes the trash) — the lease makes that a
+    * crash-during-race residual, not a normal-operation loss. */
+  private[graft] def stageAndSwap(spark: SparkSession, live: String,
+      beforeTrashDelete: () => Unit = null)(
       rewrite: (DataFrame, String) => Unit): Unit = {
     val hLive = new org.apache.hadoop.fs.Path(live)
     val fs = hLive.getFileSystem(spark.sessionState.newHadoopConf())
@@ -405,6 +486,7 @@ object SignatureStore {
     val staged = live + ".compact"
     rewrite(spark.read.parquet(live), staged)
     SwapCrash.maybe(SwapCrash.AfterStage)
+    SwapPause.maybePauseStaged()
     val hStaged = new org.apache.hadoop.fs.Path(staged)
     val hTrash = new org.apache.hadoop.fs.Path(live + ".trash")
     require(fs.rename(hLive, hTrash),
@@ -413,6 +495,7 @@ object SignatureStore {
     SwapPause.maybePause()
     require(fs.rename(hStaged, hLive),
       s"compaction swap failed: rename $staged -> $live")
+    if (beforeTrashDelete != null) beforeTrashDelete()
     SwapCrash.maybe(SwapCrash.AfterSwapIn)
     fs.delete(hTrash, true)
   }
@@ -447,13 +530,16 @@ object SignatureStore {
 
   /** Recover an interrupted [[compact]] without compacting again:
     * completes or cleans any half-finished stage-then-swap on both
-    * store surfaces. Safe whenever compaction is not running — readers
-    * hitting a missing live dir after a crash call this first. */
+    * store surfaces, and clears the crashed compactor's writer lease
+    * so appends/deletes stop failing fast. Safe whenever compaction is
+    * not running — readers hitting a missing live dir after a crash
+    * call this first. */
   def recover(spark: SparkSession, path: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     Seq(path + "/bands", path + "/shingles").foreach { live =>
       val h = new org.apache.hadoop.fs.Path(live)
       recoverSwap(h.getFileSystem(conf), live)
     }
+    StoreFs.releaseLease(spark, lockPath(path))
   }
 }

@@ -52,6 +52,69 @@ private[graft] object StoreFs {
     ()
   }
 
+  /** Absolute paths of `dir`'s immediate COMMITTED data files (visible
+    * per the `_`/`.` rule), empty when absent — the snapshot primitive
+    * for compact()'s apply-then-delete of the tombstone dir: reading
+    * and deleting an explicit file list means a tombstone file appended
+    * AFTER the snapshot survives untouched to the next compaction
+    * instead of being applied-never/deleted-anyway. */
+  def listDataFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val (fs, p) = fileSystem(spark, dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !(n.startsWith("_") || n.startsWith("."))
+      })
+      .map(_.getPath.toString)
+  }
+
+  // --- writer-vs-compact exclusion lease -------------------------------
+  //
+  // compact() owns the store while it runs: it collapses/renames the
+  // very directories a racing append/ingest-batch/delete would write
+  // into (a write landing in the no-live window even recreates the live
+  // path and breaks the swap's rename). Readers got a retry contract;
+  // writers get FAIL-FAST: compact writes an epoch lock file at entry
+  // and removes it at exit, and every writer probes it first, throwing
+  // a clear error instead of corrupting the swap. This is a fail-fast
+  // guard, not a distributed lock manager — the probe-then-write window
+  // is not closed (HDFS create(overwrite=false) is atomic; the local FS
+  // one is check-then-create), which is the documented posture: the
+  // race it closes is the operationally likely one (a scheduled ingest
+  // overlapping a scheduled compaction by minutes, not microseconds).
+  // A compactor CRASH leaves the lock in place — writers keep failing
+  // with a message naming `recover()`, which clears it; a fresh
+  // compact() also re-acquires it (self-heal, same as the swap debris).
+
+  /** Acquire (or re-acquire, after a crash) the compactor lease. */
+  def acquireLease(spark: SparkSession, lockPath: String): Unit = {
+    val (fs, p) = fileSystem(spark, lockPath)
+    val out = fs.create(p, true)
+    out.write(
+      s"compact pid=${ProcessHandle.current().pid()} epoch=${System.currentTimeMillis()}"
+        .getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Release the compactor lease; no-op when absent. */
+  def releaseLease(spark: SparkSession, lockPath: String): Unit = {
+    val (fs, p) = fileSystem(spark, lockPath)
+    fs.delete(p, false)
+    ()
+  }
+
+  /** Writer-side probe: throw if a compactor lease is present. */
+  def failIfLeased(spark: SparkSession, lockPath: String,
+      what: String): Unit = {
+    val (fs, p) = fileSystem(spark, lockPath)
+    if (fs.exists(p))
+      throw new IllegalStateException(
+        s"$what rejected: a compact() holds the store lease at $lockPath " +
+          "- wait for compaction to finish, or run recover() if the " +
+          "compactor crashed (a crash leaves the lease in place)")
+  }
+
   /** Run a store probe with retry-on-recoverable-read — the reader's
     * half of the compaction contract. A probe racing a concurrent
     * `compact()` can observe two transient states: (a) the between-

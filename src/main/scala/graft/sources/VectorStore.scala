@@ -34,10 +34,12 @@ object VectorStore {
     * ratio (4 bits → 16 directories → a 1-probe read touches ~6% of
     * the store). */
   def write(df: DataFrame, idCol: String, vecCol: String, path: String,
-      nBits: Int = 4): Unit =
+      nBits: Int = 4): Unit = {
+    StoreFs.failIfLeased(df.sparkSession, lockPath(path), "VectorStore write")
     df.select(col(idCol), col(vecCol),
         bucketOf(col(vecCol), nBits).as("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
+  }
 
   /** Incremental index maintenance: append a (micro-)batch of vectors
     * — same layout, same bucket function, new files land inside the
@@ -46,10 +48,12 @@ object VectorStore {
     * ingest ([[appendStream]]); idempotence across batch replays comes
     * from the streaming checkpoint, as in `Streams.runIngest`. */
   def append(df: DataFrame, idCol: String, vecCol: String, path: String,
-      nBits: Int = 4): Unit =
+      nBits: Int = 4): Unit = {
+    StoreFs.failIfLeased(df.sparkSession, lockPath(path), "VectorStore append")
     df.select(col(idCol), col(vecCol),
         bucketOf(col(vecCol), nBits).as("bucket"))
       .write.partitionBy("bucket").mode("append").parquet(path)
+  }
 
   /** Streaming index build: drain `stream` into the store with
     * AvailableNow (the reference's drain-then-stop ingest shape,
@@ -84,10 +88,18 @@ object VectorStore {
     * tombstone wins over any later [[append]] of the same id.
     * `ids` must be a single column carrying the store's id column
     * name (the natural shape — probe outputs feed deletes). Ids not
-    * present in the store are harmless. */
+    * present in the store are harmless.
+    *
+    * Operational posture: the pending set rides every probe as a
+    * BROADCAST anti-join — the same bounded-set bet as the hot-key
+    * caches. Past ~10⁶ pending ids the broadcast (and its per-probe
+    * rebuild) stops being noise: that is the signal that [[compact]]
+    * is due, which applies the deletes physically and empties the
+    * set. */
   def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
     require(ids.columns.length == 1,
       s"delete expects a single id column, got ${ids.columns.mkString(",")}")
+    StoreFs.failIfLeased(spark, lockPath(path), "VectorStore delete")
     val dir = tombstoneDir(path)
     if (StoreFs.hasCommittedData(spark, dir)) {
       val existing = spark.read.parquet(dir).columns.head
@@ -131,25 +143,69 @@ object VectorStore {
     * same schema; spec-asserted). Works unchanged on the quantized
     * store: every non-partition column is passed through untouched.
     * Stage-then-swap via the Hadoop FileSystem (local FS and HDFS
-    * alike); must not run concurrently with an active append.
-    * Concurrent PROBES are fine under the [[withReadRetry]] reader
-    * contract. */
+    * alike). WRITERS are excluded for the duration by the sibling
+    * `<path>.compact_lock` lease (outside the store dir — the store
+    * dir itself is what the swap renames): a racing
+    * [[write]]/[[append]]/[[delete]] fails fast with a clear error; a
+    * compactor CRASH leaves the lease until [[recover]] clears it (or
+    * a fresh compact() re-acquires). Concurrent PROBES are fine under
+    * the [[withReadRetry]] reader contract. */
   def compact(spark: SparkSession, path: String, nBits: Int = 4,
-      partCol: String = "bucket"): Unit =
-    SignatureStore.stageAndSwap(spark, path) { (src, staged) =>
-      // apply pending deletes physically: the staged layout drops the
-      // tombstoned rows, and the swap discards `_tombstones` together
-      // with the old live dir — compaction is also the delete-apply
-      val cleaned = tombstones(spark, path).fold(src) { t =>
-        val idc = t.columns.head
-        require(src.columns.contains(idc),
-          s"tombstone column '$idc' not in store schema " +
-            s"${src.columns.mkString(",")}")
-        src.join(broadcast(t), Seq(idc), "left_anti")
+      partCol: String = "bucket"): Unit = {
+    StoreFs.acquireLease(spark, lockPath(path))
+    // SNAPSHOT the tombstone files now: the staged rewrite applies
+    // exactly these, and a delete() that raced past the lease probe
+    // appends a NEW file that must be neither partially applied nor
+    // discarded — the swap's beforeTrashDelete hook rescues any
+    // non-snapshot tombstone file out of the trash into the new live
+    // dir, so it stays in force until the next compaction.
+    val tsDir = tombstoneDir(path)
+    val tsFiles = StoreFs.listDataFiles(spark, tsDir)
+    val snapNames =
+      tsFiles.map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+    val dead =
+      if (tsFiles.isEmpty) None
+      else Some(spark.read.parquet(tsFiles: _*).distinct())
+    val rescueLateTombstones: () => Unit = () => {
+      val (fs, trashTs) =
+        StoreFs.fileSystem(spark, path + ".trash/_tombstones")
+      if (fs.exists(trashTs)) {
+        val late = fs.listStatus(trashTs).filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+            !snapNames.contains(n)
+        }
+        if (late.nonEmpty) {
+          val liveTs = new org.apache.hadoop.fs.Path(tsDir)
+          fs.mkdirs(liveTs)
+          late.foreach { st =>
+            require(fs.rename(st.getPath,
+              new org.apache.hadoop.fs.Path(liveTs, st.getPath.getName)),
+              s"compaction failed to rescue late tombstone ${st.getPath}")
+          }
+        }
       }
-      cleaned.repartition(1 << nBits, col(partCol))
-        .write.partitionBy(partCol).mode("overwrite").parquet(staged)
     }
+    SignatureStore.stageAndSwap(spark, path, rescueLateTombstones) {
+      (src, staged) =>
+        // apply the snapshot deletes physically: the staged layout drops
+        // the tombstoned rows, and the swap discards the snapshot files
+        // together with the old live dir — compaction is also the
+        // delete-apply
+        val cleaned = dead.fold(src) { t =>
+          val idc = t.columns.head
+          require(src.columns.contains(idc),
+            s"tombstone column '$idc' not in store schema " +
+              s"${src.columns.mkString(",")}")
+          src.join(broadcast(t), Seq(idc), "left_anti")
+        }
+        cleaned.repartition(1 << nBits, col(partCol))
+          .write.partitionBy(partCol).mode("overwrite").parquet(staged)
+    }
+    StoreFs.releaseLease(spark, lockPath(path))
+  }
+
+  private def lockPath(path: String): String = path + ".compact_lock"
 
   /** Reader contract for probes racing [[compact]]: wrap the whole
     * probe (plan construction + action) here — the swap's no-live
@@ -169,6 +225,7 @@ object VectorStore {
     val h = new org.apache.hadoop.fs.Path(path)
     SignatureStore.recoverSwap(
       h.getFileSystem(spark.sessionState.newHadoopConf()), path)
+    StoreFs.releaseLease(spark, lockPath(path))
   }
 
   /** The probe's bucket plus its `1+nBits` hamming≤1 neighbors —

@@ -86,6 +86,18 @@ object ScaleBench {
           graft.Tables.documents(spark, sfDir),
           "doc_id", "text", "source", k = 3, threshold = 0.5,
           maxShingleDf = 64)
+      // production keep-first: the SAME policy as declared q47 but over
+      // the CAPPED pair stream — the hot-source regime where the
+      // uncapped pair join is 107 s / 56 GB spill at m30z while the
+      // capped one stays flat (SCALING.md)
+      case "q47_capped" =>
+        import org.apache.spark.sql.functions.col
+        val docs = graft.Tables.documents(spark, sfDir)
+        val pairs = graft.operators.Dedup.ngramJaccardPairs(
+          docs, "doc_id", "text", "source", k = 3, threshold = 0.5,
+          maxShingleDf = 64)
+        graft.operators.Dedup.keepFirst(docs, "doc_id", pairs)
+          .select(col("doc_id"), col("source"), col("n_chars"))
       // q87's guarded plan — exact count-agg + sort-merge rejoin, no
       // list aggregate anywhere (the m30z straggler/OOM answer; the
       // former hot-set machinery measured 70 s here vs this plan's 37)
@@ -93,7 +105,7 @@ object ScaleBench {
         import org.apache.spark.sql.functions.col
         graft.operators.Dedup.duplicatedSpans(
           graft.Tables.documents(spark, sfDir), "doc_id", "text",
-          k = 32, maxSpanDf = 64)
+          k = 32, boundedPlan = true)
           .orderBy(col("doc_id"))
       case "q65_capped" =>
         import org.apache.spark.sql.functions.{col, lit}

@@ -120,6 +120,142 @@ class ConcurrentCompactSpec extends SparkSpec {
     assert(sigProbe(path) === baseline)
   }
 
+  // ---- writer-vs-compact exclusion (the lease) ------------------------
+
+  test("vector store: writers racing compact() fail fast on the lease; " +
+      "write/append/delete succeed again after the swap lands") {
+    val path = freshVecStore()
+    val baseline = vecProbe(path)
+    val extra = Tables.embeddings(spark, sf).filter($"vec_id" < 0)
+    duringSwapWindow(() => VectorStore.compact(spark, path)) {
+      for (op <- Seq(
+          () => VectorStore.append(extra, "vec_id", "embedding", path),
+          () => VectorStore.write(extra, "vec_id", "embedding", path),
+          () => VectorStore.delete(spark, path, Seq(999999L).toDF("vec_id")))) {
+        val e = intercept[IllegalStateException] { op() }
+        assert(e.getMessage.contains("compact() holds the store lease"),
+          e.getMessage)
+      }
+    }
+    // lease released: writers work again, and the store is intact
+    // (top-k refills after a delete, so assert absence, not equality)
+    VectorStore.delete(spark, path, Seq(baseline.head._1).toDF("vec_id"))
+    val after = vecProbe(path)
+    assert(!after.exists(_._1 == baseline.head._1))
+    assert(after.tail.nonEmpty && after.size === baseline.size)
+  }
+
+  test("signature store: writers racing compact() fail fast on the lease") {
+    val path = freshSigStore()
+    val baseline = sigProbe(path)
+    duringSwapWindow(() => SignatureStore.compact(spark, path, p)) {
+      for (op <- Seq(
+          () => SignatureStore.append(sigBatch, "doc_id", "text", path, p),
+          () => SignatureStore.delete(spark, path, Seq(1L).toDF("doc_id")))) {
+        val e = intercept[IllegalStateException] { op() }
+        assert(e.getMessage.contains("compact() holds the store lease"),
+          e.getMessage)
+      }
+    }
+    assert(sigProbe(path) === baseline)
+    // lease released: a delete is accepted again
+    SignatureStore.delete(spark, path, Seq(baseline.head._2).toDF("doc_id"))
+    assert(sigProbe(path) === baseline.filterNot(_._2 == baseline.head._2))
+  }
+
+  test("a crashed compactor leaves the lease (writers keep failing with " +
+      "a message naming recover()); recover() clears it") {
+    import graft.sources.SignatureStore.SwapCrash
+    val path = freshVecStore()
+    SwapCrash.reset()
+    SwapCrash.point = SwapCrash.AfterMoveOut
+    try intercept[SwapCrash.Injected] { VectorStore.compact(spark, path) }
+    finally SwapCrash.reset()
+    val e = intercept[IllegalStateException] {
+      VectorStore.delete(spark, path, Seq(1L).toDF("vec_id"))
+    }
+    assert(e.getMessage.contains("recover()"), e.getMessage)
+    VectorStore.recover(spark, path)
+    VectorStore.delete(spark, path, Seq(1L).toDF("vec_id")) // accepted now
+  }
+
+  // ---- delete-vs-compact tombstone preservation -----------------------
+
+  test("signature store: a tombstone appended AFTER compact's snapshot " +
+      "is neither applied nor wiped — it stays in force and the next " +
+      "compaction applies it") {
+    val path = freshSigStore()
+    val before = sigProbe(path)
+    assert(before.size >= 2)
+    val snapVictim = before.head._2
+    val lateVictim = before.filterNot(_._2 == snapVictim).head._2
+    SignatureStore.delete(spark, path, Seq(snapVictim).toDF("doc_id"))
+    duringSwapWindow(() => SignatureStore.compact(spark, path, p)) {
+      // a delete that slipped past the lease's probe-then-write window:
+      // write the tombstone file directly (the public delete() would be
+      // lease-rejected — this models the unclosed TOCTOU residual)
+      Seq(lateVictim).toDF("doc_id").write.mode("append")
+        .parquet(path + "/_tombstones")
+    }
+    // the snapshot delete was applied physically; the late one was NOT
+    // wiped: its file survives and it still masks probes
+    assert(exists(path + "/_tombstones"),
+      "late tombstone dir must survive compaction")
+    val masked = before.filterNot(r =>
+      r._2 == snapVictim || r._2 == lateVictim)
+    assert(sigProbe(path) === masked)
+    assert(spark.read.parquet(path + "/bands")
+      .filter(col("doc") === snapVictim).count() === 0L)
+    // the next compaction applies the late delete physically and clears
+    SignatureStore.compact(spark, path, p)
+    assert(!exists(path + "/_tombstones"))
+    assert(sigProbe(path) === masked)
+    assert(spark.read.parquet(path + "/bands")
+      .filter(col("doc") === lateVictim).count() === 0L)
+  }
+
+  test("vector store: a tombstone appended after the snapshot rides the " +
+      "old live dir into the trash and is rescued into the new live " +
+      "store, still masking probes") {
+    val path = freshVecStore()
+    val before = vecProbe(path)
+    assert(before.size >= 2)
+    val snapVictim = before.head._1
+    val lateVictim = before.filterNot(_._1 == snapVictim).head._1
+    VectorStore.delete(spark, path, Seq(snapVictim).toDF("vec_id"))
+    // pause AFTER the staged rewrite (which applied the snapshot) but
+    // BEFORE the move-out, and inject the late tombstone into the live
+    // dir — it must ride into .trash and be rescued, not deleted with it
+    val entered = new CountDownLatch(1)
+    val gate = new CountDownLatch(1)
+    SwapPause.enteredStage = entered
+    SwapPause.gateStage = gate
+    val compaction = Future(VectorStore.compact(spark, path))
+    try {
+      assert(entered.await(60, TimeUnit.SECONDS), "swap never staged")
+      Seq(lateVictim).toDF("vec_id").write.mode("append")
+        .parquet(path + "/_tombstones")
+    } finally {
+      gate.countDown()
+      SwapPause.reset()
+      Await.result(compaction, 120.seconds)
+    }
+    assert(exists(path + "/_tombstones"),
+      "late tombstone must be rescued out of the trash")
+    assert(!exists(path + ".trash"))
+    // snapshot victim physically gone; late victim masked logically
+    assert(spark.read.parquet(path)
+      .filter(col("vec_id") === snapVictim).count() === 0L)
+    val probed = vecProbe(path)
+    assert(!probed.exists(_._1 == snapVictim))
+    assert(!probed.exists(_._1 == lateVictim))
+    // next compaction applies the late delete physically
+    VectorStore.compact(spark, path)
+    assert(!exists(path + "/_tombstones"))
+    assert(spark.read.parquet(path)
+      .filter(col("vec_id") === lateVictim).count() === 0L)
+  }
+
   test("withReadRetry propagates non-recoverable errors unchanged and " +
       "exhausts attempts on a permanently missing store") {
     // non-recoverable: not retried

@@ -319,7 +319,7 @@ class DedupSpec extends SparkSpec {
       .orderBy($"doc_id")
       .as[(Long, Long, Long, Double)].collect().toSeq
     val guardedDf = Dedup.duplicatedSpans(docs, "doc_id", "text", 32,
-      maxSpanDf = 8)
+      boundedPlan = true)
     val guarded = guardedDf.orderBy($"doc_id")
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(guarded === uncapped)
@@ -334,6 +334,31 @@ class DedupSpec extends SparkSpec {
     val defaultPlan = Dedup.duplicatedSpans(docs, "doc_id", "text", 32)
       .queryExecution.executedPlan.toString
     assert(defaultPlan.contains("collect_list"), defaultPlan.take(3000))
+  }
+
+  test("keepFirst: drops exactly the larger side of every pair; " +
+      "composes with capped and uncapped pair streams identically " +
+      "to the inline left-anti") {
+    import graft.operators.Dedup
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"), (6L, "d"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepFirst(docs, "doc_id", pairs)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 4L))
+    // fixture composition: keepFirst(capped pairs) == the inline
+    // left-anti over the same stream (the production q47 shape)
+    val fx = Tables.documents(spark, sf)
+    val capped = Dedup.ngramJaccardPairs(fx, "doc_id", "text", "source",
+      3, 0.5, maxShingleDf = 64)
+    val viaOp = Dedup.keepFirst(fx, "doc_id", capped)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val inline = fx.join(
+        capped.select($"id_b".as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(viaOp === inline)
+    assert(viaOp.nonEmpty)
   }
 
   test("connected components: transitive chain collapses to one cluster") {

@@ -267,6 +267,42 @@ class ScaleSpec extends SparkSpec {
     assert(nn.head._3 === math.rint(50.0 / 70.0 * 1e6) / 1e6)
   }
 
+  test("heavy hitters: tree-merged candidates bound the driver hold at " +
+      "capacity under a many-partition layout; broadcast-join verify " +
+      "path is bit-identical to the literal path") {
+    // 200 partitions — pre-r14 the driver collected partitions × cap
+    // partials; the merge tree (fanIn=32: 200 → 7 → 1) must deliver a
+    // single final summary of ≤ cap rows
+    val rows = Seq.fill(500)("hot") ++ Seq.fill(200)("warm") ++
+      (1 to 400).map(i => s"k$i")
+    val df = spark.sparkContext
+      .parallelize(rows.zipWithIndex.sortBy(_._2 % 11).map(_._1), 200)
+      .toDF("k")
+    val cap = 20
+    val cands = Scale.mergedCandidates(
+      df.select($"k").filter($"k".isNotNull), cap)
+    assert(cands.size <= cap,
+      s"driver hold ${cands.size} exceeds capacity $cap")
+    assert(cands.contains("hot") && cands.contains("warm"),
+      "true hitters must survive the merge tree (MG superset guarantee)")
+    // exactness through the tree, against brute force
+    val n = rows.size.toDouble
+    def expect(minShare: Double) = rows.groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq
+      .filter(_._2 > minShare * n)
+      .map { case (k, c) => (k, c, math.rint(c / n * 1e6) / 1e6) }
+      .sortBy(_._1)
+    val got = Scale.heavyHitters(df, "k", 0.15, cap)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got === expect(0.15))
+    // the verify filter's broadcast-join form (forced via a zero
+    // literal threshold) must equal the isInCollection form exactly
+    val viaJoin = Scale.heavyHittersImpl(df, "k", 0.15, cap,
+        maxLiteralCandidates = 0)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(viaJoin === got)
+  }
+
   test("autoSaltedJoin equals the plain join on skewed and uniform keys " +
       "(both decision branches)") {
     val dims = (0 until 30).map(i => (i.toLong, s"dim$i")).toDF("k", "v")

@@ -394,7 +394,13 @@ object Scale {
     * files is gone, so the join plans a (cheap, spill-able) Sort but
     * still NO exchange (spec-asserted). Periodically rewrite with
     * [[writeBucketed]] to restore one-file-per-bucket, the same
-    * rhythm as the stores' `compact()`. */
+    * rhythm as the stores' `compact()`. Measured curve
+    * (`graft.tools.BucketAging` at m10, SCALING.md r14): join cost is
+    * FLAT through ~8 appends, first measurable penalty (~1.6×) at 64
+    * appends (512 files over 8 buckets), rewrite ≈ 1.5–3 joins'
+    * cost — so rewrite every few tens of appends on read-heavy
+    * tables, and note that at cluster scale per-bucket file LISTING
+    * pressure binds before the Sort does. */
   def appendBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit =
     writeBucketedAs(df, table, key, buckets, null, "append")

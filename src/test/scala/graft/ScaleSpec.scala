@@ -405,6 +405,18 @@ class ScaleSpec extends SparkSpec {
       maxBucketsPerInterval = 100L)
       .select($"iv_id").as[Long].collect().toSeq
     assert(ok === Seq(1L))
+    // extreme corrupt bounds whose bucket-count SUBTRACTION overflows a
+    // long under ANSI: the guard must still raise ITS error (via
+    // try_subtract → null → otherwise branch), not an opaque
+    // ArithmeticException from its own arithmetic
+    val ivsOverflow = Seq((1L, Long.MinValue + 10L, Long.MaxValue - 10L))
+      .toDF("iv_id", "s", "e")
+    val ex2 = intercept[Exception] {
+      Scale.rangeJoin(pts, ivsOverflow, "p", "s", "e", bucketWidth = 10L,
+        maxBucketsPerInterval = 100L).collect()
+    }
+    assert(msgs(ex2).exists(_.contains("rangeJoin: interval")), ex2.toString)
+    assert(!ex2.isInstanceOf[ArithmeticException])
   }
 
   test("cachedHotKeys memoizes per (JVM, cacheKey): a second call with " +

@@ -1393,6 +1393,22 @@ object SparkEntry {
       Analytics.retention(Tables.events(s, d), "user_id", "ts",
         periodDays = 7)),
 
+    // gap-based sessionization (30-min gap): two per-user windows +
+    // one aggregate, everything partitioned on the user key. All
+    // integral micros; event_id breaks same-timestamp ties → exact
+    // ANSI oracle (lag + running sum replay identically in DuckDB).
+    "q112_sessionize" -> ((s, d) =>
+      Analytics.sessionize(Tables.events(s, d), "user_id", "ts",
+        "event_id", gapMinutes = 30)),
+
+    // calendar-densified daily rollup: per-(user, day) count +
+    // decimal-exact value sum with inactive days zero-filled from a
+    // per-user in-plan sequence explode (guarded against corrupt-ts
+    // fan-out). Integral day buckets + dsum → exact ANSI oracle.
+    "q113_gap_fill_daily" -> ((s, d) =>
+      Analytics.gapFillDaily(Tables.events(s, d), "user_id", "ts",
+        "value")),
+
     // Heaps-law profile: vocabulary size at geometric token-stream
     // prefixes (global positions from the q80 prefix scan — never a
     // global window). The fixture saturates almost immediately (closed
@@ -2938,6 +2954,53 @@ object SparkEntry {
         |    / CAST(u.n_users AS DOUBLE), 6) AS retention
         |FROM u LEFT JOIN r ON r.period = u.period
         |ORDER BY u.period""".stripMargin,
+
+    // lag + running-sum windows replay identically on integral micros;
+    // event_id tie-break keeps the per-user order total in both engines
+    "q112_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 1800000000 THEN 1
+        |         ELSE 0 END AS nw
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (
+        |  SELECT user_id, us,
+        |    CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS session_idx
+        |  FROM f)
+        |SELECT user_id, session_idx,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(us) AS BIGINT) AS start_us,
+        |  CAST(max(us) AS BIGINT) AS end_us,
+        |  CAST(max(us) - min(us) AS BIGINT) AS duration_us
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    // integral day buckets (epoch_us // == Spark DIV), per-user
+    // calendar via unnest(generate_series(d0, d1)) (the q87/q106
+    // variable-bounds form), dsum for the decimal-exact value sum
+    "q113_gap_fill_daily" ->
+      s"""WITH d AS (
+         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, value
+         |  FROM events),
+         |g AS (
+         |  SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_events,
+         |    ${dsumSql("value")} AS sum_value
+         |  FROM d GROUP BY 1, 2),
+         |s AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+         |      FROM g GROUP BY 1),
+         |c AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day
+         |      FROM s)
+         |SELECT c.user_id, c.day,
+         |  CAST(c.day * 86400000000 AS BIGINT) AS day_start_us,
+         |  CAST(coalesce(g.n_events, 0) AS BIGINT) AS n_events,
+         |  coalesce(g.sum_value, 0.0) AS sum_value
+         |FROM c LEFT JOIN g ON g.user_id = c.user_id AND g.day = c.day
+         |ORDER BY c.user_id, c.day""".stripMargin,
 
     // same doc-order global positions (window cumsum of per-doc token
     // counts), per-term min first occurrence, vocab counted at the

@@ -267,6 +267,82 @@ object Analytics {
     * ordered by period; the last period's retention is its honest
     * value against an empty future (0.0) — callers drop it when
     * reporting. */
+  /** Gap-based sessionization — the third leg of the event-analytics
+    * trio (funnel q108, retention q109): consecutive events of a user
+    * belong to one session while the gap between them stays within
+    * `gapMinutes`; a larger gap (or the user's first event) starts a
+    * new session. Two per-user windows (lag to flag session starts, a
+    * running sum to number them) and one aggregate — everything
+    * partitions on the user key, so the whole plan is one exchange at
+    * 100 TB and no window ever spans users. All arithmetic is integral
+    * micros (`unix_micros` / epoch_us — the q109 engine-exact
+    * precedent), so the DuckDB oracle matches bit-for-bit. `idCol`
+    * breaks ordering ties deterministically (same-timestamp events —
+    * rare in data, fatal to a hash-compare oracle).
+    * Returns (user, session_idx ≥ 1, n_events, start_us, end_us,
+    * duration_us) ordered by (user, session_idx). */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, gapMinutes: Int = 30): DataFrame = {
+    require(gapMinutes > 0, s"gapMinutes must be positive: $gapMinutes")
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val base = df.select(col(userCol).as("__u"),
+      expr(s"unix_micros($tsCol)").as("__us"), col(idCol).as("__id"))
+    val w = Window.partitionBy(col("__u")).orderBy(col("__us"), col("__id"))
+    val flagged = base.withColumn("__new",
+      when(col("__us") - lag(col("__us"), 1).over(w) > gapUs
+          || lag(col("__us"), 1).over(w).isNull, lit(1L))
+        .otherwise(lit(0L)))
+    val numbered = flagged.withColumn("session_idx",
+      sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    numbered
+      .groupBy(col("__u"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("__us")).as("start_us"), max(col("__us")).as("end_us"))
+      .select(col("__u").as(userCol), col("session_idx"),
+        col("n_events"), col("start_us"), col("end_us"),
+        (col("end_us") - col("start_us")).as("duration_us"))
+      .orderBy(col(userCol), col("session_idx"))
+  }
+
+  /** Gap-filled (densified) daily activity rollup: per (user, day)
+    * event count and decimal-exact value sum, with the days a user was
+    * INACTIVE between their first and last active day filled in as
+    * explicit zero rows — the calendar-densification step every
+    * time-series consumer (charting, anomaly windows, training-feature
+    * frames) otherwise re-implements. The calendar is generated
+    * per-user from a |users|-bounded min/max aggregate and exploded
+    * in-plan (`sequence`), so the fill never leaves the user's own
+    * partition; days are integral `unix_micros DIV 86400000000` (the
+    * q109/q13 engine-exact bucket). `maxDays` guards the explode
+    * against a corrupt timestamp fanning one user into millions of
+    * rows — same posture as `Scale.rangeJoin`'s cap, a clear per-row
+    * error instead of an executor OOM. */
+  def gapFillDaily(df: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, maxDays: Long = 36525L): DataFrame = {
+    require(maxDays > 0, s"maxDays must be positive: $maxDays")
+    val dayUs = 86400000000L
+    val daily = df.select(col(userCol).as("__u"),
+        expr(s"unix_micros($tsCol) DIV $dayUs").as("day"),
+        col(valueCol).as("__v"))
+      .groupBy(col("__u"), col("day"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("__v")).as("sum_value"))
+    val spans = daily.groupBy(col("__u"))
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+    val guarded = when(col("__d1") - col("__d0") < lit(maxDays),
+      sequence(col("__d0"), col("__d1")))
+      .otherwise(raise_error(concat(
+        lit("gapFillDaily: user "), col("__u").cast("string"),
+        lit(s" spans over $maxDays days - corrupt timestamps, or raise maxDays"))))
+    spans.select(col("__u"), explode(guarded).as("day"))
+      .join(daily, Seq("__u", "day"), "left")
+      .select(col("__u").as(userCol), col("day"),
+        (col("day") * dayUs).cast("bigint").as("day_start_us"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy(col(userCol), col("day"))
+  }
+
   def retention(df: DataFrame, userCol: String, tsCol: String,
       periodDays: Int = 7): DataFrame = {
     require(periodDays > 0, s"periodDays must be positive: $periodDays")

@@ -486,4 +486,65 @@ class ScaleSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Double)].collect().toSeq
     assert(dup === got)
   }
+
+  test("sessionize: gap splits, first-event starts, tie-break order, " +
+      "exact per-session stats") {
+    import graft.operators.Analytics
+    val m = 60000000L // one minute in micros
+    // user 1: events at 0, 10m, 45m (gap 35m > 30m → split), 50m
+    // user 2: one event; user 3: two events at the SAME ts (tie-break)
+    val ev = Seq(
+      (1L, 0L, 10L), (1L, 10 * m, 11L), (1L, 45 * m, 12L), (1L, 50 * m, 13L),
+      (2L, 5 * m, 20L),
+      (3L, 7 * m, 31L), (3L, 7 * m, 30L))
+      .toDF("user_id", "us", "event_id")
+      .select($"user_id", timestamp_micros($"us").as("ts"), $"event_id")
+    val got = Analytics.sessionize(ev, "user_id", "ts", "event_id",
+        gapMinutes = 30)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 2L, 0L, 10 * m, 10 * m),
+      (1L, 2L, 2L, 45 * m, 50 * m, 5 * m),
+      (2L, 1L, 1L, 5 * m, 5 * m, 0L),
+      (3L, 1L, 2L, 7 * m, 7 * m, 0L)))
+    // a gap of exactly the threshold does NOT split (strict >)
+    val edge = Seq((1L, 0L, 1L), (1L, 30 * m, 2L))
+      .toDF("user_id", "us", "event_id")
+      .select($"user_id", timestamp_micros($"us").as("ts"), $"event_id")
+    val one = Analytics.sessionize(edge, "user_id", "ts", "event_id", 30)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(one === Seq((1L, 1L, 2L, 0L, 30 * m, 30 * m)))
+  }
+
+  test("gapFillDaily: inactive days zero-filled inside each user's " +
+      "span, none outside; decimal-exact sums; corrupt span raises") {
+    import graft.operators.Analytics
+    val day = 86400000000L
+    val ev = Seq(
+      (1L, 0L, 1.25), (1L, 10L, 2.25),       // day 0 ×2
+      (1L, 3 * day + 5L, 4.5),               // day 3 (1,2 inactive)
+      (2L, 5 * day, 7.0))                    // single-day user
+      .toDF("user_id", "us", "value")
+      .select($"user_id", timestamp_micros($"us").as("ts"), $"value")
+    val got = Analytics.gapFillDaily(ev, "user_id", "ts", "value")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 0L, 0L, 2L, 3.5),
+      (1L, 1L, day, 0L, 0.0),
+      (1L, 2L, 2 * day, 0L, 0.0),
+      (1L, 3L, 3 * day, 1L, 4.5),
+      (2L, 5L, 5 * day, 1L, 7.0)))
+    // fan-out guard: a user spanning more than maxDays raises the
+    // clear error, not an executor OOM from a huge sequence
+    val corrupt = Seq((9L, 0L, 1.0), (9L, 1000 * day, 1.0))
+      .toDF("user_id", "us", "value")
+      .select($"user_id", timestamp_micros($"us").as("ts"), $"value")
+    val ex = intercept[Exception] {
+      Analytics.gapFillDaily(corrupt, "user_id", "ts", "value",
+        maxDays = 100L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("gapFillDaily: user")), ex.toString)
+  }
 }

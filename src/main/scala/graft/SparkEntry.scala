@@ -1393,19 +1393,11 @@ object SparkEntry {
       Analytics.retention(Tables.events(s, d), "user_id", "ts",
         periodDays = 7)),
 
-    // gap-based sessionization (30-min gap): two per-user windows +
-    // one aggregate, everything partitioned on the user key. All
-    // integral micros; event_id breaks same-timestamp ties → exact
-    // ANSI oracle (lag + running sum replay identically in DuckDB).
-    "q112_sessionize" -> ((s, d) =>
-      Analytics.sessionize(Tables.events(s, d), "user_id", "ts",
-        "event_id", gapMinutes = 30)),
-
     // calendar-densified daily rollup: per-(user, day) count +
     // decimal-exact value sum with inactive days zero-filled from a
     // per-user in-plan sequence explode (guarded against corrupt-ts
     // fan-out). Integral day buckets + dsum → exact ANSI oracle.
-    "q113_gap_fill_daily" -> ((s, d) =>
+    "q112_gap_fill_daily" -> ((s, d) =>
       Analytics.gapFillDaily(Tables.events(s, d), "user_id", "ts",
         "value")),
 
@@ -2955,35 +2947,10 @@ object SparkEntry {
         |FROM u LEFT JOIN r ON r.period = u.period
         |ORDER BY u.period""".stripMargin,
 
-    // lag + running-sum windows replay identically on integral micros;
-    // event_id tie-break keeps the per-user order total in both engines
-    "q112_sessionize" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
-        |f AS (
-        |  SELECT user_id, event_id, us,
-        |    CASE WHEN lag(us) OVER w IS NULL
-        |           OR us - lag(us) OVER w > 1800000000 THEN 1
-        |         ELSE 0 END AS nw
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-        |s AS (
-        |  SELECT user_id, us,
-        |    CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS BIGINT) AS session_idx
-        |  FROM f)
-        |SELECT user_id, session_idx,
-        |  CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST(min(us) AS BIGINT) AS start_us,
-        |  CAST(max(us) AS BIGINT) AS end_us,
-        |  CAST(max(us) - min(us) AS BIGINT) AS duration_us
-        |FROM s GROUP BY user_id, session_idx
-        |ORDER BY user_id, session_idx""".stripMargin,
-
     // integral day buckets (epoch_us // == Spark DIV), per-user
     // calendar via unnest(generate_series(d0, d1)) (the q87/q106
     // variable-bounds form), dsum for the decimal-exact value sum
-    "q113_gap_fill_daily" ->
+    "q112_gap_fill_daily" ->
       s"""WITH d AS (
          |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, value
          |  FROM events),

@@ -267,44 +267,6 @@ object Analytics {
     * ordered by period; the last period's retention is its honest
     * value against an empty future (0.0) — callers drop it when
     * reporting. */
-  /** Gap-based sessionization — the third leg of the event-analytics
-    * trio (funnel q108, retention q109): consecutive events of a user
-    * belong to one session while the gap between them stays within
-    * `gapMinutes`; a larger gap (or the user's first event) starts a
-    * new session. Two per-user windows (lag to flag session starts, a
-    * running sum to number them) and one aggregate — everything
-    * partitions on the user key, so the whole plan is one exchange at
-    * 100 TB and no window ever spans users. All arithmetic is integral
-    * micros (`unix_micros` / epoch_us — the q109 engine-exact
-    * precedent), so the DuckDB oracle matches bit-for-bit. `idCol`
-    * breaks ordering ties deterministically (same-timestamp events —
-    * rare in data, fatal to a hash-compare oracle).
-    * Returns (user, session_idx ≥ 1, n_events, start_us, end_us,
-    * duration_us) ordered by (user, session_idx). */
-  def sessionize(df: DataFrame, userCol: String, tsCol: String,
-      idCol: String, gapMinutes: Int = 30): DataFrame = {
-    require(gapMinutes > 0, s"gapMinutes must be positive: $gapMinutes")
-    val gapUs = gapMinutes.toLong * 60L * 1000000L
-    val base = df.select(col(userCol).as("__u"),
-      expr(s"unix_micros($tsCol)").as("__us"), col(idCol).as("__id"))
-    val w = Window.partitionBy(col("__u")).orderBy(col("__us"), col("__id"))
-    val flagged = base.withColumn("__new",
-      when(col("__us") - lag(col("__us"), 1).over(w) > gapUs
-          || lag(col("__us"), 1).over(w).isNull, lit(1L))
-        .otherwise(lit(0L)))
-    val numbered = flagged.withColumn("session_idx",
-      sum(col("__new")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    numbered
-      .groupBy(col("__u"), col("session_idx"))
-      .agg(count(lit(1)).as("n_events"),
-        min(col("__us")).as("start_us"), max(col("__us")).as("end_us"))
-      .select(col("__u").as(userCol), col("session_idx"),
-        col("n_events"), col("start_us"), col("end_us"),
-        (col("end_us") - col("start_us")).as("duration_us"))
-      .orderBy(col(userCol), col("session_idx"))
-  }
-
   /** Gap-filled (densified) daily activity rollup: per (user, day)
     * event count and decimal-exact value sum, with the days a user was
     * INACTIVE between their first and last active day filled in as

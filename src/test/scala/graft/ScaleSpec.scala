@@ -487,35 +487,6 @@ class ScaleSpec extends SparkSpec {
     assert(dup === got)
   }
 
-  test("sessionize: gap splits, first-event starts, tie-break order, " +
-      "exact per-session stats") {
-    import graft.operators.Analytics
-    val m = 60000000L // one minute in micros
-    // user 1: events at 0, 10m, 45m (gap 35m > 30m → split), 50m
-    // user 2: one event; user 3: two events at the SAME ts (tie-break)
-    val ev = Seq(
-      (1L, 0L, 10L), (1L, 10 * m, 11L), (1L, 45 * m, 12L), (1L, 50 * m, 13L),
-      (2L, 5 * m, 20L),
-      (3L, 7 * m, 31L), (3L, 7 * m, 30L))
-      .toDF("user_id", "us", "event_id")
-      .select($"user_id", timestamp_micros($"us").as("ts"), $"event_id")
-    val got = Analytics.sessionize(ev, "user_id", "ts", "event_id",
-        gapMinutes = 30)
-      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
-    assert(got === Seq(
-      (1L, 1L, 2L, 0L, 10 * m, 10 * m),
-      (1L, 2L, 2L, 45 * m, 50 * m, 5 * m),
-      (2L, 1L, 1L, 5 * m, 5 * m, 0L),
-      (3L, 1L, 2L, 7 * m, 7 * m, 0L)))
-    // a gap of exactly the threshold does NOT split (strict >)
-    val edge = Seq((1L, 0L, 1L), (1L, 30 * m, 2L))
-      .toDF("user_id", "us", "event_id")
-      .select($"user_id", timestamp_micros($"us").as("ts"), $"event_id")
-    val one = Analytics.sessionize(edge, "user_id", "ts", "event_id", 30)
-      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
-    assert(one === Seq((1L, 1L, 2L, 0L, 30 * m, 30 * m)))
-  }
-
   test("gapFillDaily: inactive days zero-filled inside each user's " +
       "span, none outside; decimal-exact sums; corrupt span raises") {
     import graft.operators.Analytics

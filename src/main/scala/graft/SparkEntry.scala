@@ -1401,6 +1401,13 @@ object SparkEntry {
       Analytics.gapFillDaily(Tables.events(s, d), "user_id", "ts",
         "value")),
 
+    // per-group top-k via the bounded mergeable aggregate (no window
+    // sort — the hot-group-safe form; see Analytics.topKPerGroup).
+    // Total (value DESC, event_id) order → exact row_number oracle.
+    "q113_topk_per_group" -> ((s, d) =>
+      Analytics.topKPerGroup(Tables.events(s, d), "user_id", "value",
+        "event_id", k = 3)),
+
     // Heaps-law profile: vocabulary size at geometric token-stream
     // prefixes (global positions from the q80 prefix scan — never a
     // global window). The fixture saturates almost immediately (closed
@@ -2968,6 +2975,18 @@ object SparkEntry {
          |  coalesce(g.sum_value, 0.0) AS sum_value
          |FROM c LEFT JOIN g ON g.user_id = c.user_id AND g.day = c.day
          |ORDER BY c.user_id, c.day""".stripMargin,
+
+    // the aggregate's (v DESC, id ASC) total order IS row_number's;
+    // CAST rank to INT per the q66 top-k-slice precedent
+    "q113_topk_per_group" ->
+      """SELECT user_id, rank, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY user_id ORDER BY value DESC, event_id)
+        |      AS INT) AS rank
+        |  FROM events)
+        |WHERE rank <= 3
+        |ORDER BY user_id, rank""".stripMargin,
 
     // same doc-order global positions (window cumsum of per-doc token
     // counts), per-term min first occurrence, vocab counted at the

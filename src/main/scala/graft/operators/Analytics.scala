@@ -267,6 +267,32 @@ object Analytics {
     * ordered by period; the last period's retention is its honest
     * value against an empty future (0.0) — callers drop it when
     * reporting. */
+  /** Exact per-group top-k WITHOUT a window sort: each group's k
+    * highest-`valueCol` rows (ties broken by `idCol` ascending — a
+    * total order), computed by the bounded mergeable
+    * [[graft.functions.TopKAggregator]]. The window-rank formulation
+    * (q08) shuffles and sorts every row of a group on one task — the
+    * classic hot-group straggler at 100 TB; this one combines ≤ 2k-
+    * entry partial buffers map-side and shuffles one buffer per
+    * (group, partition), so a billion-row group costs linear local
+    * comparisons spread across its partitions. Results are identical
+    * to the window form (spec-asserted) and merge-order independent.
+    * Returns (group, rank 1..k, id, value) ordered by (group, rank). */
+  def topKPerGroup(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
+        graft.functions.TopKEntry]())
+    df.select(col(groupCol), col(valueCol).cast("double").as("__v"),
+        col(idCol).cast("long").as("__id"))
+      .groupBy(col(groupCol))
+      .agg(topk(col("__v"), col("__id")).as("__top"))
+      .select(col(groupCol), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col(groupCol), (col("__pos") + 1).cast("int").as("rank"),
+        col("__e.id").as(idCol), col("__e.v").as(valueCol))
+      .orderBy(col(groupCol), col("rank"))
+  }
+
   /** Gap-filled (densified) daily activity rollup: per (user, day)
     * event count and decimal-exact value sum, with the days a user was
     * INACTIVE between their first and last active day filled in as

@@ -487,6 +487,50 @@ class ScaleSpec extends SparkSpec {
     assert(dup === got)
   }
 
+  test("topKPerGroup: exact planted results with ties and short groups; " +
+      "equals the window-rank form on the fixture; partition-count " +
+      "independent; plans as a partial-combinable ObjectHashAggregate, " +
+      "not a window sort") {
+    import graft.operators.Analytics
+    // planted: group 1 has a tie at v=5.0 (ids 11 < 13 break it),
+    // group 2 has fewer rows than k
+    val rows = Seq(
+      (1L, 5.0, 13L), (1L, 5.0, 11L), (1L, 9.0, 12L), (1L, 1.0, 14L),
+      (2L, 3.0, 21L))
+    val df = spark.sparkContext.parallelize(rows, 3).toDF("g", "v", "id")
+    val got = Analytics.topKPerGroup(df, "g", "v", "id", k = 3)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1, 12L, 9.0), (1L, 2, 11L, 5.0), (1L, 3, 13L, 5.0),
+      (2L, 1, 21L, 3.0)))
+    // fixture: identical to the window-rank formulation
+    val ev = Tables.events(spark, sf)
+    val viaAgg = Analytics.topKPerGroup(ev, "user_id", "value",
+        "event_id", 3)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"value".desc, $"event_id")
+    val viaWindow = ev
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter($"rank" <= 3)
+      .select($"user_id", $"rank", $"event_id", $"value")
+      .orderBy($"user_id", $"rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(viaAgg === viaWindow)
+    // merge-order independence: selection commutes (unlike double sums)
+    val at8 = Analytics.topKPerGroup(ev.repartition(8), "user_id",
+        "value", "event_id", 3)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(at8 === viaAgg)
+    // the safety property on the plan: a partial-combinable aggregate,
+    // never a per-group window sort of the full stream
+    val plan = Analytics.topKPerGroup(ev, "user_id", "value",
+      "event_id", 3).queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window "),
+      plan.take(2000))
+  }
+
   test("gapFillDaily: inactive days zero-filled inside each user's " +
       "span, none outside; decimal-exact sums; corrupt span raises") {
     import graft.operators.Analytics

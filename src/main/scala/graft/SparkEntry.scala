@@ -1408,6 +1408,13 @@ object SparkEntry {
       Analytics.topKPerGroup(Tables.events(s, d), "user_id", "value",
         "event_id", k = 3)),
 
+    // forward-fill twin of q112: inactive days carry the last active
+    // day's decimal-exact sum (last ignoreNulls running window — the
+    // documented DuckDB last_value-IGNORE-NULLS bit-match).
+    "q114_gap_fill_locf" -> ((s, d) =>
+      Analytics.gapFillDailyLocf(Tables.events(s, d), "user_id", "ts",
+        "value")),
+
     // Heaps-law profile: vocabulary size at geometric token-stream
     // prefixes (global positions from the q80 prefix scan — never a
     // global window). The fixture saturates almost immediately (closed
@@ -2987,6 +2994,32 @@ object SparkEntry {
         |  FROM events)
         |WHERE rank <= 3
         |ORDER BY user_id, rank""".stripMargin,
+
+    // q112's CTE chain + a last_value IGNORE NULLS running window for
+    // the carry (bit-matches Spark's last(ignoreNulls) per the r7 note)
+    "q114_gap_fill_locf" ->
+      s"""WITH d AS (
+         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, value
+         |  FROM events),
+         |g AS (
+         |  SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_events,
+         |    ${dsumSql("value")} AS sum_value
+         |  FROM d GROUP BY 1, 2),
+         |s AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+         |      FROM g GROUP BY 1),
+         |c AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day
+         |      FROM s),
+         |j AS (
+         |  SELECT c.user_id, c.day, g.n_events, g.sum_value
+         |  FROM c LEFT JOIN g ON g.user_id = c.user_id AND g.day = c.day)
+         |SELECT user_id, day,
+         |  CAST(day * 86400000000 AS BIGINT) AS day_start_us,
+         |  CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+         |  last_value(sum_value IGNORE NULLS) OVER (
+         |    PARTITION BY user_id ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS fill_value
+         |FROM j ORDER BY user_id, day""".stripMargin,
 
     // same doc-order global positions (window cumsum of per-doc token
     // counts), per-term min first occurrence, vocab counted at the

@@ -308,6 +308,46 @@ object Analytics {
     * error instead of an executor OOM. */
   def gapFillDaily(df: DataFrame, userCol: String, tsCol: String,
       valueCol: String, maxDays: Long = 36525L): DataFrame = {
+    val dayUs = 86400000000L
+    densifiedDaily(df, userCol, tsCol, valueCol, maxDays)
+      .select(col("__u").as(userCol), col("day"),
+        (col("day") * dayUs).cast("bigint").as("day_start_us"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy(col(userCol), col("day"))
+  }
+
+  /** [[gapFillDaily]]'s forward-fill twin: inactive days carry the
+    * LAST ACTIVE day's sum forward (`fill_value`) instead of zero —
+    * the last-observation-carried-forward shape time-series feature
+    * frames want (a user's "current" daily level persists until the
+    * next observation). `n_events` still reports 0 on filled days, so
+    * the fill is distinguishable from real activity. The carry is a
+    * per-user `last(ignoreNulls)` running window over the densified
+    * frame — same single user-key exchange; a user's first day is
+    * always active (the span starts there), so no leading null ever
+    * survives. */
+  def gapFillDailyLocf(df: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, maxDays: Long = 36525L): DataFrame = {
+    val dayUs = 86400000000L
+    val w = Window.partitionBy(col("__u")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    densifiedDaily(df, userCol, tsCol, valueCol, maxDays)
+      .select(col("__u"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("sum_value"), ignoreNulls = true).over(w).as("fill_value"))
+      .select(col("__u").as(userCol), col("day"),
+        (col("day") * dayUs).cast("bigint").as("day_start_us"),
+        col("n_events"), col("fill_value"))
+      .orderBy(col(userCol), col("day"))
+  }
+
+  /** Shared core of the gap-fill pair: the per-user densified
+    * (`__u`, day, n_events?, sum_value?) frame — per-(user, day)
+    * aggregate left-joined onto the user's in-plan day calendar, with
+    * the `maxDays` fan-out guard. */
+  private def densifiedDaily(df: DataFrame, userCol: String,
+      tsCol: String, valueCol: String, maxDays: Long): DataFrame = {
     require(maxDays > 0, s"maxDays must be positive: $maxDays")
     val dayUs = 86400000000L
     val daily = df.select(col(userCol).as("__u"),
@@ -324,11 +364,6 @@ object Analytics {
         lit(s" spans over $maxDays days - corrupt timestamps, or raise maxDays"))))
     spans.select(col("__u"), explode(guarded).as("day"))
       .join(daily, Seq("__u", "day"), "left")
-      .select(col("__u").as(userCol), col("day"),
-        (col("day") * dayUs).cast("bigint").as("day_start_us"),
-        coalesce(col("n_events"), lit(0L)).as("n_events"),
-        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
-      .orderBy(col(userCol), col("day"))
   }
 
   def retention(df: DataFrame, userCol: String, tsCol: String,

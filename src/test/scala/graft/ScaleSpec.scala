@@ -549,6 +549,16 @@ class ScaleSpec extends SparkSpec {
       (1L, 2L, 2 * day, 0L, 0.0),
       (1L, 3L, 3 * day, 1L, 4.5),
       (2L, 5L, 5 * day, 1L, 7.0)))
+    // the LOCF twin: filled days carry the LAST active day's sum (and
+    // n_events 0 keeps the fill distinguishable from real activity)
+    val locf = Analytics.gapFillDailyLocf(ev, "user_id", "ts", "value")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(locf === Seq(
+      (1L, 0L, 0L, 2L, 3.5),
+      (1L, 1L, day, 0L, 3.5),
+      (1L, 2L, 2 * day, 0L, 3.5),
+      (1L, 3L, 3 * day, 1L, 4.5),
+      (2L, 5L, 5 * day, 1L, 7.0)))
     // fan-out guard: a user spanning more than maxDays raises the
     // clear error, not an executor OOM from a huge sequence
     val corrupt = Seq((9L, 0L, 1.0), (9L, 1000 * day, 1.0))

@@ -111,7 +111,18 @@ object Scale {
     * mergeability argument tracks only total pruned weight, not summary
     * boundaries. All levels are lazy; one job runs at the collect. */
   private[graft] def mergedCandidates(keys: DataFrame, capacity: Int,
-      fanIn: Int = 32): Seq[Any] = {
+      fanIn: Int = 32): Seq[Any] =
+    mergedSummary(keys, capacity, fanIn).map(_._1)
+
+  /** The weighted form of [[mergedCandidates]]: the final tree-merged
+    * MG summary as (key, wt) pairs. `wt` UNDERestimates the true count
+    * by at most N/(capacity+1) (the mergeability bound), and any key
+    * with true count above that bound is present — which is also what
+    * makes the summary a valid carry across STREAMING micro-batches
+    * ([[hotKeysBatch]]): merging yesterday's summary with today's
+    * partials is just one more tree level. */
+  private[graft] def mergedSummary(keys: DataFrame, capacity: Int,
+      fanIn: Int = 32): Seq[(Any, Long)] = {
     var partials = heavyHitterCandidates(keys, capacity)
     var parts = keys.rdd.getNumPartitions
     val schema = partials.schema
@@ -121,8 +132,20 @@ object Scale {
         .mapPartitions(it => mgMergePartition(it, capacity))(
           org.apache.spark.sql.Encoders.row(schema))
     }
-    partials.collect().map(_.get(0)).toSeq
+    partials.collect().map(r => (r.get(0), r.getLong(1))).toSeq
   }
+
+  /** Driver-side weighted MG merge over in-memory pairs — the same
+    * prune as the distributed level (it IS the distributed level,
+    * wrapped), plus a deterministic (wt desc, key string) order so
+    * state files written from the result are bit-identical on replay. */
+  private[graft] def mgMergeDriver(pairs: Seq[(Any, Long)],
+      capacity: Int): Seq[(Any, Long)] =
+    mgMergePartition(
+        pairs.iterator.map(p => org.apache.spark.sql.Row(p._1, p._2)),
+        capacity)
+      .map(r => (r.get(0), r.getLong(1))).toSeq
+      .sortBy { case (k, w) => (-w, String.valueOf(k)) }
 
   /** Weighted Misra–Gries merge of (key, wt) rows: sum weights per
     * key; while over capacity, subtract the (capacity+1)-st largest
@@ -214,6 +237,93 @@ object Scale {
         counts.entrySet().iterator()).asScala
         .map(e => org.apache.spark.sql.Row(e.getKey, e.getValue.longValue()))
     }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  // --- streaming hot-key tracking --------------------------------------
+
+  /** Continuous hot-key tracking over a stream (AvailableNow drain):
+    * each micro-batch computes its tree-merged MG summary and MERGES
+    * it into the carried one — mergeable summaries compose across TIME
+    * exactly as they do across partitions, so after any number of
+    * batches the state is ≤ `capacity` (key, wt) rows plus the exact
+    * row count, with the full guarantee intact over the WHOLE stream:
+    * every key whose total count exceeds N/(capacity+1) is present,
+    * and each wt underestimates its true count by at most
+    * N/(capacity+1). This is the streaming leg of the skew family —
+    * the ingest-side feed for `autoSaltedJoin`-style decisions without
+    * ever rescanning history (contrast batch [[heavyHitters]], whose
+    * exact verify pass needs the data again; a stream's data is gone).
+    *
+    * State rides `stateDir/batch=<id>` with the packStream replay
+    * contract: the read is batch id-1's state, the write overwrites
+    * batch id's own dir, so a crash between state write and checkpoint
+    * commit replays to a BIT-IDENTICAL file (spec-asserted); state at
+    * id-2 and older is pruned. The cumulative row count travels as a
+    * reserved null-key row (input null keys are excluded, so the slot
+    * is free). */
+  def hotKeysStream(stream: DataFrame, keyCol: String, capacity: Int,
+      stateDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        hotKeysBatch(batch, batchId, keyCol, capacity, stateDir)
+      }
+      .start()
+
+  private def hotStatePath(stateDir: String, batchId: Long): String =
+    s"$stateDir/batch=$batchId"
+
+  private[graft] def hotKeysBatch(batch: DataFrame, batchId: Long,
+      keyCol: String, capacity: Int, stateDir: String): Unit = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    val spark = batch.sparkSession
+    val keys = batch.select(col(keyCol)).filter(col(keyCol).isNotNull)
+    val partial = mergedSummary(keys, capacity)
+    val batchN = keys.count()
+    val (prev, prevN): (Seq[(Any, Long)], Long) =
+      if (batchId == 0L) (Seq.empty, 0L)
+      else {
+        val rows = spark.read.parquet(hotStatePath(stateDir, batchId - 1))
+          .collect().map(r => (r.get(0), r.getLong(1))).toSeq
+        (rows.filter(_._1 != null),
+          rows.collectFirst { case (null, n) => n }.getOrElse(0L))
+      }
+    val merged = mgMergeDriver(prev ++ partial, capacity)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      keys.schema.fields(0).copy(name = "key", nullable = true),
+      org.apache.spark.sql.types.StructField("wt",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    merged.foreach { case (k, w) =>
+      rows.add(org.apache.spark.sql.Row(k, w)) }
+    rows.add(org.apache.spark.sql.Row(null, prevN + batchN))
+    spark.createDataFrame(rows, schema).coalesce(1)
+      .write.mode("overwrite").parquet(hotStatePath(stateDir, batchId))
+    // replay only ever reads batch id-1's state — prune id-2 and older
+    // (the packStream retention rule)
+    graft.sources.StoreFs.childNames(spark, stateDir)
+      .filter(_.startsWith("batch=")).map(_.drop(6).toLong)
+      .filter(_ <= batchId - 2)
+      .foreach(b =>
+        graft.sources.StoreFs.delete(spark, hotStatePath(stateDir, b)))
+  }
+
+  /** The latest carried summary: (key, wt, n_total) for the surviving
+    * ≤ capacity keys — `wt ≤ true count ≤ wt + n_total/(capacity+1)`,
+    * and every key with true count above that slack is present. */
+  def hotKeySummary(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame = {
+    val batches = graft.sources.StoreFs.childNames(spark, stateDir)
+      .filter(_.startsWith("batch=")).map(_.drop(6).toLong)
+    require(batches.nonEmpty, s"no hot-key state under $stateDir")
+    val st = spark.read.parquet(hotStatePath(stateDir, batches.max))
+    val tot = st.filter(col("key").isNull)
+      .select(col("wt").as("n_total"))
+    st.filter(col("key").isNotNull)
+      .crossJoin(broadcast(tot))
+      .orderBy(col("wt").desc, col("key").cast("string"))
   }
 
   /** The detect→mitigate composition: measure the big side's key skew

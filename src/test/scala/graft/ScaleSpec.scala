@@ -487,6 +487,56 @@ class ScaleSpec extends SparkSpec {
     assert(dup === got)
   }
 
+  test("hotKeysStream: the MG guarantee holds over the WHOLE stream " +
+      "(superset + weight bounds + exact n_total), state stays " +
+      "bounded, and a crash-replay of a batch is bit-identical") {
+    import java.nio.file.Files
+    // N=1220, capacity=10 → slack N/11 ≈ 110: hot (300) and warm (120)
+    // are true hitters and MUST survive any batch decomposition
+    val rows = Seq.fill(300)("hot") ++ Seq.fill(120)("warm") ++
+      (1 to 800).map(i => s"x$i")
+    val src = Files.createTempDirectory("graft_hk_src").toString
+    spark.createDataset(rows.zipWithIndex.sortBy(_._2 % 7).map(_._1))
+      .toDF("k").repartition(6).write.mode("overwrite").parquet(src)
+    val state = Files.createTempDirectory("graft_hk_state").toString
+    val ckpt = Files.createTempDirectory("graft_hk_ckpt").toString
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = Scale.hotKeysStream(stream, "k", capacity = 10, state, ckpt)
+    q.awaitTermination()
+    val sm = Scale.hotKeySummary(spark, state)
+      .select($"key", $"wt", $"n_total")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(sm.nonEmpty && sm.size <= 10)
+    val n = sm.head._3
+    assert(n === 1220L)
+    val slack = n / 11
+    val wts = sm.map(t => t._1 -> t._2).toMap
+    assert(wts.contains("hot") && wts.contains("warm"),
+      s"true hitters must survive the cross-batch merge: $wts")
+    assert(wts("hot") <= 300L && wts("hot") + slack >= 300L)
+    assert(wts("warm") <= 120L && wts("warm") + slack >= 120L)
+    // retention: only the latest two batch states remain
+    val dirs = new java.io.File(state).listFiles()
+      .map(_.getName).filter(_.startsWith("batch="))
+    assert(dirs.length <= 2, dirs.mkString(","))
+    // crash-replay: re-running a batch against its predecessor's state
+    // reproduces the state file exactly (rows AND order)
+    val st2 = Files.createTempDirectory("graft_hk_state2").toString
+    val b0 = spark.createDataset(
+      Seq.fill(50)("hot") ++ (1 to 100).map(i => s"a$i")).toDF("k")
+    val b1 = spark.createDataset(
+      Seq.fill(70)("hot") ++ (1 to 100).map(i => s"b$i")).toDF("k")
+    Scale.hotKeysBatch(b0, 0L, "k", 10, st2)
+    Scale.hotKeysBatch(b1, 1L, "k", 10, st2)
+    def stateRows() = spark.read.parquet(st2 + "/batch=1")
+      .collect().map(r => (r.get(0), r.getLong(1))).toSeq
+    val snap = stateRows()
+    Scale.hotKeysBatch(b1, 1L, "k", 10, st2) // the replay
+    assert(stateRows() === snap)
+  }
+
   test("topKPerGroup: exact planted results with ties and short groups; " +
       "equals the window-rank form on the fixture; partition-count " +
       "independent; plans as a partial-combinable ObjectHashAggregate, " +

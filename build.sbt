@@ -33,11 +33,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // 110 declared queries × multiple shuffled bench passes generate
+  // 110+ declared queries × multiple shuffled bench passes generate
   // more whole-stage-codegen classes than the JVM's default 240 MB
   // code cache holds; once it fills, the JIT stops compiling and the
   // whole suite runs partially interpreted. Measured same-window A/B
   // on the full Bench: 90.6 s (2 passes) at the default vs 75.4 s
-  // (3 passes) at 512 MB.
-  "-XX:ReservedCodeCacheSize=512m",
+  // (3 passes) at 512 MB (r12, 110 queries). Re-raised to 768 MB at
+  // 114 queries (r14) — grow it with the suite before bisecting any
+  // uniform suite-wide "regression".
+  "-XX:ReservedCodeCacheSize=768m",
 )

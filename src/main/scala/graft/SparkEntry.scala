@@ -1415,6 +1415,13 @@ object SparkEntry {
       Analytics.gapFillDailyLocf(Tables.events(s, d), "user_id", "ts",
         "value")),
 
+    // domain cap: at most 15 docs per source, picked by the LCG order
+    // (q102/q103 discipline) through the bounded top-k aggregate —
+    // sf0.01's sources carry exactly 20 docs, so the cap bites.
+    "q115_source_cap" -> ((s, d) =>
+      Curation.capPerGroup(Tables.documents(s, d), "source", "doc_id",
+        n = 15)),
+
     // Heaps-law profile: vocabulary size at geometric token-stream
     // prefixes (global positions from the q80 prefix scan — never a
     // global window). The fixture saturates almost immediately (closed
@@ -3020,6 +3027,19 @@ object SparkEntry {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |    AS fill_value
          |FROM j ORDER BY user_id, day""".stripMargin,
+
+    // the aggregate's (-lcg DESC, id ASC) order == row_number over
+    // (lcg ASC, id ASC); plain % is pmod on the non-negative doc ids
+    "q115_source_cap" ->
+      """SELECT source, pick, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY
+        |      (((doc_id % 2147483648) * 1103515245 + 12345)
+        |        % 2147483648),
+        |      doc_id) AS INT) AS pick
+        |  FROM documents)
+        |WHERE pick <= 15
+        |ORDER BY source, pick""".stripMargin,
 
     // same doc-order global positions (window cumsum of per-doc token
     // counts), per-term min first occurrence, vocab counted at the

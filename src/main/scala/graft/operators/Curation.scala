@@ -328,6 +328,36 @@ object Curation {
       .select(col("__doc").as(idCol), col("n_bigrams"), col("avg_nll"))
   }
 
+  /** Deterministic per-group cap — the "domain cap" curation step: a
+    * web corpus where one source contributes 40% of the documents
+    * needs that source bounded BEFORE training, and the bound must be
+    * a pseudo-random sample of the source (capping by data order
+    * keeps whatever the crawler saw first). Keeps at most `n` rows of
+    * each group, chosen by the rows' LCG order over the id — the
+    * split/sample discipline (q102/q103): deterministic, partition-
+    * independent, replayable in ANSI SQL. Selection runs through the
+    * bounded mergeable top-k aggregate
+    * ([[graft.functions.TopKAggregator]]), so a group a million times
+    * over its cap costs map-side-combinable ≤ 2n-entry buffers, never
+    * a per-group window sort (the q113 hot-group argument — and a
+    * capped-domain group is hot BY DEFINITION, that is why it is
+    * being capped). LCG mod 2^31 is a bijection on [0, 2^31) ids, so
+    * picks collide only past 2^31 where the id tie-break still keeps
+    * the order total. Returns (group, pick ∈ 1..n, id) ordered by
+    * (group, pick). */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    // smallest-LCG-first == top-n by negated LCG under the aggregate's
+    // (v DESC, id ASC) total order; values < 2^31 are double-exact
+    val ordered = df.withColumn("__ord",
+      -lcgBucket(col(idCol), 1L << 31).cast("double"))
+    graft.operators.Analytics
+      .topKPerGroup(ordered, groupCol, "__ord", idCol, n)
+      .select(col(groupCol), col("rank").as("pick"), col(idCol))
+      .orderBy(col(groupCol), col("pick"))
+  }
+
   /** ANSI-safe deterministic LCG bucket in [0, `mod`): an inner mod
     * before the multiply keeps the product under 2^62 at any id
     * magnitude (the q90 shuffle-shard arithmetic). Non-negative ids

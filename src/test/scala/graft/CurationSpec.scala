@@ -369,4 +369,23 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, Double, Double)].collect().head
     assert(a === b)
   }
+
+  test("capPerGroup: at most n picks per group, selection is the LCG " +
+      "order (not data order), partition-count independent, small " +
+      "groups kept whole") {
+    def lcg(id: Long): Long = ((id % 2147483648L) * 1103515245L + 12345L) % 2147483648L
+    val rows = (0L until 20L).map(i => ("big", i)) ++
+      Seq(("tiny", 100L), ("tiny", 101L))
+    for (parts <- Seq(1, 3, 7)) {
+      val df = spark.sparkContext
+        .parallelize(scala.util.Random.shuffle(rows), parts).toDF("g", "id")
+      val got = Curation.capPerGroup(df, "g", "id", n = 5)
+        .as[(String, Int, Long)].collect().toSeq
+      val expectBig = (0L until 20L).sortBy(i => (lcg(i), i)).take(5)
+        .zipWithIndex.map { case (id, p) => ("big", p + 1, id) }
+      val expectTiny = Seq(100L, 101L).sortBy(i => (lcg(i), i))
+        .zipWithIndex.map { case (id, p) => ("tiny", p + 1, id) }
+      assert(got === expectBig ++ expectTiny, s"parts=$parts")
+    }
+  }
 }

@@ -86,6 +86,14 @@ object ScaleBench {
           graft.Tables.documents(spark, sfDir),
           "doc_id", "text", "source", k = 3, threshold = 0.5,
           maxShingleDf = 64)
+      // the r14 merge tree at a WIDE partition layout: 2048 input
+      // partitions force three tree levels (2048 → 64 → 2 → 1) where
+      // the fixture scan gives one; the delta vs plain q100 prices the
+      // tree machinery itself (the driver hold stays ≤ capacity)
+      case "q100_wide" =>
+        graft.operators.Scale.heavyHitters(
+          graft.Tables.events(spark, sfDir).repartition(2048),
+          "user_id", minShare = 0.008)
       // production keep-first: the SAME policy as declared q47 but over
       // the CAPPED pair stream — the hot-source regime where the
       // uncapped pair join is 107 s / 56 GB spill at m30z while the

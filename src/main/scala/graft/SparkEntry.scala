@@ -1422,6 +1422,48 @@ object SparkEntry {
       Curation.capPerGroup(Tables.documents(s, d), "source", "doc_id",
         n = 15)),
 
+    // mergeable log-linear quantile sketch (q41's exact / q58's GK
+    // third sibling): pure-integer HDR bucketing → additive histogram
+    // → nearest-rank bucket lower bounds, rel. error ≤ 2^-5 at any N,
+    // partition/merge-order independent AND bit-replayable in ANSI —
+    // the deterministic sketch q58's GK can never be.
+    "q116_hdr_quantiles" -> ((s, d) =>
+      Analytics.quantilesHdr(fan(Tables.lineitem(s, d), "l_orderkey"),
+        "l_returnflag", "l_extendedprice")),
+
+    // per-source dataset card: the one-pass corpus profile read before
+    // choosing curation gates. Exact counts + IEEE divisions of exact
+    // longs → plain ANSI oracle.
+    "q117_profile_card" -> ((s, d) =>
+      Curation.profileCard(fan(Tables.documents(s, d), "doc_id"))),
+
+    // distribution drift per event_type between the stream's first and
+    // second half-month (PSI over floor(value/20) bins, add-one
+    // smoothed; the q104 6-dp lift discipline end to end).
+    "q118_drift_psi" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Analytics.drift(ev, "event_type",
+        floor(col("value") / lit(20.0)).cast("long"),
+        col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
+    }),
+
+    // count-min sketch point queries vs exact truth: the fixed-memory
+    // frequency sketch (4×256 counters at any N) probed with the keys
+    // whose exact count ≥ 15; est ≥ truth always (spec inequality),
+    // additive counters → partition-independent, LCG-mod hashes →
+    // exact ANSI replay.
+    "q119_cms_counts" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val sketch = Scale.countMinSketch(ev, "user_id")
+      val truth = ev.filter(col("user_id").isNotNull)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("true_cnt"))
+        .filter(col("true_cnt") >= 15)
+      truth.join(Scale.cmsEstimates(sketch, truth, "user_id"),
+        Seq("user_id"))
+        .select(col("user_id"), col("true_cnt"), col("cms_est"))
+        .orderBy(col("user_id"))
+    }),
+
     // Heaps-law profile: vocabulary size at geometric token-stream
     // prefixes (global positions from the q80 prefix scan — never a
     // global window). The fixture saturates almost immediately (closed
@@ -3040,6 +3082,126 @@ object SparkEntry {
         |  FROM documents)
         |WHERE pick <= 15
         |ORDER BY source, pick""".stripMargin,
+
+    // the HDR bucket math replayed in pure integer SQL: exact
+    // centi-units via the round→DECIMAL lift, exponent from
+    // length(bin(v)), shifts/masks for bucket id and lower bound,
+    // nearest-rank via `//` (== Spark DIV on BIGINT)
+    "q116_hdr_quantiles" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |e AS (SELECT grp, v, length(bin(v)) - 1 AS e FROM v),
+        |b AS (SELECT grp,
+        |  CASE WHEN e <= 5 THEN v
+        |       ELSE (CAST(e AS BIGINT) << 5) + ((v >> (e - 5)) & 31) END AS bkt
+        |  FROM e),
+        |h AS (SELECT grp, bkt, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM b GROUP BY grp, bkt),
+        |c AS (SELECT grp, bkt,
+        |  CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY bkt) AS BIGINT) AS cum,
+        |  CAST(sum(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n
+        |  FROM h),
+        |p AS (SELECT grp, n,
+        |  min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bkt END) AS b50,
+        |  min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN bkt END) AS b90,
+        |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bkt END) AS b99
+        |  FROM c GROUP BY grp, n)
+        |SELECT grp AS l_returnflag, n,
+        |  round(CAST(CASE WHEN b50 < 64 THEN b50
+        |    ELSE (CAST(1 AS BIGINT) << CAST(b50 >> 5 AS INT))
+        |      + ((b50 & 31) << (CAST(b50 >> 5 AS INT) - 5)) END AS DOUBLE)
+        |    / CAST(100 AS DOUBLE), 6) AS p50_est,
+        |  round(CAST(CASE WHEN b90 < 64 THEN b90
+        |    ELSE (CAST(1 AS BIGINT) << CAST(b90 >> 5 AS INT))
+        |      + ((b90 & 31) << (CAST(b90 >> 5 AS INT) - 5)) END AS DOUBLE)
+        |    / CAST(100 AS DOUBLE), 6) AS p90_est,
+        |  round(CAST(CASE WHEN b99 < 64 THEN b99
+        |    ELSE (CAST(1 AS BIGINT) << CAST(b99 >> 5 AS INT))
+        |      + ((b99 & 31) << (CAST(b99 >> 5 AS INT) - 5)) END AS DOUBLE)
+        |    / CAST(100 AS DOUBLE), 6) AS p99_est
+        |FROM p ORDER BY l_returnflag""".stripMargin,
+
+    "q117_profile_card" ->
+      """SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_text,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  round(CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS avg_chars,
+        |  min(n_chars) AS min_chars,
+        |  max(n_chars) AS max_chars,
+        |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT)
+        |    AS total_tokens,
+        |  CAST(sum(CASE WHEN n_chars < 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_short,
+        |  round(CAST(sum(CASE WHEN n_chars < 50 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS short_ratio
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // PSI with add-one smoothing over the joint bin support; the q104
+    // lift: both factors rounded to 6 dp → 1e6-scaled BIGINTs →
+    // integer products summed as DECIMAL(38,0)
+    "q118_drift_psi" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(floor(value / CAST(20 AS DOUBLE)) AS BIGINT) AS bin,
+        |    (ts < TIMESTAMP '2024-01-16 00:00:00') AS a
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT event_type, bin,
+        |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |  CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM b GROUP BY event_type, bin),
+        |t AS (SELECT event_type, CAST(sum(ca) AS BIGINT) AS n_a,
+        |  CAST(sum(cb) AS BIGINT) AS n_b,
+        |  CAST(count(*) AS BIGINT) AS n_bins
+        |  FROM c GROUP BY event_type),
+        |p AS (SELECT c.event_type, n_a, n_b, n_bins,
+        |  CAST(ca + 1 AS DOUBLE) / CAST(n_a + n_bins AS DOUBLE) AS pa,
+        |  CAST(cb + 1 AS DOUBLE) / CAST(n_b + n_bins AS DOUBLE) AS pb
+        |  FROM c JOIN t ON c.event_type = t.event_type),
+        |s AS (SELECT event_type, n_a, n_b, n_bins,
+        |  CAST(CAST(round(pa - pb, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |  * CAST(CAST(round(ln(pa / pb), 6) AS DECIMAL(18,6)) * 1000000
+        |      AS BIGINT) AS term
+        |  FROM p)
+        |SELECT event_type, n_a, n_b, n_bins,
+        |  round(CAST(sum(CAST(term AS DECIMAL(38,0))) AS DOUBLE)
+        |    / 1e12, 6) AS psi
+        |FROM s GROUP BY event_type, n_a, n_b, n_bins
+        |ORDER BY event_type""".stripMargin,
+
+    // the CMS grid rebuilt in SQL: same affine row hashes mod 2^31−1
+    // (inner mod before the multiply), same min-over-rows estimate
+    "q119_cms_counts" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id AS BIGINT) AS k FROM events
+        |  WHERE user_id IS NOT NULL),
+        |rs AS (SELECT CAST(unnest(generate_series(0, 3)) AS BIGINT) AS r),
+        |hx AS (SELECT k, r,
+        |  (((((k % 2147483647) + 2147483647) % 2147483647)
+        |     * (1103515245 + r) + (12345 + 6789 * r))
+        |   % 2147483647) % 256 AS c
+        |  FROM e CROSS JOIN rs),
+        |sk AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM hx GROUP BY r, c),
+        |truth AS (SELECT k AS user_id, CAST(count(*) AS BIGINT) AS true_cnt
+        |          FROM e GROUP BY k HAVING count(*) >= 15),
+        |pr AS (SELECT t.user_id, t.true_cnt, rs.r,
+        |  (((((t.user_id % 2147483647) + 2147483647) % 2147483647)
+        |     * (1103515245 + rs.r) + (12345 + 6789 * rs.r))
+        |   % 2147483647) % 256 AS c
+        |  FROM truth t CROSS JOIN rs)
+        |SELECT p.user_id, p.true_cnt,
+        |  CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS cms_est
+        |FROM pr p LEFT JOIN sk ON sk.r = p.r AND sk.c = p.c
+        |GROUP BY p.user_id, p.true_cnt
+        |ORDER BY p.user_id""".stripMargin,
 
     // same doc-order global positions (window cumsum of per-doc token
     // counts), per-term min first occurrence, vocab counted at the

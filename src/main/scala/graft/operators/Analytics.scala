@@ -201,6 +201,121 @@ object Analytics {
         round(element_at(col("__q"), 3), 6).as("p99"))
       .orderBy(col(groupCol))
 
+  /** Mergeable log-linear quantile sketch (HdrHistogram-style
+    * bucketing): values are mapped to integer buckets — exact below
+    * 2^(subBits+1), then `subBits` bits of mantissa per power-of-two
+    * range — and the sketch is just the (group, bucket) count
+    * histogram. Quantiles are answered by nearest-rank over the
+    * cumulative bucket counts, returning the bucket LOWER BOUND, so
+    * the relative error is bounded by 2^-subBits (~3.1% at the
+    * default 5) regardless of data size or distribution.
+    *
+    * Why this exists next to [[quantiles]] (exact) and
+    * [[quantilesApprox]] (GK): bucket counts are ADDITIVE, so the
+    * sketch is merge-order and partition-count independent — unlike
+    * GK (q58, the suite's sole non-oracled query) — while holding
+    * ≤ ~(64-subBits)·2^subBits buckets per group (≈2k at subBits=5)
+    * no matter how many rows feed it: the 100 TB answer when a
+    * bounded-error quantile must also be deterministic and cheaply
+    * mergeable across streams/stores. Bucketing is pure integer math
+    * (exponent via `length(bin(v))`, shifts, masks) so a DuckDB
+    * oracle replays it bit-for-bit — no floating log anywhere.
+    *
+    * Contract: `valueCol` is a non-negative metric with ≤2 decimal
+    * places of interest (values are lifted to exact centi-units via
+    * the round→DECIMAL discipline); nulls are excluded from ranks; a
+    * negative value raises a clear per-row error. */
+  def quantilesHdr(df: DataFrame, groupCol: String, valueCol: String,
+      subBits: Int = 5): DataFrame = {
+    require(subBits >= 1 && subBits <= 16, s"subBits out of range: $subBits")
+    val m = subBits
+    val sub = 1L << m
+    // exact centi-units: round(x,2) → DECIMAL(18,2) → ×100 is
+    // engine-identical (the q102 lift discipline)
+    val centi = round(col(valueCol), 2).cast(DecimalType(18, 2))
+      .multiply(lit(100)).cast("long")
+    val guarded = when(centi >= 0, centi)
+      .otherwise(raise_error(concat(
+        lit(s"quantilesHdr: negative value in $valueCol: "),
+        col(valueCol).cast("string"))))
+    val hist = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), guarded.as("__v"))
+      .withColumn("__e", (length(bin(col("__v"))) - 1).cast("int"))
+      // bucket id: small values map to themselves (ids 0..2^(m+1)-1);
+      // past that, (exponent << m) | top-m mantissa bits — monotone in
+      // the value, ids from (m+1)·2^m up, no overlap with the small
+      // range
+      .withColumn("__bkt", when(col("__e") <= m, col("__v"))
+        .otherwise(expr(s"shiftleft(cast(__e as bigint), $m) + " +
+          s"(shiftright(__v, __e - $m) & ${sub - 1})")))
+      .groupBy(col(groupCol), col("__bkt"))
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__bkt"))
+    val totals = hist.groupBy(col(groupCol)).agg(sum(col("__cnt")).as("__n"))
+    val cum = hist.withColumn("__cum", sum(col("__cnt")).over(w))
+      .join(broadcast(totals), Seq(groupCol))
+    // nearest-rank ceil(p·n) in pure integers: (n·num + 99) DIV 100
+    def pick(num: Int): Column =
+      min(when(col("__cum") >= expr(s"(__n * $num + 99) div 100"),
+        col("__bkt")))
+    val picked = cum.groupBy(col(groupCol)).agg(
+      pick(50).as("__b50"), pick(90).as("__b90"), pick(99).as("__b99"),
+      first(col("__n")).as("n"))
+    // bucket → exact lower bound (centi-units), then one exact-integer
+    // division to the reported estimate
+    def lb(b: String): Column =
+      when(col(b) < lit(2 * sub), col(b)).otherwise(expr(
+        s"shiftleft(cast(1 as bigint), cast(shiftright($b, $m) as int)) + " +
+          s"shiftleft($b & ${sub - 1}, cast(shiftright($b, $m) as int) - $m)"))
+    def est(b: String, out: String): Column =
+      round(lb(b).cast("double") / lit(100.0), 6).as(out)
+    picked.select(col(groupCol), col("n"),
+      est("__b50", "p50_est"), est("__b90", "p90_est"), est("__b99", "p99_est"))
+      .orderBy(col(groupCol))
+  }
+
+  /** Distribution drift between two snapshots of the same stream
+    * (population stability index per key). Rows are split into
+    * snapshot A / snapshot B by `splitA`, binned by `bin` (caller
+    * supplies an exact integer binning), and PSI is computed over the
+    * JOINT bin support with add-one (Laplace) smoothing so empty bins
+    * on one side stay finite:
+    *   psi = Σ_bins (pA − pB) · ln(pA / pB),
+    *   pX = (cnt_X + 1) / (n_X + n_bins).
+    * Cross-engine determinism is the q104 lift discipline: both
+    * factors are rounded to 6 dp, lifted to 1e6-scaled BIGINTs, the
+    * per-bin products summed as DECIMAL(38,0) — every decimal→double
+    * conversion is of an integer. One shuffle (the (key, bin)
+    * count), a broadcast totals join, map-side combinable throughout;
+    * the bin histogram, not the row stream, is what flows into the
+    * PSI fold — flat at any N for bounded binnings. */
+  def drift(df: DataFrame, keyCol: String, bin: Column, splitA: Column)
+      : DataFrame = {
+    val counts = df
+      .select(col(keyCol), bin.as("__bin"), splitA.cast("boolean").as("__a"))
+      .filter(col("__bin").isNotNull && col("__a").isNotNull)
+      .groupBy(col(keyCol), col("__bin"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__cb"))
+    val totals = counts.groupBy(col(keyCol)).agg(
+      sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
+      count(lit(1)).as("n_bins"))
+    val j = counts.join(broadcast(totals), Seq(keyCol))
+    val pa = (col("__ca") + 1).cast("double") /
+      (col("n_a") + col("n_bins")).cast("double")
+    val pb = (col("__cb") + 1).cast("double") /
+      (col("n_b") + col("n_bins")).cast("double")
+    def lift6(c: Column): Column =
+      round(c, 6).cast(DecimalType(18, 6)).multiply(lit(1000000)).cast("long")
+    val term = lift6(pa - pb) * lift6(log(pa / pb))
+    j.groupBy(col(keyCol)).agg(
+      first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+      first(col("n_bins")).as("n_bins"),
+      round(sum(term.cast(DecimalType(38, 0))).cast("double") / lit(1e12), 6)
+        .as("psi"))
+      .orderBy(col(keyCol))
+  }
+
   /** approx_count_distinct sketch surface (HLL++) — not
     * oracle-expressible (sketch internals differ per engine); declared
     * rows-only per the contract. */

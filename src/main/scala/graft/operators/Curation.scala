@@ -454,6 +454,40 @@ object Curation {
           .as("containment"))
   }
 
+  /** Per-source dataset card: the one-pass corpus profile a curation
+    * run reads before choosing gates (the "know your data" step every
+    * pretraining pipeline fronts with). One row per `source` with doc
+    * counts, null/short-text rates, language spread, char extremes,
+    * and whitespace-token totals. ONE aggregation over one scan —
+    * map-side combinable, flat at any N (output rows = distinct
+    * sources); the countDistinct(lang) is the only two-phase piece
+    * and its key space is (source, lang), corpus-bounded. Floats are
+    * IEEE divisions of exact longs rounded to 6 dp — fully
+    * ANSI-oracled. */
+  def profileCard(df: DataFrame, sourceCol: String = "source",
+      textCol: String = "text", langCol: String = "lang",
+      charsCol: String = "n_chars", shortChars: Int = 50): DataFrame =
+    df.groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col(textCol).isNull, 1L).otherwise(0L)).as("n_null_text"),
+        countDistinct(col(langCol)).as("n_langs"),
+        sum(col(charsCol)).cast("long").as("total_chars"),
+        min(col(charsCol)).as("min_chars"),
+        max(col(charsCol)).as("max_chars"),
+        sum(graft.functions.TextOps.tokenCount(col(textCol)).cast("long"))
+          .cast("long").as("total_tokens"),
+        sum(when(col(charsCol) < shortChars, 1L).otherwise(0L)).as("n_short"))
+      .select(col(sourceCol), col("n_docs"), col("n_null_text"),
+        col("n_langs"), col("total_chars"),
+        round(col("total_chars").cast("double") /
+          col("n_docs").cast("double"), 6).as("avg_chars"),
+        col("min_chars"), col("max_chars"), col("total_tokens"),
+        col("n_short"),
+        round(col("n_short").cast("double") /
+          col("n_docs").cast("double"), 6).as("short_ratio"))
+      .orderBy(col(sourceCol))
+
   /** Heaps-law profile: vocabulary size at geometric prefixes of the
     * doc-order token stream — V(n) at n = 16, 32, 64, … and the full
     * corpus. On natural text V(n) ≈ K·n^β (β ≈ 0.5); a curve that

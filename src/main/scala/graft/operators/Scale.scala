@@ -515,6 +515,67 @@ object Scale {
       buckets: Int): Unit =
     writeBucketedAs(df, table, key, buckets, null, "append")
 
+  // --- count-min sketch --------------------------------------------------
+
+  /** 2^31−1 (prime): the modulus of the CMS row hashes. */
+  val cmsModulus: Long = 2147483647L
+
+  /** Row-r CMS hash of an integral key into [0, width): an affine mix
+    * mod 2^31−1 keyed by the row index, then mod width. Inner-mod
+    * BEFORE the multiply (the q90 LCG discipline) keeps the ANSI
+    * product under 2^62 for any Long key; the same expression replays
+    * verbatim in ANSI SQL, which is what makes the sketch oracle-able. */
+  private[graft] def cmsHash(key: Column, r: Column, width: Int): Column = {
+    val m = cmsModulus
+    val k = ((key % m) + m) % m
+    ((k * (lit(1103515245L) + r.cast("long")) +
+      (lit(12345L) + lit(6789L) * r.cast("long"))) % m) % width
+  }
+
+  /** Count-min sketch of `keyCol`'s frequency distribution: a
+    * depth × width grid of counters where row r counts keys hashed by
+    * [[cmsHash]]. The sketch IS a DataFrame of (r, c, cnt) — at most
+    * depth·width rows total (4×256 = 1 KB-ish by default) REGARDLESS
+    * of input size or key cardinality, built by one map-side-combined
+    * aggregate whose key space is the grid, not the data.
+    *
+    * Counters are additive, so the sketch is partition-order
+    * independent, mergeable across streams/stores by plain
+    * (r,c)-summing, and — because the hashes are exact integer
+    * arithmetic — bit-replayable in an ANSI oracle. The classic
+    * point-query guarantee holds: [[cmsEstimates]] never
+    * underestimates, and overestimates by > 2N/width with probability
+    * ≤ 2^-depth (Cormode & Muthukrishnan). Complements
+    * [[heavyHitters]]: MG tracks WHICH keys are hot exactly; CMS
+    * answers "how often was key X" for ANY later probe key from fixed
+    * memory — the two ends of the frequency-sketch trade-off. */
+  def countMinSketch(df: DataFrame, keyCol: String, depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth out of range: $depth")
+    require(width >= 2, s"width out of range: $width")
+    df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("long").as("__k"))
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("r"), col("__k"))
+      .select(col("r"), cmsHash(col("__k"), col("r"), width).as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query estimates from a [[countMinSketch]]: for each
+    * distinct probe key, min over rows of the counter its hash lands
+    * in (0 when the cell is empty — the key was never seen). The
+    * sketch side is depth·width rows and broadcasts; the probe side
+    * stays distributed — estimating a billion probe keys is a
+    * broadcast join, never a shuffle. Returns (key, cms_est) with
+    * cms_est ≥ the key's true count always. */
+  def cmsEstimates(sketch: DataFrame, probes: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 256): DataFrame =
+    probes.select(col(keyCol)).filter(col(keyCol).isNotNull).distinct()
+      .select(col(keyCol), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("c", cmsHash(col(keyCol).cast("long"), col("r"), width))
+      .join(broadcast(sketch), Seq("r", "c"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+
   private def writeBucketedAs(df: DataFrame, table: String, key: String,
       buckets: Int, path: String, mode: String): Unit = {
     // an explicit path makes the table EXTERNAL there (bucketed writes

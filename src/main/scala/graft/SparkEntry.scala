@@ -1464,6 +1464,54 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // cross-source duplication PageRank: sources are nodes, edge
+    // weight = # of cross-source near-dup pairs (the q25 simhash
+    // pairs), symmetrized — rank = "syndication hub" score, the
+    // crawl-curation signal for boilerplate networks. Exact-integer
+    // iteration (1e12-scaled ranks, DIV arithmetic) → the oracle
+    // replays all 8 rounds in a recursive CTE over the PINNED q25
+    // pair set (staleness guarded transitively by the q25 pin).
+    "q120_source_pagerank" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.simhashNearDups(docs, "doc_id", "text",
+        maxHamming = 3)
+      val src = docs.select(col("doc_id"), col("source"))
+      val lab = pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+          "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+          "id_b")
+        .filter(col("sa") =!= col("sb"))
+      val und = lab
+        .select(least(col("sa"), col("sb")).as("x"),
+          greatest(col("sa"), col("sb")).as("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("w"))
+      val sym = und.select(col("x").as("src"), col("y").as("dst"), col("w"))
+        .union(und.select(col("y").as("src"), col("x").as("dst"), col("w")))
+      Graph.weightedPageRank(sym, iters = 8)
+        .select(col("node").as("source"), col("rank_scaled"), col("pagerank"))
+        .orderBy(col("rank_scaled").desc, col("source"))
+    }),
+
+    // embedding-space drift per label between two snapshots (vec_id
+    // parity split): cosine + L2 between the two per-label mean
+    // embeddings — the vector analogue of q118's scalar PSI. Exact
+    // decimal per-dim sums → 6-dp lifted components → integer
+    // dot/norms → one IEEE cosine at the end. Plain ANSI oracle.
+    "q121_centroid_drift" -> ((s, d) =>
+      Similarity.centroidDrift(Tables.embeddings(s, d), "label",
+        "embedding", pmod(col("vec_id"), lit(2)) === 0)),
+
+    // per-source vocabulary KL divergence from the corpus unigram
+    // distribution (exact over the source's own support — no
+    // smoothing needed since support ⊆ corpus support): the
+    // token-distribution drift gate read before the per-doc LM
+    // scorers spend anything. q104/q118 lift discipline → exact
+    // ANSI oracle.
+    "q122_vocab_divergence" -> ((s, d) =>
+      Curation.vocabDivergence(fan(Tables.documents(s, d), "doc_id"),
+        "text", "source")),
+
     // Heaps-law profile: vocabulary size at geometric token-stream
     // prefixes (global positions from the q80 prefix scan — never a
     // global window). The fixture saturates almost immediately (closed
@@ -3202,6 +3250,111 @@ object SparkEntry {
         |FROM pr p LEFT JOIN sk ON sk.r = p.r AND sk.c = p.c
         |GROUP BY p.user_id, p.true_cnt
         |ORDER BY p.user_id""".stripMargin,
+
+    // all 8 exact-integer PageRank rounds replayed in a recursive CTE
+    // over the PINNED q25 pair set (staleness guarded transitively by
+    // the q25 pin); DuckDB // == Spark DIV on non-negative BIGINTs
+    "q120_source_pagerank" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT id_a, id_b FROM read_parquet(
+        |    '/root/repo/src/test/resources/graft/expected/q25_sf001.parquet')),
+        |lab AS (
+        |  SELECT least(da.source, db.source) AS x,
+        |         greatest(da.source, db.source) AS y
+        |  FROM pairs p
+        |  JOIN documents da ON da.doc_id = p.id_a
+        |  JOIN documents db ON db.doc_id = p.id_b
+        |  WHERE da.source <> db.source),
+        |und AS (SELECT x, y, CAST(count(*) AS BIGINT) AS w
+        |        FROM lab GROUP BY x, y),
+        |e AS (SELECT x AS src, y AS dst, w FROM und
+        |      UNION ALL SELECT y, x, w FROM und),
+        |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS ww FROM e GROUP BY src),
+        |cn AS (SELECT
+        |  CAST(1000000000000 // count(DISTINCT src) AS BIGINT) AS init,
+        |  CAST((15 * (1000000000000 // count(DISTINCT src))) // 100
+        |    AS BIGINT) AS base
+        |  FROM e),
+        |pr(it, node, r) AS (
+        |  SELECT 0, src, cn.init FROM (SELECT DISTINCT src FROM e), cn
+        |  UNION ALL
+        |  SELECT pr.it + 1, e.dst,
+        |    CAST(cn.base + sum((85 * ((pr.r * e.w) // ow.ww)) // 100)
+        |      AS BIGINT)
+        |  FROM pr JOIN e ON pr.node = e.src JOIN ow ON ow.src = e.src, cn
+        |  WHERE pr.it < 8
+        |  GROUP BY pr.it, e.dst, cn.base)
+        |SELECT node AS source, r AS rank_scaled,
+        |  round(CAST(r AS DOUBLE) / 1e12, 6) AS pagerank
+        |FROM pr WHERE it = 8
+        |ORDER BY rank_scaled DESC, source""".stripMargin,
+
+    // same exact-decimal per-dim sums (q21 discipline), 6-dp lifted
+    // components, integer dot/norms, one IEEE cosine at the end
+    "q121_centroid_drift" ->
+      """WITH e AS (
+        |  SELECT label, vec_id % 2 = 0 AS a, i,
+        |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12)) AS v
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |s AS (
+        |  SELECT label, i,
+        |    sum(CASE WHEN a THEN v END) AS sa,
+        |    CAST(sum(CASE WHEN a THEN 1 END) AS BIGINT) AS na,
+        |    sum(CASE WHEN NOT a THEN v END) AS sb,
+        |    CAST(sum(CASE WHEN NOT a THEN 1 END) AS BIGINT) AS nb
+        |  FROM e GROUP BY label, i),
+        |l AS (
+        |  SELECT label, na, nb,
+        |    CAST(CAST(round(CAST(sa AS DOUBLE) / na, 6) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT) AS la,
+        |    CAST(CAST(round(CAST(sb AS DOUBLE) / nb, 6) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT) AS lb
+        |  FROM s WHERE na IS NOT NULL AND nb IS NOT NULL),
+        |g AS (
+        |  SELECT label, max(na) AS n_a, max(nb) AS n_b,
+        |    CAST(sum(la * lb) AS BIGINT) AS dot,
+        |    CAST(sum(la * la) AS BIGINT) AS a2,
+        |    CAST(sum(lb * lb) AS BIGINT) AS b2,
+        |    CAST(sum((la - lb) * (la - lb)) AS BIGINT) AS d2
+        |  FROM l GROUP BY label)
+        |SELECT label, n_a, n_b,
+        |  CASE WHEN a2 = 0 OR b2 = 0 THEN NULL
+        |    ELSE round(CAST(dot AS DOUBLE) / sqrt(CAST(a2 AS DOUBLE))
+        |      / sqrt(CAST(b2 AS DOUBLE)), 6) END AS cos_drift,
+        |  round(sqrt(CAST(d2 AS DOUBLE)) / 1e6, 6) AS l2_drift
+        |FROM g ORDER BY label""".stripMargin,
+
+    // exact KL over each source's own unigram support (⊆ corpus
+    // support — no smoothing floor needed); q104/q118 lift discipline
+    "q122_vocab_divergence" ->
+      """WITH w AS (
+        |  SELECT source AS g,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS wd
+        |  FROM documents WHERE text IS NOT NULL),
+        |w2 AS (SELECT g, wd FROM w WHERE length(wd) > 0),
+        |sw AS (SELECT g, wd, CAST(count(*) AS BIGINT) AS c_sw
+        |       FROM w2 GROUP BY g, wd),
+        |cw AS (SELECT wd, CAST(count(*) AS BIGINT) AS c_w
+        |       FROM w2 GROUP BY wd),
+        |ns AS (SELECT g, CAST(sum(c_sw) AS BIGINT) AS n_s,
+        |       CAST(count(*) AS BIGINT) AS vocab_s FROM sw GROUP BY g),
+        |nt AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_t FROM cw),
+        |j AS (
+        |  SELECT sw.g, ns.n_s, ns.vocab_s,
+        |    CAST(sw.c_sw AS DOUBLE) / CAST(ns.n_s AS DOUBLE) AS ps,
+        |    CAST(cw.c_w AS DOUBLE) / CAST(nt.n_t AS DOUBLE) AS pc
+        |  FROM sw JOIN cw USING (wd) JOIN ns ON ns.g = sw.g, nt),
+        |t AS (
+        |  SELECT g, n_s, vocab_s,
+        |    CAST(CAST(round(ps, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |    * CAST(CAST(round(ln(ps / pc), 6) AS DECIMAL(18,6)) * 1000000
+        |        AS BIGINT) AS term
+        |  FROM j)
+        |SELECT g AS source, max(n_s) AS n_tokens,
+        |  max(vocab_s) AS vocab_size,
+        |  round(CAST(sum(CAST(term AS DECIMAL(38,0))) AS DOUBLE)
+        |    / 1e12, 6) AS kl
+        |FROM t GROUP BY g ORDER BY source""".stripMargin,
 
     // same doc-order global positions (window cumsum of per-doc token
     // counts), per-term min first occurrence, vocab counted at the

@@ -488,6 +488,62 @@ object Curation {
           col("n_docs").cast("double"), 6).as("short_ratio"))
       .orderBy(col(sourceCol))
 
+  /** Per-group vocabulary divergence from the corpus: KL(p_group ||
+    * p_corpus) over the group's own unigram support — the
+    * token-distribution drift signal (PSI's q118 sibling for TEXT).
+    * A source whose word distribution diverges hard from the corpus
+    * is jargon, boilerplate, or the wrong language — the cheap gate
+    * read before the per-doc LM scorers (q71/q92) spend anything.
+    *
+    * KL is exact, not smoothed: every word in a group's support is in
+    * the corpus support by construction, so
+    * `Σ_w p_g(w)·ln(p_g(w)/p_c(w))` has no zero denominators and
+    * needs no Laplace floor (and absent words contribute exactly 0).
+    * Determinism is the q104/q118 lift discipline: both factors
+    * rounded to 6 dp, lifted to 1e6-scaled BIGINTs through
+    * DECIMAL(18,6), the per-word products summed as DECIMAL(38,0) —
+    * every decimal→double conversion is of an integer.
+    *
+    * Scale shape: one (group, word) count with map-side combine, one
+    * word-keyed equi-join onto the global word counts (both sides
+    * aggregates — sort-merge on the word key, never a broadcast of a
+    * corpus-sized vocabulary), group totals broadcast back. Cost is
+    * bounded by the distinct (group, word) mass, not the token
+    * stream. */
+  def vocabDivergence(df: DataFrame, textCol: String, groupCol: String)
+      : DataFrame = {
+    def lift6(c: Column): Column =
+      round(c, 6).cast(org.apache.spark.sql.types.DecimalType(18, 6))
+        .multiply(lit(1000000)).cast("long")
+    val words = df
+      .filter(col(textCol).isNotNull)
+      .select(col(groupCol).as("vd_g"),
+        explode(graft.functions.TextOps.words(col(textCol))).as("vd_w"))
+      // split(trim(...)) yields "" tokens around non-space whitespace
+      // and on empty text — drop them identically to the oracle
+      .filter(length(col("vd_w")) > 0)
+    val sw = words.groupBy(col("vd_g"), col("vd_w"))
+      .agg(count(lit(1)).as("c_sw"))
+    val cw = words.groupBy(col("vd_w")).agg(count(lit(1)).as("c_w"))
+    val ns = sw.groupBy(col("vd_g")).agg(sum(col("c_sw")).as("n_s"),
+      count(lit(1)).as("vocab_s"))
+    val nt = cw.agg(sum(col("c_w")).as("n_t"))
+    val j = sw.join(cw, "vd_w")
+      .join(broadcast(ns), "vd_g")
+      .crossJoin(broadcast(nt))
+    val ps = col("c_sw").cast("double") / col("n_s").cast("double")
+    val pc = col("c_w").cast("double") / col("n_t").cast("double")
+    val term = lift6(ps) * lift6(log(ps / pc))
+    j.groupBy(col("vd_g")).agg(
+      first(col("n_s")).as("n_tokens"),
+      first(col("vocab_s")).as("vocab_size"),
+      round(sum(term.cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .cast("double") / lit(1e12), 6).as("kl"))
+      .select(col("vd_g").as(groupCol), col("n_tokens"),
+        col("vocab_size"), col("kl"))
+      .orderBy(col(groupCol))
+  }
+
   /** Heaps-law profile: vocabulary size at geometric prefixes of the
     * doc-order token stream — V(n) at n = 16, 32, 64, … and the full
     * corpus. On natural text V(n) ≈ K·n^β (β ≈ 0.5); a curve that

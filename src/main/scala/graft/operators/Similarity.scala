@@ -144,6 +144,62 @@ object Similarity {
       .groupBy(col(labelCol), col("pos"))
       .agg(round(avg(col("v").cast("double")), 6).as("centroid_val"))
 
+  /** Embedding-space drift between two snapshots, per group — the
+    * vector analogue of `Analytics.drift`'s scalar PSI: where PSI bins
+    * a numeric column, this compares the per-group MEAN EMBEDDING of
+    * snapshot A vs snapshot B (cosine + L2 between the two centroids).
+    * The corpus-curation use is detecting embedding-distribution shift
+    * between crawl snapshots / pipeline versions before SemDeDup or
+    * IVF training bakes the old geometry in.
+    *
+    * Cross-engine determinism, end to end: per-dim sums as exact
+    * DECIMAL(28,12) (the q21 centroid discipline — partition-order
+    * independent), each centroid component rounded to 6 dp and lifted
+    * to a 1e6-scaled BIGINT through DECIMAL(18,6) (the q104 lift — a
+    * double CAST would truncate in Spark and round in DuckDB), then
+    * dot/norms as EXACT integer sums, and only the final
+    * cosine/sqrt/division in IEEE double with the same op order both
+    * engines. Zero centroids yield NULL cosine (not NaN).
+    *
+    * One shuffle on (group, pos) with map-side combine, then a
+    * group-bounded reduce — the row stream never reaches the drift
+    * fold, so the cost is flat in N for bounded dims. */
+  def centroidDrift(df: DataFrame, groupCol: String, vecCol: String,
+      splitA: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    def lift6(c: Column): Column =
+      round(c, 6).cast(org.apache.spark.sql.types.DecimalType(18, 6))
+        .multiply(lit(1000000)).cast("long")
+    val cells = df
+      .select(col(groupCol).as("cd_g"), splitA.cast("boolean").as("cd_a"),
+        posexplode(col(vecCol)).as(Seq("cd_pos", "cd_v")))
+      .filter(col("cd_a").isNotNull)
+      .groupBy(col("cd_g"), col("cd_pos"))
+      .agg(
+        sum(when(col("cd_a"), col("cd_v").cast("double").cast(dec))).as("sa"),
+        sum(when(col("cd_a"), 1L)).as("na"),
+        sum(when(!col("cd_a"), col("cd_v").cast("double").cast(dec))).as("sb"),
+        sum(when(!col("cd_a"), 1L)).as("nb"))
+      // a group entirely on one side has no centroid pair to compare
+      .filter(col("na").isNotNull && col("nb").isNotNull)
+      .select(col("cd_g"), col("na"), col("nb"),
+        lift6(col("sa").cast("double") / col("na")).as("la"),
+        lift6(col("sb").cast("double") / col("nb")).as("lb"))
+    val agg = cells.groupBy(col("cd_g")).agg(
+      first(col("na")).as("n_a"), first(col("nb")).as("n_b"),
+      sum(col("la") * col("lb")).as("dot"),
+      sum(col("la") * col("la")).as("a2"),
+      sum(col("lb") * col("lb")).as("b2"),
+      sum((col("la") - col("lb")) * (col("la") - col("lb"))).as("d2"))
+    agg.select(col("cd_g").as(groupCol), col("n_a"), col("n_b"),
+      when(col("a2") === 0L || col("b2") === 0L, lit(null))
+        .otherwise(round(col("dot").cast("double") /
+          sqrt(col("a2").cast("double")) / sqrt(col("b2").cast("double")), 6))
+        .as("cos_drift"),
+      round(sqrt(col("d2").cast("double")) / lit(1e6), 6).as("l2_drift"))
+      .orderBy(col(groupCol))
+  }
+
   /** IVF-style approximate nearest neighbors: partition the corpus
     * into `nList` cells by nearest seed centroid (seeds = deterministic
     * corpus sample: the `nList` vectors with the smallest ids — at

@@ -1472,20 +1472,18 @@ object SparkEntry {
     // replays all 8 rounds in a recursive CTE over the PINNED q25
     // pair set (staleness guarded transitively by the q25 pin).
     "q120_source_pagerank" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.simhashNearDups(docs, "doc_id", "text",
-        maxHamming = 3)
-      val src = docs.select(col("doc_id"), col("source"))
-      val lab = pairs
-        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
-          "id_a")
-        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
-          "id_b")
-        .filter(col("sa") =!= col("sb"))
-      val und = lab
-        .select(least(col("sa"), col("sb")).as("x"),
-          greatest(col("sa"), col("sb")).as("y"))
-        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("w"))
+      // edge weights via the distinct-sig collapse (products of
+      // per-(sig, source) counts — simhashCrossGroupEdges), NEVER the
+      // doc-level pair stream: result-identical to counting q25 pairs
+      // by source (the oracle still replays those), but the quadratic
+      // pair materialization (21.6 GB spill / 23 s straggler at m30)
+      // never exists. m30: 27.7 s -> see SCALING.md after the swap.
+      val und = Dedup.simhashCrossGroupEdges(Tables.documents(s, d),
+        "doc_id", "text", "source", maxHamming = 3, selfJoinBlocks = 8)
+        // tiny (<= sources^2 rows) and consumed by BOTH union branches
+        // below — checkpoint, or each branch re-runs the band join
+        // (exchange reuse does not span AQE union branches, r11)
+        .localCheckpoint()
       val sym = und.select(col("x").as("src"), col("y").as("dst"), col("w"))
         .union(und.select(col("y").as("src"), col("x").as("dst"), col("w")))
       Graph.weightedPageRank(sym, iters = 8)
@@ -1499,8 +1497,11 @@ object SparkEntry {
     // decimal per-dim sums → 6-dp lifted components → integer
     // dot/norms → one IEEE cosine at the end. Plain ANSI oracle.
     "q121_centroid_drift" -> ((s, d) =>
-      Similarity.centroidDrift(Tables.embeddings(s, d), "label",
-        "embedding", pmod(col("vec_id"), lit(2)) === 0)),
+      // fan: the single-row-group fixture scan serializes the
+      // posexplode + partial aggregation otherwise (m10 maxTask 1.57 s
+      // of 1.87 s total); result-invisible (decimal sums commute)
+      Similarity.centroidDrift(fan(Tables.embeddings(s, d), "vec_id"),
+        "label", "embedding", pmod(col("vec_id"), lit(2)) === 0)),
 
     // per-source vocabulary KL divergence from the corpus unigram
     // distribution (exact over the source's own support — no
@@ -1511,6 +1512,42 @@ object SparkEntry {
     "q122_vocab_divergence" -> ((s, d) =>
       Curation.vocabDivergence(fan(Tables.documents(s, d), "doc_id"),
         "text", "source")),
+
+    // interval coalescing (range consolidation): per-user activity
+    // windows [ts, ts+6h] merged to disjoint busy spans — the interval
+    // twin of q13's point sessionization. Bounds ride as exact
+    // unix-micros BIGINTs (the retention/epoch_us discipline), so the
+    // window arithmetic is engine-identical; islands deterministic
+    // under ties by construction. Exact ANSI oracle (same windows).
+    "q123_merge_intervals" -> ((s, d) => {
+      val iv = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts)").as("start_us"),
+          (expr("unix_micros(ts)") + lit(6L * 3600L * 1000000L))
+            .as("end_us"))
+      Analytics.mergeIntervals(iv, "user_id", "start_us", "end_us")
+        .withColumnRenamed("span_start", "span_start_us")
+        .withColumnRenamed("span_end", "span_end_us")
+    }),
+
+    // robust per-type outlier detection on event values: MAD fence at
+    // 3.5 sigma-equivalents — both medians from the q41 exact-quantile
+    // histogram plan (the MAD histogram is DERIVED from the value
+    // histogram: one scan for both medians), fence compared in lifted
+    // integers (q104 discipline) so no float boundary exists. Exact
+    // ANSI oracle via quantile_cont + the same lifts.
+    "q124_robust_outliers" -> ((s, d) =>
+      Analytics.robustOutliers(Tables.events(s, d), "event_type",
+        "event_id", "value")),
+
+    // PMI collocations over the corpus bigram stream (WordNgrams
+    // kernel — every occurrence, the LM convention): five 6-dp log
+    // terms lifted to 1e6-longs combine in exact integer arithmetic,
+    // so pmi is the SAME integer/1e6 both engines. minCount=5 prunes
+    // the rare-pair noise. Exact ANSI oracle.
+    "q125_pmi_collocations" -> ((s, d) =>
+      Curation.pmiCollocations(fan(Tables.documents(s, d), "doc_id"),
+        "text", minCount = 5)),
 
     // Heaps-law profile: vocabulary size at geometric token-stream
     // prefixes (global positions from the q80 prefix scan — never a
@@ -3355,6 +3392,101 @@ object SparkEntry {
         |  round(CAST(sum(CAST(term AS DECIMAL(38,0))) AS DOUBLE)
         |    / 1e12, 6) AS kl
         |FROM t GROUP BY g ORDER BY source""".stripMargin,
+
+    // same running-max-of-end + flag-cumsum windows over exact micros;
+    // equal-(start,end) ties are interchangeable so island grouping is
+    // deterministic in both engines
+    "q123_merge_intervals" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 21600000000 AS e
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, s, e,
+        |    CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS nw
+        |  FROM iv),
+        |g AS (
+        |  SELECT user_id, s, e,
+        |    sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM f)
+        |SELECT user_id, CAST(min(s) AS BIGINT) AS span_start_us,
+        |  CAST(max(e) AS BIGINT) AS span_end_us,
+        |  CAST(count(*) AS BIGINT) AS n_merged
+        |FROM g GROUP BY user_id, isl
+        |ORDER BY user_id, span_start_us""".stripMargin,
+
+    // both medians via quantile_cont (bit-identical to the histogram
+    // plan's Percentile-formula interpolation after the 6 dp round —
+    // the q41 precedent); the fence replayed in the same lifted
+    // DECIMAL(38,0) integers, robust_z the same integer-valued-double
+    // division
+    "q124_robust_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+        |dev AS (
+        |  SELECT e.event_type, e.event_id, e.value, m.med,
+        |    abs(e.value - m.med) AS dev
+        |  FROM events e JOIN med m USING (event_type)
+        |  WHERE e.value IS NOT NULL),
+        |mad AS (
+        |  SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad
+        |  FROM dev GROUP BY event_type),
+        |j AS (
+        |  SELECT d.event_type, d.event_id, d.value, d.med, m.mad,
+        |    CAST(CAST(round(d.dev, 6) AS DECIMAL(18,6)) * 1000000
+        |      AS DECIMAL(38,0)) AS devl,
+        |    CAST(CAST(m.mad AS DECIMAL(18,6)) * 1000000
+        |      AS DECIMAL(38,0)) AS madl
+        |  FROM dev d JOIN mad m USING (event_type))
+        |SELECT event_type, event_id, value, med, mad,
+        |  CASE WHEN madl > 0 THEN
+        |    round(CAST(devl AS DOUBLE) * 10000.0
+        |      / (CAST(madl AS DOUBLE) * 14826.0), 6) END AS robust_z
+        |FROM j
+        |WHERE devl * 10000000 > madl * 51891000
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    // same five 6-dp ln terms lifted to 1e6-longs, combined as exact
+    // BIGINT arithmetic; pmi = that integer / 1e6 in both engines
+    "q125_pmi_collocations" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |u AS (SELECT unnest(ws) AS w FROM d),
+        |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY w),
+        |tu AS (SELECT CAST(sum(c) AS BIGINT) AS tu FROM c1),
+        |pos AS (
+        |  SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        |  FROM d WHERE len(ws) >= 2),
+        |b AS (SELECT ws[i] AS w1, ws[i+1] AS w2 FROM pos),
+        |tb AS (SELECT CAST(count(*) AS BIGINT) AS tb FROM b),
+        |c2 AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy
+        |  FROM b GROUP BY w1, w2 HAVING count(*) >= 5),
+        |t AS (
+        |  SELECT c2.w1, c2.w2, c2.n_xy,
+        |    x.c AS n_x, y.c AS n_y,
+        |    CAST(CAST(round(ln(CAST(c2.n_xy AS DOUBLE)), 6)
+        |        AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |    + 2 * CAST(CAST(round(ln(CAST(tu.tu AS DOUBLE)), 6)
+        |        AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |    - CAST(CAST(round(ln(CAST(tb.tb AS DOUBLE)), 6)
+        |        AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |    - CAST(CAST(round(ln(CAST(x.c AS DOUBLE)), 6)
+        |        AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |    - CAST(CAST(round(ln(CAST(y.c AS DOUBLE)), 6)
+        |        AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS pmil
+        |  FROM c2 JOIN c1 x ON x.w = c2.w1 JOIN c1 y ON y.w = c2.w2,
+        |    tu, tb)
+        |SELECT w1, w2, n_xy, n_x, n_y,
+        |  CAST(pmil AS DOUBLE) / 1e6 AS pmi
+        |FROM t ORDER BY pmi DESC, w1, w2""".stripMargin,
 
     // same doc-order global positions (window cumsum of per-doc token
     // counts), per-term min first occurrence, vocab counted at the

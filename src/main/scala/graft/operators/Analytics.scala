@@ -481,6 +481,134 @@ object Analytics {
       .join(daily, Seq("__u", "day"), "left")
   }
 
+  /** Merge overlapping (or touching) intervals per key — range
+    * consolidation, the interval twin of [[sessionize]]'s
+    * gaps-and-islands on points: collapse each key's interval set to
+    * its disjoint covering spans. Curation uses: consolidating
+    * duplicated character spans into maximal regions, supplier/user
+    * busy periods, coverage maps over crawl windows.
+    *
+    * Plan: one window per key ordered by (start, end) — a running max
+    * of the end bound over the PRECEDING frame marks island starts
+    * (strictly-greater start = a gap; equal bounds touch and merge),
+    * a running sum of those marks numbers the islands, and the final
+    * groupBy(key, island) needs NO extra exchange (hash partitioning
+    * on the key already satisfies the clustered distribution on
+    * (key, island)). Per-key sort is the window's spillable sort —
+    * nothing driver-sized anywhere. Island membership is
+    * deterministic under ties: equal (start, end) rows are
+    * interchangeable, and an interval's start never exceeds its own
+    * end, so tie order cannot change any running max a later row sees.
+    *
+    * Rows with a null bound or start > end carry no interval and are
+    * dropped (spec-pinned contract — mirrors the null-key drop in the
+    * point sessionizer). */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val rows = df
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(startCol) <= col(endCol))
+      .select(col(keyCol).as("__k"), col(startCol).as("__s"),
+        col(endCol).as("__e"))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__s"), col("__e"))
+    val prevMax =
+      max(col("__e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val isl = rows
+      .withColumn("__new",
+        when(prevMax.isNull || col("__s") > prevMax, 1L).otherwise(0L))
+      .withColumn("__isl",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    isl.groupBy(col("__k"), col("__isl"))
+      .agg(min(col("__s")).as("span_start"), max(col("__e")).as("span_end"),
+        count(lit(1)).as("n_merged"))
+      .select(col("__k").as(keyCol), col("span_start"), col("span_end"),
+        col("n_merged"))
+      .orderBy(col(keyCol), col("span_start"))
+  }
+
+  /** Exact interpolated median per group from a (group, __v, __cnt)
+    * value histogram — the q41 plan reduced to p50: windowed
+    * cumulative counts locate the two straddling values, and the
+    * interpolation replays Spark `Percentile`'s EXACT formula
+    * ((ceil−pos)·lower + (pos−floor)·upper, lower==higher special
+    * case) so DuckDB's quantile_cont matches bit-for-bit after the
+    * 6 dp round. Memory ∝ distinct values per group, spillable. */
+  private def medianFromHist(hist: DataFrame, outCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
+    val totals = hist.groupBy(col("__g")).agg(sum(col("__cnt")).as("__n"))
+    val cum = hist
+      .withColumn("__hi", sum(col("__cnt")).over(w))
+      .withColumn("__lo", (col("__hi") - col("__cnt")).cast("double"))
+      .withColumn("__hid", col("__hi").cast("double"))
+      .join(broadcast(totals), Seq("__g"))
+    val r = lit(0.5) * (col("__n") - 1).cast("double")
+    def valueAtRank(k: Column): Column =
+      max(when(col("__lo") <= k && k < col("__hid"), col("__v")))
+        .cast("double")
+    cum.groupBy(col("__g"))
+      .agg(valueAtRank(floor(r).cast("double")).as("__vf"),
+        valueAtRank(ceil(r).cast("double")).as("__vc"),
+        first(col("__n")).as("__n"))
+      .select(col("__g"), {
+        val rr = lit(0.5) * (col("__n") - 1).cast("double")
+        val kf = floor(rr).cast("double")
+        val kc = ceil(rr).cast("double")
+        round(when(kf === kc, col("__vf"))
+          .otherwise((kc - rr) * col("__vf") + (rr - kf) * col("__vc")), 6)
+          .as(outCol)
+      })
+  }
+
+  /** Robust per-group outlier detection via median absolute deviation —
+    * the quality-curation anomaly gate (MAD tolerates the very
+    * outliers it hunts, unlike mean/stddev z-scores where one huge
+    * value inflates its own yardstick). Flags rows with
+    * |x − median| > (kMilli/1000) · 1.4826 · MAD, where 1.4826 scales
+    * MAD to σ-equivalents under normality and kMilli=3500 is the
+    * conventional 3.5σ fence.
+    *
+    * Exact and engine-replayable end to end: both medians come from
+    * [[medianFromHist]] (the q41 exact-quantile plan — and the MAD
+    * histogram is DERIVED from the value histogram by |v − med|
+    * re-aggregation, so the medians cost ONE scan total, not two);
+    * the fence comparison lifts 6-dp deviation and MAD to 1e6-scaled
+    * integers (the q104 lift) and compares
+    * devL·10⁷ > madL·14826·kMilli in DECIMAL(38,0) — no float
+    * boundary anywhere. A zero-MAD group (over half its mass on one
+    * value) flags every row off the median, with a null robust_z.
+    * Second scan = the per-row flag pass, inherent to row output. */
+  def robustOutliers(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, kMilli: Int = 3500): DataFrame = {
+    require(kMilli > 0, s"kMilli must be positive: $kMilli")
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(idCol).as("__id"),
+        col(valueCol).cast("double").as("__x"))
+    val hist = rows.groupBy(col("__g"), col("__x").as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val med = medianFromHist(hist, "med")
+    val devHist = hist.join(broadcast(med), Seq("__g"))
+      .select(col("__g"), abs(col("__v") - col("med")).as("__v"),
+        col("__cnt"))
+      .groupBy(col("__g"), col("__v")).agg(sum(col("__cnt")).as("__cnt"))
+    val mad = medianFromHist(devHist, "mad")
+    def lift6(c: Column): Column =
+      round(c, 6).cast(DecimalType(18, 6)).multiply(lit(1000000))
+        .cast("long")
+    val big = DecimalType(38, 0)
+    rows.join(broadcast(med), Seq("__g")).join(broadcast(mad), Seq("__g"))
+      .withColumn("__devl", lift6(abs(col("__x") - col("med"))))
+      .withColumn("__madl", lift6(col("mad")))
+      .filter(col("__devl").cast(big) * lit(10000000L) >
+        col("__madl").cast(big) * lit(14826L * kMilli))
+      .select(col("__g").as(groupCol), col("__id").as(idCol),
+        col("__x").as(valueCol), col("med"), col("mad"),
+        when(col("__madl") > 0L,
+          round(col("__devl").cast("double") * lit(10000.0) /
+            (col("__madl").cast("double") * lit(14826.0)), 6))
+          .as("robust_z"))
+      .orderBy(col(groupCol), col(idCol))
+  }
+
   def retention(df: DataFrame, userCol: String, tsCol: String,
       periodDays: Int = 7): DataFrame = {
     require(periodDays > 0, s"periodDays must be positive: $periodDays")

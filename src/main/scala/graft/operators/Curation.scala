@@ -328,6 +328,59 @@ object Curation {
       .select(col("__doc").as(idCol), col("n_bigrams"), col("avg_nll"))
   }
 
+  /** Corpus collocations by pointwise mutual information — the
+    * phrase-mining signal (which adjacent word pairs co-occur far more
+    * than their unigram frequencies predict): boilerplate templates
+    * and named entities surface at the top, so it feeds both the
+    * tokenizer-merge sanity check and the template-dedup shortlist.
+    *
+    *   PMI(x,y) = ln( (c_xy/T_b) / ((c_x/T_u)(c_y/T_u)) )
+    *            = ln c_xy + 2 ln T_u − ln T_b − ln c_x − ln c_y
+    *
+    * with c_xy from the `WordNgrams` kernel (every occurrence — the
+    * LM counting convention, same stream as [[bigramNll]]), c_x/c_y
+    * unigram occurrence counts, and T_b/T_u the bigram/unigram
+    * totals. Each ln is of an exact integer, rounded to 6 dp and
+    * lifted to a 1e6-scaled long (the q104 log discipline), so the
+    * five-term combination is exact integer arithmetic and the final
+    * pmi double is the SAME integer / 1e6 in both engines —
+    * partition-order independent by construction. Count tables are
+    * vocabulary-bounded aggregates joined back onto each other (never
+    * the row stream); `minCount` prunes the rare-pair noise PMI is
+    * notorious for before any join. */
+  def pmiCollocations(df: DataFrame, textCol: String,
+      minCount: Int = 5): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val base = df.filter(col(textCol).isNotNull)
+      .select(graft.functions.TextOps.words(col(textCol)).as("__ws"))
+    val uni = base.select(explode(col("__ws")).as("w"))
+    val c1 = uni.groupBy(col("w")).agg(count(lit(1)).as("__c"))
+    val tu = c1.agg(sum(col("__c")).as("__tu"))
+    val bg = base
+      .select(explode(
+        graft.expressions.VectorExpressions.wordNgrams(col("__ws"), 2))
+        .as("bg"))
+    val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= minCount)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val tb = bg.agg(count(lit(1)).as("__tb"))
+    def l6(c: Column): Column =
+      round(log(c.cast("double")), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+        .multiply(lit(1000000)).cast("long")
+    c2
+      .join(c1.select(col("w").as("w1"), col("__c").as("n_x")), Seq("w1"))
+      .join(c1.select(col("w").as("w2"), col("__c").as("n_y")), Seq("w2"))
+      .crossJoin(broadcast(tu)).crossJoin(broadcast(tb))
+      .withColumn("__pmil",
+        l6(col("n_xy")) + lit(2L) * l6(col("__tu")) - l6(col("__tb")) -
+          l6(col("n_x")) - l6(col("n_y")))
+      .select(col("w1"), col("w2"), col("n_xy"), col("n_x"), col("n_y"),
+        (col("__pmil").cast("double") / lit(1e6)).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+  }
+
   /** Deterministic per-group cap — the "domain cap" curation step: a
     * web corpus where one source contributes 40% of the documents
     * needs that source bounded BEFORE training, and the bound must be

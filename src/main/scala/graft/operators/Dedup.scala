@@ -229,6 +229,59 @@ object Dedup {
       .select(col("doc").as(idCol), col("cluster_id"))
   }
 
+  /** Cross-group near-dup edge weights WITHOUT materializing doc
+    * pairs — the q98 distinct-sig collapse applied to pair COUNTING:
+    * the number of near-dup doc pairs between two groups is a sum of
+    * products of per-(signature, group) counts, so it is computable
+    * entirely from group-level structures:
+    *
+    *   w(x,y) = Σ_s cnt_s(x)·cnt_s(y)                    (same sig)
+    *          + Σ_{s1<s2 verified} cnt_{s1}(x)·cnt_{s2}(y)
+    *                             + cnt_{s1}(y)·cnt_{s2}(x)  (near sig)
+    *
+    * Result-identical to counting [[simhashNearDups]] pairs by group
+    * (both rely on the same pigeonhole-complete band candidate rule
+    * for maxHamming ≤ 3), but the pair stream — quadratic in
+    * duplicated mass, 21.6 GB spill with a 23 s straggler at the m30
+    * fixture — never exists: the band join runs over DISTINCT sigs
+    * and everything else is bounded by distinct sigs × groups.
+    * Returns (x, y, w) with x < y, one row per unordered group pair. */
+  def simhashCrossGroupEdges(df: DataFrame, idCol: String,
+      textCol: String, groupCol: String, maxHamming: Int = 3,
+      selfJoinBlocks: Int = 1): DataFrame = {
+    val sigs = df.select(col(idCol).as("doc"), col(groupCol).as("__g"),
+      col(textCol))
+      .repartition(par(df), col("doc"))
+      .select(col("__g"), simhash(col(textCol), 64).as("sig"))
+    // three consumers (same-sig self-join twice, near-sig join twice)
+    // — materialize once, per the round-11 union-recompute lesson
+    val cnt = sigs.groupBy(col("sig"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val same = cnt.as("a")
+      .join(cnt.as("b"),
+        col("a.sig") === col("b.sig") && col("a.__g") < col("b.__g"))
+      .select(col("a.__g").as("x"), col("b.__g").as("y"),
+        (col("a.__c") * col("b.__c")).as("__w"))
+    // the sig-level self-join inherits q98's hot-band-bucket regime
+    // (low-entropy sigs concentrate one 16-bit band value: one task
+    // owned a 40 s candidate stream at the m30 fixture) — callers at
+    // scale pass selfJoinBlocks > 1, same knob as [[simhashClusters]]
+    val sigPairs = simhashBandPairs(
+      cnt.select(col("sig")).distinct()
+        .select(col("sig").as("doc"), col("sig")), maxHamming,
+      selfJoinBlocks)
+    val near = sigPairs
+      .join(cnt.as("a"), col("a.sig") === col("id_a"))
+      .join(cnt.as("b"), col("b.sig") === col("id_b"))
+      .filter(col("a.__g") =!= col("b.__g"))
+      .select(least(col("a.__g"), col("b.__g")).as("x"),
+        greatest(col("a.__g"), col("b.__g")).as("y"),
+        (col("a.__c") * col("b.__c")).as("__w"))
+    same.union(near).groupBy(col("x"), col("y"))
+      .agg(sum(col("__w")).cast("long").as("w"))
+  }
+
   /** Duplication profile: the cluster-SIZE histogram of
     * [[simhashClusters]] — (cluster_size, n_clusters, n_docs =
     * size·count), ordered by size. The operational read-out of dedup:

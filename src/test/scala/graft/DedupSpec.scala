@@ -162,6 +162,40 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.simhashClusters(df, "doc_id", "text", 3).count() === 11)
   }
 
+  test("simhashCrossGroupEdges == counting doc-level pairs by group " +
+      "(fixture + planted multi-group dup families)") {
+    // the count-products collapse must reproduce EXACTLY the per-group
+    // pair counts of the enumerated doc-pair stream it replaces
+    def enumerated(df: org.apache.spark.sql.DataFrame) = {
+      val src = df.select(col("doc_id"), col("source"))
+      Dedup.simhashNearDups(df, "doc_id", "text", 3)
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+          "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+          "id_b")
+        .filter(col("sa") =!= col("sb"))
+        .select(least(col("sa"), col("sb")).as("x"),
+          greatest(col("sa"), col("sb")).as("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("w"))
+        .as[(String, String, Long)].collect().sorted.toSeq
+    }
+    def collapsed(df: org.apache.spark.sql.DataFrame) =
+      Dedup.simhashCrossGroupEdges(df, "doc_id", "text", "source", 3)
+        .as[(String, String, Long)].collect().sorted.toSeq
+    val docs = Tables.documents(spark, sf)
+    assert(collapsed(docs) === enumerated(docs))
+    // planted: two identical-text families spanning three groups plus
+    // near-identical variants — exercises both the same-sig product
+    // term and the near-sig (band-verified) term
+    val planted = (
+      (0 until 12).map(i => (i.toLong, s"g${i % 3}", "alpha beta gamma delta epsilon")) ++
+      (12 until 20).map(i => (i.toLong, s"g${i % 2}", "alpha beta gamma delta zeta")) ++
+      (20 until 24).map(i => (i.toLong, s"g${i % 4}", s"unique text $i payload")))
+      .toDF("doc_id", "source", "text")
+    val got = collapsed(planted)
+    assert(got === enumerated(planted) && got.nonEmpty)
+  }
+
   test("block-decomposed band self-join is bit-identical to the plain path " +
       "(pairs and clusters, fixture + planted hot bucket)") {
     // the r12 hot-band-bucket mitigation: every (a, b) pair must be

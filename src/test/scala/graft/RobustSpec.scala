@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Curation}
+
+/** mergeIntervals (range consolidation), robustOutliers (MAD fence),
+  * pmiCollocations: hand-exact cases, edge contracts, partition
+  * independence (folds are exact integer/decimal throughout). */
+class RobustSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- mergeIntervals -------------------------------------------------
+
+  test("mergeIntervals: overlap and touch merge, gaps split") {
+    // (1,5)+(4,10) overlap; (10,12) touches 10 -> same island;
+    // (20,25) after a gap -> second island
+    val df = Seq(
+      ("a", 1L, 5L), ("a", 4L, 10L), ("a", 10L, 12L), ("a", 20L, 25L),
+      ("b", 0L, 1L))
+      .toDF("k", "s", "e")
+    val got = Analytics.mergeIntervals(df, "k", "s", "e")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", 1L, 12L, 3L), ("a", 20L, 25L, 1L), ("b", 0L, 1L, 1L)))
+  }
+
+  test("mergeIntervals: contained and duplicate intervals count rows") {
+    val df = Seq(
+      ("k", 0L, 100L), ("k", 10L, 20L), ("k", 10L, 20L), ("k", 50L, 60L))
+      .toDF("k", "s", "e")
+    val got = Analytics.mergeIntervals(df, "k", "s", "e")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("k", 0L, 100L, 4L)))
+  }
+
+  test("mergeIntervals: null bounds and inverted intervals drop") {
+    val df = Seq(
+      ("k", Some(1L), Some(2L)), ("k", None, Some(5L)),
+      ("k", Some(9L), None), ("k", Some(8L), Some(3L)))
+      .toDF("k", "s", "e")
+    val got = Analytics.mergeIntervals(df, "k", "s", "e")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("k", 1L, 2L, 1L)))
+  }
+
+  test("mergeIntervals: partition independence") {
+    val rows = (0 until 500).map { i =>
+      (s"k${i % 7}", (i * 37L) % 1000L, (i * 37L) % 1000L + (i % 50L))
+    }
+    val a = Analytics.mergeIntervals(
+      rows.toDF("k", "s", "e").repartition(3), "k", "s", "e").collect().toSeq
+    val b = Analytics.mergeIntervals(
+      rows.toDF("k", "s", "e").repartition(11), "k", "s", "e").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  // ---- robustOutliers -------------------------------------------------
+
+  test("robustOutliers: hand-exact fence, median and MAD") {
+    // group g: 1..9 plus 1000 -> med 5.5, MAD 2.5 (devs' median),
+    // fence 3.5*1.4826*2.5 = 12.97... -> only 1000 flags
+    val df = ((1 to 9).map(i => ("g", i.toLong, i.toDouble)) :+
+      ("g", 10L, 1000.0)).toDF("grp", "id", "v")
+    val got = Analytics.robustOutliers(df, "grp", "id", "v").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(1) == 10L && r.getDouble(2) == 1000.0)
+    assert(r.getDouble(3) == 5.5 && r.getDouble(4) == 2.5)
+    // robust_z = devl*10000/(madl*14826), devl=994.5e6, madl=2.5e6
+    val exp = BigDecimal(994500000.0 * 10000.0 / (2500000.0 * 14826.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(5) == exp)
+  }
+
+  test("robustOutliers: zero MAD flags any deviation, null robust_z") {
+    val df = Seq(("g", 1L, 7.0), ("g", 2L, 7.0), ("g", 3L, 7.0),
+      ("g", 4L, 7.0), ("g", 5L, 7.1)).toDF("grp", "id", "v")
+    val got = Analytics.robustOutliers(df, "grp", "id", "v").collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(1) == 5L && got.head.isNullAt(5))
+  }
+
+  test("robustOutliers: inliers-only group emits nothing; nulls drop") {
+    val df = Seq(("g", 1L, Some(1.0)), ("g", 2L, Some(2.0)),
+      ("g", 3L, Some(3.0)), ("g", 4L, None)).toDF("grp", "id", "v")
+    assert(Analytics.robustOutliers(df, "grp", "id", "v").count() == 0L)
+    intercept[IllegalArgumentException] {
+      Analytics.robustOutliers(df, "grp", "id", "v", kMilli = 0)
+    }
+  }
+
+  test("robustOutliers: partition independence") {
+    val rows = (0 until 400).map { i =>
+      (s"t${i % 3}", i.toLong, ((i * 7919) % 997).toDouble / 10.0 +
+        (if (i % 97 == 0) 500.0 else 0.0))
+    }
+    val a = Analytics.robustOutliers(
+      rows.toDF("grp", "id", "v").repartition(3), "grp", "id", "v")
+      .collect().toSeq
+    val b = Analytics.robustOutliers(
+      rows.toDF("grp", "id", "v").repartition(13), "grp", "id", "v")
+      .collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  // ---- pmiCollocations ------------------------------------------------
+
+  private def l6(n: Double): Long =
+    (BigDecimal(math.log(n)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      * 1000000).toLongExact
+
+  test("pmiCollocations: hand-exact counts and pmi") {
+    val df = (Seq.fill(5)("a b") :+ "c d").toDF("text")
+    val got = Curation.pmiCollocations(df, "text", minCount = 5).collect()
+    assert(got.length == 1) // "c d" count 1 pruned by minCount
+    val r = got.head
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+    assert(r.getLong(2) == 5L && r.getLong(3) == 5L && r.getLong(4) == 5L)
+    // tu = 12 unigrams, tb = 6 bigrams
+    val exp = (l6(5) + 2 * l6(12) - l6(6) - l6(5) - l6(5)).toDouble / 1e6
+    assert(r.getDouble(5) == exp)
+  }
+
+  test("pmiCollocations: null text drops; single-word docs add no bigrams") {
+    val df = Seq(Some("x y"), Some("x y"), Some("x y"), Some("x y"),
+      Some("x y"), Some("z"), None).toDF("text")
+    val got = Curation.pmiCollocations(df, "text", minCount = 5).collect()
+    assert(got.length == 1 && got.head.getString(0) == "x")
+    intercept[IllegalArgumentException] {
+      Curation.pmiCollocations(df, "text", minCount = 0)
+    }
+  }
+
+  test("pmiCollocations: partition independence and ordering") {
+    val rows = (0 until 300).map(i => s"w${i % 5} w${(i + 1) % 5} w${i % 3}")
+    val a = Curation.pmiCollocations(rows.toDF("text").repartition(2),
+      "text", minCount = 3).collect().toSeq
+    val b = Curation.pmiCollocations(rows.toDF("text").repartition(9),
+      "text", minCount = 3).collect().toSeq
+    assert(a == b && a.nonEmpty)
+    // total order: pmi desc, then (w1, w2)
+    val pmis = a.map(_.getDouble(5))
+    assert(pmis == pmis.sorted.reverse)
+  }
+}

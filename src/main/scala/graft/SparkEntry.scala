@@ -1549,6 +1549,27 @@ object SparkEntry {
       Curation.pmiCollocations(fan(Tables.documents(s, d), "doc_id"),
         "text", minCount = 5)),
 
+    // top-5 distinctive terms per source by add-one log-odds vs the
+    // rest of the corpus — names the words behind q122's KL number.
+    // Integer counts → one IEEE division per ln arg → 6-dp lift →
+    // exact integer score; the rank window runs over the (source,
+    // word) AGGREGATE (vocab-bounded), never the row stream.
+    "q126_distinctive_terms" -> ((s, d) =>
+      Curation.distinctiveTerms(fan(Tables.documents(s, d), "doc_id"),
+        "text", "source", k = 5)),
+
+    // graded contamination: per eval doc (doc_id < 100 — the q99
+    // slice whose planted near-dups straddle the split), the fraction
+    // of its distinct 3-shingles present in train (doc_id >= 100).
+    // The graded complement to binary q63/q84/q99. Exact ANSI oracle.
+    "q127_contamination_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.contaminationScore(
+        docs.filter(col("doc_id") < 100),
+        fan(docs.filter(col("doc_id") >= 100), "doc_id"),
+        "doc_id", "text", k = 3)
+    }),
+
     // Heaps-law profile: vocabulary size at geometric token-stream
     // prefixes (global positions from the q80 prefix scan — never a
     // global window). The fixture saturates almost immediately (closed
@@ -3487,6 +3508,69 @@ object SparkEntry {
         |SELECT w1, w2, n_xy, n_x, n_y,
         |  CAST(pmil AS DOUBLE) / 1e6 AS pmi
         |FROM t ORDER BY pmi DESC, w1, w2""".stripMargin,
+
+    // same add-one log-odds: integer counts, one IEEE division per ln
+    // argument, 6-dp lift, exact integer difference; rank over the
+    // same (group, word) aggregate
+    "q126_distinctive_terms" ->
+      """WITH w AS (
+        |  SELECT source AS g,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS wd
+        |  FROM documents WHERE text IS NOT NULL),
+        |w2 AS (SELECT g, wd FROM w WHERE length(wd) > 0),
+        |sw AS (SELECT g, wd, CAST(count(*) AS BIGINT) AS n_sw
+        |       FROM w2 GROUP BY g, wd),
+        |cw AS (SELECT wd, CAST(count(*) AS BIGINT) AS c_w
+        |       FROM w2 GROUP BY wd),
+        |ns AS (SELECT g, CAST(sum(n_sw) AS BIGINT) AS n_s
+        |       FROM sw GROUP BY g),
+        |nt AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_t FROM cw),
+        |sc AS (
+        |  SELECT sw.g, sw.wd, sw.n_sw,
+        |    CAST(CAST(round(ln(CAST(sw.n_sw + 1 AS DOUBLE)
+        |        / CAST(ns.n_s - sw.n_sw + 1 AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |    - CAST(CAST(round(ln(CAST(cw.c_w - sw.n_sw + 1 AS DOUBLE)
+        |        / CAST(nt.n_t - ns.n_s - (cw.c_w - sw.n_sw) + 1
+        |            AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS sl
+        |  FROM sw JOIN cw USING (wd) JOIN ns ON ns.g = sw.g, nt),
+        |r AS (
+        |  SELECT g, wd, n_sw, sl,
+        |    CAST(row_number() OVER (PARTITION BY g
+        |      ORDER BY sl DESC, wd) AS INT) AS rank
+        |  FROM sc)
+        |SELECT g AS source, rank, wd AS term, n_sw,
+        |  CAST(sl AS DOUBLE) / 1e6 AS score
+        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+
+    // same dedup-SET shingles (the q22 CASE replay), distinct train
+    // set, hit count = join against it (each eval shingle matches at
+    // most one distinct train shingle)
+    "q127_contamination_score" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(ws) < 3
+        |      THEN [array_to_string(ws, ' ')]
+        |      ELSE list_transform(generate_series(0, len(ws) - 3),
+        |        i -> array_to_string(ws[i+1 : i+3], ' ')) END) AS sh
+        |  FROM d),
+        |e AS (SELECT doc_id, unnest(sh) AS sh FROM s WHERE doc_id < 100),
+        |t AS (SELECT DISTINCT sh FROM (
+        |  SELECT unnest(sh) AS sh FROM s WHERE doc_id >= 100)),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+        |        FROM e GROUP BY doc_id),
+        |hit AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+        |        FROM e JOIN t USING (sh) GROUP BY e.doc_id)
+        |SELECT tot.doc_id, tot.n_shingles,
+        |  CAST(coalesce(hit.n_hit, 0) AS BIGINT) AS n_hit,
+        |  round(CAST(coalesce(hit.n_hit, 0) AS DOUBLE)
+        |    / CAST(tot.n_shingles AS DOUBLE), 6) AS contamination
+        |FROM tot LEFT JOIN hit ON hit.doc_id = tot.doc_id
+        |ORDER BY tot.doc_id""".stripMargin,
 
     // same doc-order global positions (window cumsum of per-doc token
     // counts), per-term min first occurrence, vocab counted at the

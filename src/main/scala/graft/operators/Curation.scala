@@ -597,6 +597,96 @@ object Curation {
       .orderBy(col(groupCol))
   }
 
+  /** Top-k distinctive terms per group by smoothed log-odds vs the
+    * rest of the corpus — the "name the words" companion to
+    * [[vocabDivergence]] (KL says a source's vocabulary drifted;
+    * this says WHICH terms carry it — the shortlist a curation run
+    * reads before deciding whether drift is topical or boilerplate):
+    *
+    *   score(w,s) = ln((c_sw+1)/(n_s−c_sw+1))
+    *              − ln((c_w−c_sw+1)/((n_t−n_s)−(c_w−c_sw)+1))
+    *
+    * (add-one log-odds ratio; both denominators are nonnegative by
+    * construction since a group's occurrences never exceed its
+    * tokens). Each ln argument is a ratio of exact integers evaluated
+    * in one IEEE division, 6-dp rounded and 1e6-lifted (the q104
+    * discipline), so the score is an exact integer difference / 1e6 —
+    * engine-identical. The rank window runs over the (group, word)
+    * AGGREGATE, never the row stream — bounded by distinct vocabulary
+    * mass per group (the q122 bound), which is why a window is safe
+    * here where q113 had to avoid one. */
+  def distinctiveTerms(df: DataFrame, textCol: String, groupCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    def l6(c: Column): Column =
+      round(log(c), 6).cast(org.apache.spark.sql.types.DecimalType(18, 6))
+        .multiply(lit(1000000)).cast("long")
+    val words = df
+      .filter(col(textCol).isNotNull)
+      .select(col(groupCol).as("dt_g"),
+        explode(graft.functions.TextOps.words(col(textCol))).as("dt_w"))
+      .filter(length(col("dt_w")) > 0)
+    val sw = words.groupBy(col("dt_g"), col("dt_w"))
+      .agg(count(lit(1)).as("n_sw"))
+    val cw = words.groupBy(col("dt_w")).agg(count(lit(1)).as("c_w"))
+    val ns = sw.groupBy(col("dt_g")).agg(sum(col("n_sw")).as("n_s"))
+    val nt = cw.agg(sum(col("c_w")).as("n_t"))
+    val inS = (col("n_sw") + 1).cast("double") /
+      (col("n_s") - col("n_sw") + 1).cast("double")
+    val rest = col("c_w") - col("n_sw")
+    val inR = (rest + 1).cast("double") /
+      (col("n_t") - col("n_s") - rest + 1).cast("double")
+    val scored = sw.join(cw, "dt_w")
+      .join(broadcast(ns), "dt_g")
+      .crossJoin(broadcast(nt))
+      .withColumn("__sl", l6(inS) - l6(inR))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dt_g"))
+      .orderBy(col("__sl").desc, col("dt_w"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("dt_g").as(groupCol), col("rank"),
+        col("dt_w").as("term"), col("n_sw"),
+        (col("__sl").cast("double") / lit(1e6)).as("score"))
+      .orderBy(col(groupCol), col("rank"))
+  }
+
+  /** Graded contamination score per eval document — the fraction of
+    * its distinct k-shingles present anywhere in the training corpus:
+    * the GRADED complement to the binary decontamination family
+    * (exact q63, Bloom q84, fuzzy q99). Binary gates answer "drop or
+    * keep"; this answers "how compromised is the benchmark" (an eval
+    * set whose median doc shares 40% of its shingles with train is
+    * measuring memorization even after exact-match filtering).
+    *
+    * The shingle kernel is the dedup SET convention
+    * ([[graft.operators.Dedup.shingles]] — short docs collapse to one
+    * whole-text shingle). Train reduces to its DISTINCT shingle set
+    * (aggregate-bounded); the hit count is a semi-join of the eval
+    * shingle stream against it — shuffle-partitionable on the shingle
+    * key, nothing driver-sized; the fraction is one IEEE division of
+    * exact longs. Null-text eval docs drop (the scorer convention). */
+  def contaminationScore(eval: DataFrame, train: DataFrame,
+      idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val es = eval.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        explode(graft.operators.Dedup.shingles(col(textCol), k)).as("__sh"))
+    val ts = train.filter(col(textCol).isNotNull)
+      .select(explode(
+        graft.operators.Dedup.shingles(col(textCol), k)).as("__sh"))
+      .distinct()
+    val tot = es.groupBy(col("__id")).agg(count(lit(1)).as("n_shingles"))
+    val hit = es.join(ts, Seq("__sh"), "left_semi")
+      .groupBy(col("__id")).agg(count(lit(1)).as("n_hit"))
+    tot.join(hit, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double"), 6).as("contamination"))
+      .orderBy(col(idCol))
+  }
+
   /** Heaps-law profile: vocabulary size at geometric prefixes of the
     * doc-order token stream — V(n) at n = 16, 32, 64, … and the full
     * corpus. On natural text V(n) ≈ K·n^β (β ≈ 0.5); a curve that

@@ -131,6 +131,74 @@ class RobustSpec extends SparkSpec {
     }
   }
 
+  // ---- distinctiveTerms -------------------------------------------------
+
+  test("distinctiveTerms: hand-exact log-odds and ranks") {
+    // A: x,x,x,y (n_s 4); B: y,y,y,z (n_s 4); c_w: x 3, y 4, z 1; n_t 8
+    val df = Seq(("A", "x x x y"), ("B", "y y y z")).toDF("source", "text")
+    val got = Curation.distinctiveTerms(df, "text", "source", k = 2)
+      .as[(String, Int, String, Long, Double)].collect().toSeq
+    def sc(a: Double, b: Double): Double = {
+      def l(x: Double) =
+        (BigDecimal(math.log(x)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          * 1000000).toLongExact
+      (l(a) - l(b)).toDouble / 1e6
+    }
+    // A: x = ln(4/2) - ln(1/5); y = ln(2/4) - ln(4/2)
+    // B: y = ln(4/2) - ln(2/4); z = ln(2/4) - ln(1/5)
+    assert(got == Seq(
+      ("A", 1, "x", 3L, sc(2.0, 0.2)), ("A", 2, "y", 1L, sc(0.5, 2.0)),
+      ("B", 1, "y", 3L, sc(2.0, 0.5)), ("B", 2, "z", 1L, sc(0.5, 0.2))))
+  }
+
+  test("distinctiveTerms: null text drops, k guard, partition independence") {
+    val rows = (0 until 300).map(i =>
+      (s"s${i % 4}", if (i % 29 == 0) null else s"w${i % 11} w${(i * 7) % 11} common"))
+    val a = Curation.distinctiveTerms(
+      rows.toDF("source", "text").repartition(3), "text", "source", k = 3)
+      .collect().toSeq
+    val b = Curation.distinctiveTerms(
+      rows.toDF("source", "text").repartition(13), "text", "source", k = 3)
+      .collect().toSeq
+    assert(a == b && a.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Curation.distinctiveTerms(rows.toDF("source", "text"), "text",
+        "source", k = 0)
+    }
+  }
+
+  // ---- contaminationScore -----------------------------------------------
+
+  test("contaminationScore: hand-exact fractions incl. short-doc collapse") {
+    val eval = Seq((1L, "a b c d"), (2L, "z z z q"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val train = Seq((100L, "b c d e"), (101L, "a b")).toDF("doc_id", "text")
+    val got = Curation.contaminationScore(eval, train, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // doc 1: {"a b c","b c d"} -> 1 hit of 2; doc 2: 0 of 2;
+    // doc 3 (short): {"a b"} whole-text == train 101's -> 1 of 1
+    assert(got == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 0L, 0.0),
+      (3L, 1L, 1L, 1.0)))
+  }
+
+  test("contaminationScore: null text drops, k guard, partition independence") {
+    val eval = (0 until 120).map(i =>
+      (i.toLong, if (i % 17 == 0) null else s"e${i % 7} e${(i + 1) % 7} e${(i + 2) % 7} tail${i % 3}"))
+    val train = (200 until 320).map(i =>
+      (i.toLong, s"e${i % 7} e${(i + 1) % 7} e${(i + 2) % 7} other"))
+    def run(p1: Int, p2: Int) = Curation.contaminationScore(
+      eval.toDF("doc_id", "text").repartition(p1),
+      train.toDF("doc_id", "text").repartition(p2), "doc_id", "text")
+      .collect().toSeq
+    val a = run(2, 3)
+    assert(a == run(7, 11) && a.nonEmpty)
+    assert(a.forall(_.getLong(0) % 17 != 0)) // null-text eval docs dropped
+    intercept[IllegalArgumentException] {
+      Curation.contaminationScore(eval.toDF("doc_id", "text"),
+        train.toDF("doc_id", "text"), "doc_id", "text", k = 0)
+    }
+  }
+
   test("pmiCollocations: partition independence and ordering") {
     val rows = (0 until 300).map(i => s"w${i % 5} w${(i + 1) % 5} w${i % 3}")
     val a = Curation.pmiCollocations(rows.toDF("text").repartition(2),

@@ -59,6 +59,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("mergeIntervals: island groupBy adds NO exchange beyond the window's") {
+    // the scaladoc claim: hash partitioning on the key (paid once for
+    // the window) satisfies the clustered distribution on (key, island)
+    import spark.implicits._
+    val df = (0 until 200).map(i => (s"k${i % 5}", i.toLong, i.toLong + 10))
+      .toDF("k", "s", "e").repartition(4)
+    val q = graft.operators.Analytics.mergeIntervals(df, "k", "s", "e")
+    val hashEx = "Exchange hashpartitioning".r
+      .findAllIn(physical(q)).length
+    // one for the repartition(4) input, one for the window's
+    // partitionBy(k); the groupBy(k, island) must not add a third
+    assert(hashEx <= 2, physical(q))
+  }
+
+  test("robustOutliers: per-group median/MAD frames broadcast back") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => ("g" + i % 3, i.toLong, (i % 97).toDouble))
+      .toDF("grp", "id", "v").repartition(4)
+    val q = graft.operators.Analytics.robustOutliers(df, "grp", "id", "v")
+    q.write.format("noop").mode("overwrite").save()
+    assert(physical(q).contains("BroadcastHashJoin"), physical(q).take(2000))
+  }
+
   test("q35 rag prompt plans with no window and a TakeOrderedAndProject top-k") {
     // the round-1 scale-killer: a global no-partition window that moved
     // the whole corpus to one partition. Now top-5 is a bounded

@@ -1570,6 +1570,30 @@ object SparkEntry {
         "doc_id", "text", k = 3)
     }),
 
+    // perceptual dHash per image — REAL decode (javax.imageio) of the
+    // checked-in deterministic BMP fixtures (sfDir-independent input,
+    // like the BPE merge table: the differential oracle is the Python
+    // replica in gen_expected.py, decoding the same bytes). 9×8 grid,
+    // 64 gradient-sign bits.
+    "q128_image_dhash" -> ((s, d) =>
+      Multimodal.imageHashes(s,
+        Multimodal.readBinaryDir(s, imagesDir, "*.bmp"))
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+          col("dhash"))
+        .orderBy(col("file"))),
+
+    // near-duplicate images by dHash hamming — the multimodal dedup
+    // member: the 64-bit signature rides the SAME banded self-join as
+    // SimHash text dedup (pigeonhole-complete at maxHamming ≤ 3).
+    // Oracle = all-pairs hamming in the Python replica.
+    "q129_image_neardups" -> ((s, d) =>
+      Multimodal.imageNearDups(s,
+        Multimodal.readBinaryDir(s, imagesDir, "*.bmp"), maxHamming = 3)
+        .select(regexp_extract(col("id_a"), "([^/]+)$", 1).as("id_a"),
+          regexp_extract(col("id_b"), "([^/]+)$", 1).as("id_b"),
+          col("hamming"))
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Heaps-law profile: vocabulary size at geometric token-stream
     // prefixes (global positions from the q80 prefix scan — never a
     // global window). The fixture saturates almost immediately (closed
@@ -1878,6 +1902,12 @@ object SparkEntry {
     * pinned to the driver's correctness scale (sf0.01) and checked in;
     * `ExpectedPinSpec` fails loudly with the regenerate command if the
     * fixtures drift. */
+  /** Checked-in deterministic BMP fixtures for the image-dedup family
+    * (q128/q129) — regenerate via `python3 tools/gen_image_fixtures.py`
+    * then `python3 tools/gen_expected.py /root/testdata/sf0.01
+    * src/test/resources/graft/expected q128 q129`. */
+  private val imagesDir = "/root/repo/src/test/resources/graft/images"
+
   private def expectedSql(q: String, cols: String, order: String): String =
     s"SELECT $cols FROM read_parquet(" +
       s"'/root/repo/src/test/resources/graft/expected/${q}_sf001.parquet') " +
@@ -3571,6 +3601,13 @@ object SparkEntry {
         |    / CAST(tot.n_shingles AS DOUBLE), 6) AS contamination
         |FROM tot LEFT JOIN hit ON hit.doc_id = tot.doc_id
         |ORDER BY tot.doc_id""".stripMargin,
+
+    // differential oracles: the Python replica decodes the same BMP
+    // bytes and replays the thumb grid (float32 cells) + gradient bits
+    "q128_image_dhash" ->
+      expectedSql("q128", "file, dhash", "file"),
+    "q129_image_neardups" ->
+      expectedSql("q129", "id_a, id_b, hamming", "id_a, id_b"),
 
     // same doc-order global positions (window cumsum of per-doc token
     // counts), per-term min first occurrence, vocab counted at the

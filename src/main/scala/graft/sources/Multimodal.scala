@@ -99,18 +99,26 @@ object Multimodal {
     * in [0,1] — each cell averages the Rec.601 luminance of its source
     * block; deterministic for a given raster. Shared by single images
     * ([[imageFeatures]]) and per-frame GIF sampling ([[sampleFrames]]). */
-  private[graft] def imageThumb(im: java.awt.image.BufferedImage, side: Int): Array[Float] = {
+  private[graft] def imageThumb(im: java.awt.image.BufferedImage, side: Int): Array[Float] =
+    imageThumbGrid(im, side, side)
+
+  /** Rectangular generalization of the box-filtered grayscale
+    * thumbnail (dHash wants a (side+1)×side grid); `imageThumb`
+    * delegates here so the q51 pinned features are arithmetic-
+    * identical to the pre-refactor path. */
+  private[graft] def imageThumbGrid(im: java.awt.image.BufferedImage,
+      gw: Int, gh: Int): Array[Float] = {
     val w = im.getWidth
     val h = im.getHeight
-    val out = new Array[Float](side * side)
+    val out = new Array[Float](gw * gh)
     var cy = 0
-    while (cy < side) {
+    while (cy < gh) {
       var cx = 0
-      while (cx < side) {
-        val x0 = cx * w / side
-        val x1 = math.max(x0 + 1, (cx + 1) * w / side)
-        val y0 = cy * h / side
-        val y1 = math.max(y0 + 1, (cy + 1) * h / side)
+      while (cx < gw) {
+        val x0 = cx * w / gw
+        val x1 = math.max(x0 + 1, (cx + 1) * w / gw)
+        val y0 = cy * h / gh
+        val y1 = math.max(y0 + 1, (cy + 1) * h / gh)
         var sum = 0.0
         var y = y0
         while (y < y1) {
@@ -123,12 +131,72 @@ object Multimodal {
           }
           y += 1
         }
-        out(cy * side + cx) = (sum / ((x1 - x0) * (y1 - y0) * 255.0)).toFloat
+        out(cy * gw + cx) = (sum / ((x1 - x0) * (y1 - y0) * 255.0)).toFloat
         cx += 1
       }
       cy += 1
     }
     out
+  }
+
+  /** 64-bit difference hash over a 9×8 grid: bit r·8+c set iff
+    * grid(r,c) > grid(r,c+1) (strict — float ties land on the same
+    * side in any IEEE-identical replica). */
+  private[graft] def dHashBits(g: Array[Float], gw: Int, gh: Int): Long = {
+    var bits = 0L
+    var r = 0
+    while (r < gh) {
+      var c = 0
+      while (c < gw - 1) {
+        if (g(r * gw + c) > g(r * gw + c + 1)) bits |= 1L << (r * (gw - 1) + c)
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** Perceptual difference hash of an image (dHash: decode → 9×8
+    * box-filtered grayscale grid → 64 horizontal-gradient sign bits) —
+    * THE cheap image-dedup signature (near-identical images differ in
+    * a few bits; crops/recompressions survive the box filter). Real
+    * decode via `javax.imageio` (PNG/JPEG/GIF/BMP, offline in the
+    * JDK); `None` on undecodable bytes. */
+  def imageDHash(content: Array[Byte]): Option[Long] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content)))
+      catch { case _: Exception => None }
+    img.filter(im => im.getWidth > 0 && im.getHeight > 0)
+      .map(im => dHashBits(imageThumbGrid(im, 9, 8), 9, 8))
+  }
+
+  /** (path, dhash) for every DECODABLE image in a binary frame —
+    * undecodable rows drop (count them upstream via the mime sniff if
+    * the drop rate matters). Per-partition typed map, no UDFs. */
+  def imageHashes(spark: SparkSession, binaries: DataFrame): DataFrame = {
+    import spark.implicits._
+    binaries.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (p, c) =>
+        imageDHash(c).map(h => (p, h))
+      })
+      .toDF("path", "dhash")
+  }
+
+  /** Near-duplicate image pairs by dHash hamming distance — the
+    * multimodal member of the dedup family: the 64-bit perceptual
+    * signature rides the SAME banded self-join machinery as SimHash
+    * text dedup (4×16-bit bands, verify-before-dedup, the optional
+    * hot-bucket block decomposition), so every scale lesson measured
+    * there applies unchanged. Candidate recall is pigeonhole-complete
+    * for `maxHamming` ≤ 3 (3 differing bits cannot touch all four
+    * bands) — the same contract as `Dedup.simhashNearDups`.
+    * Returns (id_a, id_b, hamming) with id_a < id_b (path order). */
+  def imageNearDups(spark: SparkSession, binaries: DataFrame,
+      maxHamming: Int = 3, selfJoinBlocks: Int = 1): DataFrame = {
+    val sigs = imageHashes(spark, binaries)
+      .select(col("path").as("doc"), col("dhash").as("sig"))
+    graft.operators.Dedup.simhashBandPairs(sigs, maxHamming, selfJoinBlocks)
   }
 
   /** REAL image decode (PNG/JPEG/GIF via `javax.imageio` — offline, in

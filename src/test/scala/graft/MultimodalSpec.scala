@@ -398,4 +398,53 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.mp3Metadata(mp3Bytes ++ id3v1) ===
       Some((250L, 128000, 44100)))
   }
+
+  test("imageDHash: gradient-sign bits on a known raster; corrupt -> None") {
+    // 18×8 left-to-right ramp: every grid cell is darker than its right
+    // neighbor -> all 64 dHash bits set
+    val im = new java.awt.image.BufferedImage(18, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 18; y <- 0 until 8) {
+      val v = 255 - x * 14
+      im.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    assert(Multimodal.imageDHash(bos.toByteArray) === Some(-1L))
+    // flat image -> no strict gradients -> 0
+    val flat = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 9; y <- 0 until 8) flat.setRGB(x, y, 0x808080)
+    val b2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(flat, "png", b2)
+    assert(Multimodal.imageDHash(b2.toByteArray) === Some(0L))
+    assert(Multimodal.imageDHash(Array[Byte](1, 2, 3, 4)) === None)
+  }
+
+  test("imageNearDups == brute-force hamming <= 3 over the BMP fixtures; " +
+      "undecodable binaries drop") {
+    val dir = "/root/repo/src/test/resources/graft/images"
+    val bins = Multimodal.readBinaryDir(spark, dir, "*.bmp")
+    val hs = Multimodal.imageHashes(spark, bins)
+      .as[(String, Long)].collect().sortBy(_._1)
+    assert(hs.length === 32) // every fixture BMP decodes
+    val brute = (for {
+      i <- hs.indices; j <- (i + 1) until hs.length
+      d = java.lang.Long.bitCount(hs(i)._2 ^ hs(j)._2)
+      if d <= 3
+    } yield (hs(i)._1, hs(j)._1, d)).sorted
+    val got = Multimodal.imageNearDups(spark, bins, maxHamming = 3)
+      .as[(String, String, Int)].collect().sorted.toSeq
+    assert(got === brute.map { case (a, b, d) => (a, b, d) })
+    assert(got.size === 36) // the six planted 4-variant families
+    // a corrupt binary contributes no hash and no pairs
+    val d2 = Files.createTempDirectory("graft_baddup")
+    Files.copy(Paths.get(s"$dir/img_00.bmp"), d2.resolve("a.bmp"))
+    Files.copy(Paths.get(s"$dir/img_01.bmp"), d2.resolve("b.bmp"))
+    Files.write(d2.resolve("c.bmp"), Array[Byte]('B', 'M', 9, 9))
+    val small = Multimodal.imageNearDups(spark,
+      Multimodal.readBinaryDir(spark, d2.toString, "*.bmp"))
+      .as[(String, String, Int)].collect()
+    assert(small.length === 1 && small.head._3 === 0)
+  }
 }

@@ -591,6 +591,64 @@ def gen_q51(fx):
             "duration_ms BIGINT, bit_rate INT, sample_rate INT", rows)
 
 
+IMAGES_DIR = "/root/repo/src/test/resources/graft/images"
+
+
+def _dhash_of_bmp(path):
+    """Replicate Multimodal.imageThumbGrid(9,8) + dHashBits exactly:
+    double luminance accumulation in y-outer/x-inner order with the
+    same literal coefficients and associativity, cell = float32 of the
+    double average (JVM .toFloat == np.float32 round-to-nearest),
+    strict > comparison, bit r*8+c, signed-64 wrap for the BIGINT."""
+    import numpy as np
+    from gen_image_fixtures import read_bmp
+    px = read_bmp(path)
+    h, w = len(px), len(px[0])
+    gw, gh = 9, 8
+    grid = [[None] * gw for _ in range(gh)]
+    for cy in range(gh):
+        for cx in range(gw):
+            x0 = cx * w // gw
+            x1 = max(x0 + 1, (cx + 1) * w // gw)
+            y0 = cy * h // gh
+            y1 = max(y0 + 1, (cy + 1) * h // gh)
+            acc = 0.0
+            for y in range(y0, y1):
+                for x in range(x0, x1):
+                    r, g, b = px[y][x]
+                    acc += 0.299 * r + 0.587 * g + 0.114 * b
+            grid[cy][cx] = np.float32(acc / ((x1 - x0) * (y1 - y0) * 255.0))
+    bits = 0
+    for r in range(gh):
+        for c in range(gw - 1):
+            if grid[r][c] > grid[r][c + 1]:
+                bits |= 1 << (r * 8 + c)
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def _image_hashes():
+    return [(fn, _dhash_of_bmp(os.path.join(IMAGES_DIR, fn)))
+            for fn in sorted(os.listdir(IMAGES_DIR)) if fn.endswith(".bmp")]
+
+
+def gen_q128(fx):
+    return ("file VARCHAR, dhash BIGINT", _image_hashes())
+
+
+def gen_q129(fx):
+    hs = _image_hashes()
+    mask = (1 << 64) - 1
+    rows = []
+    for i in range(len(hs)):
+        for j in range(i + 1, len(hs)):
+            d = bin((hs[i][1] ^ hs[j][1]) & mask).count("1")
+            if d <= 3:  # band candidate rule is complete at <= 3
+                rows.append((hs[i][0], hs[j][0], d))
+    return ("id_a VARCHAR, id_b VARCHAR, hamming INT", rows)
+
+
 def gen_q95(fx):
     """Packed-sequence digests: the independent BPE encoder
     (gen_bpe_expected machinery) produces the same token stream in
@@ -778,6 +836,7 @@ GENERATORS = {
     "q73": gen_q73, "q74": gen_q74, "q78": gen_q78, "q79": gen_q79,
     "q81": gen_q81, "q83": gen_q83, "q88": gen_q88, "q89": gen_q89,
     "q93": gen_q93, "q95": gen_q95, "q96": gen_q96, "q97": gen_q97,
+    "q128": gen_q128, "q129": gen_q129,
 }
 
 

@@ -159,6 +159,14 @@ object ScaleBench {
             else graft.operators.Dedup.connectedComponents(
               groups.select(col("rep")), "rep", pairs, "id_a", "id_b")
         }
+      // image-dedup scale probe: <sfDir> IS the image directory here
+      // (tools/gen_image_fixtures.py can generate any count into a
+      // temp dir) — decode-bound, binaryFile splits by file so the
+      // hash stage parallelizes; the pair join is the measured
+      // simhashBandPairs machinery
+      case "q129_dir" =>
+        graft.sources.Multimodal.imageNearDups(spark,
+          graft.sources.Multimodal.readBinaryDir(spark, sfDir, "*.bmp"))
       case n => graft.SparkEntry.queries(n)(spark, sfDir)
     }
 

@@ -1594,6 +1594,28 @@ object SparkEntry {
           col("hamming"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // perceptual audio fingerprint — REAL decode (javax.sound.sampled,
+    // the q76 path) → 65-bucket RMS envelope → 64 delta-sign bits;
+    // checked-in deterministic PCM16 WAV fixtures, Python replica
+    // oracle (same bytes, same float32 envelope).
+    "q130_audio_fingerprint" -> ((s, d) =>
+      Multimodal.audioHashes(s,
+        Multimodal.readBinaryDir(s, audioDir, "*.wav"))
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+          col("afp"))
+        .orderBy(col("file"))),
+
+    // near-duplicate audio by fingerprint hamming — completes the
+    // modality dedup set (text SimHash/MinHash, image dHash, audio
+    // envelope bits) on the same banded machinery.
+    "q131_audio_neardups" -> ((s, d) =>
+      Multimodal.audioNearDups(s,
+        Multimodal.readBinaryDir(s, audioDir, "*.wav"), maxHamming = 3)
+        .select(regexp_extract(col("id_a"), "([^/]+)$", 1).as("id_a"),
+          regexp_extract(col("id_b"), "([^/]+)$", 1).as("id_b"),
+          col("hamming"))
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Heaps-law profile: vocabulary size at geometric token-stream
     // prefixes (global positions from the q80 prefix scan — never a
     // global window). The fixture saturates almost immediately (closed
@@ -1907,6 +1929,12 @@ object SparkEntry {
     * then `python3 tools/gen_expected.py /root/testdata/sf0.01
     * src/test/resources/graft/expected q128 q129`. */
   private val imagesDir = "/root/repo/src/test/resources/graft/images"
+
+  /** Checked-in deterministic PCM16 WAV fixtures for the audio-dedup
+    * family (q130/q131) — regenerate via `python3
+    * tools/gen_audio_fixtures.py` then `python3 tools/gen_expected.py
+    * /root/testdata/sf0.01 src/test/resources/graft/expected q130 q131`. */
+  private val audioDir = "/root/repo/src/test/resources/graft/audio"
 
   private def expectedSql(q: String, cols: String, order: String): String =
     s"SELECT $cols FROM read_parquet(" +
@@ -3608,6 +3636,10 @@ object SparkEntry {
       expectedSql("q128", "file, dhash", "file"),
     "q129_image_neardups" ->
       expectedSql("q129", "id_a, id_b, hamming", "id_a, id_b"),
+    "q130_audio_fingerprint" ->
+      expectedSql("q130", "file, afp", "file"),
+    "q131_audio_neardups" ->
+      expectedSql("q131", "id_a, id_b, hamming", "id_a, id_b"),
 
     // same doc-order global positions (window cumsum of per-doc token
     // counts), per-term min first occurrence, vocab counted at the

@@ -199,6 +199,40 @@ object Multimodal {
     graft.operators.Dedup.simhashBandPairs(sigs, maxHamming, selfJoinBlocks)
   }
 
+  /** Perceptual audio fingerprint — the dHash analogue for sound: a
+    * 65-bucket RMS loudness envelope (REAL decode via
+    * `javax.sound.sampled`, the q76 path: PCM, G.711 μ-law/A-law, IMA
+    * ADPCM) reduced to 64 envelope-delta sign bits (bit c set iff
+    * bucket c is strictly louder than bucket c+1). Robust to gain-
+    * preserving re-encodes the way dHash is robust to resizes; `None`
+    * on undecodable bytes. */
+  def audioFingerprint(content: Array[Byte]): Option[Long] =
+    audioFeatures(content, 65).map(env => dHashBits(env, 65, 1))
+
+  /** (path, afp) for every decodable audio binary — the audio twin of
+    * [[imageHashes]]. */
+  def audioHashes(spark: SparkSession, binaries: DataFrame): DataFrame = {
+    import spark.implicits._
+    binaries.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (p, c) =>
+        audioFingerprint(c).map(h => (p, h))
+      })
+      .toDF("path", "afp")
+  }
+
+  /** Near-duplicate audio pairs by fingerprint hamming — the audio
+    * member of the dedup family, completing the modality set (text
+    * SimHash/MinHash, image dHash, audio envelope bits) on the SAME
+    * banded self-join machinery and the same pigeonhole contract
+    * (complete at `maxHamming` ≤ 3). */
+  def audioNearDups(spark: SparkSession, binaries: DataFrame,
+      maxHamming: Int = 3, selfJoinBlocks: Int = 1): DataFrame = {
+    val sigs = audioHashes(spark, binaries)
+      .select(col("path").as("doc"), col("afp").as("sig"))
+    graft.operators.Dedup.simhashBandPairs(sigs, maxHamming, selfJoinBlocks)
+  }
+
   /** REAL image decode (PNG/JPEG/GIF via `javax.imageio` — offline, in
     * the JDK): an `side`×`side` box-filtered grayscale thumbnail in
     * [0,1], the classic cheap perceptual feature (and the first stage

@@ -421,6 +421,55 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.imageDHash(Array[Byte](1, 2, 3, 4)) === None)
   }
 
+  test("audioFingerprint: staircase envelope bits; silence -> 0; corrupt -> None") {
+    // 65 segments of strictly decreasing amplitude square waves ->
+    // every envelope delta positive -> all 64 bits set
+    def wav(samples: Seq[Short]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val d = new java.io.DataOutputStream(bos)
+      val data = samples.length * 2
+      d.writeBytes("RIFF")
+      d.writeInt(Integer.reverseBytes(36 + data))
+      d.writeBytes("WAVEfmt ")
+      d.writeInt(Integer.reverseBytes(16))
+      d.writeShort(java.lang.Short.reverseBytes(1).toInt)        // PCM
+      d.writeShort(java.lang.Short.reverseBytes(1).toInt)        // mono
+      d.writeInt(Integer.reverseBytes(8000))
+      d.writeInt(Integer.reverseBytes(16000))
+      d.writeShort(java.lang.Short.reverseBytes(2).toInt)
+      d.writeShort(java.lang.Short.reverseBytes(16).toInt)
+      d.writeBytes("data")
+      d.writeInt(Integer.reverseBytes(data))
+      samples.foreach(s => d.writeShort(java.lang.Short.reverseBytes(s).toInt))
+      bos.toByteArray
+    }
+    val stair = (0 until 65).flatMap { b =>
+      val amp = (30000 - b * 400).toShort
+      (0 until 32).map(f => if (f % 2 == 0) amp else (-amp).toShort)
+    }
+    assert(Multimodal.audioFingerprint(wav(stair)) === Some(-1L))
+    assert(Multimodal.audioFingerprint(wav(Seq.fill(65 * 32)(0.toShort)))
+      === Some(0L))
+    assert(Multimodal.audioFingerprint(Array[Byte](1, 2, 3)) === None)
+  }
+
+  test("audioNearDups == brute-force hamming <= 3 over the WAV fixtures") {
+    val dir = "/root/repo/src/test/resources/graft/audio"
+    val bins = Multimodal.readBinaryDir(spark, dir, "*.wav")
+    val hs = Multimodal.audioHashes(spark, bins)
+      .as[(String, Long)].collect().sortBy(_._1)
+    assert(hs.length === 32)
+    val brute = (for {
+      i <- hs.indices; j <- (i + 1) until hs.length
+      d = java.lang.Long.bitCount(hs(i)._2 ^ hs(j)._2)
+      if d <= 3
+    } yield (hs(i)._1, hs(j)._1, d)).sorted
+    val got = Multimodal.audioNearDups(spark, bins, maxHamming = 3)
+      .as[(String, String, Int)].collect().sorted.toSeq
+    assert(got === brute)
+    assert(got.size === 36) // the six planted 4-variant families
+  }
+
   test("imageNearDups == brute-force hamming <= 3 over the BMP fixtures; " +
       "undecodable binaries drop") {
     val dir = "/root/repo/src/test/resources/graft/images"

@@ -637,6 +637,60 @@ def gen_q128(fx):
     return ("file VARCHAR, dhash BIGINT", _image_hashes())
 
 
+AUDIO_DIR = "/root/repo/src/test/resources/graft/audio"
+
+
+def _afp_of_wav(path):
+    """Replicate Multimodal.rmsEnvelope(buckets=65) + dHashBits(65,1)
+    exactly: mono double per frame (ch=1 -> the sample value), bucket
+    f*65//n, sum-of-squares in frame order, float32 of
+    sqrt(sumSq/count)/32768.0 (IEEE sqrt is correctly rounded in both
+    runtimes), strict > deltas, signed-64 wrap."""
+    import math as m
+    import numpy as np
+    from gen_audio_fixtures import read_wav
+    samples = read_wav(path)
+    n = len(samples)
+    buckets = 65
+    sum_sq = [0.0] * buckets
+    counts = [0] * buckets
+    for f in range(n):
+        mono = float(samples[f])
+        b = f * buckets // n
+        sum_sq[b] += mono * mono
+        counts[b] += 1
+    env = [np.float32(m.sqrt(sum_sq[b] / counts[b]) / 32768.0)
+           if counts[b] else np.float32(0.0) for b in range(buckets)]
+    bits = 0
+    for c in range(64):
+        if env[c] > env[c + 1]:
+            bits |= 1 << c
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def _audio_hashes():
+    return [(fn, _afp_of_wav(os.path.join(AUDIO_DIR, fn)))
+            for fn in sorted(os.listdir(AUDIO_DIR)) if fn.endswith(".wav")]
+
+
+def gen_q130(fx):
+    return ("file VARCHAR, afp BIGINT", _audio_hashes())
+
+
+def gen_q131(fx):
+    hs = _audio_hashes()
+    mask = (1 << 64) - 1
+    rows = []
+    for i in range(len(hs)):
+        for j in range(i + 1, len(hs)):
+            d = bin((hs[i][1] ^ hs[j][1]) & mask).count("1")
+            if d <= 3:
+                rows.append((hs[i][0], hs[j][0], d))
+    return ("id_a VARCHAR, id_b VARCHAR, hamming INT", rows)
+
+
 def gen_q129(fx):
     hs = _image_hashes()
     mask = (1 << 64) - 1
@@ -837,6 +891,7 @@ GENERATORS = {
     "q81": gen_q81, "q83": gen_q83, "q88": gen_q88, "q89": gen_q89,
     "q93": gen_q93, "q95": gen_q95, "q96": gen_q96, "q97": gen_q97,
     "q128": gen_q128, "q129": gen_q129,
+    "q130": gen_q130, "q131": gen_q131,
 }
 
 

@@ -1616,6 +1616,39 @@ object SparkEntry {
           col("hamming"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // temperature-α domain resampling (α=0.5 over the skewed lang
+    // strata, budget 1000 docs on a 500-doc corpus): rare domains
+    // upsample via integral copies, the regime q82's keep-rate ≤ 1
+    // cannot express. ln/exp at 6 dp (q104 discipline) + pure integer
+    // DIV targets + LCG permille fractional copies → exact ANSI
+    // oracle.
+    "q132_temperature_mix" -> ((s, d) =>
+      Curation.temperatureResample(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", alphaPermille = 500, budgetDocs = 1000L)
+        .orderBy(col("doc_id"), col("copy"))),
+
+    // pairwise source-contamination matrix: q105's corpus-vs-benchmark
+    // overlap generalized to every source pair in one pass (distinct
+    // (source, shingle) aggregate + merge-hinted shingle self-join;
+    // pair cost bounded by |sources|² per shingle, never doc²).
+    "q134_source_overlap_matrix" -> ((s, d) =>
+      Curation.sourceOverlapMatrix(fan(Tables.documents(s, d), "doc_id"),
+        "source", "text", k = 3)),
+
+    // trailing-window anomaly flags per customer over order amounts:
+    // the row is judged against the mean/σ of the `window` rows
+    // strictly before it — (n·v−S)² > k²·(nQ−S²) in exact integers
+    // (DECIMAL(38,0) / HUGEINT), no float boundary. One window, one
+    // shuffle; (o_orderdate, o_orderkey) makes the frame order total.
+    "q133_rolling_anomaly" -> ((s, d) =>
+      Analytics.rollingAnomaly(Tables.orders(s, d), "o_custkey",
+        Seq("o_orderdate", "o_orderkey"), "o_totalprice",
+        window = 8, k = 3, minPeriods = 4)
+        .select(col("o_custkey"), col("o_orderkey"), col("n_prev"),
+          col("roll_mean"), col("is_anomaly"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))),
+
     // Heaps-law profile: vocabulary size at geometric token-stream
     // prefixes (global positions from the q80 prefix scan — never a
     // global window). The fixture saturates almost immediately (closed
@@ -3640,6 +3673,98 @@ object SparkEntry {
       expectedSql("q130", "file, afp", "file"),
     "q131_audio_neardups" ->
       expectedSql("q131", "id_a, id_b, hamming", "id_a, id_b"),
+
+    // the same ln/exp 6-dp lifts, integer DIV targets and LCG
+    // permille replayed in ANSI; generate_series(1, 0) is empty so
+    // copies=0 docs drop without a filter
+    "q132_temperature_mix" ->
+      """WITH n AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS nd
+        |  FROM documents GROUP BY lang),
+        |l AS (
+        |  SELECT lang, nd,
+        |    CAST(CAST(round(ln(CAST(nd AS DOUBLE)), 6) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT) AS l6
+        |  FROM n),
+        |m AS (SELECT max(l6) AS lmax FROM l),
+        |w AS (
+        |  SELECT lang, nd,
+        |    CAST(CAST(round(exp(CAST(500 * (l6 - lmax) AS DOUBLE)
+        |      / 1000000000.0), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS w6
+        |  FROM l, m),
+        |s AS (SELECT CAST(sum(w6) AS BIGINT) AS wsum FROM w),
+        |r AS (
+        |  SELECT lang, nd, (1000 * w6) // wsum AS td FROM w, s),
+        |x AS (
+        |  SELECT lang, nd, td // nd AS base,
+        |    (1000 * (td % nd)) // nd AS xrate
+        |  FROM r),
+        |c AS (
+        |  SELECT d.doc_id, d.lang,
+        |    x.base + (CASE WHEN (((d.doc_id % 2147483648) * 1103515245
+        |        + 12345) % 2147483648) % 1000 < x.xrate
+        |      THEN 1 ELSE 0 END) AS copies
+        |  FROM documents d JOIN x ON d.lang = x.lang)
+        |SELECT doc_id, lang, CAST(cp AS INT) AS copy FROM (
+        |  SELECT doc_id, lang, unnest(generate_series(1, copies)) AS cp
+        |  FROM c)
+        |ORDER BY doc_id, copy""".stripMargin,
+
+    // q105's shingle CTE re-grouped by source; pairs via the same
+    // shingle equi-join
+    "q134_source_overlap_matrix" ->
+      """WITH d AS (
+        |  SELECT source, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (
+        |  SELECT source,
+        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |      ELSE list_transform(generate_series(0, len(ws) - 3),
+        |        i -> array_to_string(ws[i+1 : i+3], ' ')) END AS sh
+        |  FROM d),
+        |g AS (SELECT DISTINCT source, unnest(sh) AS shingle FROM s),
+        |n AS (SELECT source, CAST(count(*) AS BIGINT) AS ng
+        |      FROM g GROUP BY source),
+        |i AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM g a JOIN g b USING (shingle)
+        |  WHERE a.source < b.source GROUP BY 1, 2)
+        |SELECT i.source_a, i.source_b, na.ng AS n_a, nb.ng AS n_b,
+        |  i.n_shared,
+        |  round(CAST(i.n_shared AS DOUBLE)
+        |    / CAST(na.ng + nb.ng - i.n_shared AS DOUBLE), 6) AS jaccard
+        |FROM i
+        |JOIN n na ON na.source = i.source_a
+        |JOIN n nb ON nb.source = i.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    // the same exact-integer variance comparison in HUGEINT (DuckDB
+    // has no DECIMAL(38,0)×DECIMAL(38,0); both hold ≤1e26 exactly);
+    // DuckDB sum(BIGINT) is HUGEINT already
+    "q133_rolling_anomaly" ->
+      """WITH v AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(CAST(round(o_totalprice, 6) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT) AS vv
+        |  FROM orders),
+        |w AS (
+        |  SELECT o_custkey, o_orderkey, vv,
+        |    CAST(sum(vv) OVER win AS HUGEINT) AS s,
+        |    CAST(sum(CAST(vv AS HUGEINT) * CAST(vv AS HUGEINT))
+        |      OVER win AS HUGEINT) AS q,
+        |    CAST(count(vv) OVER win AS HUGEINT) AS n
+        |  FROM v
+        |  WINDOW win AS (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+        |SELECT o_custkey, o_orderkey, CAST(n AS INT) AS n_prev,
+        |  CASE WHEN n > 0 THEN round(CAST(s AS DOUBLE)
+        |    / CAST(n AS DOUBLE) / 1000000.0, 6) END AS roll_mean,
+        |  CAST(CASE WHEN n >= 4 AND
+        |      (n * vv - s) * (n * vv - s) > 9 * (n * q - s * s)
+        |    THEN 1 ELSE 0 END AS INT) AS is_anomaly
+        |FROM w ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     // same doc-order global positions (window cumsum of per-doc token
     // counts), per-term min first occurrence, vocab counted at the

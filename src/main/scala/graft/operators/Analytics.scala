@@ -609,6 +609,62 @@ object Analytics {
       .orderBy(col(groupCol), col(idCol))
   }
 
+  /** Per-key rolling-window anomaly flags — the time-series twin of
+    * [[robustOutliers]]: each row is judged against the mean/stddev
+    * of its own trailing window (`window` rows strictly BEFORE it, so
+    * a spike never inflates its own yardstick), the drift-tolerant
+    * form batch z-scores can't express. The σ comparison never
+    * touches floats: with v = 1e6-lifted value, S = Σv and Q = Σv²
+    * over the frame and n its row count,
+    *
+    *   |x − S/n| > k·σ  ⇔  (n·v − S)² > k²·(n·Q − S²)
+    *
+    * — all exact integers (DECIMAL(38,0) on the Spark side, HUGEINT
+    * in the DuckDB oracle; both hold the ≤1e26 products exactly).
+    * `n·Q − S²` ≥ 0 by Cauchy–Schwarz; a zero-variance window flags
+    * any departure from its constant (LHS > 0 = RHS), and an
+    * in-variance row never flags. Rows with fewer than `minPeriods`
+    * predecessors report but never flag.
+    *
+    * Scale shape: ONE window over one shuffle on `keyCol` with a
+    * bounded rows-frame (running state = `window` rows), linear per
+    * key, no second scan. The frame order must be made total by
+    * `orderCols` or tied rows make the frame multiset
+    * engine-dependent. Returns (key, orderCols…, value, n_prev,
+    * roll_mean, is_anomaly ∈ {0,1}). */
+  def rollingAnomaly(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, window: Int = 8, k: Int = 3,
+      minPeriods: Int = 4): DataFrame = {
+    require(window >= 1 && k >= 1 && minPeriods >= 1 && minPeriods <= window,
+      s"bad window/k/minPeriods: $window/$k/$minPeriods")
+    def lift6(c: Column): Column =
+      round(c, 6).cast(DecimalType(18, 6)).multiply(lit(1000000))
+        .cast("long")
+    val med = DecimalType(19, 0)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-window.toLong, -1L)
+    val v = lift6(col(valueCol).cast("double"))
+    val base = df.filter(col(valueCol).isNotNull)
+      .withColumn("__v", v)
+      .withColumn("__s", sum(col("__v")).over(w))
+      .withColumn("__q", sum(col("__v").cast(med) * col("__v").cast(med)).over(w))
+      .withColumn("__n", count(col("__v")).over(w))
+    val a = (col("__n") * col("__v") - col("__s")).cast(med)
+    val lhs = a * a
+    val rhs = lit(k.toLong * k) *
+      (col("__n").cast(med) * col("__q") - col("__s").cast(med) * col("__s").cast(med))
+    base
+      .withColumn("n_prev", col("__n").cast("int"))
+      .withColumn("roll_mean",
+        when(col("__n") > 0L,
+          round(col("__s").cast("double") / col("__n").cast("double")
+            / lit(1e6), 6)))
+      .withColumn("is_anomaly",
+        when(col("__n") >= minPeriods.toLong && lhs > rhs, 1).otherwise(0))
+      .drop("__v", "__s", "__q", "__n")
+  }
+
   def retention(df: DataFrame, userCol: String, tsCol: String,
       periodDays: Int = 7): DataFrame = {
     require(periodDays > 0, s"periodDays must be positive: $periodDays")

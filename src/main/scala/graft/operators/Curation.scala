@@ -242,6 +242,66 @@ object Curation {
       .drop("__tot")
   }
 
+  /** Temperature-based domain resampling — the mixture-flattening
+    * step pretraining recipes apply before packing: domain share
+    * ∝ n_d^α with α ∈ [0, 1] (α=1 keeps natural proportions, α=0
+    * gives every domain equal mass). Rare domains UPSAMPLE via
+    * integral document copies — the regime [[mixToBudget]]'s
+    * keep-rate ≤ 1 cannot express. Every decision is deterministic
+    * integer arithmetic replayable in ANSI SQL:
+    *
+    *   l_d  = round(ln n_d, 6)·1e6              (exact BIGINT lift)
+    *   w_d  = round(exp(α·(l_d − l_max)/1e9), 6)·1e6 ∈ [0, 1e6]
+    *          (max-normalized so every later product stays in range)
+    *   t_d  = (budgetDocs·w_d) DIV Σ_d' w_d'    (domain doc target)
+    *   base = t_d DIV n_d;  xrate = (1000·(t_d mod n_d)) DIV n_d
+    *   copies(doc) = base + [lcg_permille(id) < xrate]
+    *
+    * then `sequence(1, copies)` explodes the copies (a copies=0 doc
+    * drops). Expected domain mass ≈ t_d; every copy decision is a
+    * pure function of the doc id — partition-layout independent.
+    * ln/exp at 6 dp are the q104/q89 cross-engine precedents; the
+    * lifts route through DECIMAL (the q102 rule).
+    *
+    * Scale shape: two tiny domain aggregates (|strata| rows)
+    * broadcast back onto one corpus scan; the explode fans out
+    * base+1 per row at most, so output mass is the budget by
+    * construction. ANSI overflow bounds are required, not hoped:
+    * budgetDocs·1e6 < 2^63 (enforced) and 1000·n_d < 2^63 (n_d
+    * below 9.2e15 — the corpus itself breaks first). Returns
+    * (`idCol`, `strataCol`, copy ∈ 1..copies). */
+  def temperatureResample(df: DataFrame, idCol: String, strataCol: String,
+      alphaPermille: Int, budgetDocs: Long): DataFrame = {
+    require(alphaPermille >= 0 && alphaPermille <= 1000,
+      s"alphaPermille must be in [0, 1000]: $alphaPermille")
+    require(budgetDocs > 0 && budgetDocs <= Long.MaxValue / 1000000L,
+      s"budgetDocs must be in (0, 2^63/1e6]: $budgetDocs")
+    def lift6(c: Column): Column =
+      round(c, 6).cast(org.apache.spark.sql.types.DecimalType(18, 6))
+        .multiply(lit(1000000)).cast("long")
+    val n = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__nd"))
+      .withColumn("__l6", lift6(log(col("__nd").cast("double"))))
+    val lmax = n.agg(max(col("__l6")).as("__lmax"))
+    val w = n.crossJoin(broadcast(lmax))
+      .withColumn("__w6", lift6(exp(
+        (lit(alphaPermille.toLong) * (col("__l6") - col("__lmax")))
+          .cast("double") / lit(1e9))))
+    val wsum = w.agg(sum(col("__w6")).as("__wsum"))
+    val rates = w.crossJoin(broadcast(wsum))
+      .withColumn("__td", expr(s"(${budgetDocs}L * __w6) DIV __wsum"))
+      .withColumn("__base", expr("__td DIV __nd"))
+      .withColumn("__xrate", expr("(1000 * (__td % __nd)) DIV __nd"))
+      .select(col(strataCol), col("__base"), col("__xrate"))
+    val permille = lcgBucket(col(idCol), 1000L)
+    df.join(broadcast(rates), Seq(strataCol))
+      .withColumn("__copies",
+        (col("__base")
+          + when(permille < col("__xrate"), 1L).otherwise(0L)).cast("int"))
+      .filter(col("__copies") >= 1)
+      .select(col(idCol), col(strataCol),
+        explode(sequence(lit(1), col("__copies"))).as("copy"))
+  }
+
   /** Corpus vocabulary: the `k` most frequent whitespace tokens with
     * corpus term frequency and document frequency — the first pass of
     * tokenizer training / coverage analysis. One explode + hash
@@ -505,6 +565,52 @@ object Curation {
           col("n_shared").cast("double")
             / col("n_benchmark_shingles").cast("double")), 6)
           .as("containment"))
+  }
+
+  /** Pairwise cross-group shingle-overlap matrix — [[corpusOverlap]]
+    * generalized from one (corpus, benchmark) pair to EVERY pair of
+    * groups at once: the contamination / provenance matrix a curation
+    * run reads to find which sources feed each other (mirror sites,
+    * scraped re-posts, shared boilerplate) before de-dup budgets are
+    * set. For each group pair (a < b): distinct-shingle set sizes,
+    * intersection, Jaccard. Only overlapping pairs return (the
+    * matrix is sparse by construction — a zero cell carries no row).
+    *
+    * Scale shape: one distinct (group, shingle) aggregate feeds
+    * everything; the shingle-keyed self-join is `merge`-hinted (both
+    * sides are the same aggregate — the AQE broadcast-estimate OOM
+    * hazard from the duplicatedSpans lesson) and its cost is
+    * Σ_sh df_g(sh)² bounded by vocab·|groups|² — a boilerplate
+    * shingle present in EVERY group costs |groups|² pairs, never
+    * doc² (contrast q22, where hot shingles pair documents). Group
+    * sizes broadcast back (|groups| rows). Returns (source_a,
+    * source_b, n_a, n_b, n_shared, jaccard) for source_a < source_b. */
+  def sourceOverlapMatrix(df: DataFrame, groupCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val sh = df.filter(col(textCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        explode(Dedup.shingles(col(textCol), k)).as("__shingle"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = sh.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val inter = sh.select(col("__g").as("source_a"), col("__shingle"))
+      .hint("merge")
+      .join(sh.select(col("__g").as("source_b"), col("__shingle")),
+        Seq("__shingle"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(broadcast(sizes.select(col("__g").as("source_a"),
+        col("__n").as("n_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("__g").as("source_b"),
+        col("__n").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        round(col("n_shared").cast("double")
+          / (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
   }
 
   /** Per-source dataset card: the one-pass corpus profile a curation

@@ -146,6 +146,69 @@ class CurationSpec extends SparkSpec {
     assert(out.count(_._2 == "b") === 4)
   }
 
+  test("temperatureResample: exact copies from the integer replay, alpha extremes, partition independence") {
+    // skewed domains: a=16, b=4, c=1 docs
+    val rows = (0L until 16L).map((_, "a")) ++
+      (16L until 20L).map((_, "b")) ++ Seq((21L, "c"))
+    val df = rows.toDF("id", "src")
+    def l6(x: Double): Long =
+      (BigDecimal.decimal(x)
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        * 1000000).toLong
+    def replay(alpha: Int, budget: Long): Map[(Long, String), Int] = {
+      val nd = rows.groupBy(_._2).map { case (s, rs) => s -> rs.size.toLong }
+      val lmax = nd.values.map(n => l6(math.log(n.toDouble))).max
+      val w6 = nd.map { case (s, n) =>
+        s -> l6(math.exp((alpha * (l6(math.log(n.toDouble)) - lmax)).toDouble / 1e9)) }
+      val wsum = w6.values.sum
+      val td = w6.map { case (s, w) => s -> (budget * w) / wsum }
+      rows.flatMap { case (id, s) =>
+        val n = nd(s); val t = td(s)
+        val base = t / n; val xrate = (1000L * (t % n)) / n
+        val perm = ((id % 2147483648L) * 1103515245L + 12345L) % 2147483648L % 1000L
+        val c = base + (if (perm < xrate) 1L else 0L)
+        if (c >= 1L) Some((id, s) -> c.toInt) else None
+      }.toMap
+    }
+    for (alpha <- Seq(0, 500, 1000)) {
+      val exp = replay(alpha, 42L)
+      val got = Curation.temperatureResample(df.repartition(7), "id", "src", alpha, 42L)
+        .groupBy($"id", $"src").agg(max($"copy").as("mx"), count(lit(1)).as("k"))
+        .as[(Long, String, Int, Long)].collect()
+      // copy numbers are dense 1..copies
+      got.foreach { case (id, _, mx, k) => assert(mx.toLong === k, s"id $id") }
+      assert(got.map(t => (t._1, t._2) -> t._3).toMap === exp, s"alpha $alpha")
+    }
+    // α=0 flattens: every domain targets budget/3 = 10 docs, so the
+    // singleton domain c UPSAMPLES to exactly 10 copies of its one doc
+    val flat = Curation.temperatureResample(df, "id", "src", 0, 30L)
+    assert(flat.filter($"src" === "c").count() === 10L)
+    // partition independence
+    val p1 = Curation.temperatureResample(df.repartition(1), "id", "src", 500, 42L)
+      .orderBy($"id", $"copy").collect().toSeq
+    val p7 = Curation.temperatureResample(df.repartition(7), "id", "src", 500, 42L)
+      .orderBy($"id", $"copy").collect().toSeq
+    assert(p1 === p7)
+  }
+
+  test("sourceOverlapMatrix: hand-exact pair cells, zero cells absent, short-doc collapse") {
+    val docs = Seq(
+      (1L, "s1", "a b c d"),        // {"a b c", "b c d"}
+      (2L, "s2", "b c d e"),        // {"b c d", "c d e"}
+      (3L, "s2", "b c d e"),        // duplicate doc adds nothing (set)
+      (4L, "s3", "x y"),            // short doc -> whole-text shingle
+      (5L, "s3", null.asInstanceOf[String])) // null text drops
+      .toDF("doc_id", "src", "text")
+    val got = Curation.sourceOverlapMatrix(docs.repartition(5), "src", "text", 3)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    // only the overlapping pair (s1, s2) appears: shared {"b c d"},
+    // jaccard 1/(2+2-1) = 0.333333; s3 overlaps nobody -> no rows
+    assert(got === Seq(("s1", "s2", 2L, 2L, 1L, 0.333333)))
+    val p1 = Curation.sourceOverlapMatrix(docs.repartition(1), "src", "text", 3)
+      .collect().toSeq
+    assert(p1 === got.map(org.apache.spark.sql.Row.fromTuple))
+  }
+
   test("vocabulary: exact tf/df on a planted corpus, top-k order is (tf desc, term)") {
     val docs = Seq(
       (1L, "apple banana apple cherry"),

@@ -109,6 +109,61 @@ class RobustSpec extends SparkSpec {
     (BigDecimal(math.log(n)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
       * 1000000).toLongExact
 
+  // ---- rollingAnomaly -------------------------------------------------
+
+  test("rollingAnomaly: hand-exact flags, trailing frame excludes self, minPeriods gate") {
+    // key a: constant 10s then a spike of 100 at t=5, back to 10 at t=6.
+    // Trailing window of 4 with minPeriods 2: the spike at t=5 flags
+    // (zero-variance predecessors, any departure => LHS > RHS = 0);
+    // the return to 10 at t=6 ALSO flags against the spike-polluted
+    // window? mean of {10,10,10,100} = 32.5, var > 0 — check via replay.
+    val rows = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 10.0), ("a", 3L, 10.0), ("a", 4L, 10.0),
+      ("a", 5L, 100.0), ("a", 6L, 10.0),
+      ("b", 1L, 5.0), ("b", 2L, 7.0)) // below minPeriods: never flags
+    val df = rows.toDF("k", "t", "x")
+    val out = Analytics.rollingAnomaly(df, "k", Seq("t"), "x",
+      window = 4, k = 3, minPeriods = 2)
+      .select($"k", $"t", $"n_prev", $"roll_mean", $"is_anomaly")
+      .as[(String, Long, Int, Option[Double], Int)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // integer replay of the same comparison
+    def flag(prev: Seq[Double], x: Double): Int = {
+      if (prev.size < 2) return 0
+      val v = (BigDecimal.decimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP) * 1000000).toLong
+      val vs = prev.map(p => (BigDecimal.decimal(p).setScale(6, BigDecimal.RoundingMode.HALF_UP) * 1000000).toLong)
+      val n = BigInt(vs.size); val s = BigInt(vs.sum)
+      val q = vs.map(l => BigInt(l) * BigInt(l)).sum
+      val a = n * BigInt(v) - s
+      if (a * a > BigInt(9) * (n * q - s * s)) 1 else 0
+    }
+    val byKey = rows.groupBy(_._1)
+    for ((k, rs) <- byKey; (i, r) <- rs.sortBy(_._2).zipWithIndex.map(_.swap)) {
+      val prev = rs.sortBy(_._2).slice(math.max(0, i - 4), i).map(_._3)
+      val got = out((k, r._2))
+      assert(got._5 === flag(prev, r._3), s"($k, ${r._2})")
+      assert(got._3 === prev.size)
+    }
+    // the spike itself flags; the recovery row flags iff the replay says so
+    assert(out(("a", 5L))._5 === 1)
+    assert(out(("b", 1L))._5 === 0 && out(("b", 2L))._5 === 0)
+    // roll_mean of the zero-prev row is null
+    assert(out(("a", 1L))._4.isEmpty && out(("b", 1L))._4.isEmpty)
+  }
+
+  test("rollingAnomaly: partition independence and single-window plan") {
+    val df = (1L to 200L).map(i => (i % 5, i, (i * 37 % 11).toDouble))
+      .toDF("k", "t", "x")
+    val a = Analytics.rollingAnomaly(df.repartition(1), "k", Seq("t"), "x")
+      .orderBy($"k", $"t").collect().toSeq
+    val b = Analytics.rollingAnomaly(df.repartition(13), "k", Seq("t"), "x")
+      .orderBy($"k", $"t").collect().toSeq
+    assert(a === b)
+    val plan = Analytics.rollingAnomaly(df, "k", Seq("t"), "x")
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange hashpartitioning").length - 1 === 1, plan)
+  }
+
   test("pmiCollocations: hand-exact counts and pmi") {
     val df = (Seq.fill(5)("a b") :+ "c d").toDF("text")
     val got = Curation.pmiCollocations(df, "text", minCount = 5).collect()

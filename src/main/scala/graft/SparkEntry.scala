@@ -1628,6 +1628,19 @@ object SparkEntry {
         "doc_id", "lang", alphaPermille = 500, budgetDocs = 1000L)
         .orderBy(col("doc_id"), col("copy"))),
 
+    // MMR-diversified retrieval (the RAG serving step): top-32 by
+    // cosine vs the vec_id=0 probe, then the greedy integer-score
+    // selection — λ‰·relL − (1000−λ‰)·max-sim-to-picked, ties by id.
+    // Differential oracle: the Python replica replays the same 6-dp
+    // cosines and the same exact-integer greedy.
+    "q135_mmr_rerank" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.mmrRerank(e,
+        e.filter(col("vec_id") === 0).select(col("embedding")),
+        "vec_id", "embedding", n = 32, k = 8, lambdaPermille = 500)
+        .orderBy(col("rank"))
+    }),
+
     // pairwise source-contamination matrix: q105's corpus-vs-benchmark
     // overlap generalized to every source pair in one pass (distinct
     // (source, shingle) aggregate + merge-hinted shingle self-join;
@@ -3673,6 +3686,8 @@ object SparkEntry {
       expectedSql("q130", "file, afp", "file"),
     "q131_audio_neardups" ->
       expectedSql("q131", "id_a, id_b, hamming", "id_a, id_b"),
+    "q135_mmr_rerank" ->
+      expectedSql("q135", "rank, vec_id, rel, score_nano", "rank"),
 
     // the same ln/exp 6-dp lifts, integer DIV targets and LCG
     // permille replayed in ANSI; generate_series(1, 0) is empty so

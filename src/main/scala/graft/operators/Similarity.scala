@@ -38,6 +38,80 @@ object Similarity {
       .limit(k)
   }
 
+  /** Maximal-marginal-relevance rerank — the RAG serving step after
+    * retrieval: from the `n` most relevant candidates, greedily pick
+    * `k` that balance relevance against redundancy,
+    *
+    *   score(c) = λ·rel(c) − (1−λ)·max_{s∈picked} cos(c, s)
+    *
+    * so two near-duplicate chunks never both reach the prompt (the
+    * retrieval twin of SemDeDup: q88 dedups the corpus offline, this
+    * dedups the answer set online). The distributed part is the full
+    * relevance scan + TakeOrdered top-n; the greedy loop runs on the
+    * driver over the n collected candidates — bounded state by
+    * construction (n ≤ 4096 enforced), the same deliberate-collect
+    * contract as the hot-key cache and prefix-scan partials.
+    *
+    * Determinism: rel and every pairwise cosine go through the 6-dp
+    * kernel discipline, then all selection arithmetic is EXACT
+    * integers — 1e6-lifted scores combined at permille λ (score_nano
+    * = λ‰·relL − (1000−λ‰)·divL), ties by smaller id — so the picked
+    * set is bit-reproducible across engines (Python replica oracle)
+    * and partitionings. Returns (rank 1..k, id, rel, score_nano). */
+  def mmrRerank(candidates: DataFrame, probe: DataFrame, idCol: String,
+      vecCol: String, n: Int, k: Int, lambdaPermille: Int): DataFrame = {
+    require(n >= k && k >= 1 && n <= 4096, s"bad n/k: $n/$k")
+    require(lambdaPermille >= 0 && lambdaPermille <= 1000,
+      s"lambdaPermille must be in [0, 1000]: $lambdaPermille")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val probeCol = probe.columns.head
+    val top = candidates
+      .crossJoin(broadcast(probe.select(col(probeCol).as("__probe"))))
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__vec"),
+        VectorOps.cosine6(col(vecCol), col("__probe")).as("__rel"))
+      .orderBy(col("__rel").desc, col("__id"))
+      .limit(n)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    // driver replica of the 6-dp cosine kernel (dot → norms → round)
+    def dotD(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      val v = dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
+      BigDecimal.decimal(v)
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def lift(x: Double): Long =
+      (BigDecimal.decimal(x)
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        * 1000000).toLong
+    val lam = lambdaPermille.toLong
+    val remaining = scala.collection.mutable.ArrayBuffer.from(top)
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Array[Float], (Int, Long, Double, Long))]
+    while (picked.size < k && remaining.nonEmpty) {
+      var best: (Long, Long, Array[Float], Double) = null // (score, id, vec, rel)
+      for ((id, vec, rel) <- remaining) {
+        val div =
+          if (picked.isEmpty) 0L
+          else picked.iterator.map(p => lift(cos6(vec, p._1))).max
+        val score = lam * lift(rel) - (1000L - lam) * div
+        if (best == null || score > best._1 ||
+            (score == best._1 && id < best._2))
+          best = (score, id, vec, rel)
+      }
+      picked += ((best._3,
+        (picked.size + 1, best._2, best._4, best._1)))
+      val idx = remaining.indexWhere(_._1 == best._2)
+      remaining.remove(idx)
+    }
+    picked.map(_._2).toSeq.toDF("rank", idCol, "rel", "score_nano")
+  }
+
   /** Exact per-probe top-k: broadcast the (small) probe set against the
     * corpus, rank within each probe. The corpus side stays pipelined —
     * the only shuffle is the window's hash partition by probe id, whose

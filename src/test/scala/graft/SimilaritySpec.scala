@@ -83,6 +83,30 @@ class SimilaritySpec extends SparkSpec {
       "the recall-exact path catches the straddling pair")
   }
 
+  test("mmrRerank: diversity displaces a redundant high-rel candidate; rank 1 is argmax rel") {
+    // probe along e0. a1/a2 nearly identical high-rel pair; b moderately
+    // relevant but diverse. Plain top-2 = {a1, a2}; MMR at λ=0.5 must
+    // pick {a1, b}: a2's max-sim-to-picked ≈ 1 wipes out its relevance.
+    val probe = Seq(Seq(1.0f, 0.0f, 0.0f, 0.0f)).toDF("embedding")
+    val cands = Seq(
+      (1L, Seq(1.0f, 0.01f, 0.0f, 0.0f)),   // a1: rel ~1
+      (2L, Seq(1.0f, 0.011f, 0.0f, 0.0f)),  // a2: rel ~1, near-dup of a1
+      (3L, Seq(0.5f, 0.0f, 0.9f, 0.0f)))    // b: rel ~0.49, diverse
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(cands.repartition(3), probe, "vec_id",
+      "embedding", n = 3, k = 2, lambdaPermille = 500)
+      .as[(Int, Long, Double, Long)].collect().toSeq
+    assert(out.map(_._1) === Seq(1, 2))
+    assert(out.map(_._2) === Seq(1L, 3L), out.toString)
+    // rank 1 is pure argmax rel (score = λ·relL), tie broken by id:
+    // a1 beats a2 only on rel; verify its score is λ·lift(rel)
+    assert(out.head._4 === 500L * math.round(out.head._3 * 1e6))
+    // k > candidates: returns all candidates, ranks stay dense
+    val all = Similarity.mmrRerank(cands, probe, "vec_id", "embedding",
+      n = 3, k = 3, lambdaPermille = 500).collect()
+    assert(all.map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+  }
+
   test("knnJoin: each probe gets exactly k ranked neighbors, best first") {
     val e = Tables.embeddings(spark, sf)
     val out = Similarity.knnJoin(

@@ -882,6 +882,43 @@ def gen_q97(fx):
             rows)
 
 
+def gen_q135(fx):
+    """MMR rerank: top-32 by cosine vs the vec_id=0 probe, then the
+    greedy integer-score selection (lam=500 permille, k=8)."""
+    vecs = dict(fx.embs)
+    probe = vecs[0]
+    pn = norm2(probe)
+
+    def lift(x):
+        from decimal import ROUND_HALF_UP
+        return int(Decimal(repr(x)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP) * 1000000)
+
+    scored = sorted(
+        ((r6(dot(v, probe) / (norm2(v) * pn)), i) for i, v in fx.embs),
+        key=lambda t: (-t[0], t[1]))[:32]
+    remaining = [(i, vecs[i], rel) for rel, i in scored]
+    lam = 500
+    sel = []
+    rows = []
+    while remaining and len(sel) < 8:
+        best = None
+        for i, v, rel in remaining:
+            if sel:
+                div = max(lift(cosine6(v, sv)) for _, sv in sel)
+            else:
+                div = 0
+            score = lam * lift(rel) - (1000 - lam) * div
+            key = (-score, i)
+            if best is None or key < best[0]:
+                best = (key, (i, v, rel, score))
+        i, v, rel, score = best[1]
+        sel.append((i, v))
+        remaining = [c for c in remaining if c[0] != i]
+        rows.append((len(sel), i, rel, score))
+    return ("rank INT, vec_id BIGINT, rel DOUBLE, score_nano BIGINT", rows)
+
+
 GENERATORS = {
     "q24": gen_q24, "q25": gen_q25, "q26": gen_q26, "q27": gen_q27,
     "q28": gen_q28, "q29": gen_q29, "q36": gen_q36, "q37": gen_q37,
@@ -891,7 +928,7 @@ GENERATORS = {
     "q81": gen_q81, "q83": gen_q83, "q88": gen_q88, "q89": gen_q89,
     "q93": gen_q93, "q95": gen_q95, "q96": gen_q96, "q97": gen_q97,
     "q128": gen_q128, "q129": gen_q129,
-    "q130": gen_q130, "q131": gen_q131,
+    "q130": gen_q130, "q131": gen_q131, "q135": gen_q135,
 }
 
 

@@ -1628,6 +1628,38 @@ object SparkEntry {
         "doc_id", "lang", alphaPermille = 500, budgetDocs = 1000L)
         .orderBy(col("doc_id"), col("copy"))),
 
+    // forward as-of (q39's mirror): each purchase matched to the
+    // EARLIEST view at-or-after it — same union + merge-scan shape,
+    // the running first() looking forward.
+    "q136_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      AsOfJoin.joinForward(purchases, views, "user_id", "ts",
+        rightVal = "event_id", rightTiebreak = "event_id")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("matched").as("matched_view"))
+        .orderBy(col("event_id"))
+    }),
+
+    // nearest as-of: the closer of the two directions by exact
+    // integer micros, ties backward; one-sided rows take the side
+    // that exists.
+    "q137_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      AsOfJoin.joinNearest(purchases, views, "user_id", "ts",
+        rightVal = "event_id", rightTiebreak = "event_id")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("matched").as("matched_view"))
+        .orderBy(col("event_id"))
+    }),
+
     // MMR-diversified retrieval (the RAG serving step): top-32 by
     // cosine vs the vec_id=0 probe, then the greedy integer-score
     // selection — λ‰·relL − (1000−λ‰)·max-sim-to-picked, ties by id.
@@ -3688,6 +3720,63 @@ object SparkEntry {
       expectedSql("q131", "id_a, id_b, hamming", "id_a, id_b"),
     "q135_mmr_rerank" ->
       expectedSql("q135", "rank, vec_id, rel, score_nano", "rank"),
+
+    // q39's union replayed with first_value looking forward (is_l DESC
+    // puts the left row before same-ts right rows, so <= semantics
+    // hold; event_id DESC gives right ties the greatest tiebreak)
+    "q136_asof_forward" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, 1 AS is_l,
+        |    CAST(NULL AS BIGINT) AS r_event
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 0 AS is_l, event_id AS r_event
+        |  FROM events WHERE event_type = 'view'),
+        |w AS (
+        |  SELECT user_id, ts, event_id, is_l,
+        |    first_value(r_event IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, is_l DESC, event_id DESC
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS matched_view
+        |  FROM u)
+        |SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  matched_view
+        |FROM w WHERE is_l = 1 ORDER BY event_id""".stripMargin,
+
+    // both directions in one pass + the exact-micros distance CASE
+    // (ties backward)
+    "q137_asof_nearest" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, 1 AS is_l,
+        |    CAST(NULL AS BIGINT) AS r_event,
+        |    CAST(NULL AS TIMESTAMP) AS r_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 0 AS is_l, event_id AS r_event,
+        |    ts AS r_ts
+        |  FROM events WHERE event_type = 'view'),
+        |w AS (
+        |  SELECT user_id, ts, event_id, is_l,
+        |    last_value(r_event IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, is_l, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS bv,
+        |    last_value(r_ts IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, is_l, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS bts,
+        |    first_value(r_event IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, is_l DESC, event_id DESC
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fv,
+        |    first_value(r_ts IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, is_l DESC, event_id DESC
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fts
+        |  FROM u)
+        |SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  CASE WHEN bv IS NULL THEN fv
+        |       WHEN fv IS NULL THEN bv
+        |       WHEN epoch_us(ts) - epoch_us(bts)
+        |         <= epoch_us(fts) - epoch_us(ts) THEN bv
+        |       ELSE fv END AS matched_view
+        |FROM w WHERE is_l = 1 ORDER BY event_id""".stripMargin,
 
     // the same ln/exp 6-dp lifts, integer DIV targets and LCG
     // permille replayed in ANSI; generate_series(1, 0) is empty so

@@ -51,4 +51,82 @@ object AsOfJoin {
       .filter(col("__is_l") === 1)
       .drop("__is_l", "__rv", "__tb")
   }
+
+  /** Forward as-of: for each left row, the EARLIEST right row at or
+    * after its event time, per key — the mirror of [[join]] (same
+    * union + merge-scan shape, the running `first` looking forward
+    * instead of `last` looking back). Right rows at exactly the left
+    * timestamp match; ties resolve to the greatest tiebreak, the same
+    * contract as backward. */
+  def joinForward(left: DataFrame, right: DataFrame, key: String,
+      ts: String, rightVal: String, rightTiebreak: String): DataFrame =
+    merged(left, right, key, ts, rightVal, rightTiebreak)
+      .withColumn("matched", first(col("__rv"), ignoreNulls = true)
+        .over(fwdWindow(key, ts)))
+      .filter(col("__is_l") === 1)
+      .drop("__is_l", "__rv", "__rts", "__tb")
+
+  /** Nearest as-of: the closer of the backward and forward matches by
+    * absolute time distance (exact integer micros — never a float
+    * boundary), ties to the BACKWARD side; one-sided rows take the
+    * side that exists. One shuffle on the key, two in-partition sorts
+    * (the two scan directions), still no range-join blowup. */
+  def joinNearest(left: DataFrame, right: DataFrame, key: String,
+      ts: String, rightVal: String, rightTiebreak: String): DataFrame = {
+    val wB = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__is_l"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wF = fwdWindow(key, ts)
+    def micros(c: Column): Column =
+      if (left.schema(ts).dataType ==
+        org.apache.spark.sql.types.TimestampType) unix_micros(c)
+      else c.cast("long")
+    val both = merged(left, right, key, ts, rightVal, rightTiebreak)
+      .withColumn("__bv", last(col("__rv"), ignoreNulls = true).over(wB))
+      .withColumn("__bts", last(col("__rts"), ignoreNulls = true).over(wB))
+      .withColumn("__fv", first(col("__rv"), ignoreNulls = true).over(wF))
+      .withColumn("__fts", first(col("__rts"), ignoreNulls = true).over(wF))
+      .filter(col("__is_l") === 1)
+    both
+      .withColumn("matched",
+        when(col("__bv").isNull, col("__fv"))
+          .when(col("__fv").isNull, col("__bv"))
+          .when(micros(col(ts)) - micros(col("__bts")) <=
+            micros(col("__fts")) - micros(col(ts)), col("__bv"))
+          .otherwise(col("__fv")))
+      .drop("__is_l", "__rv", "__rts", "__tb",
+        "__bv", "__bts", "__fv", "__fts")
+  }
+
+  /** Forward merge-scan order: left rows sort BEFORE right rows at an
+    * equal timestamp (is_l desc) so an exactly-at-t right row lands in
+    * the [current, following] frame; right ties greatest-tiebreak
+    * first so the running `first` picks it. Null tiebreaks never mix
+    * across sides (left __tb is all-null, right all non-null), so
+    * engine null-ordering differences cannot reorder anything that
+    * matters. */
+  private def fwdWindow(key: String, ts: String) =
+    Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__is_l").desc, col("__tb").desc)
+      .rowsBetween(0, Window.unboundedFollowing)
+
+  /** Tagged union of both sides carrying the right value, the right
+    * row's own timestamp (for distance tests) and the tiebreak. */
+  private def merged(left: DataFrame, right: DataFrame, key: String,
+      ts: String, rightVal: String, rightTiebreak: String): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("__is_l", lit(1))
+      .withColumn("__rv", lit(null).cast(right.schema(rightVal).dataType))
+      .withColumn("__rts", lit(null).cast(right.schema(ts).dataType))
+      .withColumn("__tb", lit(null).cast(right.schema(rightTiebreak).dataType))
+    val r = right.select(
+      Seq(col(key), col(ts), lit(0).as("__is_l"),
+        col(rightVal).cast(right.schema(rightVal).dataType).as("__rv"),
+        col(ts).as("__rts"),
+        col(rightTiebreak).as("__tb")) ++
+        leftCols.filterNot(c => c == key || c == ts)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    l.unionByName(r.select(l.columns.toIndexedSeq.map(col): _*))
+  }
 }

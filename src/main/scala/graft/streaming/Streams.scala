@@ -158,6 +158,71 @@ object Streams {
 
   /** Watermarked tumbling-window aggregation (ST5): 1-hour windows on
     * event time, 2-hour watermark for late data. */
+  /** Streaming continuation of [[graft.operators.Analytics.rollingAnomaly]]:
+    * per-key trailing-window anomaly flags over a micro-batch stream,
+    * with the lookback context carried across batches as durable state
+    * (the last `window` rows per key). Each batch is judged over
+    * (carried state ∪ batch) by the SAME batch operator, so a stream
+    * drained batch-by-batch in event order flags exactly what one
+    * batch pass over the concatenation would (spec-asserted).
+    *
+    * State rides `stateDir/batch=<id>` with the packStream replay
+    * contract: the read is batch id−1's state, the write overwrites
+    * batch id's own dirs (state AND output), so a crash between write
+    * and checkpoint commit replays bit-identically; state at id−2 and
+    * older is pruned. State volume is |keys|·window rows — bounded by
+    * construction, never the stream's history. Out-of-order rows are
+    * judged against whatever context the bounded state still holds —
+    * the inherent trade of bounded streaming state (same contract as
+    * watermarked aggregations). */
+  def anomalyStream(stream: DataFrame, keyCol: String,
+      orderCols: Seq[String], valueCol: String, window: Int, k: Int,
+      minPeriods: Int, stateDir: String, outDir: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        anomalyBatch(batch, batchId, keyCol, orderCols, valueCol,
+          window, k, minPeriods, stateDir, outDir)
+      }
+      .start()
+
+  private def anomalyStatePath(stateDir: String, batchId: Long): String =
+    s"$stateDir/batch=$batchId"
+
+  private[graft] def anomalyBatch(batch: DataFrame, batchId: Long,
+      keyCol: String, orderCols: Seq[String], valueCol: String,
+      window: Int, k: Int, minPeriods: Int,
+      stateDir: String, outDir: String): Unit = {
+    val spark = batch.sparkSession
+    val cols = (keyCol +: orderCols :+ valueCol).map(col)
+    val cur = batch.select(cols: _*).withColumn("__new", lit(1))
+    val prev =
+      if (batchId == 0L) cur.limit(0)
+      else spark.read.parquet(anomalyStatePath(stateDir, batchId - 1))
+        .select(cols: _*).withColumn("__new", lit(0))
+    val union = cur.unionByName(prev)
+    val flagged = graft.operators.Analytics.rollingAnomaly(
+      union, keyCol, orderCols, valueCol, window, k, minPeriods)
+    flagged.filter(col("__new") === 1).drop("__new")
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    // new state: the last `window` rows per key by the total frame
+    // order — the same per-key sort partitioning the flag window used
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    union.filter(col(valueCol).isNotNull)
+      .select(cols :+ row_number().over(w).as("__rn"): _*)
+      .filter(col("__rn") <= window).drop("__rn")
+      .write.mode("overwrite").parquet(anomalyStatePath(stateDir, batchId))
+    graft.sources.StoreFs.childNames(spark, stateDir)
+      .filter(_.startsWith("batch=")).map(_.drop(6).toLong)
+      .filter(_ <= batchId - 2)
+      .foreach(b => graft.sources.StoreFs.delete(spark,
+        anomalyStatePath(stateDir, b)))
+  }
+
   def windowedCounts(stream: DataFrame): DataFrame =
     stream
       .withWatermark("ts", "2 hours")

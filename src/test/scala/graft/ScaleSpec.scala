@@ -138,6 +138,48 @@ class ScaleSpec extends SparkSpec {
     assert(out(12L) === Some(24L))
   }
 
+  test("as-of forward and nearest: >= semantics, tie contracts, one-sided fallbacks") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val left = Seq(
+      (1L, ts(100), 10L),  // right at 100 (tie 21/22) and 200 follow → 22
+      (1L, ts(240), 11L),  // nothing at or after → forward null
+      (2L, ts(500), 12L),  // exactly between 499 and 501 → nearest ties backward
+      (3L, ts(10), 13L))   // only a later right row → nearest takes forward
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts(50), 20L),
+      (1L, ts(100), 21L), (1L, ts(100), 22L),
+      (1L, ts(200), 23L),
+      (2L, ts(499), 24L), (2L, ts(501), 25L),
+      (3L, ts(90), 26L))
+      .toDF("user_id", "ts", "event_id")
+    val fwd = graft.operators.AsOfJoin.joinForward(left, right, "user_id",
+      "ts", "event_id", "event_id")
+      .select($"event_id", $"matched").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(fwd(10L) === Some(22L)) // equal-ts matches, tie → greatest id
+    assert(fwd(11L) === None)      // nothing follows
+    assert(fwd(12L) === Some(25L)) // 499 is before → earliest after is 501
+    assert(fwd(13L) === Some(26L))
+    val near = graft.operators.AsOfJoin.joinNearest(left, right, "user_id",
+      "ts", "event_id", "event_id")
+      .select($"event_id", $"matched").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(near(10L) === Some(22L)) // distance 0 both ways → backward tie rule
+    assert(near(11L) === Some(23L)) // forward empty → backward
+    assert(near(12L) === Some(24L)) // |1| == |1| → backward wins
+    assert(near(13L) === Some(26L)) // backward empty → forward
+    // partition independence
+    val a = graft.operators.AsOfJoin.joinNearest(left.repartition(7), right,
+      "user_id", "ts", "event_id", "event_id")
+      .orderBy($"event_id").collect().toSeq
+    val b = graft.operators.AsOfJoin.joinNearest(left.repartition(1), right,
+      "user_id", "ts", "event_id", "event_id")
+      .orderBy($"event_id").collect().toSeq
+    assert(a === b)
+  }
+
   test("approx quantiles land within the exact interpolated neighborhood") {
     // approx_percentile returns actual data values with bounded rank
     // error; at fixture scale (accuracy 10000 >> group size) each

@@ -115,6 +115,69 @@ class StreamsSpec extends SparkSpec {
     assert(direct === batch)
   }
 
+  test("anomalyStream: equals the batch operator over the ordered stream, " +
+      "bounded state, bit-identical batch replay") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    // two keys, 30 ordered points each; key a carries a spike at t=25
+    val rows = for {
+      key <- Seq("a", "b"); i <- 1 to 30
+    } yield (key, i.toLong,
+      if (key == "a" && i == 25) 100.0 else 10.0 + (i % 3))
+    val df = rows.toDF("k", "t", "x")
+    // one file per 10-step slice with ascending mtimes → event order
+    val staging = Files.createTempDirectory("graft_an_stage")
+    (0 until 3).foreach { b =>
+      val tmp = Files.createTempDirectory(s"graft_an_tmp$b")
+      rows.filter(r => (r._2 - 1) / 10 == b).toDF("k", "t", "x")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = Paths.get(staging.toString, f"slice_$b%03d.parquet")
+      Files.copy(part.toPath, dest)
+      Files.setLastModifiedTime(dest,
+        FileTime.fromMillis(1700000000000L + b * 60000L))
+    }
+    val out = "file://" + Files.createTempDirectory("graft_an_out").toString + "/o"
+    val state = "file://" + Files.createTempDirectory("graft_an_state").toString + "/s"
+    val ck = Files.createTempDirectory("graft_an_ck").toString
+    val q = Streams.anomalyStream(
+      spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1).parquet(staging.toString),
+      "k", Seq("t"), "x", window = 4, k = 3, minPeriods = 2,
+      state, out, ck)
+    assert(q.awaitTermination(180000))
+    val streamed = spark.read.parquet(s"$out/batch=*")
+      .select($"k", $"t", $"n_prev", $"roll_mean", $"is_anomaly")
+      .orderBy($"k", $"t")
+      .as[(String, Long, Int, Option[Double], Int)].collect().toSeq
+    val batch = graft.operators.Analytics.rollingAnomaly(
+      df, "k", Seq("t"), "x", window = 4, k = 3, minPeriods = 2)
+      .select($"k", $"t", $"n_prev", $"roll_mean", $"is_anomaly")
+      .orderBy($"k", $"t")
+      .as[(String, Long, Int, Option[Double], Int)].collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.exists(r => r._1 == "a" && r._2 == 25L && r._5 == 1))
+    // state bounded: ≤ 2 batch dirs retained, ≤ keys·window rows each
+    val stDirs = graft.sources.StoreFs.childNames(spark, state)
+      .filter(_.startsWith("batch="))
+    assert(stDirs.length <= 2, stDirs.mkString(","))
+    val lastState = spark.read.parquet(s"$state/batch=2")
+    assert(lastState.count() <= 2 * 4)
+    // crash-replay: re-running batch 2 against batch 1's state
+    // reproduces output AND state files bit-identically
+    val snapOut = spark.read.parquet(s"$out/batch=2")
+      .collect().map(_.toString).sorted.toSeq
+    val snapSt = lastState.collect().map(_.toString).sorted.toSeq
+    Streams.anomalyBatch(
+      rows.filter(r => (r._2 - 1) / 10 == 2).toDF("k", "t", "x"), 2L,
+      "k", Seq("t"), "x", 4, 3, 2, state, out)
+    assert(spark.read.parquet(s"$out/batch=2")
+      .collect().map(_.toString).sorted.toSeq === snapOut)
+    assert(spark.read.parquet(s"$state/batch=2")
+      .collect().map(_.toString).sorted.toSeq === snapSt)
+  }
+
   test("streaming dedup within watermark removes duplicate keys") {
     // duplicate the source rows → dropDuplicatesWithinWatermark must halve
     val out = Files.createTempDirectory("graft_dedup_out").toString

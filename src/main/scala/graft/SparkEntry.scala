@@ -1628,6 +1628,33 @@ object SparkEntry {
         "doc_id", "lang", alphaPermille = 500, budgetDocs = 1000L)
         .orderBy(col("doc_id"), col("copy"))),
 
+    // snapshot diff (dataset versioning audit): two deterministic
+    // slices of events — B drops every 5th key, adds every 3rd, and
+    // doubles value on every 7th — one full-outer join + one
+    // aggregation; null-safe cell compares. Plain ANSI oracle.
+    "q139_snapshot_diff" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val snapA = ev.filter(col("event_id") % 3 =!= 0)
+      val snapB = ev.filter(col("event_id") % 5 =!= 0)
+        .withColumn("value",
+          when(col("event_id") % 7 === 0, col("value") * 2)
+            .otherwise(col("value")))
+      Analytics.snapshotDiff(snapA, snapB, Seq("event_id"))
+    }),
+
+    // triangle counting + clustering coefficients over the q25
+    // near-dup graph (degree-ordered wedge join — a hub's edges orient
+    // INTO it, bounding wedge volume at Σ outdeg² = O(E^1.5)); on a
+    // near-dup graph high clustering separates template FAMILIES from
+    // chains of pairwise drift. Oracle: the pinned q25 pair set (the
+    // q98/q107/q120 precedent), triangles enumerated in plain SQL.
+    "q138_triangle_count" -> ((s, d) =>
+      Graph.triangleCount(
+        Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text",
+          maxHamming = 3),
+        "id_a", "id_b")),
+
     // forward as-of (q39's mirror): each purchase matched to the
     // EARLIEST view at-or-after it — same union + merge-scan shape,
     // the running first() looking forward.
@@ -3720,6 +3747,80 @@ object SparkEntry {
       expectedSql("q131", "id_a, id_b, hamming", "id_a, id_b"),
     "q135_mmr_rerank" ->
       expectedSql("q135", "rank, vec_id, rel, score_nano", "rank"),
+
+    // the same slices + full-outer join; IS NOT DISTINCT FROM is
+    // DuckDB's null-safe <=>
+    "q139_snapshot_diff" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, value FROM events),
+        |a AS (SELECT * FROM ev WHERE event_id % 3 <> 0),
+        |b AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN value * 2 ELSE value END AS value
+        |  FROM ev WHERE event_id % 5 <> 0),
+        |j AS (
+        |  SELECT a.event_id AS ka, b.event_id AS kb,
+        |    a.event_type AS at, b.event_type AS bt,
+        |    a.value AS av, b.value AS bv
+        |  FROM a FULL OUTER JOIN b ON a.event_id = b.event_id),
+        |w AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN kb IS NOT NULL AND ka IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS added,
+        |    CAST(sum(CASE WHEN ka IS NOT NULL AND kb IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+        |    CAST(sum(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+        |      AND (at IS DISTINCT FROM bt OR av IS DISTINCT FROM bv)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+        |    CAST(sum(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+        |      AND at IS NOT DISTINCT FROM bt AND av IS NOT DISTINCT FROM bv
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS unchanged,
+        |    CAST(sum(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+        |      AND at IS DISTINCT FROM bt THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS chg_type,
+        |    CAST(sum(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+        |      AND av IS DISTINCT FROM bv THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS chg_value
+        |  FROM j)
+        |SELECT metric, n FROM (
+        |  SELECT 'added' AS metric, added AS n FROM w
+        |  UNION ALL SELECT 'removed', removed FROM w
+        |  UNION ALL SELECT 'changed', changed FROM w
+        |  UNION ALL SELECT 'unchanged', unchanged FROM w
+        |  UNION ALL SELECT 'changed:event_type', chg_type FROM w
+        |  UNION ALL SELECT 'changed:value', chg_value FROM w)
+        |ORDER BY metric""".stripMargin,
+
+    // triangles closed over the canonical (a<b) edge set; per-node
+    // counts via the three-way unnest; staleness transitively guarded
+    // by the q25 pin
+    "q138_triangle_count" ->
+      """WITH p AS (
+        |  SELECT id_a, id_b FROM read_parquet(
+        |    '/root/repo/src/test/resources/graft/expected/q25_sf001.parquet')),
+        |e AS (
+        |  SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+        |  FROM p WHERE id_a <> id_b),
+        |d AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY v),
+        |tri AS (
+        |  SELECT x.a AS n1, x.b AS n2, y.b AS n3
+        |  FROM e x JOIN e y ON x.b = y.a
+        |  JOIN e z ON z.a = x.a AND z.b = y.b),
+        |cnt AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS triangles FROM (
+        |    SELECT n1 AS v FROM tri UNION ALL SELECT n2 FROM tri
+        |    UNION ALL SELECT n3 FROM tri)
+        |  GROUP BY v)
+        |SELECT d.v AS node, d.deg AS degree,
+        |  COALESCE(cnt.triangles, CAST(0 AS BIGINT)) AS triangles,
+        |  round(CASE WHEN d.deg >= 2
+        |    THEN CAST(2 * COALESCE(cnt.triangles, 0) AS DOUBLE)
+        |      / CAST(d.deg * (d.deg - 1) AS DOUBLE) END, 6) AS clustering
+        |FROM d LEFT JOIN cnt ON cnt.v = d.v
+        |ORDER BY node""".stripMargin,
 
     // q39's union replayed with first_value looking forward (is_l DESC
     // puts the left row before same-ts right rows, so <= semantics

@@ -665,6 +665,55 @@ object Analytics {
       .drop("__v", "__s", "__q", "__n")
   }
 
+  /** Snapshot diff — the dataset-versioning audit between two
+    * snapshots of the same schema: row churn (added / removed /
+    * changed / unchanged by key) plus per-column change counts among
+    * common rows, the report a curation run reads before promoting a
+    * regenerated corpus (did the rebuild touch what it claimed, and
+    * only that?).
+    *
+    * ONE full-outer equi-join on the key, ONE aggregation computing
+    * every count (map-side combinable conditional sums) — no second
+    * scan, no collect. Cell comparison is null-safe (`<=>` /
+    * IS NOT DISTINCT FROM); rows with null keys never match across
+    * sides and count as removed+added, the standard join semantics
+    * (document keys accordingly). Output is the tall (metric, n)
+    * form: 'added', 'removed', 'changed', 'unchanged', and
+    * 'changed:<col>' per value column — bounded by the schema, flat
+    * at any N. */
+  def snapshotDiff(a: DataFrame, b: DataFrame, keyCols: Seq[String])
+      : DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(a.columns.toSeq == b.columns.toSeq,
+      s"schemas differ: ${a.columns.toSeq} vs ${b.columns.toSeq}")
+    val valCols = a.columns.filterNot(keyCols.contains).toSeq
+    def tag(df: DataFrame, side: String) =
+      df.select(keyCols.map(col) ++
+        valCols.map(c => col(c).as(s"__${side}_$c")) :+
+        lit(1).as(s"__in_$side"): _*)
+    val j = tag(a, "a").join(tag(b, "b"), keyCols, "full_outer")
+    val inA = col("__in_a").isNotNull
+    val inB = col("__in_b").isNotNull
+    def cellDiff(c: String): Column =
+      !(col(s"__a_$c") <=> col(s"__b_$c"))
+    val anyDiff = valCols.map(cellDiff).reduceOption(_ || _)
+      .getOrElse(lit(false))
+    def cnt(cond: Column): Column =
+      sum(when(cond, 1L).otherwise(0L))
+    val rest = Seq(
+      cnt(inA && !inB).as("removed"),
+      cnt(inA && inB && anyDiff).as("changed"),
+      cnt(inA && inB && !anyDiff).as("unchanged")) ++
+      valCols.map(c => cnt(inA && inB && cellDiff(c)).as(s"chg_$c"))
+    val wide = j.agg(cnt(inB && !inA).as("added"), rest: _*)
+    val pairs = (Seq("added", "removed", "changed", "unchanged")
+      .map(m => s"'$m', $m") ++
+      valCols.map(c => s"'changed:$c', chg_$c")).mkString(", ")
+    wide.select(expr(
+      s"stack(${4 + valCols.size}, $pairs) as (metric, n)"))
+      .orderBy(col("metric"))
+  }
+
   def retention(df: DataFrame, userCol: String, tsCol: String,
       periodDays: Int = 7): DataFrame = {
     require(periodDays > 0, s"periodDays must be positive: $periodDays")

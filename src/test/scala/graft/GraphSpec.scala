@@ -38,6 +38,39 @@ class GraphSpec extends SparkSpec {
     r
   }
 
+  test("triangleCount: hand-exact counts on K4 + path, canonicalization, partition independence") {
+    // K4 on 1-4 (C(3,2)=3 triangles per node, clustering 1.0), a
+    // 5-6-7 path (0 triangles; deg-2 node clusters 0.0, deg-1 null);
+    // edges arrive in mixed orientation with duplicates and a self-loop
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (4L, 2L),
+      (3L, 4L), (3L, 4L), (5L, 6L), (7L, 6L), (5L, 5L))
+      .toDF("x", "y")
+    val got = Graph.triangleCount(edges.repartition(5), "x", "y")
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    assert(got === Seq(
+      (1L, 3L, 3L, Some(1.0)), (2L, 3L, 3L, Some(1.0)),
+      (3L, 3L, 3L, Some(1.0)), (4L, 3L, 3L, Some(1.0)),
+      (5L, 1L, 0L, None), (6L, 2L, 0L, Some(0.0)), (7L, 1L, 0L, None)))
+    val p1 = Graph.triangleCount(edges.repartition(1), "x", "y")
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    assert(p1 === got)
+    // global count over the fixture graph equals the naive closed-walk
+    // count (each triangle counted once by the canonical a<b<c chain)
+    val pairs = graft.operators.Dedup.simhashNearDups(
+      Tables.documents(spark, sf), "doc_id", "text", maxHamming = 3)
+      .select($"id_a", $"id_b")
+    val e = pairs.select(least($"id_a", $"id_b").as("a"),
+      greatest($"id_a", $"id_b").as("b")).distinct().localCheckpoint()
+    val naive = e.as("x")
+      .join(e.as("y"), col("x.b") === col("y.a"))
+      .join(e.as("z"), col("z.a") === col("x.a") && col("z.b") === col("y.b"))
+      .count()
+    val perNode = Graph.triangleCount(pairs, "id_a", "id_b")
+      .agg(sum($"triangles")).as[Long].head()
+    assert(perNode === 3L * naive)
+  }
+
   test("pageRank matches the exact Long replay (driver path)") {
     val got = Graph.weightedPageRank(edges(), iters = 8)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -109,6 +109,29 @@ class RobustSpec extends SparkSpec {
     (BigDecimal(math.log(n)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
       * 1000000).toLongExact
 
+  // ---- snapshotDiff ---------------------------------------------------
+
+  test("snapshotDiff: hand-exact churn and per-column counts, null-safe cells") {
+    val a = Seq((1L, "x", Some(1.0)), (2L, "y", None),
+      (3L, "z", Some(3.0))).toDF("id", "t", "v")
+    val b = Seq((2L, "y", None), (3L, "z", Some(9.9)),
+      (4L, "w", Some(4.0))).toDF("id", "t", "v")
+    val got = Analytics.snapshotDiff(a.repartition(3), b, Seq("id"))
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(
+      ("added", 1L), ("changed", 1L), ("changed:t", 0L),
+      ("changed:v", 1L), ("removed", 1L), ("unchanged", 1L)))
+    // schema mismatch rejected
+    intercept[IllegalArgumentException] {
+      Analytics.snapshotDiff(a, b.drop("v"), Seq("id"))
+    }
+    // identical snapshots: everything unchanged
+    val same = Analytics.snapshotDiff(a, a, Seq("id"))
+      .as[(String, Long)].collect().toMap
+    assert(same("unchanged") === 3L && same("added") === 0L
+      && same("changed") === 0L && same("removed") === 0L)
+  }
+
   // ---- rollingAnomaly -------------------------------------------------
 
   test("rollingAnomaly: hand-exact flags, trailing frame excludes self, minPeriods gate") {

@@ -1644,16 +1644,22 @@ object SparkEntry {
     }),
 
     // triangle counting + clustering coefficients over the q25
-    // near-dup graph (degree-ordered wedge join — a hub's edges orient
-    // INTO it, bounding wedge volume at Σ outdeg² = O(E^1.5)); on a
-    // near-dup graph high clustering separates template FAMILIES from
-    // chains of pairwise drift. Oracle: the pinned q25 pair set (the
-    // q98/q107/q120 precedent), triangles enumerated in plain SQL.
+    // near-dup graph, computed in the GROUP-collapsed form
+    // (Dedup.simhashTriangles): identical-sig families are cliques and
+    // cross-family edges complete bipartite, so per-doc triangle counts
+    // are closed-form in group sizes + the tiny distinct-sig graph's
+    // weighted triangles — the doc-level wedge stream (cubic in family
+    // size: 4 s straggler at m1, minutes at m10) never exists.
+    // Result-identical to Graph.triangleCount over simhashNearDups
+    // (DedupSpec parity). On a near-dup graph high clustering separates
+    // template FAMILIES from chains of pairwise drift. Oracle: the
+    // pinned q25 pair set (the q98/q107/q120 precedent), triangles
+    // enumerated in plain SQL.
+    // selfJoinBlocks = 8: the distinct-sig band self-join inherits
+    // q98's hot-band-bucket regime (the q120 lesson — wired from birth)
     "q138_triangle_count" -> ((s, d) =>
-      Graph.triangleCount(
-        Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text",
-          maxHamming = 3),
-        "id_a", "id_b")),
+      Dedup.simhashTriangles(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3, selfJoinBlocks = 8)),
 
     // forward as-of (q39's mirror): each purchase matched to the
     // EARLIEST view at-or-after it — same union + merge-scan shape,

@@ -300,6 +300,113 @@ object Dedup {
         (col("cluster_size") * col("n_clusters")).as("n_docs"))
       .orderBy(col("cluster_size"))
 
+  /** Per-doc triangle counts + clustering coefficients over the
+    * [[simhashNearDups]] graph WITHOUT materializing doc-level edges or
+    * wedges — the [[simhashCrossGroupEdges]] collapse applied to
+    * triangle COUNTING.
+    *
+    * On a near-dup graph adjacency is a property of the SIGNATURES
+    * alone: every identical-signature family is a clique and every
+    * cross-family edge set is complete bipartite (doc pair across
+    * groups g,h is near-dup iff hamming(sig_g, sig_h) <= maxHamming).
+    * So for a doc u in group g (|g| = f, neighbor groups N(g) under the
+    * verified sig-level adjacency):
+    *
+    *   degree(u)    = (f-1) + S,   S = Σ_{h∈N(g)} f_h
+    *   triangles(u) = C(f-1,2)                      [both peers in g]
+    *                + (f-1)·S                       [one in g, one out]
+    *                + Q,  Q = Σ_h C(f_h,2)          [both in one h]
+    *                + T,  T = Σ_{h≠k∈N(g), h~k} f_h·f_k
+    *
+    * Only T needs triangle structure, and only over the GROUP graph
+    * (distinct signatures), where [[Graph.triangleCount]]'s
+    * degree-ordered wedge join runs with size products as weights. The
+    * doc-level wedge stream — cubic in family size: a 4 s straggler
+    * task at the m1 scale fixture, minutes at m10 — never exists.
+    * Result-identical to
+    * `Graph.triangleCount(simhashNearDups(df, ...), "id_a", "id_b")`
+    * (DedupSpec asserts bit-equality on fixture + planted families);
+    * same output schema (node, degree, triangles, clustering). */
+  def simhashTriangles(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, selfJoinBlocks: Int = 1): DataFrame = {
+    val sigs = df.select(col(idCol).as("doc"), col(textCol))
+      .repartition(par(df), col("doc"))
+      .select(col("doc"), simhash(col(textCol), 64).as("sig"))
+    // one row per distinct signature, materialized once for its three
+    // consumers (band join, size joins, doc rejoin) — the round-11
+    // union-recompute lesson applied at birth
+    val grp = sigs.groupBy(col("sig")).agg(count(lit(1)).as("f"))
+      .localCheckpoint()
+    val sigPairs = simhashBandPairs(
+      grp.select(col("sig").as("doc"), col("sig")), maxHamming,
+      selfJoinBlocks)
+    val edges = sigPairs
+      .join(grp.select(col("sig").as("id_a"), col("f").as("fa")), "id_a")
+      .join(grp.select(col("sig").as("id_b"), col("f").as("fb")), "id_b")
+      .select(col("id_a").as("ga"), col("id_b").as("gb"),
+        col("fa"), col("fb"))
+      .localCheckpoint() // consumers: nbr agg (2 branches), orientation
+    val nbr = edges.select(col("ga").as("g"), col("fb").as("fh"))
+      .union(edges.select(col("gb").as("g"), col("fa").as("fh")))
+      .groupBy(col("g"))
+      .agg(sum(col("fh")).as("S"),
+        sum(expr("fh * (fh - 1) DIV 2")).as("Q"))
+    // weighted triangles over the group graph: the same degree-ordered
+    // wedge join as Graph.triangleCount, carrying group sizes — a
+    // group-triangle (g,h,k) contributes f_h·f_k to g, f_g·f_k to h,
+    // f_g·f_h to k
+    val gdeg = edges.select(col("ga").as("g"))
+      .union(edges.select(col("gb").as("g")))
+      .groupBy(col("g")).agg(count(lit(1)).as("gd"))
+    val wd = edges
+      .join(gdeg.select(col("g").as("ga"), col("gd").as("da")), "ga")
+      .join(gdeg.select(col("g").as("gb"), col("gd").as("db")), "gb")
+    val aKey = struct(col("da"), col("ga"))
+    val bKey = struct(col("db"), col("gb"))
+    val o = wd.select(
+      when(aKey < bKey, col("ga")).otherwise(col("gb")).as("u"),
+      when(aKey < bKey, col("gb")).otherwise(col("ga")).as("w"),
+      when(aKey < bKey, col("fa")).otherwise(col("fb")).as("fu"),
+      when(aKey < bKey, col("fb")).otherwise(col("fa")).as("fw"),
+      when(aKey < bKey, col("db")).otherwise(col("da")).as("wdeg"))
+      .localCheckpoint()
+    val wedges = o.select(col("u"), col("fu"), col("w").as("v1"),
+        col("fw").as("f1"), col("wdeg").as("k1"))
+      .join(o.select(col("u"), col("w").as("v2"), col("fw").as("f2"),
+        col("wdeg").as("k2")), Seq("u"))
+      .filter(struct(col("k1"), col("v1"))
+        < struct(col("k2"), col("v2")))
+    val triW = wedges
+      .join(o.select(col("u").as("v1"), col("w").as("v2")),
+        Seq("v1", "v2"))
+      .select(explode(array(
+        struct(col("u").as("g"), (col("f1") * col("f2")).as("tw")),
+        struct(col("v1").as("g"), (col("fu") * col("f2")).as("tw")),
+        struct(col("v2").as("g"), (col("fu") * col("f1")).as("tw"))))
+        .as("x"))
+      .select(col("x.g").as("g"), col("x.tw").as("tw"))
+      .groupBy(col("g")).agg(sum(col("tw")).as("T"))
+    val stats = grp
+      .join(nbr.withColumnRenamed("g", "sig"), Seq("sig"), "left")
+      .join(triW.withColumnRenamed("g", "sig"), Seq("sig"), "left")
+      .select(col("sig"), col("f"),
+        coalesce(col("S"), lit(0L)).as("S"),
+        coalesce(col("Q"), lit(0L)).as("Q"),
+        coalesce(col("T"), lit(0L)).as("T"))
+      .withColumn("degree", col("f") - 1 + col("S"))
+      .filter(col("degree") > 0) // edge-induced graph only, like triangleCount
+      .withColumn("triangles",
+        expr("(f - 1) * (f - 2) DIV 2") + (col("f") - 1) * col("S")
+          + col("Q") + col("T"))
+    sigs.join(stats, Seq("sig"))
+      .select(col("doc").as("node"), col("degree"), col("triangles"),
+        round(when(col("degree") >= 2,
+          (col("triangles") * 2).cast("double")
+            / (col("degree") * (col("degree") - 1)).cast("double")), 6)
+          .as("clustering"))
+      .orderBy(col("node"))
+  }
+
   /** Distributed connected components over an undirected edge list —
     * the canonicalization step a near-dup pipeline needs AFTER pair
     * generation: pairwise keep-first (q47) breaks on transitive chains

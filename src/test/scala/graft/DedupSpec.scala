@@ -196,6 +196,38 @@ class DedupSpec extends SparkSpec {
     assert(got === enumerated(planted) && got.nonEmpty)
   }
 
+  test("simhashTriangles == Graph.triangleCount over enumerated doc pairs " +
+      "(fixture + planted multi-family corpus, blocks parity)") {
+    // the group-collapsed closed form must reproduce EXACTLY the
+    // per-node (degree, triangles, clustering) of the doc-level wedge
+    // join it replaces — on fixture docs and on a planted corpus with
+    // two identical-text families, band-verified near variants
+    // (exercising the cross-group bipartite + group-triangle terms),
+    // and singletons
+    def enumerated(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Graph.triangleCount(
+        Dedup.simhashNearDups(df, "doc_id", "text", 3), "id_a", "id_b")
+        .as[(Long, Long, Long, Option[Double])].collect().sorted.toSeq
+    def grouped(df: org.apache.spark.sql.DataFrame, blocks: Int = 1) =
+      Dedup.simhashTriangles(df, "doc_id", "text", 3, blocks)
+        .as[(Long, Long, Long, Option[Double])].collect().sorted.toSeq
+    val docs = Tables.documents(spark, sf)
+    assert(grouped(docs) === enumerated(docs))
+    val planted = (
+      (0 until 10).map(i => (i.toLong, "alpha beta gamma delta epsilon")) ++
+      (10 until 16).map(i => (i.toLong, "alpha beta gamma delta zeta")) ++
+      (16 until 20).map(i => (i.toLong, s"unique text $i payload")))
+      .toDF("doc_id", "text")
+    val got = grouped(planted)
+    assert(got === enumerated(planted) && got.nonEmpty)
+    // the hot-bucket blocks knob is result-invisible here too
+    assert(grouped(planted, 4) === got)
+    // sanity: the size-10 family alone gives its members >= C(9,2)
+    // triangles each
+    val tri0 = got.find(_._1 === 0L).get
+    assert(tri0._3 >= 36L)
+  }
+
   test("block-decomposed band self-join is bit-identical to the plain path " +
       "(pairs and clusters, fixture + planted hot bucket)") {
     // the r12 hot-band-bucket mitigation: every (a, b) pair must be

@@ -54,14 +54,15 @@ object AsOfJoin {
 
   /** Forward as-of: for each left row, the EARLIEST right row at or
     * after its event time, per key — the mirror of [[join]] (same
-    * union + merge-scan shape, the running `first` looking forward
-    * instead of `last` looking back). Right rows at exactly the left
+    * union + merge-scan shape, the same running `last` over the
+    * REVERSED sort — see [[fwdWindow]] for why the frame is never
+    * UNBOUNDED FOLLOWING). Right rows at exactly the left
     * timestamp match; ties resolve to the greatest tiebreak, the same
     * contract as backward. */
   def joinForward(left: DataFrame, right: DataFrame, key: String,
       ts: String, rightVal: String, rightTiebreak: String): DataFrame =
     merged(left, right, key, ts, rightVal, rightTiebreak)
-      .withColumn("matched", first(col("__rv"), ignoreNulls = true)
+      .withColumn("matched", last(col("__rv"), ignoreNulls = true)
         .over(fwdWindow(key, ts)))
       .filter(col("__is_l") === 1)
       .drop("__is_l", "__rv", "__rts", "__tb")
@@ -84,8 +85,8 @@ object AsOfJoin {
     val both = merged(left, right, key, ts, rightVal, rightTiebreak)
       .withColumn("__bv", last(col("__rv"), ignoreNulls = true).over(wB))
       .withColumn("__bts", last(col("__rts"), ignoreNulls = true).over(wB))
-      .withColumn("__fv", first(col("__rv"), ignoreNulls = true).over(wF))
-      .withColumn("__fts", first(col("__rts"), ignoreNulls = true).over(wF))
+      .withColumn("__fv", last(col("__rv"), ignoreNulls = true).over(wF))
+      .withColumn("__fts", last(col("__rts"), ignoreNulls = true).over(wF))
       .filter(col("__is_l") === 1)
     both
       .withColumn("matched",
@@ -98,17 +99,28 @@ object AsOfJoin {
         "__bv", "__bts", "__fv", "__fts")
   }
 
-  /** Forward merge-scan order: left rows sort BEFORE right rows at an
-    * equal timestamp (is_l desc) so an exactly-at-t right row lands in
-    * the [current, following] frame; right ties greatest-tiebreak
-    * first so the running `first` picks it. Null tiebreaks never mix
-    * across sides (left __tb is all-null, right all non-null), so
-    * engine null-ordering differences cannot reorder anything that
-    * matters. */
+  /** Forward merge-scan order, expressed as the EXACT REVERSAL of the
+    * natural (ts ASC, is_l DESC, tb DESC) forward order so the frame
+    * is the incremental [unbounded preceding, current] — Spark's
+    * `UnboundedFollowingWindowFunctionFrame` re-evaluates from scratch
+    * per row (quadratic in the partition: a Zipf-hot key at m30z
+    * measured a 15–19 s single-task straggler, 28.7/38.8 s total on
+    * q136/q137), while the preceding frame is O(n) running state —
+    * same key shuffle, same sort cost, 33–41× off the hot-key wall.
+    * Under (ts DESC, is_l ASC, tb ASC) the rows at-or-after a left row
+    * in event time are exactly those at-or-before it in sort order
+    * (asc-nulls-first reverses to desc-nulls-last, so default null
+    * placement reverses too), an exactly-at-t right row lands in the
+    * frame (is_l ASC puts rights before lefts at equal ts), and the
+    * running `last` picks the smallest future ts with greatest
+    * tiebreak — bit-identical to `first` over the following frame.
+    * Null tiebreaks never mix across sides (left __tb is all-null,
+    * right all non-null), so engine null-ordering differences cannot
+    * reorder anything that matters. */
   private def fwdWindow(key: String, ts: String) =
     Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__is_l").desc, col("__tb").desc)
-      .rowsBetween(0, Window.unboundedFollowing)
+      .orderBy(col(ts).desc, col("__is_l"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, 0)
 
   /** Tagged union of both sides carrying the right value, the right
     * row's own timestamp (for distance tests) and the tiebreak. */

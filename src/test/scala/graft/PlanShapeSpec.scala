@@ -160,4 +160,19 @@ class PlanShapeSpec extends SparkSpec {
       s"q95 window not partitioned by the range bucket:\n${windows.mkString("\n")}")
     assert(plan.contains("partial_"), s"q95 lost partial agg:\n$plan")
   }
+
+  test("as-of joins never plan an UNBOUNDED FOLLOWING frame") {
+    // Spark's UnboundedFollowingWindowFunctionFrame re-evaluates the
+    // aggregate from scratch per row — quadratic in the partition
+    // (m30z Zipf key: 15-19 s single-task straggler before the
+    // reversed-sort rewrite, 0.87 s after). Every running-forward scan
+    // has a bit-identical reversed form over the incremental preceding
+    // frame; this pins that no refactor reintroduces the hazard.
+    for (name <- Seq("q136_asof_forward", "q137_asof_nearest", "q39_asof_join")) {
+      val plan = physical(SparkEntry.queries(name)(spark, sf))
+      assert(!plan.contains("UNBOUNDED FOLLOWING"),
+        s"$name plans a quadratic following frame:\n" +
+          plan.split("\n").filter(_.contains("Window")).mkString("\n"))
+    }
+  }
 }

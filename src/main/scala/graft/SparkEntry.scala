@@ -1693,6 +1693,16 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // per-column schema audit (generic complement to q117's
+    // per-source content card): row/null/EXACT-distinct counts +
+    // native-type min/max per column in ONE aggregate pass (Expand
+    // rewrite; shuffle bounded by per-partition distincts). Declared
+    // over integer + string columns only — their to-string casts are
+    // format-stable across engines.
+    "q140_column_profile" -> ((s, d) =>
+      Analytics.columnProfile(Tables.documents(s, d),
+        Seq("doc_id", "lang", "n_chars", "source", "text"))),
+
     // MMR-diversified retrieval (the RAG serving step): top-32 by
     // cosine vs the vec_id=0 probe, then the greedy integer-score
     // selection — λ‰·relL − (1000−λ‰)·max-sim-to-picked, ties by id.
@@ -3884,6 +3894,46 @@ object SparkEntry {
         |         <= epoch_us(fts) - epoch_us(ts) THEN bv
         |       ELSE fv END AS matched_view
         |FROM w WHERE is_l = 1 ORDER BY event_id""".stripMargin,
+
+    // one wide aggregate row unioned into the tall per-column form;
+    // integer/string casts to VARCHAR are format-stable vs Spark's
+    // string cast; count(col) excludes nulls in both engines
+    "q140_column_profile" ->
+      """WITH s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(doc_id) AS BIGINT) AS nn1,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS nd1,
+        |    CAST(min(doc_id) AS VARCHAR) AS mn1,
+        |    CAST(max(doc_id) AS VARCHAR) AS mx1,
+        |    CAST(count(lang) AS BIGINT) AS nn2,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS nd2,
+        |    CAST(min(lang) AS VARCHAR) AS mn2,
+        |    CAST(max(lang) AS VARCHAR) AS mx2,
+        |    CAST(count(n_chars) AS BIGINT) AS nn3,
+        |    CAST(count(DISTINCT n_chars) AS BIGINT) AS nd3,
+        |    CAST(min(n_chars) AS VARCHAR) AS mn3,
+        |    CAST(max(n_chars) AS VARCHAR) AS mx3,
+        |    CAST(count(source) AS BIGINT) AS nn4,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS nd4,
+        |    CAST(min(source) AS VARCHAR) AS mn4,
+        |    CAST(max(source) AS VARCHAR) AS mx4,
+        |    CAST(count(text) AS BIGINT) AS nn5,
+        |    CAST(count(DISTINCT text) AS BIGINT) AS nd5,
+        |    CAST(min(text) AS VARCHAR) AS mn5,
+        |    CAST(max(text) AS VARCHAR) AS mx5
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'doc_id' AS col_name, n AS n_rows, n - nn1 AS n_null,
+        |    nd1 AS n_distinct, mn1 AS min_s, mx1 AS max_s FROM s
+        |  UNION ALL
+        |  SELECT 'lang', n, n - nn2, nd2, mn2, mx2 FROM s
+        |  UNION ALL
+        |  SELECT 'n_chars', n, n - nn3, nd3, mn3, mx3 FROM s
+        |  UNION ALL
+        |  SELECT 'source', n, n - nn4, nd4, mn4, mx4 FROM s
+        |  UNION ALL
+        |  SELECT 'text', n, n - nn5, nd5, mn5, mx5 FROM s)
+        |ORDER BY col_name""".stripMargin,
 
     // the same ln/exp 6-dp lifts, integer DIV targets and LCG
     // permille replayed in ANSI; generate_series(1, 0) is empty so

@@ -736,4 +736,47 @@ object Analytics {
           / col("n_users").cast("double"), 6).as("retention"))
       .orderBy(col("period"))
   }
+
+  /** Per-column schema audit — the profile a 100 TB curation run reads
+    * before trusting a new drop: row count, null count, EXACT distinct
+    * count, and min/max per requested column, in ONE aggregate pass
+    * (the generic complement to [[graft.operators.Curation.profileCard]]'s
+    * per-source content card).
+    *
+    * Multiple `count_distinct`s in one aggregate plan via Catalyst's
+    * Expand rewrite: rows multiply by |cols| BEFORE the shuffle, but
+    * the partial (map-side) aggregate collapses each expanded stream
+    * to its distinct values per partition, so shuffle volume is
+    * bounded by Σ per-partition distinct counts — never N·|cols|.
+    * Profile wide tables in column batches if |cols| is large; the
+    * expansion factor is the knob.
+    *
+    * min/max compare on the NATIVE type and cast the single-row result
+    * to string for the uniform tall schema — never lexicographic
+    * compares of stringified numerics. Castings are format-stable
+    * across engines for integer and string columns (the declared-query
+    * surface); float/timestamp renderings may differ engine-to-engine,
+    * so oracle those through the 6-dp/epoch disciplines instead.
+    * Output: one row per column (col_name, n_rows, n_null, n_distinct,
+    * min_s, max_s) — bounded by the schema, flat at any N. */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"no such columns: ${missing.mkString(",")}")
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"__nn_$c"),
+      count_distinct(col(c)).as(s"__nd_$c"),
+      min(col(c)).cast("string").as(s"__mn_$c"),
+      max(col(c)).cast("string").as(s"__mx_$c")) }
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    wide.select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn_$c")).as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_s"),
+        col(s"__mx_$c").as("max_s"))): _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
 }

@@ -288,4 +288,36 @@ class RobustSpec extends SparkSpec {
     val pmis = a.map(_.getDouble(5))
     assert(pmis == pmis.sorted.reverse)
   }
+
+  // ---- columnProfile --------------------------------------------------
+
+  test("columnProfile: hand-exact counts, nulls, distincts, native min/max") {
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "b"), (2L, "a"), (2L, null), (null, "a"), (10L, "c"))
+      .toDF("id", "s")
+    val got = Analytics.columnProfile(df.repartition(3), Seq("id", "s"))
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().toSeq
+    // min/max compare on the NATIVE long type: 2 < 10 (a stringified
+    // lexicographic compare would call "10" < "2")
+    assert(got == Seq(
+      ("id", 5L, 1L, 3L, Some("1"), Some("10")),
+      ("s", 5L, 1L, 3L, Some("a"), Some("c"))))
+    // all-null column: zero distincts, null min/max
+    val gotNull = Analytics.columnProfile(
+      Seq[(java.lang.Long, String)]((null, "x")).toDF("id", "s"), Seq("id"))
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().toSeq
+    assert(gotNull == Seq(("id", 1L, 1L, 0L, None, None)))
+    // partition independence
+    val a = Analytics.columnProfile(df.repartition(1), Seq("id", "s"))
+      .collect().toSeq
+    val b = Analytics.columnProfile(df.repartition(7), Seq("id", "s"))
+      .collect().toSeq
+    assert(a == b)
+    // missing column rejected
+    intercept[IllegalArgumentException] {
+      Analytics.columnProfile(df, Seq("nope"))
+    }
+  }
 }

@@ -1703,6 +1703,14 @@ object SparkEntry {
       Analytics.columnProfile(Tables.documents(s, d),
         Seq("doc_id", "lang", "n_chars", "source", "text"))),
 
+    // per-user hourly OHLC downsample: open/close by the unique
+    // event_id sequence (min_by/max_by hash aggregates — ONE
+    // map-side-combinable aggregation, no window, no per-key serial
+    // scan), decimal-exact sums, DIV bucketing (q109/q112 discipline).
+    "q141_downsample" -> ((s, d) =>
+      Analytics.downsample(Tables.events(s, d), "user_id", "ts",
+        "event_id", "value", periodUs = 3600000000L)),
+
     // MMR-diversified retrieval (the RAG serving step): top-32 by
     // cosine vs the vec_id=0 probe, then the greedy integer-score
     // selection — λ‰·relL − (1000−λ‰)·max-sim-to-picked, ties by id.
@@ -3934,6 +3942,21 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'text', n, n - nn5, nd5, mn5, mx5 FROM s)
         |ORDER BY col_name""".stripMargin,
+
+    // min_by/max_by match Spark bit-for-bit (the r10 note); DIV ==
+    // `//` on BIGINT; dsum discipline for the double sum
+    "q141_downsample" ->
+      s"""SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
+         |  CAST((epoch_us(ts) // 3600000000) * 3600000000 AS BIGINT)
+         |    AS bucket_start_us,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  min_by(value, event_id) AS open_v,
+         |  max_by(value, event_id) AS close_v,
+         |  min(value) AS low_v,
+         |  max(value) AS high_v,
+         |  ${dsumSql("value")} AS sum_v
+         |FROM events GROUP BY 1, 2
+         |ORDER BY user_id, bucket""".stripMargin,
 
     // the same ln/exp 6-dp lifts, integer DIV targets and LCG
     // permille replayed in ANSI; generate_series(1, 0) is empty so

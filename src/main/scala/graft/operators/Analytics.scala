@@ -779,4 +779,40 @@ object Analytics {
       .select(col("p.*"))
       .orderBy(col("col_name"))
   }
+
+  /** Bucketed time-series downsample (OHLC + volume) per key — the
+    * resample a telemetry/feature pipeline runs before modeling: for
+    * each (key, fixed period bucket): event count, open/close (first/
+    * last value BY AN EXPLICIT sequence column — `min_by`/`max_by`
+    * hash aggregates, so the plan is ONE map-side-combinable
+    * aggregation with no window and no per-key sort; a hot key costs
+    * its share of ONE shuffle, never a serial scan), low/high, and
+    * the decimal-exact value sum. Output bounded by keys × active
+    * buckets. `seqCol` must order events uniquely within a
+    * (key, bucket) — a non-unique seq leaves open/close tied to the
+    * engine's argmin tie choice (both Spark and DuckDB pick an
+    * arbitrary winner). Bucketing uses truncating integer DIV on
+    * micros (the q109/q112 discipline — Spark DIV == DuckDB //
+    * bit-for-bit): monotone, but truncation means bucket 0 spans
+    * (-period, period) around the epoch — pre-epoch timestamps share
+    * it with the first post-epoch period. */
+  def downsample(df: DataFrame, keyCol: String, tsCol: String,
+      seqCol: String, valueCol: String, periodUs: Long): DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive: $periodUs")
+    df.select(col(keyCol),
+        expr(s"unix_micros($tsCol) DIV $periodUs").as("bucket"),
+        col(seqCol).as("__s"), col(valueCol).as("__v"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        min_by(col("__v"), col("__s")).as("open_v"),
+        max_by(col("__v"), col("__s")).as("close_v"),
+        min(col("__v")).as("low_v"),
+        max(col("__v")).as("high_v"),
+        dsum(col("__v")).as("sum_v"))
+      .select(col(keyCol), col("bucket"),
+        (col("bucket") * periodUs).cast("bigint").as("bucket_start_us"),
+        col("n_events"), col("open_v"), col("close_v"), col("low_v"),
+        col("high_v"), col("sum_v"))
+      .orderBy(col(keyCol), col("bucket"))
+  }
 }

@@ -320,4 +320,38 @@ class RobustSpec extends SparkSpec {
       Analytics.columnProfile(df, Seq("nope"))
     }
   }
+
+  // ---- downsample -----------------------------------------------------
+
+  test("downsample: hand-exact OHLC per bucket, negative ts, partition independence") {
+    import java.sql.Timestamp
+    def ts(us: Long) = new Timestamp(us / 1000) // micros -> millis (whole ms here)
+    // key a, bucket 0 (period 10_000_000 us): open/close are BY SEQ
+    // (open = v at min seq = 9.0, close = v at max seq = 5.0 — NOT by
+    // ts), low/high over values; bucket 1: one row; key b: a NEGATIVE
+    // timestamp truncates toward zero (-3s DIV 10s = 0, the same
+    // truncation DuckDB's // applies — engines agree bit-for-bit)
+    val df = Seq(
+      ("a", 2000000L, 3L, 5.0),
+      ("a", 1000000L, 1L, 9.0),
+      ("a", 3000000L, 2L, 1.0),
+      ("a", 12000000L, 4L, 7.0),
+      ("b", -3000000L, 5L, 2.0))
+      .map { case (k, us, q, v) => (k, ts(us), q, v) }
+      .toDF("k", "t", "q", "v")
+    val got = Analytics.downsample(df.repartition(3), "k", "t", "q", "v",
+      periodUs = 10000000L)
+      .as[(String, Long, Long, Long, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("a", 0L, 0L, 3L, 9.0, 5.0, 1.0, 9.0, 15.0),
+      ("a", 1L, 10000000L, 1L, 7.0, 7.0, 7.0, 7.0, 7.0),
+      ("b", 0L, 0L, 1L, 2.0, 2.0, 2.0, 2.0, 2.0)))
+    val a = Analytics.downsample(df.repartition(1), "k", "t", "q", "v", 10000000L).collect().toSeq
+    val b = Analytics.downsample(df.repartition(7), "k", "t", "q", "v", 10000000L).collect().toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Analytics.downsample(df, "k", "t", "q", "v", 0L)
+    }
+  }
 }

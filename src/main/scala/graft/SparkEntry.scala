@@ -1703,6 +1703,14 @@ object SparkEntry {
       Analytics.columnProfile(Tables.documents(s, d),
         Seq("doc_id", "lang", "n_chars", "source", "text"))),
 
+    // per-doc top-5 tf-idf keywords (doc tagging — the per-doc
+    // complement to q126's group log-odds): idf as a 6-dp-lifted ln
+    // of ONE IEEE division of exact longs, score = tf·idf6 in exact
+    // BIGINT, rank window over the per-doc vocab-bounded aggregate.
+    "q142_tfidf_keywords" -> ((s, d) =>
+      Curation.tfidfKeywords(fan(Tables.documents(s, d), "doc_id"),
+        "doc_id", "text", k = 5)),
+
     // per-user hourly OHLC downsample: open/close by the unique
     // event_id sequence (min_by/max_by hash aggregates — ONE
     // map-side-combinable aggregation, no window, no per-key serial
@@ -3942,6 +3950,35 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'text', n, n - nn5, nd5, mn5, mx5 FROM s)
         |ORDER BY col_name""".stripMargin,
+
+    // the q126 word-split replay; idf ln arg = one IEEE division of
+    // exact BIGINTs, 6-dp lift, integer tf·idf6 score
+    "q142_tfidf_keywords" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS wd
+        |  FROM documents WHERE text IS NOT NULL),
+        |w2 AS (SELECT doc_id, wd FROM w WHERE length(wd) > 0),
+        |tf AS (SELECT doc_id, wd, CAST(count(*) AS BIGINT) AS tf
+        |       FROM w2 GROUP BY doc_id, wd),
+        |dfw AS (SELECT wd, CAST(count(*) AS BIGINT) AS df_w
+        |        FROM tf GROUP BY wd),
+        |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |       FROM tf),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.wd, tf.tf, dfw.df_w,
+        |    tf.tf * CAST(CAST(round(ln(CAST(nd.n_docs AS DOUBLE)
+        |        / CAST(dfw.df_w AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS s6
+        |  FROM tf JOIN dfw USING (wd), nd),
+        |r AS (
+        |  SELECT doc_id, wd, tf, df_w, s6,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY s6 DESC, wd) AS INT) AS rank
+        |  FROM sc)
+        |SELECT doc_id, rank, wd AS term, tf, df_w,
+        |  CAST(s6 AS DOUBLE) / 1e6 AS score
+        |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
 
     // min_by/max_by match Spark bit-for-bit (the r10 note); DIV ==
     // `//` on BIGINT; dsum discipline for the double sum

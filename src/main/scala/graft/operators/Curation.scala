@@ -908,4 +908,51 @@ object Curation {
       round(when(denom =!= lit(0.0), (sy - slope * sx) / nD), 6)
         .as("zipf_intercept"))
   }
+
+  /** Per-doc top-k keyword extraction by tf·idf — the document-tagging
+    * complement to [[distinctiveTerms]]' group-level log-odds (what is
+    * THIS doc about, not what makes a SOURCE distinctive). Cross-engine
+    * exact per the q104/q126 disciplines: idf = ln(N/df) where the ln
+    * arg is ONE IEEE division of exact longs, the result 6-dp-lifted
+    * to a 1e6-scaled BIGINT; score = tf · idf6 in exact integer
+    * arithmetic, so ranks and scores replay bit-for-bit in ANSI.
+    *
+    * Plan: doc-term counts (map-side combinable), df derived FROM the
+    * doc-term aggregate (one row per (doc, word) — never a second text
+    * scan), the word rejoin `merge`-hinted (both sides aggregates; at
+    * Heaps-scale vocab a broadcast estimate of the df side is the
+    * documented AQE OOM shape — the q122 posture), N as a 1-row
+    * broadcast cross join, and the rank window over the per-doc
+    * VOCAB-BOUNDED aggregate (the q126-safe window, not a row-stream
+    * window). */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    def lift6ln(c: Column): Column =
+      round(log(c), 6).cast(org.apache.spark.sql.types.DecimalType(18, 6))
+        .multiply(lit(1000000)).cast("long")
+    val words = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("tk_d"),
+        explode(graft.functions.TextOps.words(col(textCol))).as("tk_w"))
+      .filter(length(col("tk_w")) > 0)
+    val tf = words.groupBy(col("tk_d"), col("tk_w"))
+      .agg(count(lit(1)).as("tf"))
+    val dfw = tf.groupBy(col("tk_w"))
+      .agg(count(lit(1)).as("df_w"))
+    val nd = tf.agg(count_distinct(col("tk_d")).as("__n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tk_d"))
+      .orderBy(col("__s6").desc, col("tk_w"))
+    tf.join(dfw.hint("merge"), Seq("tk_w"))
+      .crossJoin(broadcast(nd))
+      .withColumn("__s6", col("tf") * lift6ln(
+        col("__n_docs").cast("double") / col("df_w").cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("tk_d").as(idCol), col("rank"),
+        col("tk_w").as("term"), col("tf"), col("df_w"),
+        (col("__s6").cast("double") / lit(1e6)).as("score"))
+      .orderBy(col(idCol), col("rank"))
+  }
 }

@@ -451,4 +451,37 @@ class CurationSpec extends SparkSpec {
       assert(got === expectBig ++ expectTiny, s"parts=$parts")
     }
   }
+
+  test("tfidfKeywords: hand-exact scores and ranks, null drop, k guard, " +
+      "partition independence") {
+    // N=3 docs; df: apple 2, banana 2, cherry 1
+    // idf6 = round(ln(N/df), 6) * 1e6: ln(1.5) -> 405465, ln(3) -> 1098612
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple cherry"),
+      (3L, "banana"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Curation.tfidfKeywords(docs.repartition(3), "doc_id", "text", k = 5)
+      .as[(Long, Int, String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1, "apple", 2L, 2L, 0.81093),
+      (1L, 2, "banana", 1L, 2L, 0.405465),
+      (2L, 1, "cherry", 1L, 1L, 1.098612),
+      (2L, 2, "apple", 1L, 2L, 0.405465),
+      (3L, 1, "banana", 1L, 2L, 0.405465)))
+    // k truncates per doc
+    val k1 = Curation.tfidfKeywords(docs, "doc_id", "text", k = 1)
+      .as[(Long, Int, String, Long, Long, Double)].collect().toSeq
+    assert(k1 == got.filter(_._2 == 1))
+    // partition independence
+    val a = Curation.tfidfKeywords(docs.repartition(1), "doc_id", "text", 5)
+      .collect().toSeq
+    val b = Curation.tfidfKeywords(docs.repartition(7), "doc_id", "text", 5)
+      .collect().toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Curation.tfidfKeywords(docs, "doc_id", "text", 0)
+    }
+  }
 }

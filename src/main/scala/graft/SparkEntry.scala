@@ -1703,6 +1703,24 @@ object SparkEntry {
       Analytics.columnProfile(Tables.documents(s, d),
         Seq("doc_id", "lang", "n_chars", "source", "text"))),
 
+    // per-event-type PSI drift between the q139 snapshot slices (the
+    // value-distribution member of the versioning-audit family: q139
+    // row churn, q121 embedding drift, this "did the values move?").
+    // Add-one smoothing over the group's own bucket support; every
+    // share/ln is an IEEE division of exact longs, 6-dp-lifted,
+    // terms summed in DECIMAL(38,0).
+    "q143_distribution_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val snapA = ev.filter(col("event_id") % 3 =!= 0)
+      val snapB = ev.filter(col("event_id") % 5 =!= 0)
+        .withColumn("value",
+          when(col("event_id") % 7 === 0, col("value") * 2)
+            .otherwise(col("value")))
+      Analytics.distributionDrift(snapA, snapB, "event_type", "value",
+        bucketWidth = 25.0)
+    }),
+
     // per-doc top-5 tf-idf keywords (doc tagging — the per-doc
     // complement to q126's group log-odds): idf as a 6-dp-lifted ln
     // of ONE IEEE division of exact longs, score = tf·idf6 in exact
@@ -3950,6 +3968,60 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'text', n, n - nn5, nd5, mn5, mx5 FROM s)
         |ORDER BY col_name""".stripMargin,
+
+    // the q139 slices; value lift through DECIMAL (q102 discipline),
+    // bucket = lifted DIV 25e6; shares and ln ratio as the SAME IEEE
+    // expression trees, 6-dp lifts, HUGEINT term sum CAST at the end
+    "q143_distribution_drift" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, value FROM events),
+        |sa AS (SELECT event_type, value FROM ev WHERE event_id % 3 <> 0),
+        |sb AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN value * 2 ELSE value END AS value
+        |  FROM ev WHERE event_id % 5 <> 0),
+        |ca AS (
+        |  SELECT event_type AS g,
+        |    CAST(CAST(round(value, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |      // 25000000 AS b,
+        |    CAST(count(*) AS BIGINT) AS c_a
+        |  FROM sa WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cb AS (
+        |  SELECT event_type AS g,
+        |    CAST(CAST(round(value, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |      // 25000000 AS b,
+        |    CAST(count(*) AS BIGINT) AS c_b
+        |  FROM sb WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT coalesce(ca.g, cb.g) AS g, coalesce(ca.b, cb.b) AS b,
+        |    CAST(coalesce(c_a, 0) AS BIGINT) AS c_a,
+        |    CAST(coalesce(c_b, 0) AS BIGINT) AS c_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.g = cb.g AND ca.b = cb.b),
+        |tot AS (
+        |  SELECT g, CAST(sum(c_a) AS BIGINT) AS n_a,
+        |    CAST(sum(c_b) AS BIGINT) AS n_b,
+        |    CAST(count(*) AS BIGINT) AS k_b
+        |  FROM j GROUP BY g),
+        |t AS (
+        |  SELECT j.g, tot.n_a, tot.n_b, tot.k_b,
+        |    (CAST(CAST(round(CAST(c_a + 1 AS DOUBLE)
+        |        / CAST(n_a + k_b AS DOUBLE), 6) AS DECIMAL(18,6))
+        |        * 1000000 AS BIGINT)
+        |     - CAST(CAST(round(CAST(c_b + 1 AS DOUBLE)
+        |        / CAST(n_b + k_b AS DOUBLE), 6) AS DECIMAL(18,6))
+        |        * 1000000 AS BIGINT))
+        |    * CAST(CAST(round(ln((CAST(c_a + 1 AS DOUBLE)
+        |        / CAST(n_a + k_b AS DOUBLE))
+        |        / (CAST(c_b + 1 AS DOUBLE)
+        |        / CAST(n_b + k_b AS DOUBLE))), 6) AS DECIMAL(18,6))
+        |        * 1000000 AS BIGINT) AS term
+        |  FROM j JOIN tot ON tot.g = j.g)
+        |SELECT g AS event_type, n_a, n_b, k_b AS n_buckets,
+        |  round(CAST(CAST(sum(term) AS BIGINT) AS DOUBLE) / 1e12, 6) AS psi
+        |FROM t GROUP BY g, n_a, n_b, k_b
+        |ORDER BY event_type""".stripMargin,
 
     // the q126 word-split replay; idf ln arg = one IEEE division of
     // exact BIGINTs, 6-dp lift, integer tf·idf6 score

@@ -815,4 +815,72 @@ object Analytics {
         col("high_v"), col("sum_v"))
       .orderBy(col(keyCol), col("bucket"))
   }
+
+  /** Per-group distribution drift (PSI — population stability index)
+    * between two snapshots of a numeric column: the VALUE-distribution
+    * member of the versioning-audit family (q139 `snapshotDiff` = row
+    * churn, q121 `centroidDrift` = embedding drift; this = "did the
+    * values move?", the model-monitoring gate before promoting a
+    * regenerated corpus).
+    *
+    * PSI = Σ_buckets (pA − pB)·ln(pA/pB) over fixed-width value
+    * buckets with add-one smoothing over the group's OWN bucket
+    * support (pX = (cX+1)/(nX+K), K = buckets present in either
+    * snapshot — finite for one-sided buckets AND one-sided groups, so
+    * nothing is silently dropped). Cross-engine exact: values lift to
+    * 1e6-scaled BIGINTs (6-dp round through DECIMAL — the q102
+    * discipline) and bucket by truncating DIV; each share and the
+    * ln ratio are IEEE divisions of exact longs written as the SAME
+    * expression tree in both engines, 6-dp-lifted; each term is a
+    * product of two lifted ints summed in DECIMAL(38,0); the 1e12
+    * unscale happens once on the final integer. Conventional read:
+    * PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25 action. PSI measures
+    * SHAPE, not mass: a single-bucket group always reads 0 (both
+    * smoothed shares are 1), and against an absent side the smoothed
+    * reference is uniform — read n_a/n_b alongside psi for the mass
+    * story (q139 snapshotDiff is the row-churn complement).
+    *
+    * Plan: two map-side-combinable (group, bucket) counts, one
+    * full-outer equi-join, group totals broadcast back (|groups|-
+    * bounded), one aggregation. Null group/value rows are excluded
+    * from both snapshots. */
+  def distributionDrift(a: DataFrame, b: DataFrame, groupCol: String,
+      valueCol: String, bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val w6 = (BigDecimal(bucketWidth)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP) * BigDecimal(1000000))
+      .toLongExact
+    require(w6 > 0, s"bucketWidth under 1e-6: $bucketWidth")
+    def lift6(c: Column): Column =
+      round(c, 6).cast(DecimalType(18, 6)).multiply(lit(1000000)).cast("long")
+    def counted(df: DataFrame, cn: String) = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("dd_g"),
+        expr(s"CAST(CAST(round($valueCol, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) DIV ${w6}L")
+          .as("dd_b"))
+      .groupBy(col("dd_g"), col("dd_b"))
+      .agg(count(lit(1)).as(cn))
+    val j = counted(a, "c_a")
+      .join(counted(b, "c_b"), Seq("dd_g", "dd_b"), "full_outer")
+      .select(col("dd_g"), col("dd_b"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    val tot = j.groupBy(col("dd_g")).agg(
+      sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"),
+      count(lit(1)).as("k_b"))
+    val pa = (col("c_a") + 1).cast("double") /
+      (col("n_a") + col("k_b")).cast("double")
+    val pb = (col("c_b") + 1).cast("double") /
+      (col("n_b") + col("k_b")).cast("double")
+    j.join(broadcast(tot), Seq("dd_g"))
+      .withColumn("__t",
+        ((lift6(pa) - lift6(pb)) * lift6(log(pa / pb)))
+          .cast(DecimalType(38, 0)))
+      .groupBy(col("dd_g"), col("n_a"), col("n_b"), col("k_b"))
+      .agg(sum(col("__t")).as("__s"))
+      .select(col("dd_g").as(groupCol), col("n_a"), col("n_b"),
+        col("k_b").as("n_buckets"),
+        round(col("__s").cast("double") / lit(1e12), 6).as("psi"))
+      .orderBy(col(groupCol))
+  }
 }

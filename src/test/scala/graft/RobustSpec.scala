@@ -354,4 +354,50 @@ class RobustSpec extends SparkSpec {
       Analytics.downsample(df, "k", "t", "q", "v", 0L)
     }
   }
+
+  // ---- distributionDrift ----------------------------------------------
+
+  test("distributionDrift: identical snapshots -> 0, shift -> positive, " +
+      "one-sided groups finite, null drop, partition independence") {
+    // onlyA is NON-uniform over two buckets: against an absent B side
+    // the smoothed pB is uniform (1/K), so only a non-uniform A reads
+    // a positive PSI — a single-bucket group always reads 0 (PSI
+    // measures SHAPE; the n_a/n_b columns carry the mass signal)
+    val a = Seq[(String, java.lang.Double)](
+      ("g", 10.0), ("g", 10.0), ("g", 30.0),
+      ("h", 100.0), ("h", 110.0),
+      ("onlyA", 5.0), ("onlyA", 5.0), ("onlyA", 30.0),
+      (null, 1.0))
+      .toDF("t", "v")
+    // identical snapshots: every bucket has pA == pB, so both the
+    // lifted share difference AND ln(1)=0 zero every term
+    val same = Analytics.distributionDrift(a, a, "t", "v", 25.0)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(same.map(_._1) == Seq("g", "h", "onlyA"))
+    assert(same.forall(_._5 == 0.0))
+    assert(same.find(_._1 == "g").get == (("g", 3L, 3L, 2L, 0.0)))
+    // a shifted g + a group only in A: psi positive and FINITE for
+    // both (add-one smoothing over the union support)
+    val b = Seq[(String, java.lang.Double)](
+      ("g", 60.0), ("g", 60.0), ("g", 30.0), ("h", 100.0),
+      ("h", 110.0), ("g", null))
+      .toDF("t", "v")
+    val drift = Analytics.distributionDrift(a, b, "t", "v", 25.0)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    val g = drift.find(_._1 == "g").get
+    assert(g._2 == 3L && g._3 == 3L && g._4 == 3L && g._5 > 0.0)
+    val onlyA = drift.find(_._1 == "onlyA").get
+    assert(onlyA._2 == 3L && onlyA._3 == 0L && onlyA._4 == 2L
+      && !onlyA._5.isNaN && !onlyA._5.isInfinite && onlyA._5 > 0.0)
+    assert(drift.find(_._1 == "h").get._5 == 0.0)
+    // partition independence
+    val p1 = Analytics.distributionDrift(a.repartition(1), b.repartition(1),
+      "t", "v", 25.0).collect().toSeq
+    val p7 = Analytics.distributionDrift(a.repartition(7), b.repartition(5),
+      "t", "v", 25.0).collect().toSeq
+    assert(p1 == p7)
+    intercept[IllegalArgumentException] {
+      Analytics.distributionDrift(a, b, "t", "v", 0.0)
+    }
+  }
 }

@@ -1703,6 +1703,13 @@ object SparkEntry {
       Analytics.columnProfile(Tables.documents(s, d),
         Seq("doc_id", "lang", "n_chars", "source", "text"))),
 
+    // lang × source mutual information (is source language-
+    // segregated?): shares as IEEE divisions of exact longs, 6-dp
+    // lifts, 1e12-scaled term sums — q125's pointwise view taken to
+    // its expectation over two whole fields.
+    "q144_field_association" -> ((s, d) =>
+      Curation.fieldAssociation(Tables.documents(s, d), "lang", "source")),
+
     // per-event-type PSI drift between the q139 snapshot slices (the
     // value-distribution member of the versioning-audit family: q139
     // row churn, q121 embedding drift, this "did the values move?").
@@ -3968,6 +3975,54 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'text', n, n - nn5, nd5, mn5, mx5 FROM s)
         |ORDER BY col_name""".stripMargin,
+
+    // identical lift/ln trees; marginals and n derive from the
+    // contingency CTE (one scan in both engines)
+    "q144_field_association" ->
+      """WITH b AS (
+        |  SELECT lang AS a, source AS s FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |cxy AS (SELECT a, s, CAST(count(*) AS BIGINT) AS c_xy
+        |        FROM b GROUP BY a, s),
+        |cx AS (SELECT a, CAST(sum(c_xy) AS BIGINT) AS c_x
+        |       FROM cxy GROUP BY a),
+        |cy AS (SELECT s, CAST(sum(c_xy) AS BIGINT) AS c_y
+        |       FROM cxy GROUP BY s),
+        |n AS (SELECT CAST(sum(c_x) AS BIGINT) AS n_rows FROM cx),
+        |mi AS (
+        |  SELECT sum(
+        |    CAST(CAST(round(CAST(c_xy AS DOUBLE)
+        |        / CAST(n_rows AS DOUBLE), 6) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT)
+        |    * CAST(CAST(round(ln((CAST(c_xy AS DOUBLE)
+        |        / CAST(n_rows AS DOUBLE))
+        |        / ((CAST(c_x AS DOUBLE) / CAST(n_rows AS DOUBLE))
+        |         * (CAST(c_y AS DOUBLE) / CAST(n_rows AS DOUBLE)))), 6)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS s_mi
+        |  FROM cxy JOIN cx USING (a) JOIN cy USING (s), n),
+        |ha AS (
+        |  SELECT sum(
+        |    CAST(CAST(round(CAST(c_x AS DOUBLE)
+        |        / CAST(n_rows AS DOUBLE), 6) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT)
+        |    * CAST(CAST(round(ln(CAST(c_x AS DOUBLE)
+        |        / CAST(n_rows AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS s_ha
+        |  FROM cx, n),
+        |hb AS (
+        |  SELECT sum(
+        |    CAST(CAST(round(CAST(c_y AS DOUBLE)
+        |        / CAST(n_rows AS DOUBLE), 6) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT)
+        |    * CAST(CAST(round(ln(CAST(c_y AS DOUBLE)
+        |        / CAST(n_rows AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS s_hb
+        |  FROM cy, n)
+        |SELECT n.n_rows,
+        |  round(CAST(-CAST(s_ha AS BIGINT) AS DOUBLE) / 1e12, 6) AS h_a,
+        |  round(CAST(-CAST(s_hb AS BIGINT) AS DOUBLE) / 1e12, 6) AS h_b,
+        |  round(CAST(CAST(s_mi AS BIGINT) AS DOUBLE) / 1e12, 6) AS mi
+        |FROM n, mi, ha, hb""".stripMargin,
 
     // the q139 slices; value lift through DECIMAL (q102 discipline),
     // bucket = lifted DIV 25e6; shares and ln ratio as the SAME IEEE

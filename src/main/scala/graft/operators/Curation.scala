@@ -955,4 +955,72 @@ object Curation {
         (col("__s6").cast("double") / lit(1e6)).as("score"))
       .orderBy(col(idCol), col("rank"))
   }
+
+  /** Mutual information (+ marginal entropies) between two categorical
+    * columns — the field-association audit behind curation decisions
+    * like "is `source` language-segregated?" or "does this metadata
+    * field carry any signal about that one?": MI = Σ p(x,y)·ln(p(x,y)
+    * / (p(x)p(y))) in nats, with H(A) and H(B) alongside so callers
+    * can normalize (NMI = mi/min(h_a,h_b) etc.). [[pmiCollocations]]
+    * is the per-PAIR pointwise view over bigrams; this is its
+    * expectation over two whole fields.
+    *
+    * Cross-engine exact per the q104/q143 disciplines: every share is
+    * an IEEE division of exact longs, the ln arg the SAME expression
+    * tree in both engines, both 6-dp-lifted; terms are products of
+    * lifted ints summed in DECIMAL(38,0), unscaled once by 1e12.
+    * Exactly-independent counts give ln(1)=0 per cell — MI reads an
+    * exact 0.0, not an epsilon.
+    *
+    * Plan: ONE scan into the (a, b) contingency aggregate; marginals
+    * and the total derive from it (never a second scan); the marginal
+    * rejoins are `merge`-hinted (agg-then-rejoin — at high category
+    * cardinality a broadcast estimate of an aggregate side is the
+    * documented AQE OOM shape); the three 1-row reductions assemble by
+    * broadcast cross join. State is bounded by |A|·|B| distinct pairs
+    * — intended for categorical fields, not free text. Null rows (in
+    * either column) are excluded. */
+  def fieldAssociation(df: DataFrame, colA: String, colB: String)
+      : DataFrame = {
+    def lift6(c: Column): Column =
+      round(c, 6).cast(org.apache.spark.sql.types.DecimalType(18, 6))
+        .multiply(lit(1000000)).cast("long")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .select(col(colA).as("fa_a"), col(colB).as("fa_b"))
+    // materialized ONCE: the marginal/total/MI branches and the four
+    // 1-row broadcast subtrees would otherwise each recompute the scan
+    // + contingency aggregate (the r11 union-recompute lesson — AQE
+    // does not reuse exchanges across broadcast subtrees); the frame
+    // is |A|·|B| rows, checkpoint-cheap
+    val cxy = base.groupBy(col("fa_a"), col("fa_b"))
+      .agg(count(lit(1)).as("c_xy"))
+      .localCheckpoint()
+    val cx = cxy.groupBy(col("fa_a")).agg(sum(col("c_xy")).as("c_x"))
+    val cy = cxy.groupBy(col("fa_b")).agg(sum(col("c_xy")).as("c_y"))
+    val nRow = cx.agg(sum(col("c_x")).as("n_rows"))
+    val pxy = col("c_xy").cast("double") / col("n_rows").cast("double")
+    val px = col("c_x").cast("double") / col("n_rows").cast("double")
+    val py = col("c_y").cast("double") / col("n_rows").cast("double")
+    val miRow = cxy
+      .join(cx.hint("merge"), Seq("fa_a"))
+      .join(cy.hint("merge"), Seq("fa_b"))
+      .crossJoin(broadcast(nRow))
+      .withColumn("__t",
+        (lift6(pxy) * lift6(log(pxy / (px * py)))).cast(dec38))
+      .agg(sum(col("__t")).as("__mi"))
+    def hRow(cFrame: DataFrame, cName: String, out: String) = {
+      val p = col(cName).cast("double") / col("n_rows").cast("double")
+      cFrame.crossJoin(broadcast(nRow))
+        .withColumn("__t", (lift6(p) * lift6(log(p))).cast(dec38))
+        .agg(sum(col("__t")).as(out))
+    }
+    nRow.crossJoin(broadcast(miRow))
+      .crossJoin(broadcast(hRow(cx, "c_x", "__ha")))
+      .crossJoin(broadcast(hRow(cy, "c_y", "__hb")))
+      .select(col("n_rows"),
+        round(-col("__ha").cast("double") / lit(1e12), 6).as("h_a"),
+        round(-col("__hb").cast("double") / lit(1e12), 6).as("h_b"),
+        round(col("__mi").cast("double") / lit(1e12), 6).as("mi"))
+  }
 }

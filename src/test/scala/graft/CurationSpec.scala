@@ -484,4 +484,34 @@ class CurationSpec extends SparkSpec {
       Curation.tfidfKeywords(docs, "doc_id", "text", 0)
     }
   }
+
+  test("fieldAssociation: exact-independence -> mi 0, bijection -> mi == h, " +
+      "null drop, partition independence") {
+    // exactly independent counts (every cell 3): ln(1) = 0 per cell,
+    // so mi is an EXACT 0.0, not an epsilon
+    val ind = Seq.tabulate(12)(i => (s"l${i % 2}", s"s${i / 6}"))
+      .toDF("lang", "src")
+    val gi = Curation.fieldAssociation(ind.repartition(3), "lang", "src")
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(gi == ((12L, 0.693147, 0.693147, 0.0)))
+    // bijective dependence, 50/50: mi == h_a == h_b == round(ln 2, 6)
+    val bij = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("lang", "src")
+    val gb = Curation.fieldAssociation(bij, "lang", "src")
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(gb == ((4L, 0.693147, 0.693147, 0.693147)))
+    // null rows drop from BOTH marginals
+    val withNulls = Seq[(String, String)](
+      ("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"),
+      (null, "x"), ("a", null)).toDF("lang", "src")
+    val gn = Curation.fieldAssociation(withNulls, "lang", "src")
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(gn == gb)
+    // partition independence
+    val p1 = Curation.fieldAssociation(ind.repartition(1), "lang", "src")
+      .collect().toSeq
+    val p7 = Curation.fieldAssociation(ind.repartition(7), "lang", "src")
+      .collect().toSeq
+    assert(p1 == p7)
+  }
 }

@@ -1703,6 +1703,18 @@ object SparkEntry {
       Analytics.columnProfile(Tables.documents(s, d),
         Seq("doc_id", "lang", "n_chars", "source", "text"))),
 
+    // pre-flight join-size profile of the purchases×views user join
+    // (both sides multi-row per key): exact output cardinality + the
+    // top-10 exploding keys from per-key counts — never the join
+    // itself. The q101 salting decision's input, made first-class.
+    "q145_join_size_profile" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Scale.joinSizeProfile(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "view"),
+        "user_id", k = 10)
+    }),
+
     // lang × source mutual information (is source language-
     // segregated?): shares as IEEE divisions of exact longs, 6-dp
     // lifts, 1e12-scaled term sums — q125's pointwise view taken to
@@ -3975,6 +3987,29 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'text', n, n - nn5, nd5, mn5, mx5 FROM s)
         |ORDER BY col_name""".stripMargin,
+
+    // per-key counts joined at the key level; LIMIT under a total
+    // (pairs DESC, key) order
+    "q145_join_size_profile" ->
+      """WITH pa AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS c_a
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND user_id IS NOT NULL GROUP BY user_id),
+        |vb AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS c_b
+        |  FROM events WHERE event_type = 'view'
+        |    AND user_id IS NOT NULL GROUP BY user_id),
+        |j AS (
+        |  SELECT user_id, c_a, c_b, c_a * c_b AS pairs
+        |  FROM pa JOIN vb USING (user_id)),
+        |t AS (
+        |  SELECT CAST(sum(pairs) AS BIGINT) AS total_pairs,
+        |    CAST(count(*) AS BIGINT) AS n_matching_keys
+        |  FROM j)
+        |SELECT user_id, c_a, c_b, pairs, total_pairs, n_matching_keys,
+        |  round(CAST(pairs AS DOUBLE) / CAST(total_pairs AS DOUBLE), 6)
+        |    AS share
+        |FROM j, t ORDER BY pairs DESC, user_id LIMIT 10""".stripMargin,
 
     // identical lift/ln trees; marginals and n derive from the
     // contingency CTE (one scan in both engines)

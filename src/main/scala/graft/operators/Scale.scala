@@ -586,4 +586,40 @@ object Scale {
       .bucketBy(buckets, key).sortBy(key)
     (if (path != null) w.option("path", path) else w).saveAsTable(table)
   }
+
+  /** Pre-flight join-size profile — the check a 100 TB pipeline runs
+    * BEFORE committing a join: the EXACT output cardinality
+    * (Σ_k c_a(k)·c_b(k)) plus the top-k exploding keys, from two
+    * map-side-combinable per-key counts and a tiny key-level join —
+    * never the join itself. Pairs with [[autoSaltedJoin]]: this names
+    * the keys that would dominate; that mitigates them.
+    *
+    * Null keys are excluded (they never match in an equi-join). The
+    * per-key product and the total run in ANSI LONG arithmetic — a
+    * profile that would overflow 2^63 pairs throws rather than
+    * underreporting the explosion it exists to catch. Output: the
+    * top-k keys by (pairs DESC, key) with the total/matching-key
+    * summary repeated per row (one frame, total ordering). */
+  def joinSizeProfile(a: DataFrame, b: DataFrame, key: String,
+      k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    def counted(df: DataFrame, cn: String) =
+      df.filter(col(key).isNotNull).groupBy(col(key))
+        .agg(count(lit(1)).as(cn))
+    // materialized once: the 1-row total subtree would otherwise
+    // recompute both scans + the key join (the q144 lesson)
+    val j = counted(a, "c_a").join(counted(b, "c_b"), Seq(key))
+      .select(col(key), col("c_a"), col("c_b"),
+        (col("c_a") * col("c_b")).as("pairs"))
+      .localCheckpoint()
+    val tot = j.agg(sum(col("pairs")).cast("long").as("total_pairs"),
+      count(lit(1)).as("n_matching_keys"))
+    j.crossJoin(broadcast(tot))
+      .orderBy(col("pairs").desc, col(key))
+      .limit(k)
+      .select(col(key), col("c_a"), col("c_b"), col("pairs"),
+        col("total_pairs"), col("n_matching_keys"),
+        round(col("pairs").cast("double")
+          / col("total_pairs").cast("double"), 6).as("share"))
+  }
 }

@@ -664,4 +664,37 @@ class ScaleSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("gapFillDaily: user")), ex.toString)
   }
+
+  test("joinSizeProfile: exact totals vs the real join, top-k order, " +
+      "null keys excluded, partition independence") {
+    import spark.implicits._
+    val a = Seq[(java.lang.Long, String)](
+      (1L, "r"), (1L, "r"), (1L, "r"), (2L, "r"), (3L, "r"), (null, "r"))
+      .toDF("k", "pay")
+    val b = Seq[(java.lang.Long, String)](
+      (1L, "s"), (1L, "s"), (2L, "s"), (4L, "s"), (null, "s"))
+      .toDF("k", "pay")
+    val got = graft.operators.Scale.joinSizeProfile(a, b, "k", k = 10)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    // key 1: 3*2=6; key 2: 1*1=1; keys 3/4 one-sided; nulls excluded
+    assert(got == Seq(
+      (1L, 3L, 2L, 6L, 7L, 2L, 0.857143),
+      (2L, 1L, 1L, 1L, 7L, 2L, 0.142857)))
+    // the profile's total equals the REAL join's output cardinality
+    val real = a.join(b, Seq("k")).count()
+    assert(got.head._5 == real)
+    // k truncates under the (pairs DESC, key) total order
+    val top1 = graft.operators.Scale.joinSizeProfile(a, b, "k", k = 1)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(top1 == got.take(1))
+    // partition independence
+    val p1 = graft.operators.Scale.joinSizeProfile(
+      a.repartition(1), b.repartition(1), "k", 10).collect().toSeq
+    val p7 = graft.operators.Scale.joinSizeProfile(
+      a.repartition(7), b.repartition(5), "k", 10).collect().toSeq
+    assert(p1 == p7)
+    intercept[IllegalArgumentException] {
+      graft.operators.Scale.joinSizeProfile(a, b, "k", 0)
+    }
+  }
 }

@@ -1703,6 +1703,14 @@ object SparkEntry {
       Analytics.columnProfile(Tables.documents(s, d),
         Seq("doc_id", "lang", "n_chars", "source", "text"))),
 
+    // exact-integer Pearson correlation matrix over lineitem measures
+    // (the built-in corr is a merge-order-dependent float fold —
+    // un-oracle-able): 6-dp lifts, DECIMAL(38,0) moments, one IEEE
+    // sqrt/divide tree per pair.
+    "q146_correlation_matrix" -> ((s, d) =>
+      Analytics.correlationMatrix(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
+
     // pre-flight join-size profile of the purchases×views user join
     // (both sides multi-row per key): exact output cardinality + the
     // top-10 exploding keys from per-key counts — never the join
@@ -3987,6 +3995,75 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'text', n, n - nn5, nd5, mn5, mx5 FROM s)
         |ORDER BY col_name""".stripMargin,
+
+    // lifted HUGEINT moments, the identical corr tree; CASE (not
+    // FILTER-less sums) mirrors Spark's both-non-null conditioning
+    "q146_correlation_matrix" ->
+      """WITH l AS (
+        |  SELECT
+        |    CAST(CAST(round(l_quantity, 6) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT) AS q,
+        |    CAST(CAST(round(l_extendedprice, 6) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT) AS p,
+        |    CAST(CAST(round(l_discount, 6) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT) AS d
+        |  FROM lineitem),
+        |w AS (
+        |  SELECT
+        |    CAST(count(CASE WHEN q IS NOT NULL AND p IS NOT NULL
+        |      THEN 1 END) AS HUGEINT) AS n0,
+        |    sum(CASE WHEN q IS NOT NULL AND p IS NOT NULL
+        |      THEN CAST(q AS HUGEINT) END) AS sx0,
+        |    sum(CASE WHEN q IS NOT NULL AND p IS NOT NULL
+        |      THEN CAST(p AS HUGEINT) END) AS sy0,
+        |    sum(CASE WHEN q IS NOT NULL AND p IS NOT NULL
+        |      THEN CAST(q AS HUGEINT) * CAST(q AS HUGEINT) END) AS sxx0,
+        |    sum(CASE WHEN q IS NOT NULL AND p IS NOT NULL
+        |      THEN CAST(p AS HUGEINT) * CAST(p AS HUGEINT) END) AS syy0,
+        |    sum(CASE WHEN q IS NOT NULL AND p IS NOT NULL
+        |      THEN CAST(q AS HUGEINT) * CAST(p AS HUGEINT) END) AS sxy0,
+        |    CAST(count(CASE WHEN q IS NOT NULL AND d IS NOT NULL
+        |      THEN 1 END) AS HUGEINT) AS n1,
+        |    sum(CASE WHEN q IS NOT NULL AND d IS NOT NULL
+        |      THEN CAST(q AS HUGEINT) END) AS sx1,
+        |    sum(CASE WHEN q IS NOT NULL AND d IS NOT NULL
+        |      THEN CAST(d AS HUGEINT) END) AS sy1,
+        |    sum(CASE WHEN q IS NOT NULL AND d IS NOT NULL
+        |      THEN CAST(q AS HUGEINT) * CAST(q AS HUGEINT) END) AS sxx1,
+        |    sum(CASE WHEN q IS NOT NULL AND d IS NOT NULL
+        |      THEN CAST(d AS HUGEINT) * CAST(d AS HUGEINT) END) AS syy1,
+        |    sum(CASE WHEN q IS NOT NULL AND d IS NOT NULL
+        |      THEN CAST(q AS HUGEINT) * CAST(d AS HUGEINT) END) AS sxy1,
+        |    CAST(count(CASE WHEN p IS NOT NULL AND d IS NOT NULL
+        |      THEN 1 END) AS HUGEINT) AS n2,
+        |    sum(CASE WHEN p IS NOT NULL AND d IS NOT NULL
+        |      THEN CAST(p AS HUGEINT) END) AS sx2,
+        |    sum(CASE WHEN p IS NOT NULL AND d IS NOT NULL
+        |      THEN CAST(d AS HUGEINT) END) AS sy2,
+        |    sum(CASE WHEN p IS NOT NULL AND d IS NOT NULL
+        |      THEN CAST(p AS HUGEINT) * CAST(p AS HUGEINT) END) AS sxx2,
+        |    sum(CASE WHEN p IS NOT NULL AND d IS NOT NULL
+        |      THEN CAST(d AS HUGEINT) * CAST(d AS HUGEINT) END) AS syy2,
+        |    sum(CASE WHEN p IS NOT NULL AND d IS NOT NULL
+        |      THEN CAST(p AS HUGEINT) * CAST(d AS HUGEINT) END) AS sxy2
+        |  FROM l),
+        |u AS (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |    n0 AS n, sx0 AS sx, sy0 AS sy, sxx0 AS sxx, syy0 AS syy,
+        |    sxy0 AS sxy FROM w
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_discount', n1, sx1, sy1, sxx1, syy1,
+        |    sxy1 FROM w
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_discount', n2, sx2, sy2, sxx2,
+        |    syy2, sxy2 FROM w)
+        |SELECT col_a, col_b, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        |  END AS corr
+        |FROM u ORDER BY col_a, col_b""".stripMargin,
 
     // per-key counts joined at the key level; LIMIT under a total
     // (pairs DESC, key) order

@@ -883,4 +883,60 @@ object Analytics {
         round(col("__s").cast("double") / lit(1e12), 6).as("psi"))
       .orderBy(col(groupCol))
   }
+
+  /** Exact pairwise Pearson correlation matrix over numeric columns —
+    * the feature-redundancy audit next to [[graft.operators.Curation.fieldAssociation]]'s
+    * categorical MI. Spark's built-in `corr` is a floating-point fold
+    * (merge-order dependent — the documented typed-Aggregator hazard);
+    * this computes every moment as an EXACT integer: values 6-dp-lift
+    * to 1e6-scaled longs, per-pair conditional sums (pairwise null
+    * deletion: a pair's moments count only rows where BOTH sides are
+    * present) accumulate in DECIMAL(38,0) — associative, partition-
+    * order independent — and corr = (n·Sxy − Sx·Sy) /
+    * (√(n·Sxx − Sx²)·√(n·Syy − Sy²)) evaluates on correctly-rounded
+    * integer→double conversions with IEEE sqrt/divide, the SAME tree
+    * both engines. Zero-variance sides yield NULL, not NaN.
+    *
+    * ONE aggregate pass over the scan (all pairs' moments map-side
+    * combinable); output = C(|cols|, 2) rows. Envelope: n·Σ(x6·y6)
+    * must fit DECIMAL(38,0) — fine through ~1e9 rows of ≤1e4-magnitude
+    * values; pre-aggregate or chunk beyond. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns: $cols")
+    require(cols.distinct.size == cols.size, s"duplicate columns: $cols")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"no such columns: ${missing.mkString(",")}")
+    val dec = DecimalType(38, 0)
+    def lift(c: String): Column =
+      round(col(c), 6).cast(DecimalType(18, 6))
+        .multiply(lit(1000000)).cast("long").cast(dec)
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), ix) =>
+      val both = col(a).isNotNull && col(b).isNotNull
+      val x = when(both, lift(a))
+      val y = when(both, lift(b))
+      Seq(
+        count(when(both, lit(1))).cast(dec).as(s"__n_$ix"),
+        sum(x).as(s"__sx_$ix"), sum(y).as(s"__sy_$ix"),
+        sum(x * x).as(s"__sxx_$ix"), sum(y * y).as(s"__syy_$ix"),
+        sum(x * y).as(s"__sxy_$ix"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    wide.select(explode(array(pairs.zipWithIndex.map { case ((a, b), ix) =>
+        val n = col(s"__n_$ix")
+        val num = n * col(s"__sxy_$ix") - col(s"__sx_$ix") * col(s"__sy_$ix")
+        val da = n * col(s"__sxx_$ix") - col(s"__sx_$ix") * col(s"__sx_$ix")
+        val db = n * col(s"__syy_$ix") - col(s"__sy_$ix") * col(s"__sy_$ix")
+        struct(lit(a).as("col_a"), lit(b).as("col_b"),
+          n.cast("long").as("n"),
+          when(da > 0 && db > 0,
+            round(num.cast("double")
+              / (sqrt(da.cast("double")) * sqrt(db.cast("double"))), 6))
+            .as("corr"))
+      }: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
 }

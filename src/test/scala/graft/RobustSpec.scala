@@ -400,4 +400,43 @@ class RobustSpec extends SparkSpec {
       Analytics.distributionDrift(a, b, "t", "v", 0.0)
     }
   }
+
+  // ---- correlationMatrix ------------------------------------------------
+
+  test("correlationMatrix: perfect +/-1, zero variance null, pairwise " +
+      "null deletion, partition independence") {
+    val df = Seq[(java.lang.Double, java.lang.Double, java.lang.Double, java.lang.Double)](
+      (1.0, 2.0, 9.0, 7.0),
+      (2.0, 4.0, 8.0, 7.0),
+      (3.0, 6.0, 7.0, 7.0),
+      (4.0, null, 6.0, 7.0))
+      .toDF("x", "y2", "neg", "const")
+    val got = graft.operators.Analytics.correlationMatrix(
+      df.repartition(3), Seq("x", "y2", "neg", "const"))
+      .as[(String, String, Long, Option[Double])].collect().toSeq
+    val m = got.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // y2 = 2x on the 3 shared rows -> +1; neg = 10-x on all 4 -> -1
+    assert(m(("x", "y2")) == ((3L, Some(1.0))))
+    assert(m(("x", "neg")) == ((4L, Some(-1.0))))
+    // const has zero variance -> corr null, n still counted
+    assert(m(("x", "const")) == ((4L, None)))
+    assert(m(("y2", "const")) == ((3L, None)))
+    // pairwise deletion: the y2-null row drops only y2 pairs
+    assert(m(("y2", "neg")) == ((3L, Some(-1.0))))
+    // ordered output, all C(4,2) pairs present
+    assert(got.map(r => (r._1, r._2)) == got.map(r => (r._1, r._2)).sorted)
+    assert(got.size == 6)
+    // partition independence
+    val p1 = graft.operators.Analytics.correlationMatrix(
+      df.repartition(1), Seq("x", "y2")).collect().toSeq
+    val p7 = graft.operators.Analytics.correlationMatrix(
+      df.repartition(7), Seq("x", "y2")).collect().toSeq
+    assert(p1 == p7)
+    intercept[IllegalArgumentException] {
+      graft.operators.Analytics.correlationMatrix(df, Seq("x"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Analytics.correlationMatrix(df, Seq("x", "x"))
+    }
+  }
 }

@@ -1707,8 +1707,10 @@ object SparkEntry {
     // (the built-in corr is a merge-order-dependent float fold —
     // un-oracle-able): 6-dp lifts, DECIMAL(38,0) moments, one IEEE
     // sqrt/divide tree per pair.
+    // fan: 18 decimal aggregations over the 1-partition fixture scan
+    // serialize in one task without it (BenchOne 2.86 -> 0.76-1.04 s)
     "q146_correlation_matrix" -> ((s, d) =>
-      Analytics.correlationMatrix(Tables.lineitem(s, d),
+      Analytics.correlationMatrix(fan(Tables.lineitem(s, d), "l_orderkey"),
         Seq("l_quantity", "l_extendedprice", "l_discount"))),
 
     // pre-flight join-size profile of the purchases×views user join

@@ -1703,6 +1703,13 @@ object SparkEntry {
       Analytics.columnProfile(Tables.documents(s, d),
         Seq("doc_id", "lang", "n_chars", "source", "text"))),
 
+    // top-20 co-purchased part pairs (market-basket set co-occurrence
+    // over orders; pair cost Σ C(|basket|,2), bounded by basket size
+    // never corpus size).
+    "q147_frequent_pairs" -> ((s, d) =>
+      Analytics.frequentPairs(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", k = 20)),
+
     // exact-integer Pearson correlation matrix over lineitem measures
     // (the built-in corr is a merge-order-dependent float fold —
     // un-oracle-able): 6-dp lifts, DECIMAL(38,0) moments, one IEEE
@@ -3997,6 +4004,22 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'text', n, n - nn5, nd5, mn5, mx5 FROM s)
         |ORDER BY col_name""".stripMargin,
+
+    // distinct basket-items, a<b self-join, LIMIT under the total
+    // (n DESC, a, b) order
+    "q147_frequent_pairs" ->
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |p AS (
+        |  SELECT x.i AS item_a, y.i AS item_b,
+        |    CAST(count(*) AS BIGINT) AS n_baskets
+        |  FROM it x JOIN it y ON x.b = y.b AND x.i < y.i
+        |  GROUP BY x.i, y.i)
+        |SELECT item_a, item_b, n_baskets
+        |FROM p ORDER BY n_baskets DESC, item_a, item_b
+        |LIMIT 20""".stripMargin,
 
     // lifted HUGEINT moments, the identical corr tree; CASE (not
     // FILTER-less sums) mirrors Spark's both-non-null conditioning

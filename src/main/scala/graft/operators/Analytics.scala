@@ -939,4 +939,41 @@ object Analytics {
       .select(col("p.*"))
       .orderBy(col("col_a"), col("col_b"))
   }
+
+  /** Top-k co-occurring item pairs across baskets (market-basket
+    * mining; here "basket" is any grouping — an order's parts, a
+    * user's session apps, a doc's entities). Pairs are SET
+    * co-occurrence per basket ([[graft.operators.Curation.pmiCollocations]]
+    * is the ordered-adjacency view over token streams): distinct
+    * (basket, item), within-basket self-join on item_a < item_b (each
+    * unordered pair once), count, top-k under the (n DESC, a, b)
+    * total order via TakeOrderedAndProject.
+    *
+    * Pair cost is Σ_baskets C(|basket|, 2) — quadratic in BASKET size,
+    * not corpus size. `maxBasketSize > 0` drops oversized baskets
+    * BEFORE pair generation (a degenerate mega-basket — one crawl dump
+    * "session" with 1e5 items — is 5e9 pairs of noise; result changes
+    * are the explicit, documented semantics of the cap, unlike a
+    * silent truncation). */
+  def frequentPairs(df: DataFrame, basketCol: String, itemCol: String,
+      k: Int = 20, maxBasketSize: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val items = df
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("fp_b"), col(itemCol).as("fp_i"))
+      .distinct()
+    val sized = if (maxBasketSize > 0) {
+      val ok = items.groupBy(col("fp_b"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBasketSize)
+        .select(col("fp_b"))
+      items.join(ok, Seq("fp_b"), "left_semi")
+    } else items
+    sized.select(col("fp_b"), col("fp_i").as("item_a"))
+      .join(sized.select(col("fp_b"), col("fp_i").as("item_b")), Seq("fp_b"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_baskets"))
+      .orderBy(col("n_baskets").desc, col("item_a"), col("item_b"))
+      .limit(k)
+  }
 }

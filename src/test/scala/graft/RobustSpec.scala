@@ -439,4 +439,40 @@ class RobustSpec extends SparkSpec {
       graft.operators.Analytics.correlationMatrix(df, Seq("x", "x"))
     }
   }
+
+  // ---- frequentPairs ----------------------------------------------------
+
+  test("frequentPairs: hand-exact counts, duplicate rows collapse, basket " +
+      "cap, partition independence") {
+    // baskets: b1 {x,y,z} (y twice -> distinct), b2 {x,y}, b3 {x,y},
+    // b4 {q} singleton, null rows dropped
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "x"), (1L, "y"), (1L, "y"), (1L, "z"),
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "y"),
+      (4L, "q"),
+      (null, "x"), (5L, null))
+      .toDF("b", "i")
+    val got = Analytics.frequentPairs(df.repartition(3), "b", "i", k = 10)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("x", "y", 3L), ("x", "z", 1L), ("y", "z", 1L)))
+    // k truncates under the total order
+    assert(Analytics.frequentPairs(df, "b", "i", k = 1)
+      .as[(String, String, Long)].collect().toSeq == got.take(1))
+    // maxBasketSize drops the 3-item basket ENTIRELY (documented
+    // semantics): only the two 2-item baskets contribute
+    val capped = Analytics.frequentPairs(df, "b", "i", k = 10,
+      maxBasketSize = 2).as[(String, String, Long)].collect().toSeq
+    assert(capped == Seq(("x", "y", 2L)))
+    // partition independence
+    val p1 = Analytics.frequentPairs(df.repartition(1), "b", "i", 10)
+      .collect().toSeq
+    val p7 = Analytics.frequentPairs(df.repartition(7), "b", "i", 10)
+      .collect().toSeq
+    assert(p1 == p7)
+    intercept[IllegalArgumentException] {
+      Analytics.frequentPairs(df, "b", "i", 0)
+    }
+  }
 }

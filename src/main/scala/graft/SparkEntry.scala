@@ -1703,6 +1703,13 @@ object SparkEntry {
       Analytics.columnProfile(Tables.documents(s, d),
         Seq("doc_id", "lang", "n_chars", "source", "text"))),
 
+    // per-event-type value concentration: Gini + top-decile share
+    // (the scalar "go look for hot keys?" summary; tie-invariant
+    // conditional sums so cross-engine row_number tie order can't
+    // change the output).
+    "q148_concentration" -> ((s, d) =>
+      Analytics.concentration(Tables.events(s, d), "event_type", "value")),
+
     // top-20 co-purchased part pairs (market-basket set co-occurrence
     // over orders; pair cost Σ C(|basket|,2), bounded by basket size
     // never corpus size).
@@ -4004,6 +4011,39 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'text', n, n - nn5, nd5, mn5, mx5 FROM s)
         |ORDER BY col_name""".stripMargin,
+
+    // desc row_number + tie-invariant conditional sums; HUGEINT
+    // products, one IEEE division each
+    "q148_concentration" ->
+      """WITH l AS (
+        |  SELECT event_type AS g,
+        |    CAST(CAST(round(value, 6) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT) AS v6
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |r AS (
+        |  SELECT g, v6,
+        |    row_number() OVER (PARTITION BY g ORDER BY v6 DESC) AS i
+        |  FROM l),
+        |t AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v6) AS HUGEINT) AS s
+        |  FROM l GROUP BY g),
+        |a AS (
+        |  SELECT r.g, t.n, t.s,
+        |    sum(CAST(t.n - 2 * r.i + 1 AS HUGEINT)
+        |      * CAST(r.v6 AS HUGEINT)) AS gnum,
+        |    sum(CASE WHEN r.i <= (t.n + 9) // 10
+        |      THEN CAST(r.v6 AS HUGEINT) END) AS topv
+        |  FROM r JOIN t ON t.g = r.g
+        |  GROUP BY r.g, t.n, t.s)
+        |SELECT g AS event_type, n,
+        |  CASE WHEN s > 0 THEN round(CAST(gnum AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * s AS DOUBLE), 6) END AS gini,
+        |  CASE WHEN s > 0 THEN round(
+        |    CAST(coalesce(topv, 0) AS DOUBLE) / CAST(s AS DOUBLE), 6)
+        |  END AS top_decile_share
+        |FROM a ORDER BY event_type""".stripMargin,
 
     // distinct basket-items, a<b self-join, LIMIT under the total
     // (n DESC, a, b) order

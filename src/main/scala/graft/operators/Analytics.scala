@@ -976,4 +976,50 @@ object Analytics {
       .orderBy(col("n_baskets").desc, col("item_a"), col("item_b"))
       .limit(k)
   }
+
+  /** Per-group concentration audit — Gini coefficient + top-decile
+    * share of a measure (how dominated is each segment by its heaviest
+    * members: corpus mass by source, spend by user, events by key).
+    * [[graft.operators.Scale.heavyHitters]] NAMES the hot keys; this is
+    * the scalar summary that says whether to go looking.
+    *
+    * Exact/tie-safe: values 6-dp-lift to longs; one row_number window
+    * per group ordered by value DESC (linear per key, spillable — the
+    * q133 window posture); gini numerator Σ(n − 2i + 1)·v6 and the
+    * top-⌈n/10⌉ conditional sum are INVARIANT under tie reordering
+    * (equal values contribute equal terms whichever order the engines
+    * pick), so cross-engine row_number tie divergence cannot change
+    * the output. Each final number is one IEEE division of exact
+    * integers, 6-dp rounded. All-zero groups yield NULL ratios. Group
+    * totals broadcast back (|groups|-bounded — this is a per-SEGMENT
+    * summary, not a per-key one). */
+  def concentration(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val dec = DecimalType(38, 0)
+    val v6 = round(col(valueCol), 6).cast(DecimalType(18, 6))
+      .multiply(lit(1000000)).cast("long")
+    val lifted = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("cc_g"), v6.as("__v6"))
+    val w = Window.partitionBy(col("cc_g")).orderBy(col("__v6").desc)
+    val ranked = lifted.withColumn("__i", row_number().over(w))
+    val tot = lifted.groupBy(col("cc_g"))
+      .agg(count(lit(1)).as("__n"), sum(col("__v6").cast(dec)).as("__s"))
+    ranked.join(broadcast(tot), Seq("cc_g"))
+      .groupBy(col("cc_g"), col("__n"), col("__s"))
+      .agg(
+        sum(((col("__n") - lit(2) * col("__i") + lit(1)).cast(dec)
+          * col("__v6").cast(dec)).cast(dec)).as("__gnum"),
+        sum(when(col("__i") <= expr("(__n + 9) DIV 10"),
+          col("__v6").cast(dec))).as("__top"))
+      .select(col("cc_g").as(groupCol), col("__n").as("n"),
+        when(col("__s") > 0,
+          round(col("__gnum").cast("double")
+            / (col("__n").cast(dec) * col("__s")).cast("double"), 6))
+          .as("gini"),
+        when(col("__s") > 0,
+          round(coalesce(col("__top"), lit(0).cast(dec)).cast("double")
+            / col("__s").cast("double"), 6)).as("top_decile_share"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -475,4 +475,31 @@ class RobustSpec extends SparkSpec {
       Analytics.frequentPairs(df, "b", "i", 0)
     }
   }
+
+  // ---- concentration ----------------------------------------------------
+
+  test("concentration: hand-exact gini and top-decile share, uniform -> 0, " +
+      "all-zero -> null, partition independence") {
+    // g: values 1,1,2,6 -> sorted desc 6,2,1,1; gnum = 3*6 + 1*2 - 1 - 3
+    // = 16 (1e6-lifted), den = 4*10 -> gini 0.4; top ceil(4/10)=1 row
+    // -> 6/10 = 0.6
+    val df = Seq[(String, java.lang.Double)](
+      ("g", 1.0), ("g", 1.0), ("g", 2.0), ("g", 6.0),
+      ("u", 3.0), ("u", 3.0), ("u", 3.0), ("u", 3.0),
+      ("z", 0.0), ("z", 0.0),
+      (null, 9.0), ("g", null))
+      .toDF("t", "v")
+    val got = Analytics.concentration(df.repartition(3), "t", "v")
+      .as[(String, Long, Option[Double], Option[Double])].collect().toSeq
+    assert(got == Seq(
+      ("g", 4L, Some(0.4), Some(0.6)),
+      ("u", 4L, Some(0.0), Some(0.25)),
+      ("z", 2L, None, None)))
+    // partition independence (tie-invariance exercised by u's equal values)
+    val p1 = Analytics.concentration(df.repartition(1), "t", "v")
+      .collect().toSeq
+    val p7 = Analytics.concentration(df.repartition(7), "t", "v")
+      .collect().toSeq
+    assert(p1 == p7)
+  }
 }

@@ -1703,6 +1703,14 @@ object SparkEntry {
       Analytics.columnProfile(Tables.documents(s, d),
         Seq("doc_id", "lang", "n_chars", "source", "text"))),
 
+    // per-user view→click→purchase subsequence occurrence counts
+    // (gaps allowed, positions strictly increasing): the textbook DP
+    // as two chained cumulative windows over ONE key exchange — the
+    // per-occurrence complement to q108's per-user funnel gating.
+    "q149_sequence_motifs" -> ((s, d) =>
+      Analytics.sequenceMotifs(Tables.events(s, d), "user_id", "ts",
+        "event_id", "event_type", Seq("view", "click", "purchase"))),
+
     // per-event-type value concentration: Gini + top-decile share
     // (the scalar "go look for hot keys?" summary; tie-invariant
     // conditional sums so cross-engine row_number tie order can't
@@ -4011,6 +4019,32 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'text', n, n - nn5, nd5, mn5, mx5 FROM s)
         |ORDER BY col_name""".stripMargin,
+
+    // the same chained [unbounded, 1 preceding] cumsums in ANSI
+    "q149_sequence_motifs" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |s1 AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS r0
+        |  FROM e),
+        |s2 AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN event_type = 'click' THEN coalesce(sum(r0) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    ELSE 0 END AS r1
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_type = 'purchase' THEN coalesce(sum(r1) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    ELSE 0 END AS r2
+        |  FROM s2)
+        |SELECT user_id, CAST(sum(r2) AS BIGINT) AS n_motifs
+        |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // desc row_number + tie-invariant conditional sums; HUGEINT
     // products, one IEEE division each

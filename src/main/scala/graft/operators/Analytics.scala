@@ -1022,4 +1022,40 @@ object Analytics {
             / col("__s").cast("double"), 6)).as("top_decile_share"))
       .orderBy(col(groupCol))
   }
+
+  /** Order-preserving sequence-motif counting per key: the number of
+    * subsequence occurrences of `motif` (e.g. view→click→purchase) in
+    * each key's event stream — positions strictly increasing, gaps
+    * allowed. The per-OCCURRENCE complement to the q108 funnel (which
+    * gates each user once per stage): "how many times did the pattern
+    * happen", not "how many users reached stage k".
+    *
+    * The textbook DP (c_k at a row of type m_k = Σ of c_{k−1} over
+    * STRICTLY EARLIER rows) is expressible as |motif|−1 chained
+    * cumulative windows over ONE (key) exchange and ONE in-partition
+    * sort (same window spec throughout — Spark plans a single Window
+    * node chain, no extra shuffles): running_0 = 1 at m_0 rows;
+    * running_k = (type == m_k) ? cumsum(running_{k−1}) over
+    * [unbounded, −1] : 0; answer = Σ running_last per key. All exact
+    * BIGINT arithmetic (ANSI: a count overflowing 2^63 throws rather
+    * than wrapping); ties broken by `tiebreak` so the row order — and
+    * therefore the count — is total. Linear per key and spillable,
+    * the q133 window posture. */
+  def sequenceMotifs(df: DataFrame, keyCol: String, tsCol: String,
+      tiebreak: String, typeCol: String, motif: Seq[String]): DataFrame = {
+    require(motif.size >= 2, s"motif needs >= 2 stages: $motif")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tiebreak))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+    val first = when(col(typeCol) === motif.head, lit(1L)).otherwise(lit(0L))
+    val last = motif.tail.foldLeft(first) { (prev, stage) =>
+      when(col(typeCol) === stage,
+        coalesce(sum(prev).over(w), lit(0L))).otherwise(lit(0L))
+    }
+    base.withColumn("__m", last)
+      .groupBy(col(keyCol))
+      .agg(sum(col("__m")).as("n_motifs"))
+      .orderBy(col(keyCol))
+  }
 }

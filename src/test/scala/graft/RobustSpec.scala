@@ -502,4 +502,43 @@ class RobustSpec extends SparkSpec {
       .collect().toSeq
     assert(p1 == p7)
   }
+
+  // ---- sequenceMotifs -----------------------------------------------------
+
+  test("sequenceMotifs: hand-exact DP counts, strict ordering, " +
+      "partition independence") {
+    // user a stream: V C V P C P
+    //   ABC occurrences (V<C<P): V1C2P4, V1C2P6, V1C5P6, V3C5P6 = 4
+    // user b: C P V -> 0 (order matters); user c: V C -> 0 (incomplete)
+    val rows = Seq(
+      ("a", 1L, 1L, "view"), ("a", 2L, 2L, "click"), ("a", 3L, 3L, "view"),
+      ("a", 4L, 4L, "purchase"), ("a", 5L, 5L, "click"),
+      ("a", 6L, 6L, "purchase"),
+      ("b", 1L, 7L, "click"), ("b", 2L, 8L, "purchase"), ("b", 3L, 9L, "view"),
+      ("c", 1L, 10L, "view"), ("c", 2L, 11L, "click"))
+      .toDF("u", "t", "id", "et")
+    val got = Analytics.sequenceMotifs(rows.repartition(3), "u", "t", "id",
+      "et", Seq("view", "click", "purchase"))
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 4L), ("b", 0L), ("c", 0L)))
+    // two-stage motif: count of (view, click) ordered pairs for a:
+    //   V1C2, V1C5, V3C5 = 3
+    val two = Analytics.sequenceMotifs(rows, "u", "t", "id", "et",
+      Seq("view", "click")).as[(String, Long)].collect().toMap
+    assert(two("a") == 3L && two("b") == 0L && two("c") == 1L)
+    // same-position rows never self-match: a single event is not a pair
+    val one = Seq(("x", 1L, 1L, "view")).toDF("u", "t", "id", "et")
+    assert(Analytics.sequenceMotifs(one, "u", "t", "id", "et",
+      Seq("view", "view")).as[(String, Long)].collect().toSeq
+      == Seq(("x", 0L)))
+    // partition independence
+    val p1 = Analytics.sequenceMotifs(rows.repartition(1), "u", "t", "id",
+      "et", Seq("view", "click", "purchase")).collect().toSeq
+    val p7 = Analytics.sequenceMotifs(rows.repartition(7), "u", "t", "id",
+      "et", Seq("view", "click", "purchase")).collect().toSeq
+    assert(p1 == p7)
+    intercept[IllegalArgumentException] {
+      Analytics.sequenceMotifs(rows, "u", "t", "id", "et", Seq("view"))
+    }
+  }
 }

@@ -1703,6 +1703,15 @@ object SparkEntry {
       Analytics.columnProfile(Tables.documents(s, d),
         Seq("doc_id", "lang", "n_chars", "source", "text"))),
 
+    // per-doc 3-shingle novelty (fraction of the doc's distinct
+    // shingles with corpus df == 1 — the memorization/boilerplate
+    // audit; corpus-internal complement to q127's train overlap).
+    // Linear in shingle mass: df aggregate + one merge-hinted rejoin,
+    // no pair stream.
+    "q150_novelty_scores" -> ((s, d) =>
+      Curation.noveltyScores(fan(Tables.documents(s, d), "doc_id"),
+        "doc_id", "text", k = 3)),
+
     // per-user view→click→purchase subsequence occurrence counts
     // (gaps allowed, positions strictly increasing): the textbook DP
     // as two chained cumulative windows over ONE key exchange — the
@@ -4019,6 +4028,31 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'text', n, n - nn5, nd5, mn5, mx5 FROM s)
         |ORDER BY col_name""".stripMargin,
+
+    // the q127 shingle CASE replay; df == 1 membership per doc-shingle
+    "q150_novelty_scores" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(ws) < 3
+        |      THEN [array_to_string(ws, ' ')]
+        |      ELSE list_transform(generate_series(0, len(ws) - 3),
+        |        i -> array_to_string(ws[i+1 : i+3], ' ')) END) AS sh
+        |  FROM d),
+        |e AS (SELECT doc_id, unnest(sh) AS sh FROM s),
+        |f AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM e
+        |      GROUP BY sh),
+        |t AS (
+        |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |    CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_unique
+        |  FROM e JOIN f USING (sh) GROUP BY e.doc_id)
+        |SELECT doc_id, n_shingles, n_unique,
+        |  round(CAST(n_unique AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6)
+        |    AS novelty
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     // the same chained [unbounded, 1 preceding] cumsums in ANSI
     "q149_sequence_motifs" ->

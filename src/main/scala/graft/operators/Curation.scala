@@ -1023,4 +1023,36 @@ object Curation {
         round(-col("__hb").cast("double") / lit(1e12), 6).as("h_b"),
         round(col("__mi").cast("double") / lit(1e12), 6).as("mi"))
   }
+
+  /** Per-doc n-gram novelty — the fraction of a doc's distinct
+    * k-shingles that appear in NO other document (corpus df == 1):
+    * the memorization/boilerplate audit. Low novelty = the doc is
+    * assembled from corpus-common n-grams (template mass, near-dup
+    * residue the pair threshold missed); high novelty = genuinely new
+    * text. Complements [[contaminationScore]] (overlap vs an EXTERNAL
+    * train set) with the corpus-internal view.
+    *
+    * Cost is LINEAR in total shingle mass — df is a map-side-combined
+    * aggregate and each doc-shingle row picks up its df through one
+    * shingle-keyed equi-join; no pair stream exists (the q22 quadratic
+    * regime never applies). The df rejoin is an agg-then-self-rejoin →
+    * `merge`-hinted (AQE's broadcast estimate of a multi-million-row
+    * aggregate side is the documented OOM shape). One IEEE division
+    * per doc, 6-dp rounded. */
+  def noveltyScores(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val ds = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        explode(graft.operators.Dedup.shingles(col(textCol), k)).as("__sh"))
+    val dfreq = ds.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
+    ds.join(dfreq.hint("merge"), Seq("__sh"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("__id").as(idCol), col("n_shingles"), col("n_unique"),
+        round(col("n_unique").cast("double")
+          / col("n_shingles").cast("double"), 6).as("novelty"))
+      .orderBy(col(idCol))
+  }
 }

@@ -514,4 +514,32 @@ class CurationSpec extends SparkSpec {
       .collect().toSeq
     assert(p1 == p7)
   }
+
+  test("noveltyScores: hand-exact fractions, shared shingles lower both " +
+      "docs, short-doc collapse, partition independence") {
+    // d1 "a b c d": shingles {a b c, b c d}; d2 "a b c e": {a b c, b c e};
+    // "a b c" shared (df 2) -> each doc 1/2 novel. d3 short "q r": one
+    // whole-text shingle, unique -> 1.0. d4 null text drops.
+    val docs = Seq[(java.lang.Long, String)](
+      (1L, "a b c d"), (2L, "a b c e"), (3L, "q r"), (4L, null))
+      .toDF("doc_id", "text")
+    val got = Curation.noveltyScores(docs.repartition(3), "doc_id", "text", 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 1L, 1L, 1.0)))
+    // identical twin docs: nothing unique anywhere in either
+    val twins = Seq((1L, "x y z w"), (2L, "x y z w")).toDF("doc_id", "text")
+    val gt = Curation.noveltyScores(twins, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(gt == Seq((1L, 2L, 0L, 0.0), (2L, 2L, 0L, 0.0)))
+    // partition independence
+    val p1 = Curation.noveltyScores(docs.repartition(1), "doc_id", "text", 3)
+      .collect().toSeq
+    val p7 = Curation.noveltyScores(docs.repartition(7), "doc_id", "text", 3)
+      .collect().toSeq
+    assert(p1 == p7)
+    intercept[IllegalArgumentException] {
+      Curation.noveltyScores(docs, "doc_id", "text", 0)
+    }
+  }
 }

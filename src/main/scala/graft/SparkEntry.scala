@@ -1703,6 +1703,19 @@ object SparkEntry {
       Analytics.columnProfile(Tables.documents(s, d),
         Seq("doc_id", "lang", "n_chars", "source", "text"))),
 
+    // does lang determine source? FD strength = 1 − min-deletions/n
+    // (q144's MI says associated; this says whether it's a mapping).
+    "q151_functional_dependency" -> ((s, d) =>
+      Analytics.functionalDependency(Tables.documents(s, d),
+        "lang", "source")),
+
+    // effective sample size of documents weighted by n_chars — the
+    // mixing diagnostic: ESS ≪ n means a few heavy docs dominate.
+    "q152_effective_sample_size" -> ((s, d) =>
+      Curation.effectiveSampleSize(
+        Tables.documents(s, d).select(col("n_chars").cast("double")
+          .as("w")), "w")),
+
     // per-doc 3-shingle novelty (fraction of the doc's distinct
     // shingles with corpus df == 1 — the memorization/boilerplate
     // audit; corpus-internal complement to q127's train overlap).
@@ -4028,6 +4041,40 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'text', n, n - nn5, nd5, mn5, mx5 FROM s)
         |ORDER BY col_name""".stripMargin,
+
+    // contingency -> per-key max/sum -> one reduction
+    "q151_functional_dependency" ->
+      """WITH c AS (
+        |  SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY lang, source),
+        |p AS (
+        |  SELECT a, CAST(sum(n) AS BIGINT) AS na,
+        |    CAST(max(n) AS BIGINT) AS mx
+        |  FROM c GROUP BY a)
+        |SELECT CAST(sum(na) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(na - mx) AS BIGINT) AS violations,
+        |  round(1.0 - CAST(sum(na - mx) AS DOUBLE)
+        |    / CAST(sum(na) AS DOUBLE), 6) AS fd_strength
+        |FROM p""".stripMargin,
+
+    // lifted HUGEINT moments; the 1e12 scales of (Σw6)² and Σ(w6²)
+    // cancel exactly — identical tree both engines
+    "q152_effective_sample_size" ->
+      """WITH l AS (
+        |  SELECT CAST(CAST(round(CAST(n_chars AS DOUBLE), 6)
+        |    AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS w
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(CAST(sum(CAST(w AS HUGEINT)) AS HUGEINT) AS DOUBLE)
+        |    / 1e6, 6) AS sum_w,
+        |  round(CAST(sum(CAST(w AS HUGEINT)) * sum(CAST(w AS HUGEINT))
+        |      AS DOUBLE)
+        |    / CAST(sum(CAST(w AS HUGEINT) * CAST(w AS HUGEINT))
+        |      AS DOUBLE), 6) AS ess
+        |FROM l""".stripMargin,
 
     // the q127 shingle CASE replay; df == 1 membership per doc-shingle
     "q150_novelty_scores" ->

@@ -1058,4 +1058,28 @@ object Analytics {
       .agg(sum(col("__m")).as("n_motifs"))
       .orderBy(col(keyCol))
   }
+
+  /** Functional-dependency strength A→B — how nearly does column A
+    * determine column B ([[graft.operators.Curation.fieldAssociation]]'s
+    * MI says the fields are associated; this says whether the
+    * association is a mapping): violations = Σ_a (n_a − max_b n_ab),
+    * the minimum number of rows to delete for A→B to hold exactly;
+    * fd_strength = 1 − violations/n. All exact integer counts, one
+    * IEEE division, 6-dp rounded. Plan: (a, b) contingency aggregate →
+    * per-a max/sum → one global reduction; null rows (either column)
+    * excluded. */
+  def functionalDependency(df: DataFrame, detCol: String, depCol: String)
+      : DataFrame = {
+    val base = df.filter(col(detCol).isNotNull && col(depCol).isNotNull)
+      .groupBy(col(detCol).as("fd_a"), col(depCol).as("fd_b"))
+      .agg(count(lit(1)).as("__c"))
+    base.groupBy(col("fd_a"))
+      .agg(sum(col("__c")).as("__na"), max(col("__c")).as("__mx"))
+      .agg(sum(col("__na")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        sum(col("__na") - col("__mx")).as("violations"))
+      .select(col("n_rows"), col("n_keys"), col("violations"),
+        round(lit(1.0) - col("violations").cast("double")
+          / col("n_rows").cast("double"), 6).as("fd_strength"))
+  }
 }

@@ -1055,4 +1055,32 @@ object Curation {
           / col("n_shingles").cast("double"), 6).as("novelty"))
       .orderBy(col(idCol))
   }
+
+  /** Effective sample size of a weighted corpus — ESS = (Σw)²/Σw²,
+    * the mixing diagnostic read after building sampling weights
+    * ([[temperatureResample]], [[mixToBudget]]): how many EQUALLY-
+    * weighted examples this weighted set is worth. ESS ≈ n means the
+    * weights are near-uniform; ESS ≪ n means a few heavy rows dominate
+    * and the mix is effectively tiny. Exact: weights 6-dp-lift to
+    * longs, Σw6 and Σw6² accumulate in DECIMAL(38,0), the ratio is
+    * one IEEE division of correctly-rounded exact integers — the 1e12
+    * scales of (Σw6)² and Σ(w6²) cancel exactly, so the division is
+    * dimensionless. Non-positive and null weights are excluded (ESS
+    * is defined over positive weights). */
+  def effectiveSampleSize(df: DataFrame, weightCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w6 = round(col(weightCol), 6)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+      .multiply(lit(1000000)).cast("long")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(w6.as("__w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__w").cast(dec)).as("__s"),
+        sum((col("__w").cast(dec) * col("__w").cast(dec)).cast(dec))
+          .as("__s2"))
+      .select(col("n"),
+        round(col("__s").cast("double") / lit(1e6), 6).as("sum_w"),
+        round((col("__s") * col("__s")).cast("double")
+          / col("__s2").cast("double"), 6).as("ess"))
+  }
 }

@@ -542,4 +542,30 @@ class CurationSpec extends SparkSpec {
       Curation.noveltyScores(docs, "doc_id", "text", 0)
     }
   }
+
+  test("effectiveSampleSize: uniform -> n, dominated -> small, " +
+      "non-positive drop, partition independence") {
+    // uniform weights: ESS == n exactly
+    val uni = Seq(2.0, 2.0, 2.0, 2.0).toDF("w")
+    val gu = Curation.effectiveSampleSize(uni, "w")
+      .as[(Long, Double, Double)].collect().head
+    assert(gu == ((4L, 8.0, 4.0)))
+    // 9-vs-1: ESS = 100/82 = 1.219512
+    val dom = Seq(9.0, 1.0).toDF("w")
+    val gd = Curation.effectiveSampleSize(dom, "w")
+      .as[(Long, Double, Double)].collect().head
+    assert(gd == ((2L, 10.0, 1.219512)))
+    // zero/negative/null weights drop
+    val dirty = Seq[java.lang.Double](2.0, 2.0, 0.0, -1.0, null).toDF("w")
+    val gz = Curation.effectiveSampleSize(dirty, "w")
+      .as[(Long, Double, Double)].collect().head
+    assert(gz == ((2L, 4.0, 2.0)))
+    // partition independence
+    val big = (1 to 100).map(i => (i % 7 + 1).toDouble).toDF("w")
+    val p1 = Curation.effectiveSampleSize(big.repartition(1), "w")
+      .collect().toSeq
+    val p7 = Curation.effectiveSampleSize(big.repartition(7), "w")
+      .collect().toSeq
+    assert(p1 == p7)
+  }
 }

@@ -541,4 +541,28 @@ class RobustSpec extends SparkSpec {
       Analytics.sequenceMotifs(rows, "u", "t", "id", "et", Seq("view"))
     }
   }
+
+  // ---- functionalDependency ----------------------------------------------
+
+  test("functionalDependency: hand-exact violations, perfect FD, null drop") {
+    // a -> {x,x,x,y}: 1 violation; b -> {z,z}: 0; n=6, keys=2
+    val df = Seq[(String, String)](
+      ("a", "x"), ("a", "x"), ("a", "x"), ("a", "y"),
+      ("b", "z"), ("b", "z"), (null, "x"), ("a", null))
+      .toDF("k", "v")
+    val got = Analytics.functionalDependency(df.repartition(3), "k", "v")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(got == ((6L, 2L, 1L, 0.833333)))
+    // a perfect mapping scores 1.0
+    val perfect = Analytics.functionalDependency(
+      Seq(("a", "x"), ("a", "x"), ("b", "y")).toDF("k", "v"), "k", "v")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(perfect == ((3L, 2L, 0L, 1.0)))
+    // partition independence
+    val p1 = Analytics.functionalDependency(df.repartition(1), "k", "v")
+      .collect().toSeq
+    val p7 = Analytics.functionalDependency(df.repartition(7), "k", "v")
+      .collect().toSeq
+    assert(p1 == p7)
+  }
 }

@@ -1703,6 +1703,15 @@ object SparkEntry {
       Analytics.columnProfile(Tables.documents(s, d),
         Seq("doc_id", "lang", "n_chars", "source", "text"))),
 
+    // quality-aware dedup: keep the LONGEST copy per near-dup cluster
+    // (keepFirst keeps min-id; production wants the most complete
+    // mirror); argmax via a composite-integer min_by hash aggregate,
+    // never a per-cluster window (hot-family lesson). blocks=8 per
+    // the q98/q120 hot-band regime.
+    "q153_keep_best" -> ((s, d) =>
+      Dedup.keepBest(Tables.documents(s, d), "doc_id", "text",
+        "n_chars", maxHamming = 3, selfJoinBlocks = 8)),
+
     // does lang determine source? FD strength = 1 − min-deletions/n
     // (q144's MI says associated; this says whether it's a mapping).
     "q151_functional_dependency" -> ((s, d) =>
@@ -4041,6 +4050,31 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'text', n, n - nn5, nd5, mn5, mx5 FROM s)
         |ORDER BY col_name""".stripMargin,
+
+    // the pinned q25 CC CTE (q98 precedent) + composite HUGEINT
+    // min_by — (1e6 − q6)·2^63 + id, (quality DESC, id ASC)
+    "q153_keep_best" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT id_a, id_b FROM read_parquet(
+        |    '/root/repo/src/test/resources/graft/expected/q25_sf001.parquet')),
+        |edges AS (SELECT id_a AS ea, id_b AS eb FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea),
+        |m AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+        |      FROM reach GROUP BY src),
+        |q AS (
+        |  SELECT m.doc_id, m.cluster_id,
+        |    CAST(CAST(round(CAST(d.n_chars AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS q6
+        |  FROM m JOIN documents d ON d.doc_id = m.doc_id)
+        |SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+        |  min_by(doc_id, CAST(1000000 - q6 AS HUGEINT)
+        |    * 9223372036854775808 + CAST(doc_id AS HUGEINT)) AS kept,
+        |  round(CAST(max(q6) AS DOUBLE) / 1e6, 6) AS kept_quality
+        |FROM q GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     // contingency -> per-key max/sum -> one reduction
     "q151_functional_dependency" ->

@@ -407,6 +407,44 @@ object Dedup {
       .orderBy(col("node"))
   }
 
+  /** Quality-aware dedup representative selection — keep the BEST copy
+    * of each near-dup cluster, not the first: [[keepFirst]] keeps the
+    * min-id (arbitrary) member; production curation wants the longest /
+    * highest-quality copy (the most complete mirror of a page, the
+    * least-truncated crawl). One row per [[simhashClusters]] cluster
+    * (singletons included): size, the kept doc, its quality.
+    *
+    * The argmax is a `min_by` hash aggregate over a composite
+    * exact-integer key — (1e6 − q6)·2^63 + id, monotone in
+    * (quality DESC, id ASC) — never a per-cluster window sort (a big
+    * duplicate family is hot by definition; the q115 lesson). Quality
+    * lifts to a 6-dp 1e6-scaled long; the composite rides
+    * DECIMAL(38,0) (HUGEINT in the oracle). Ids must be non-negative
+    * integers < 2^63 so the id term cannot cross quality levels. */
+  def keepBest(df: DataFrame, idCol: String, textCol: String,
+      qualityCol: String, maxHamming: Int = 3,
+      selfJoinBlocks: Int = 1): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val clusters = simhashClusters(df, idCol, textCol, maxHamming,
+      selfJoinBlocks)
+    val q6 = round(col(qualityCol).cast("double"), 6)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+      .multiply(lit(1000000)).cast("long")
+    val joined = df.select(col(idCol), col(qualityCol))
+      .join(clusters, Seq(idCol))
+      .select(col(idCol).as("__doc"), col("cluster_id"), q6.as("__q6"))
+    val two63 = lit(new java.math.BigDecimal("9223372036854775808")).cast(dec)
+    val ord = (lit(1000000L) - col("__q6")).cast(dec) * two63 +
+      col("__doc").cast(dec)
+    joined.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        min_by(col("__doc"), ord).as("kept"),
+        max(col("__q6")).as("__mq"))
+      .select(col("cluster_id"), col("cluster_size"), col("kept"),
+        round(col("__mq").cast("double") / lit(1e6), 6).as("kept_quality"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Distributed connected components over an undirected edge list —
     * the canonicalization step a near-dup pipeline needs AFTER pair
     * generation: pairwise keep-first (q47) breaks on transitive chains

@@ -470,4 +470,34 @@ class DedupSpec extends SparkSpec {
     val expect = (0 until n.toInt).map(i => i.toLong -> find(i).toLong).toMap
     assert(runCC(n, edges) === expect)
   }
+
+  test("keepBest: highest quality wins per cluster, min-id tiebreak, " +
+      "singletons pass, quality above 1e6 still orders") {
+    // two identical-text families + singletons; quality = n_chars-like
+    // longs (exceeding the 1e6 lift base — the composite key must stay
+    // monotone there too)
+    val docs = (
+      Seq((0L, "alpha beta gamma delta epsilon", 100.0),
+          (1L, "alpha beta gamma delta epsilon", 900.0),
+          (2L, "alpha beta gamma delta epsilon", 900.0),
+          (10L, "unique text ten payload", 5.0),
+          (11L, "other unique eleven payload", 7.0)))
+      .toDF("doc_id", "text", "q")
+    val got = graft.operators.Dedup.keepBest(docs, "doc_id", "text", "q")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val fam = got.find(_._2 == 3L).get
+    // quality 900 beats 100; tie between 1 and 2 -> min id 1
+    assert(fam._3 == 1L && fam._4 == 900.0)
+    val singles = got.filter(_._2 == 1L)
+    assert(singles.map(r => (r._3, r._4)).toSet ==
+      Set((10L, 5.0), (11L, 7.0)))
+    // doc conservation: sizes sum to the corpus
+    assert(got.map(_._2).sum == 5L)
+    // partition independence
+    val p1 = graft.operators.Dedup.keepBest(docs.repartition(1), "doc_id",
+      "text", "q").collect().toSeq
+    val p7 = graft.operators.Dedup.keepBest(docs.repartition(7), "doc_id",
+      "text", "q").collect().toSeq
+    assert(p1 == p7)
+  }
 }

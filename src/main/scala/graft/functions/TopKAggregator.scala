@@ -21,16 +21,25 @@ case class TopKEntry(v: Double, id: Long)
   * Order is (v DESC, id ASC) — a TOTAL order, so the top-k set and its
   * sorted sequence are MERGE-ORDER INDEPENDENT (the 3-vs-8-CPU
   * crosscheck discipline; contrast the double-sum Aggregator lesson —
-  * selection, unlike addition, commutes exactly). Buffers trim lazily:
-  * `reduce` appends and only sorts once the buffer hits 2k, so the
-  * per-row cost is O(1) amortized with an O(k log k) trim every k
-  * rows. */
+  * selection, unlike addition, commutes exactly). The comparison goes
+  * through `java.lang.Double.compare`, which totally orders NaN as the
+  * GREATEST double (matching Spark SQL's own sort semantics) — raw
+  * `>`/`==` compare false on both sides of a NaN, which breaks
+  * sortWith's contract (TimSort can throw, and the surviving set
+  * becomes merge-order dependent). Null values must be filtered by the
+  * caller BEFORE the aggregate (a null cannot be ranked by value;
+  * `Analytics.topKPerGroup` drops such rows and documents it).
+  * Buffers trim lazily: `reduce` appends and only sorts once the
+  * buffer hits 2k, so the per-row cost is O(1) amortized with an
+  * O(k log k) trim every k rows. */
 class TopKAggregator(k: Int)
     extends Aggregator[TopKEntry, Seq[TopKEntry], Seq[TopKEntry]] {
   require(k > 0, s"k must be positive: $k")
 
-  private def before(a: TopKEntry, b: TopKEntry): Boolean =
-    a.v > b.v || (a.v == b.v && a.id < b.id)
+  private def before(a: TopKEntry, b: TopKEntry): Boolean = {
+    val c = java.lang.Double.compare(a.v, b.v)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   private def trim(s: Seq[TopKEntry]): Seq[TopKEntry] =
     s.sortWith(before).take(k)

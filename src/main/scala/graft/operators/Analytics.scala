@@ -392,13 +392,18 @@ object Analytics {
     * (group, partition), so a billion-row group costs linear local
     * comparisons spread across its partitions. Results are identical
     * to the window form (spec-asserted) and merge-order independent.
+    * Contract: rows with a NULL value or id are DROPPED (a null cannot
+    * be ranked by value); NaN values order as the GREATEST double —
+    * Spark SQL's own sort semantics, made merge-order-safe inside the
+    * aggregate via `java.lang.Double.compare`.
     * Returns (group, rank 1..k, id, value) ordered by (group, rank). */
   def topKPerGroup(df: DataFrame, groupCol: String, valueCol: String,
       idCol: String, k: Int): DataFrame = {
     val topk = udaf(new graft.functions.TopKAggregator(k),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
         graft.functions.TopKEntry]())
-    df.select(col(groupCol), col(valueCol).cast("double").as("__v"),
+    df.filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast("double").as("__v"),
         col(idCol).cast("long").as("__id"))
       .groupBy(col(groupCol))
       .agg(topk(col("__v"), col("__id")).as("__top"))

@@ -279,6 +279,18 @@ object Scale {
       keyCol: String, capacity: Int, stateDir: String): Unit = {
     require(capacity > 0, s"capacity must be positive: $capacity")
     val spark = batch.sparkSession
+    // batch 0 = a NEW stream (fresh checkpoint): any batch= dirs already
+    // under stateDir are a PRIOR run's state against a reused stateDir —
+    // batch ids reset to 0, so the old run's high-id summary would be
+    // served by hotKeySummary forever (the ≤ id-2 pruning never reaches
+    // above the current id). Purge them all; a replay of batch 0 under
+    // the SAME checkpoint re-purges and rewrites identically (AvailableNow
+    // replays only the last uncommitted batch, so batch 0 can only replay
+    // before batch 1 ever committed).
+    if (batchId == 0L)
+      graft.sources.StoreFs.childNames(spark, stateDir)
+        .filter(_.startsWith("batch="))
+        .foreach(b => graft.sources.StoreFs.delete(spark, s"$stateDir/$b"))
     val keys = batch.select(col(keyCol)).filter(col(keyCol).isNotNull)
     val partial = mergedSummary(keys, capacity)
     val batchN = keys.count()

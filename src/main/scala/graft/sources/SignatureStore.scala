@@ -291,8 +291,11 @@ object SignatureStore {
     * with a clear error instead of writing into a surface mid-swap (a
     * write landing in the no-live window would even recreate the live
     * path and break the swap's rename). A compactor CRASH leaves the
-    * lease in place: writers keep failing until [[recover]] clears it
-    * (or a fresh compact() re-acquires and self-heals). Concurrent
+    * lease in place: writers keep failing until [[recover]] clears it,
+    * and a fresh compact() REFUSES the held lease too (the acquire is
+    * atomic `create(overwrite=false)` — two concurrent compactions can
+    * no longer both "own" the store) — recover() is the one gate back.
+    * Concurrent
     * PROBES are fine under the [[withReadRetry]] reader contract (the
     * swap's transient windows retry; results are bit-identical either
     * side). */

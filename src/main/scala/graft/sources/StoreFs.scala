@@ -84,13 +84,32 @@ private[graft] object StoreFs {
   // race it closes is the operationally likely one (a scheduled ingest
   // overlapping a scheduled compaction by minutes, not microseconds).
   // A compactor CRASH leaves the lock in place — writers keep failing
-  // with a message naming `recover()`, which clears it; a fresh
-  // compact() also re-acquires it (self-heal, same as the swap debris).
+  // with a message naming `recover()`, which clears it; `recover()` is
+  // also the gate back to compacting after a crash (a fresh compact()
+  // REFUSES a held lease rather than silently re-acquiring — the old
+  // overwrite-acquire let two concurrent compact() calls both "own" the
+  // store, and the second's release unlocked writers mid-swap of the
+  // first).
 
-  /** Acquire (or re-acquire, after a crash) the compactor lease. */
+  /** Acquire the compactor lease ATOMICALLY (`create(overwrite=false)`
+    * — atomic on HDFS; check-then-create on the local FS, the same
+    * documented posture as the writer probe). A lease already present
+    * means either a LIVE concurrent compact() or a crashed one — both
+    * demand the operator's decision, so this throws instead of taking
+    * over: wait for the live compactor, or run recover() after a
+    * crash. */
   def acquireLease(spark: SparkSession, lockPath: String): Unit = {
     val (fs, p) = fileSystem(spark, lockPath)
-    val out = fs.create(p, true)
+    val out =
+      try fs.create(p, false)
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"compact() rejected: the store lease at $lockPath is already " +
+              "held - another compact() is running, or a previous one " +
+              "crashed (run recover() to clear a crashed compactor's lease)",
+            e)
+      }
     out.write(
       s"compact pid=${ProcessHandle.current().pid()} epoch=${System.currentTimeMillis()}"
         .getBytes("UTF-8"))

@@ -147,8 +147,10 @@ object VectorStore {
     * `<path>.compact_lock` lease (outside the store dir — the store
     * dir itself is what the swap renames): a racing
     * [[write]]/[[append]]/[[delete]] fails fast with a clear error; a
-    * compactor CRASH leaves the lease until [[recover]] clears it (or
-    * a fresh compact() re-acquires). Concurrent PROBES are fine under
+    * compactor CRASH leaves the lease until [[recover]] clears it — a
+    * fresh compact() REFUSES a held lease (atomic acquire, so two
+    * concurrent compactions can never both own the store); recover()
+    * is the one gate back. Concurrent PROBES are fine under
     * the [[withReadRetry]] reader contract. */
   def compact(spark: SparkSession, path: String, nBits: Int = 4,
       partCol: String = "bucket"): Unit = {

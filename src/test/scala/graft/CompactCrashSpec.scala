@@ -74,7 +74,14 @@ class CompactCrashSpec extends SparkSpec {
           assert(exists(path) && exists(path + ".trash"))
           assert(!exists(path + ".compact"))
       }
-      VectorStore.compact(spark, path) // recovery runs at entry
+      // the crashed compactor left its lease: a fresh compact() refuses
+      // it (compact-vs-compact exclusion) until recover() clears it
+      val lease = intercept[IllegalStateException] {
+        VectorStore.compact(spark, path)
+      }
+      assert(lease.getMessage.contains("recover()"), lease.getMessage)
+      VectorStore.recover(spark, path)
+      VectorStore.compact(spark, path)
       oneCommittedLayout(path)
       assert(vecProbe(path) === baseline, s"probe drifted after window $pt")
     }
@@ -136,6 +143,7 @@ class CompactCrashSpec extends SparkSpec {
       val live = if (call == 1) path + "/bands" else path + "/shingles"
       if (pt == SwapCrash.AfterMoveOut)
         assert(!exists(live) && exists(live + ".compact") && exists(live + ".trash"))
+      SignatureStore.recover(spark, path) // clears the crashed lease
       SignatureStore.compact(spark, path, p)
       oneCommittedLayout(path + "/bands")
       oneCommittedLayout(path + "/shingles")
@@ -164,7 +172,9 @@ class CompactCrashSpec extends SparkSpec {
     assert(exists(path + "/_tombstones"), "tombstones must survive the crash")
     // the delete stays logically in force through the debris state
     assert(sigProbe(path) === masked)
-    // re-running compaction re-applies the (now no-op) delete and clears
+    // re-running compaction (after clearing the crashed lease)
+    // re-applies the (now no-op) delete and clears
+    SignatureStore.recover(spark, path)
     SignatureStore.compact(spark, path, p)
     oneCommittedLayout(path + "/bands")
     oneCommittedLayout(path + "/shingles")

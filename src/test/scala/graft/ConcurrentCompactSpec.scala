@@ -179,6 +179,26 @@ class ConcurrentCompactSpec extends SparkSpec {
     VectorStore.delete(spark, path, Seq(1L).toDF("vec_id")) // accepted now
   }
 
+  test("compact-vs-compact exclusion: a second compact() against a held " +
+      "lease fails instead of double-owning the store") {
+    val path = freshVecStore()
+    val baseline = vecProbe(path)
+    duringSwapWindow(() => VectorStore.compact(spark, path)) {
+      // the first compact() is live (paused mid-swap): a second must be
+      // refused at the lease — the old overwrite-acquire let it through,
+      // and its releaseLease then unlocked writers while the first swap
+      // was still mid-flight
+      val e = intercept[IllegalStateException] {
+        VectorStore.compact(spark, path)
+      }
+      assert(e.getMessage.contains("already"), e.getMessage)
+    }
+    // the first compaction landed intact; the lease is free again
+    assert(vecProbe(path) === baseline)
+    VectorStore.compact(spark, path)
+    assert(vecProbe(path) === baseline)
+  }
+
   // ---- delete-vs-compact tombstone preservation -----------------------
 
   test("signature store: a tombstone appended AFTER compact's snapshot " +

@@ -577,6 +577,22 @@ class ScaleSpec extends SparkSpec {
     val snap = stateRows()
     Scale.hotKeysBatch(b1, 1L, "k", 10, st2) // the replay
     assert(stateRows() === snap)
+    // a NEW stream (fresh checkpoint → batch ids reset to 0) against the
+    // REUSED stateDir must not serve the old run's high-id state: batch 0
+    // purges every existing batch= dir, so the summary reflects only the
+    // new run (the old posture silently kept batch=1 as the max forever)
+    val fresh = spark.createDataset(
+      Seq.fill(40)("NEW") ++ (1 to 50).map(i => s"c$i")).toDF("k")
+    Scale.hotKeysBatch(fresh, 0L, "k", 10, st2)
+    val dirs2 = new java.io.File(st2).listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSeq
+    assert(dirs2 === Seq("batch=0"), dirs2.mkString(","))
+    val sm2 = Scale.hotKeySummary(spark, st2)
+      .select($"key", $"wt", $"n_total")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(sm2.head._3 === 90L, sm2.toString) // new run's n, not old + new
+    assert(sm2.exists(_._1 == "NEW"))
+    assert(!sm2.exists(_._1 == "hot"), "stale prior-run key served")
   }
 
   test("topKPerGroup: exact planted results with ties and short groups; " +
@@ -621,6 +637,40 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
     assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window "),
       plan.take(2000))
+  }
+
+  test("topKPerGroup: NaN values order deterministically as greatest " +
+      "(merge-order independent), null values/ids are dropped") {
+    import graft.operators.Analytics
+    // raw >/== both compare false against NaN → sortWith's contract
+    // broke and the surviving set was merge-order dependent; the
+    // Double.compare total order pins NaN > +Inf > finite
+    val rows: Seq[(Long, java.lang.Double, java.lang.Long)] = Seq(
+      (1L, Double.NaN, 10L), (1L, 9.0, 11L), (1L, Double.NaN, 12L),
+      (1L, Double.PositiveInfinity, 13L), (1L, 1.0, 14L),
+      (2L, null, 20L), (2L, 3.0, 21L), (2L, 4.0, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3)), 4),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("g",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))))
+    // compare v by BIT PATTERN — tuple == on a NaN is always false
+    def run(parts: Int): Seq[(Long, Int, Long, Long)] =
+      Analytics.topKPerGroup(df.repartition(parts), "g", "v", "id", k = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSeq
+    val got = run(4)
+    // group 1: NaN(10) < NaN(12) by id, then +Inf, 9.0 trimmed at k=3;
+    // group 2: the null-value and null-id rows are dropped
+    assert(got.filter(_._1 == 1L).map(t => t._3) === Seq(10L, 12L, 13L))
+    assert(got.filter(_._1 == 2L) ===
+      Seq((2L, 1, 21L, java.lang.Double.doubleToLongBits(3.0))))
+    assert(run(1) === got && run(7) === got, "merge-order dependence")
   }
 
   test("gapFillDaily: inactive days zero-filled inside each user's " +

@@ -134,6 +134,35 @@ private[graft] object StoreFs {
           "compactor crashed (a crash leaves the lease in place)")
   }
 
+  /** The `beforeTrashDelete` hook body shared by the single-directory
+    * stores (`VectorStore`, `MediaDedupStore`), whose `_tombstones/`
+    * dir lives INSIDE the swapped store dir and therefore rides the old
+    * live dir into `<path>.trash`: move any tombstone file NOT in the
+    * compaction's entry snapshot (`snapNames`) back into the new live
+    * dir's `_tombstones/`, so a delete that raced past the lease's
+    * probe-then-write window stays in force until the next compaction
+    * instead of being discarded with the trash. */
+  def rescueLateTombstones(spark: SparkSession, path: String,
+      snapNames: Set[String]): Unit = {
+    val (fs, trashTs) = fileSystem(spark, path + ".trash/_tombstones")
+    if (fs.exists(trashTs)) {
+      val late = fs.listStatus(trashTs).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+          !snapNames.contains(n)
+      }
+      if (late.nonEmpty) {
+        val liveTs = new Path(path + "/_tombstones")
+        fs.mkdirs(liveTs)
+        late.foreach { st =>
+          require(fs.rename(st.getPath,
+            new Path(liveTs, st.getPath.getName)),
+            s"compaction failed to rescue late tombstone ${st.getPath}")
+        }
+      }
+    }
+  }
+
   /** Run a store probe with retry-on-recoverable-read — the reader's
     * half of the compaction contract. A probe racing a concurrent
     * `compact()` can observe two transient states: (a) the between-

@@ -168,26 +168,8 @@ object VectorStore {
     val dead =
       if (tsFiles.isEmpty) None
       else Some(spark.read.parquet(tsFiles: _*).distinct())
-    val rescueLateTombstones: () => Unit = () => {
-      val (fs, trashTs) =
-        StoreFs.fileSystem(spark, path + ".trash/_tombstones")
-      if (fs.exists(trashTs)) {
-        val late = fs.listStatus(trashTs).filter { st =>
-          val n = st.getPath.getName
-          st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
-            !snapNames.contains(n)
-        }
-        if (late.nonEmpty) {
-          val liveTs = new org.apache.hadoop.fs.Path(tsDir)
-          fs.mkdirs(liveTs)
-          late.foreach { st =>
-            require(fs.rename(st.getPath,
-              new org.apache.hadoop.fs.Path(liveTs, st.getPath.getName)),
-              s"compaction failed to rescue late tombstone ${st.getPath}")
-          }
-        }
-      }
-    }
+    val rescueLateTombstones: () => Unit =
+      () => StoreFs.rescueLateTombstones(spark, path, snapNames)
     SignatureStore.stageAndSwap(spark, path, rescueLateTombstones) {
       (src, staged) =>
         // apply the snapshot deletes physically: the staged layout drops

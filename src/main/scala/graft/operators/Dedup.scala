@@ -326,9 +326,28 @@ object Dedup {
     * Result-identical to
     * `Graph.triangleCount(simhashNearDups(df, ...), "id_a", "id_b")`
     * (DedupSpec asserts bit-equality on fixture + planted families);
-    * same output schema (node, degree, triangles, clustering). */
+    * same output schema (node, degree, triangles, clustering).
+    *
+    * `maxWedgeDegree` bounds the one super-linear term — the wedge
+    * join's Σ outdeg² over the GROUP graph, which densifies when near-
+    * identical boilerplate families blanket the signature space (the
+    * m30 closed-vocab measurement: 14× wall at 30× rows, SCALING.md).
+    * A signature adjacent to MORE than `maxWedgeDegree` distinct
+    * signatures has its CROSS-FAMILY edges dropped before every
+    * statistic (S, Q, T and the degree itself): its family remains an
+    * internal clique (degree f−1, triangles C(f−1,2)), and its
+    * neighbors lose its contribution — the maxShingleDf posture: exact
+    * whenever no signature exceeds the cap (spec-asserted on fixture +
+    * a planted hub corpus against a brute-force reference), an
+    * explicit, documented drop above it. After the drop every group
+    * degree is ≤ cap, so the wedge volume is ≤ 2·|edges|·cap — linear
+    * in the edge count. The hub set itself is bounded by
+    * 2·|edges|/(cap+1) rows (driver-collected only to decide the
+    * no-hub fast path; the filter is a broadcast anti-join).
+    * `maxWedgeDegree <= 0` disables the cap (fixture-exact callers). */
   def simhashTriangles(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, selfJoinBlocks: Int = 1): DataFrame = {
+      maxHamming: Int = 3, selfJoinBlocks: Int = 1,
+      maxWedgeDegree: Int = 128): DataFrame = {
     val sigs = df.select(col(idCol).as("doc"), col(textCol))
       .repartition(par(df), col("doc"))
       .select(col("doc"), simhash(col(textCol), 64).as("sig"))
@@ -340,12 +359,42 @@ object Dedup {
     val sigPairs = simhashBandPairs(
       grp.select(col("sig").as("doc"), col("sig")), maxHamming,
       selfJoinBlocks)
-    val edges = sigPairs
+    val edges0 = sigPairs
       .join(grp.select(col("sig").as("id_a"), col("f").as("fa")), "id_a")
       .join(grp.select(col("sig").as("id_b"), col("f").as("fb")), "id_b")
       .select(col("id_a").as("ga"), col("id_b").as("gb"),
         col("fa"), col("fb"))
       .localCheckpoint() // consumers: nbr agg (2 branches), orientation
+    // hub cap: drop every edge incident to a group whose group-graph
+    // degree exceeds maxWedgeDegree (see scaladoc). The hub list is
+    // ≤ 2|edges|/(cap+1) — collected only to take the no-hub fast path
+    // (fixture/declared callers pay one tiny agg over the checkpointed
+    // edge frame and nothing else).
+    val edges =
+      if (maxWedgeDegree <= 0) edges0
+      else {
+        // ONE bounded collect decides the fast path: the no-hub case
+        // costs exactly this one action over the checkpointed edge
+        // frame (the hub set is ≤ 2|edges|/(cap+1) rows by definition)
+        val hubIds = deg0(edges0)
+          .filter(col("gd") > maxWedgeDegree)
+          .select(col("g")).collect().map(_.getLong(0)).toIndexedSeq
+        if (hubIds.isEmpty) edges0
+        else if (hubIds.length <= 1024)
+          edges0.filter(!col("ga").isInCollection(hubIds) &&
+            !col("gb").isInCollection(hubIds))
+            .localCheckpoint()
+        else {
+          // the q100 posture: past a literal-list threshold the filter
+          // becomes a broadcast anti-join
+          val h = edges0.sparkSession
+            .createDataset(hubIds)(Encoders.scalaLong)
+          edges0
+            .join(broadcast(h.toDF("ga")), Seq("ga"), "left_anti")
+            .join(broadcast(h.toDF("gb")), Seq("gb"), "left_anti")
+            .localCheckpoint()
+        }
+      }
     val nbr = edges.select(col("ga").as("g"), col("fb").as("fh"))
       .union(edges.select(col("gb").as("g"), col("fa").as("fh")))
       .groupBy(col("g"))
@@ -355,9 +404,7 @@ object Dedup {
     // wedge join as Graph.triangleCount, carrying group sizes — a
     // group-triangle (g,h,k) contributes f_h·f_k to g, f_g·f_k to h,
     // f_g·f_h to k
-    val gdeg = edges.select(col("ga").as("g"))
-      .union(edges.select(col("gb").as("g")))
-      .groupBy(col("g")).agg(count(lit(1)).as("gd"))
+    val gdeg = deg0(edges)
     val wd = edges
       .join(gdeg.select(col("g").as("ga"), col("gd").as("da")), "ga")
       .join(gdeg.select(col("g").as("gb"), col("gd").as("db")), "gb")
@@ -406,6 +453,13 @@ object Dedup {
           .as("clustering"))
       .orderBy(col("node"))
   }
+
+  /** Group-graph degrees: one row per group with its distinct-neighbor
+    * count (each edge is one distinct pair, so counting edge endpoints
+    * IS the degree). */
+  private def deg0(edges: DataFrame): DataFrame =
+    edges.select(col("ga").as("g")).union(edges.select(col("gb").as("g")))
+      .groupBy(col("g")).agg(count(lit(1)).as("gd"))
 
   /** Quality-aware dedup representative selection — keep the BEST copy
     * of each near-dup cluster, not the first: [[keepFirst]] keeps the

@@ -228,6 +228,65 @@ class DedupSpec extends SparkSpec {
     assert(tri0._3 >= 36L)
   }
 
+  test("simhashTriangles maxWedgeDegree: no-op when the cap doesn't bind; " +
+      "a hub signature loses exactly its cross-family edges (brute-force " +
+      "reference over the documented semantics)") {
+    // a long base text whose one-word variants sit within hamming<=3 of
+    // it (probed shape): base adj v8/v13/v21, v8 adj v13/v21 — so base
+    // and v8 have group-degree 3 and become hubs at cap=2; the alpha
+    // variant and the unique text are isolated. Family sizes > 1
+    // exercise the f-terms (internal cliques survive the cap).
+    val base = (1 to 24).map(i => s"w$i").mkString(" ")
+    def variant(pos: Int, w: String) =
+      (1 to 24).map(i => if (i == pos) w else s"w$i").mkString(" ")
+    val texts = Seq(base, variant(8, "beta"), variant(13, "gamma"),
+      variant(21, "omega"), variant(3, "alpha"), "unique little text payload")
+    val famSizes = Seq(4, 3, 2, 3, 2, 1)
+    val df = texts.zip(famSizes).zipWithIndex.flatMap { case ((t, n), fi) =>
+      (0 until n).map(j => ((fi * 10 + j).toLong, t)) }.toDF("doc_id", "text")
+    def run(cap: Int) =
+      Dedup.simhashTriangles(df, "doc_id", "text", 3, 1, maxWedgeDegree = cap)
+        .as[(Long, Long, Long, Option[Double])].collect().sorted.toSeq
+    // driver-side brute force, straight from the documented semantics
+    val sigOf = df.select($"doc_id", Dedup.simhash($"text", 64).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val sigs = sigOf.values.toSeq.distinct
+    def gdeg(s: Long) = sigs.count(t => t != s && ham(s, t) <= 3)
+    def brute(cap: Int): Seq[(Long, Long, Long, Option[Double])] = {
+      val hub = sigs.filter(s => cap > 0 && gdeg(s) > cap).toSet
+      val ids = sigOf.keys.toSeq.sorted
+      def adj(u: Long, v: Long): Boolean = {
+        val (su, sv) = (sigOf(u), sigOf(v))
+        u != v &&
+          (su == sv || (ham(su, sv) <= 3 && !hub(su) && !hub(sv)))
+      }
+      ids.flatMap { u =>
+        val nb = ids.filter(v => adj(u, v))
+        val d = nb.size.toLong
+        if (d == 0) None
+        else {
+          val t = (for (i <- nb.indices; j <- i + 1 until nb.size
+            if adj(nb(i), nb(j))) yield 1).size.toLong
+          val c =
+            if (d >= 2) Some(BigDecimal(2.0 * t / (d * (d - 1)).toDouble)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            else None
+          Some((u, d, t, c))
+        }
+      }.sorted
+    }
+    assert(sigs.exists(s => gdeg(s) > 2), "planted hub shape broke")
+    assert(run(2) === brute(2))                 // hub edges dropped exactly
+    assert(run(-1) === brute(-1))               // uncapped == full reference
+    assert(run(4096) === run(-1))               // default cap never binds here
+    // hub families keep their internal cliques: every doc of a size-n>=3
+    // hub family still reports clustering 1.0
+    val hubFams = sigs.filter(s => gdeg(s) > 2).toSet
+    val hubDocClu = run(2).filter(r => hubFams(sigOf(r._1)))
+    assert(hubDocClu.nonEmpty && hubDocClu.forall(_._4.contains(1.0)))
+  }
+
   test("block-decomposed band self-join is bit-identical to the plain path " +
       "(pairs and clusters, fixture + planted hot bucket)") {
     // the r12 hot-band-bucket mitigation: every (a, b) pair must be

@@ -1712,6 +1712,25 @@ object SparkEntry {
       Dedup.keepBest(Tables.documents(s, d), "doc_id", "text",
         "n_chars", maxHamming = 3, selfJoinBlocks = 8)),
 
+    // CCNet-style paragraph dedup: drop segments whose corpus document
+    // frequency exceeds maxDf, reassemble in order (the boilerplate
+    // killer between whole-doc q14 and char-span q87). The fixture has
+    // no newlines, so the declared query segments on the frequent word
+    // ' a ' — the machinery (split → trim/empty-drop → digest df →
+    // merge-hinted rejoin → ordered reassembly) is separator-blind.
+    "q154_paragraph_dedup" -> ((s, d) =>
+      Dedup.dropDuplicateParagraphs(fan(Tables.documents(s, d), "doc_id"),
+        "doc_id", "text", sep = " a ", maxDf = 2)),
+
+    // tokenizer fertility audit: per-source BPE tokens-per-word /
+    // tokens-per-byte (the pre-packing budget check). Oracle = plain
+    // SQL over the PINNED q75 per-doc BPE parquet (the q98 pinned-
+    // artifact precedent; staleness guarded by q75's own oracle +
+    // BpePinSpec) joined back to documents for words/bytes.
+    "q155_token_fertility" -> ((s, d) =>
+      Curation.tokenFertility(fan(Tables.documents(s, d), "doc_id"),
+        "text", "source")),
+
     // does lang determine source? FD strength = 1 − min-deletions/n
     // (q144's MI says associated; this says whether it's a mapping).
     "q151_functional_dependency" -> ((s, d) =>
@@ -4075,6 +4094,65 @@ object SparkEntry {
         |    * 9223372036854775808 + CAST(doc_id AS HUGEINT)) AS kept,
         |  round(CAST(max(q6) AS DOUBLE) / 1e6, 6) AS kept_quality
         |FROM q GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    // split → trim/empty-drop → df(distinct docs) → drop df>2 →
+    // ordered string_agg reassembly; zipped unnests carry positions
+    "q154_paragraph_dedup" ->
+      """WITH raw AS (
+        |  SELECT doc_id, string_split(text, ' a ') AS ss
+        |  FROM documents WHERE text IS NOT NULL),
+        |s0 AS (
+        |  SELECT doc_id, unnest(ss) AS seg,
+        |    unnest(generate_series(1, len(ss))) AS pos FROM raw),
+        |segs AS (
+        |  SELECT doc_id, pos, trim(seg) AS seg FROM s0
+        |  WHERE length(trim(seg)) > 0),
+        |f AS (
+        |  SELECT seg, CAST(count(DISTINCT doc_id) AS BIGINT) AS pdf
+        |  FROM segs GROUP BY seg),
+        |j AS (
+        |  SELECT s.doc_id, s.pos, s.seg, f.pdf
+        |  FROM segs s JOIN f USING (seg)),
+        |a AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_paragraphs,
+        |    CAST(coalesce(sum(CASE WHEN pdf <= 2 THEN 1 END), 0)
+        |      AS BIGINT) AS n_kept,
+        |    string_agg(CASE WHEN pdf <= 2 THEN seg END, ' a '
+        |      ORDER BY pos) AS text_clean
+        |  FROM j GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(a.n_paragraphs, CAST(0 AS BIGINT)) AS n_paragraphs,
+        |  coalesce(a.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+        |  CASE WHEN coalesce(a.n_paragraphs, 0) > 0 THEN
+        |    round(CAST(a.n_kept AS DOUBLE)
+        |      / CAST(a.n_paragraphs AS DOUBLE), 6) END AS kept_frac,
+        |  coalesce(a.text_clean, '') AS text_clean
+        |FROM documents d LEFT JOIN a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // pinned q75 BPE tokens + the q15 words CASE + octet_length bytes
+    "q155_token_fertility" ->
+      """WITH b AS (
+        |  SELECT doc_id, bpe_tokens FROM read_parquet(
+        |    '/root/repo/src/test/resources/graft/bpe_expected_sf001.parquet')),
+        |p AS (
+        |  SELECT d.source, b.bpe_tokens,
+        |    CASE WHEN length(trim(d.text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(d.text), '\s+')) END AS w,
+        |    strlen(d.text) AS nb
+        |  FROM documents d JOIN b USING (doc_id)
+        |  WHERE d.text IS NOT NULL)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(bpe_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(w) AS BIGINT) AS n_words,
+        |  CAST(sum(nb) AS BIGINT) AS n_bytes,
+        |  CASE WHEN sum(w) > 0 THEN round(CAST(sum(bpe_tokens) AS DOUBLE)
+        |    / CAST(sum(w) AS DOUBLE), 6) END AS tokens_per_word,
+        |  CASE WHEN sum(nb) > 0 THEN round(CAST(sum(bpe_tokens) AS DOUBLE)
+        |    / CAST(sum(nb) AS DOUBLE), 6) END AS tokens_per_byte
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
 
     // contingency -> per-key max/sum -> one reduction
     "q151_functional_dependency" ->

@@ -1062,6 +1062,43 @@ object Curation {
       .orderBy(col(idCol))
   }
 
+  /** Tokenizer fertility audit — per-group (usually per-source) BPE
+    * tokens-per-word and tokens-per-byte: the pre-packing budget check
+    * that names which sources inflate the token count (non-Latin
+    * scripts, code, boilerplate markup all tokenize hot). Fertility is
+    * THE tokenizer-quality metric pretraining recipes watch; here it
+    * composes the existing real-BPE kernel (`BpeDocStats`, the q75
+    * surface) with one map-side-combinable aggregate — a single linear
+    * pass, no shuffle beyond the |groups|-row hash agg. Word counts
+    * use `TextOps.tokenCount` (empty → 0, the q15 oracle semantics);
+    * bytes are UTF-8 `octet_length`. Ratios are 6-dp IEEE divisions of
+    * exact BIGINT sums (NULL when the denominator is 0). Returns
+    * (group, n_docs, n_tokens, n_words, n_bytes, tokens_per_word,
+    * tokens_per_byte) ordered by group. */
+  def tokenFertility(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val st = graft.functions.TextOps.bpeDocStats(col(textCol), 64)
+    df.filter(col(textCol).isNotNull)
+      .select(col(groupCol),
+        st.getField("n_tokens").cast("long").as("__t"),
+        graft.functions.TextOps.tokenCount(col(textCol)).cast("long").as("__w"),
+        octet_length(col(textCol)).cast("long").as("__b"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__t")).as("n_tokens"),
+        sum(col("__w")).as("n_words"),
+        sum(col("__b")).as("n_bytes"))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        col("n_words"), col("n_bytes"),
+        when(col("n_words") > 0,
+          round(col("n_tokens").cast("double")
+            / col("n_words").cast("double"), 6)).as("tokens_per_word"),
+        when(col("n_bytes") > 0,
+          round(col("n_tokens").cast("double")
+            / col("n_bytes").cast("double"), 6)).as("tokens_per_byte"))
+      .orderBy(col(groupCol))
+  }
+
   /** Effective sample size of a weighted corpus — ESS = (Σw)²/Σw²,
     * the mixing diagnostic read after building sampling weights
     * ([[temperatureResample]], [[mixToBudget]]): how many EQUALLY-

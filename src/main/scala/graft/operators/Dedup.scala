@@ -454,6 +454,67 @@ object Dedup {
       .orderBy(col("node"))
   }
 
+  /** Paragraph-level exact dedup — the CCNet-style boilerplate killer
+    * web corpora run FIRST, sitting between [[exact]] (whole-document)
+    * and `duplicatedSpans` (char windows): split each document into
+    * paragraphs on `sep`, drop every paragraph whose corpus DOCUMENT
+    * FREQUENCY exceeds `maxDf` (navigation bars, cookie banners,
+    * license footers — text that repeats across pages), and reassemble
+    * the surviving paragraphs in their original order. Returns one row
+    * per input document: (id, n_paragraphs, n_kept, kept_frac 6-dp,
+    * text_clean) — a document whose every paragraph is boilerplate
+    * comes back with an empty `text_clean`, never dropped (the caller
+    * filters on kept_frac; dropping here would silently change corpus
+    * membership).
+    *
+    * Semantics pinned for the oracle: paragraphs are trimmed (space
+    * trim, the Spark/DuckDB common subset) and empty segments vanish
+    * before any counting; df counts DISTINCT documents, so a paragraph
+    * repeated within one document survives at df=1 (intra-doc repeats
+    * are repetition, not cross-page boilerplate — q62's axis);
+    * reassembly joins with the original `sep`.
+    *
+    * Scale shape: linear in paragraph mass. The df aggregate groups on
+    * a sha2 digest — paragraph BYTES never ride the shuffle (the q14
+    * exact-dedup posture) — and rejoins the segment stream with an
+    * explicit `merge` hint (agg-then-self-rejoin: AQE's broadcast
+    * estimate for a corpus-sized aggregate side is the documented OOM
+    * class). Reassembly collects only a document's OWN surviving
+    * paragraphs (bounded by the row it came from, the packing
+    * collect_list precedent). */
+  def dropDuplicateParagraphs(df: DataFrame, idCol: String,
+      textCol: String, sep: String = "\n", maxDf: Long = 1): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1: $maxDf")
+    require(sep.nonEmpty, "sep must be non-empty")
+    val segs = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("__pos", "__seg")))
+      .withColumn("__seg", trim(col("__seg")))
+      .filter(length(col("__seg")) > 0)
+      .withColumn("__h", sha2(col("__seg"), 256))
+    val dfreq = segs.groupBy(col("__h"))
+      .agg(countDistinct(col("__id")).as("__df"))
+    val agg = segs.join(dfreq.hint("merge"), Seq("__h"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_paragraphs"),
+        sum(when(col("__df") <= maxDf, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          when(col("__df") <= maxDf,
+            struct(col("__pos").as("p"), col("__seg").as("s"))))),
+          x => x.getField("s")), sep).as("text_clean"))
+    df.select(col(idCol))
+      .join(agg.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_paragraphs"), lit(0L)).as("n_paragraphs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        when(coalesce(col("n_paragraphs"), lit(0L)) > 0,
+          round(col("n_kept").cast("double")
+            / col("n_paragraphs").cast("double"), 6)).as("kept_frac"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .orderBy(col(idCol))
+  }
+
   /** Group-graph degrees: one row per group with its distinct-neighbor
     * count (each edge is one distinct pair, so counting edge endpoints
     * IS the degree). */

@@ -568,4 +568,45 @@ class CurationSpec extends SparkSpec {
       .collect().toSeq
     assert(p1 == p7)
   }
+
+  test("tokenFertility: equals an independent per-doc aggregation of the " +
+      "same kernels on the fixture; null text drops; partition " +
+      "independence") {
+    val docs = Tables.documents(spark, sf)
+    val got = Curation.tokenFertility(docs, "text", "source")
+      .as[(String, Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    // independent route: per-doc kernel outputs aggregated on the driver
+    val st = graft.functions.TextOps.bpeDocStats($"text", 64)
+    val perDoc = docs.filter($"text".isNotNull)
+      .select($"source", st.getField("n_tokens").cast("long"),
+        graft.functions.TextOps.tokenCount($"text").cast("long"),
+        octet_length($"text").cast("long"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val expected = perDoc.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (src, rows) =>
+        val (t, w, b) =
+          (rows.map(_._2).sum, rows.map(_._3).sum, rows.map(_._4).sum)
+        def r6(x: Double) = BigDecimal(x)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (src, rows.size.toLong, t, w, b,
+          if (w > 0) Some(r6(t.toDouble / w)) else None,
+          if (b > 0) Some(r6(t.toDouble / b)) else None)
+    }
+    assert(got === expected && got.nonEmpty)
+    // fertility on this fixture is well-defined and > 0 everywhere
+    assert(got.forall(r => r._6.exists(_ > 0) && r._7.exists(_ > 0)))
+    // null text drops from every count
+    val withNull = docs.select($"source", $"text")
+      .unionByName(Seq(("src_00", Option.empty[String])).toDF("source", "text"))
+    val gn = Curation.tokenFertility(withNull, "text", "source")
+      .as[(String, Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(gn === got)
+    val p3 = Curation.tokenFertility(docs.repartition(3), "text", "source")
+      .collect().toSeq
+    val p8 = Curation.tokenFertility(docs.repartition(8), "text", "source")
+      .collect().toSeq
+    assert(p3 === p8)
+  }
 }

@@ -228,6 +228,37 @@ class DedupSpec extends SparkSpec {
     assert(tri0._3 >= 36L)
   }
 
+  test("dropDuplicateParagraphs: planted boilerplate dropped at df>maxDf, " +
+      "order-preserving reassembly, trim/empty-drop, intra-doc repeats " +
+      "count once for df, all-boilerplate and null docs survive as rows") {
+    val rows: Seq[(Long, String)] = Seq(
+      1L -> "  intro one \n boiler \n body d1 \n boiler ",
+      2L -> "boiler\nunique two",
+      3L -> "boiler\n\n  \nonly boiler here",
+      4L -> "shared x\nunique four",
+      5L -> "shared x\nunique five",
+      6L -> "boiler")
+    val df = (rows.map { case (i, t) => (i, Option(t)) } :+ (7L -> None))
+      .toDF("doc_id", "text")
+    def run(parts: Int) =
+      Dedup.dropDuplicateParagraphs(df.repartition(parts), "doc_id",
+        "text", sep = "\n", maxDf = 2)
+        .as[(Long, Long, Long, Option[Double], String)].collect().toSeq
+    val got = run(4)
+    // "boiler" df=4 (docs 1,2,3,6 — d1's intra-doc repeat counts ONCE
+    // for df) → dropped at maxDf=2; "shared x" df=2 → kept exactly at
+    // the threshold
+    assert(got === Seq(
+      (1L, 4L, 2L, Some(0.5), "intro one\nbody d1"),
+      (2L, 2L, 1L, Some(0.5), "unique two"),
+      (3L, 2L, 1L, Some(0.5), "only boiler here"),
+      (4L, 2L, 2L, Some(1.0), "shared x\nunique four"),
+      (5L, 2L, 2L, Some(1.0), "shared x\nunique five"),
+      (6L, 1L, 0L, Some(0.0), ""),
+      (7L, 0L, 0L, None, "")))
+    assert(run(1) === got && run(7) === got)
+  }
+
   test("simhashTriangles maxWedgeDegree: no-op when the cap doesn't bind; " +
       "a hub signature loses exactly its cross-family edges (brute-force " +
       "reference over the documented semantics)") {

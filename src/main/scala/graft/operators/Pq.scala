@@ -40,11 +40,12 @@ object Pq {
       m: Int = 8, k: Int = 16, maxIter: Int = 5): Model = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val dsub = dim / m
-    val books = (0 until m).map { j =>
-      val sub = df.select(col(idCol),
-        slice(col(vecCol), j * dsub + 1, dsub).as("__sub"))
-      Similarity.kMeans(sub, idCol, "__sub", k, maxIter).centroids
-    }
+    // ONE joint loop for all m subspaces (1 job/iteration) instead of m
+    // independent kMeans loops (m×maxIter jobs over the same rows) —
+    // bit-identical codebooks, ~m× less driver-synchronous stage churn
+    // on the cold store-build path (see kMeansSubspaces scaladoc)
+    val books = Similarity.kMeansSubspaces(df, idCol, vecCol, dim, m, k,
+      maxIter)
     Model(m, dsub, books)
   }
 

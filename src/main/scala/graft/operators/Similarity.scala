@@ -504,6 +504,74 @@ object Similarity {
     KMeansResult(cents, iter)
   }
 
+  /** Joint per-subspace Lloyd's k-means — the PQ-codebook trainer:
+    * where m independent [[kMeans]] calls cost m×(checkpoint + seed +
+    * maxIter) driver-synchronous jobs over the SAME rows (the r14 cold
+    * map: q93 23.1 s, q83 8.3 s — almost all AQE stage churn), this
+    * trains ALL m subspaces with ONE checkpoint, ONE seed collect and
+    * ONE aggregate job per iteration: each row explodes into its m
+    * (subspace, cluster, subvector) assignments and the per-(j, cl)
+    * means come back through a single shuffle.
+    *
+    * BIT-IDENTICAL to the per-subspace loops (the expected-parquet
+    * oracles on q81/q83/q93 pin this): the seeds are the k lowest-id
+    * rows' slices (the same rows for every subspace), the sums are the
+    * same merge-order-independent 12-dp-quantized longs keyed by
+    * (subspace, cluster), empty clusters keep their previous centroid
+    * per subspace, and a subspace that reaches its fixpoint before the
+    * others simply recomputes a no-op update on later iterations —
+    * Lloyd fixpoints are stable, so running "extra" iterations cannot
+    * move it. */
+  def kMeansSubspaces(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int,
+      maxIter: Int): IndexedSeq[IndexedSeq[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).as("__kid"), col(vecCol).as("__kvec"))
+      .repartition(par(df), col("__kid"))
+      .localCheckpoint()
+    var cents: IndexedSeq[IndexedSeq[Array[Double]]] = {
+      val rows = base.orderBy(col("__kid")).limit(k)
+        .select(col("__kvec")).collect()
+        .map(_.getSeq[Any](0).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toArray)
+      (0 until m).map(j =>
+        rows.map(v => v.slice(j * dsub, (j + 1) * dsub)).toIndexedSeq)
+    }
+    val centroidAgg = new graft.functions.CentroidScaledAggregator(dsub)
+      .toColumn.name("__cvec")
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val perSub = array((0 until m).map { j =>
+        struct(
+          assignExprAuto(slice(col("__kvec"), j * dsub + 1, dsub), cents(j))
+            .as("cl"),
+          slice(col("__kvec"), j * dsub + 1, dsub).cast("array<double>")
+            .as("sv"))
+      }: _*)
+      val next = base.select(posexplode(perSub).as(Seq("__j", "__s")))
+        .select(col("__j"), col("__s.cl").as("__cl"), col("__s.sv").as("__sv"))
+        .as[(Int, Int, Seq[Double])]
+        .groupByKey(t => (t._1, t._2))
+        .mapValues(_._3)
+        .agg(centroidAgg)
+        .collect()
+        .map { case ((j, cl), cv) => (j, cl) -> cv.toArray }.toMap
+      val updated = (0 until m).map(j => cents(j).indices.map(c =>
+        next.getOrElse((j, c), cents(j)(c))).toIndexedSeq)
+      converged = (0 until m).forall(j => cents(j).indices.forall(c =>
+        java.util.Arrays.equals(cents(j)(c), updated(j)(c))))
+      cents = updated
+      iter += 1
+    }
+    cents
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`; pairs
     * emitted once (idA < idB). Exact all-pairs — the correctness
     * baseline over a BOUNDED input; the production path is

@@ -135,7 +135,7 @@ object Dedup {
     * (doc-level ids) and [[simhashClusters]] (one representative per
     * distinct signature). */
   private[graft] def simhashBandPairs(sigs: DataFrame, maxHamming: Int,
-      selfJoinBlocks: Int = 1): DataFrame = {
+      selfJoinBlocks: Int = 1, subBandHotThreshold: Int = 0): DataFrame = {
     val bandsArr = array((0 until 4).map(b =>
       shiftright(col("sig"), 16 * b).bitwiseAND(lit(0xFFFFL))): _*)
     val banded = sigs.select(col("doc"), col("sig"),
@@ -150,49 +150,137 @@ object Dedup {
     // shuffle ~75×. Catalyst cannot do this itself: above the
     // aggregate the filter reads first(__siga)/first(__sigb) and is
     // not pushable through them.
-    def verified(a: DataFrame, b: DataFrame, keys: Seq[String]) =
+    def candidates(a: DataFrame, b: DataFrame, keys: Seq[String]) =
       a.join(b, keys)
         .filter(col("id_a") < col("id_b"))
         .withColumn("hamming", hamming(col("__siga"), col("__sigb")))
         .filter(col("hamming") <= maxHamming)
+    def verified(a: DataFrame, b: DataFrame, keys: Seq[String]) =
+      candidates(a, b, keys)
         .dropDuplicates("id_a", "id_b")
         .select(col("id_a"), col("id_b"), col("hamming"))
-    if (selfJoinBlocks <= 1) {
-      val a = banded.select(col("band"), col("half"),
-        col("doc").as("id_a"), col("sig").as("__siga"))
-      val b = banded.select(col("band"), col("half"),
-        col("doc").as("id_b"), col("sig").as("__sigb"))
-      verified(a, b, Seq("band", "half"))
+    // Adaptive HOT-BUCKET SUB-BANDING (r15): a (band, half) bucket's
+    // candidate volume is |bucket|² and one low-entropy band value can
+    // collect thousands of DISTINCT sigs (m30: top bucket 8,137 rows =
+    // 66M candidates; whole-corpus Σ|bucket|² = 387M). For buckets
+    // above `subBandHotThreshold`, re-key their rows by a SECOND exact
+    // band over the 48 bits OUTSIDE the matched band (4 sub-bands of
+    // 12 bits): a pair within total hamming ≤ 3 that agrees exactly on
+    // band b carries its ≤ 3 differing bits in the other 48, so by
+    // pigeonhole at least one of the 4 sub-bands matches exactly —
+    // recall-complete, result-identical (spec-asserted), and the hot
+    // bucket's volume drops to Σ_s |sub-bucket|² (measured 3.9× overall
+    // and 12× on the hottest key at m30). Cold buckets keep the
+    // caller's plain-or-blocks scheme UNCHANGED (first attempt ran the
+    // cold stream as a plain broadcast join — its output skew
+    // serialized 11 s tasks and m30 got SLOWER; the blocks spreading is
+    // load-bearing for cold volume too). The hot-key census is ONE
+    // bounded collect (≤ 4·2¹⁶ distinct (band, half) keys exist at ANY
+    // corpus size).
+    // ONLY for callers whose sigs are DISTINCT (the cluster family):
+    // an identical-sig family matches on every sub-band and would
+    // multiply its candidate stream 4×, not split it.
+    //
+    // MEASURED AND LEFT OFF BY DEFAULT (r15): at m30 with blocks=8 the
+    // same-window A/B is a WASH (q98 7.96 off / 7.58 on, q153 8.09 /
+    // 8.56) — blocks already spread the candidate stream and the
+    // bit_count verify is cheap, so trading 4× hot-row shuffle
+    // replication for 4× fewer candidates nets zero here, while the
+    // census collect costs ~0.3 s at every scale including declared
+    // benches where no bucket is hot. The knob stays (spec-pinned
+    // bit-identity) for the regime it exists for: verify costs far
+    // above a bit_count, or bucket skew far beyond m30's 8k-row top
+    // bucket (where Σ|bucket|² CPU, not spread, dominates).
+    //
+    // Block decomposition (r12, `selfJoinBlocks`): each row gets a
+    // deterministic block id blk(doc) ∈ [0, nB); A replicates across
+    // right-blocks j, B across left-blocks i, the key grows by (i, j),
+    // and every (a, b) pair is produced exactly once at
+    // (blk(a), blk(b)) — a B-row bucket fans its B² pair stream over
+    // nB² tasks (AQE cannot: skew-join triggers on input BYTES and
+    // these buckets are tiny in bytes, huge in output). `stream` builds
+    // the (left, right, keys) triple with or without it; the
+    // shuffle_hash hint is REQUIRED in blocks mode — at fixture byte
+    // sizes Spark would broadcast the join, whose task boundaries
+    // ignore the widened key entirely.
+    def stream(frame: DataFrame, extraKeys: Seq[String])
+        : (DataFrame, DataFrame, Seq[String]) =
+      if (selfJoinBlocks <= 1) (
+        frame.select(extraKeys.map(col) ++ Seq(
+          col("doc").as("id_a"), col("sig").as("__siga")): _*),
+        frame.select(extraKeys.map(col) ++ Seq(
+          col("doc").as("id_b"), col("sig").as("__sigb")): _*),
+        extraKeys)
+      else {
+        val nB = selfJoinBlocks
+        val withBlk = frame.withColumn("__blk",
+          pmod(hash(col("doc")), lit(nB)))
+        (withBlk.select(extraKeys.map(col) ++ Seq(
+          col("__blk").as("__i"),
+          explode(sequence(lit(0), lit(nB - 1))).as("__j"),
+          col("doc").as("id_a"), col("sig").as("__siga")): _*),
+          withBlk.select(extraKeys.map(col) ++ Seq(
+            explode(sequence(lit(0), lit(nB - 1))).as("__i"),
+            col("__blk").as("__j"),
+            col("doc").as("id_b"), col("sig").as("__sigb")): _*),
+          extraKeys ++ Seq("__i", "__j"))
+      }
+    def pairsOf(frame: DataFrame, extraKeys: Seq[String]): DataFrame = {
+      val (a, b, keys) = stream(frame, extraKeys)
+      candidates(if (selfJoinBlocks <= 1) a else a.hint("shuffle_hash"),
+        b, keys)
+    }
+    if (subBandHotThreshold > 0) {
+      require(maxHamming <= 3,
+        s"sub-band decomposition needs maxHamming <= 3 (4 sub-bands of " +
+          s"the remaining 48 bits pigeonhole ≤ 3 diffs): $maxHamming")
+      val hotList = banded.groupBy(col("band"), col("half"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > subBandHotThreshold)
+        .select(col("band"), col("half"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      if (hotList.isEmpty)
+        simhashBandPairs(sigs, maxHamming, selfJoinBlocks)
+      else {
+        val spark = sigs.sparkSession
+        import spark.implicits._
+        val hotDf = broadcast(hotList.toSeq.toDF("band", "half"))
+        val cold = banded.join(hotDf, Seq("band", "half"), "left_anti")
+        val hotRows = banded.join(hotDf, Seq("band", "half"), "left_semi")
+        // the 48 bits outside `band`, packed low-band-first
+        val v48 = (0 until 4).map { b =>
+          val rest = (0 until 4).filter(_ != b)
+          val v = rest.zipWithIndex.map { case (ob, i) =>
+            shiftright(col("sig"), 16 * ob).bitwiseAND(lit(0xFFFFL)) *
+              lit(1L << (16 * i))
+          }.reduce(_ + _)
+          (b, v)
+        }.foldLeft(lit(0L)) { case (acc, (b, v)) =>
+          when(col("band") === b, v).otherwise(acc)
+        }
+        val subbed = hotRows.withColumn("__v48", v48)
+          .select(col("doc"), col("sig"), col("band"), col("half"),
+            posexplode(array((0 until 4).map(s =>
+              shiftright(col("__v48"), 12 * s).bitwiseAND(lit(0xFFFL))): _*))
+              .as(Seq("__s", "__sv")))
+        val coldPairs = pairsOf(cold, Seq("band", "half"))
+        // hot sub-keys are warm by construction: always force the
+        // partitioned join
+        val (ha, hb, hkeys) =
+          stream(subbed, Seq("band", "half", "__s", "__sv"))
+        val hotPairs = candidates(ha.hint("shuffle_hash"), hb, hkeys)
+        // the SAME pair can surface from a cold band and a hot band —
+        // dedup must span both streams (projected to the pair columns
+        // first: the streams carry different join-key columns)
+        coldPairs.select(col("id_a"), col("id_b"), col("hamming"))
+          .unionByName(
+            hotPairs.select(col("id_a"), col("id_b"), col("hamming")))
+          .dropDuplicates("id_a", "id_b")
+      }
     } else {
-      // Block-decomposed self-join for HOT band-value buckets (the
-      // r12 skew-study finding: one low-entropy band value can
-      // collect a large sig group whose quadratic pair generation
-      // serializes on the single task owning that join key — and AQE
-      // cannot split it, because skew-join triggers on input partition
-      // BYTES while this bucket is tiny in bytes and huge in OUTPUT).
-      // Each row gets a deterministic block id blk(doc) ∈ [0, nB); A
-      // is replicated across all right-blocks j, B across all
-      // left-blocks i, and the join key grows to (band, half, i, j) —
-      // every (a, b) pair is produced exactly once, at key
-      // (blk(a), blk(b)), so a B-row bucket fans its B² pair stream
-      // out over nB² tasks. Cost: the candidate shuffle carries nB×
-      // the (narrow) banded rows. Result-identical to the plain path
-      // (DedupSpec asserts bit-equality).
-      val nB = selfJoinBlocks
-      val withBlk = banded.withColumn("__blk", pmod(hash(col("doc")), lit(nB)))
-      val a = withBlk.select(col("band"), col("half"),
-        col("__blk").as("__i"),
-        explode(sequence(lit(0), lit(nB - 1))).as("__j"),
-        col("doc").as("id_a"), col("sig").as("__siga"))
-      val b = withBlk.select(col("band"), col("half"),
-        explode(sequence(lit(0), lit(nB - 1))).as("__i"),
-        col("__blk").as("__j"),
-        col("doc").as("id_b"), col("sig").as("__sigb"))
-      // the decomposition only helps if the join actually PARTITIONS
-      // by the widened key — at fixture byte sizes Spark would pick a
-      // broadcast join, whose task boundaries come from the streamed
-      // side's partitioning and ignore (i, j) entirely
-      verified(a.hint("shuffle_hash"), b, Seq("band", "half", "__i", "__j"))
+      val (a, b, keys) = stream(banded, Seq("band", "half"))
+      verified(if (selfJoinBlocks <= 1) a else a.hint("shuffle_hash"),
+        b, keys)
     }
   }
 
@@ -210,7 +298,8 @@ object Dedup {
     * pairwise output, because every doc pair across two signature
     * groups shares the same hamming distance. */
   def simhashClusters(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, selfJoinBlocks: Int = 1): DataFrame = {
+      maxHamming: Int = 3, selfJoinBlocks: Int = 1,
+      subBandHotThreshold: Int = 0): DataFrame = {
     val sigs = df.select(col(idCol).as("doc"), col(textCol))
       .repartition(par(df), col("doc"))
       .select(col("doc"), simhash(col(textCol), 64).as("sig"))
@@ -221,7 +310,7 @@ object Dedup {
       .localCheckpoint()
     val pairs = simhashBandPairs(
       groups.select(col("rep").as("doc"), col("sig")), maxHamming,
-      selfJoinBlocks)
+      selfJoinBlocks, subBandHotThreshold)
     val cc = connectedComponents(groups.select(col("rep")), "rep",
       pairs, "id_a", "id_b")
     sigs.join(groups, Seq("sig"))
@@ -248,7 +337,7 @@ object Dedup {
     * Returns (x, y, w) with x < y, one row per unordered group pair. */
   def simhashCrossGroupEdges(df: DataFrame, idCol: String,
       textCol: String, groupCol: String, maxHamming: Int = 3,
-      selfJoinBlocks: Int = 1): DataFrame = {
+      selfJoinBlocks: Int = 1, subBandHotThreshold: Int = 0): DataFrame = {
     val sigs = df.select(col(idCol).as("doc"), col(groupCol).as("__g"),
       col(textCol))
       .repartition(par(df), col("doc"))
@@ -270,7 +359,7 @@ object Dedup {
     val sigPairs = simhashBandPairs(
       cnt.select(col("sig")).distinct()
         .select(col("sig").as("doc"), col("sig")), maxHamming,
-      selfJoinBlocks)
+      selfJoinBlocks, subBandHotThreshold)
     val near = sigPairs
       .join(cnt.as("a"), col("a.sig") === col("id_a"))
       .join(cnt.as("b"), col("b.sig") === col("id_b"))
@@ -347,7 +436,7 @@ object Dedup {
     * `maxWedgeDegree <= 0` disables the cap (fixture-exact callers). */
   def simhashTriangles(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, selfJoinBlocks: Int = 1,
-      maxWedgeDegree: Int = 128): DataFrame = {
+      maxWedgeDegree: Int = 128, subBandHotThreshold: Int = 0): DataFrame = {
     val sigs = df.select(col(idCol).as("doc"), col(textCol))
       .repartition(par(df), col("doc"))
       .select(col("doc"), simhash(col(textCol), 64).as("sig"))
@@ -358,7 +447,7 @@ object Dedup {
       .localCheckpoint()
     val sigPairs = simhashBandPairs(
       grp.select(col("sig").as("doc"), col("sig")), maxHamming,
-      selfJoinBlocks)
+      selfJoinBlocks, subBandHotThreshold)
     val edges0 = sigPairs
       .join(grp.select(col("sig").as("id_a"), col("f").as("fa")), "id_a")
       .join(grp.select(col("sig").as("id_b"), col("f").as("fb")), "id_b")
@@ -538,10 +627,10 @@ object Dedup {
     * integers < 2^63 so the id term cannot cross quality levels. */
   def keepBest(df: DataFrame, idCol: String, textCol: String,
       qualityCol: String, maxHamming: Int = 3,
-      selfJoinBlocks: Int = 1): DataFrame = {
+      selfJoinBlocks: Int = 1, subBandHotThreshold: Int = 0): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val clusters = simhashClusters(df, idCol, textCol, maxHamming,
-      selfJoinBlocks)
+      selfJoinBlocks, subBandHotThreshold)
     val q6 = round(col(qualityCol).cast("double"), 6)
       .cast(org.apache.spark.sql.types.DecimalType(18, 6))
       .multiply(lit(1000000)).cast("long")

@@ -344,6 +344,49 @@ class DedupSpec extends SparkSpec {
     assert(clustersOf(4) === clustersOf(1))
   }
 
+  test("sub-band hot-bucket decomposition is bit-identical to the plain " +
+      "band join (fixture distinct sigs forced all-hot; planted hot " +
+      "bucket of DISTINCT sigs; blocks compose on top)") {
+    import org.apache.spark.sql.DataFrame
+    def pairs(sigs: DataFrame, blocks: Int, threshold: Int) =
+      Dedup.simhashBandPairs(sigs, 3, blocks, threshold)
+        .as[(Long, Long, Int)].collect().sorted.toSeq
+    // fixture distinct sigs: threshold=1 forces EVERY bucket through
+    // the sub-band path; must equal the plain join exactly
+    val fixtureSigs = Tables.documents(spark, sf)
+      .select($"doc_id".as("doc"),
+        Dedup.simhash($"text", 64).as("sig"))
+      .groupBy($"sig").agg(min($"doc").as("doc"))
+      .select($"doc".as("doc"), $"sig")
+      .localCheckpoint()
+    val plain = pairs(fixtureSigs, 1, 0)
+    assert(plain.nonEmpty)
+    assert(pairs(fixtureSigs, 1, 1) === plain)
+    assert(pairs(fixtureSigs, 4, 1) === plain)       // blocks compose
+    assert(pairs(fixtureSigs, 1, 1000000) === plain) // census, no hubs
+    // planted: 300 DISTINCT sigs sharing band 0's value (one hot
+    // bucket, pairwise far apart) + a near-dup chain inside it whose
+    // diffs live in the upper 48 bits (found only via sub-bands) + a
+    // cross-band pair that agrees on a COLD band — the union-dedup
+    // seam between the hot and cold streams
+    val hotBand = 0x1234L
+    val crafted = (
+      (0 until 300).map(i =>
+        (i.toLong, (i.toLong * 0x9E3779B97F4AL & ~0xFFFFL) | hotBand)) ++
+      Seq(
+        (1000L, (0x5555L << 16) | hotBand),
+        (1001L, ((0x5555L ^ 1L) << 16) | hotBand),          // ham 1
+        (1002L, ((0x5555L ^ 3L) << 16) | hotBand),          // ham 2 of 1000
+        (2000L, 0x7777000000009999L),
+        (2001L, 0x7777000000001111L + (1L << 40))))         // band 3 equal
+      .toDF("doc", "sig")
+    val cp = pairs(crafted, 1, 0)
+    assert(cp.exists(p => p._1 == 1000L && p._2 == 1001L))
+    assert(pairs(crafted, 1, 16) === cp)
+    assert(pairs(crafted, 4, 16) === cp)
+    assert(pairs(crafted, 8, 200) === cp)
+  }
+
   test("clusterSizeProfile: exact size histogram on a planted corpus") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),

@@ -1731,6 +1731,26 @@ object SparkEntry {
       Curation.tokenFertility(fan(Tables.documents(s, d), "doc_id"),
         "text", "source")),
 
+    // per-type mean change-point: the CUSUM argmax in exact integers
+    // (D_t = n·S_t − t·S_n over the (ts, event_id) total order), ties
+    // to the earliest t; q133's offline complement.
+    "q156_change_point" -> ((s, d) =>
+      Analytics.changePoint(Tables.events(s, d), "event_type", "ts",
+        "event_id", "value")),
+
+    // signup-cohort × age retention matrix (q109's period-over-period
+    // cut generalized): cohort = first active week, counts bounded by
+    // |users| + |cohorts × ages|.
+    "q157_cohort_matrix" -> ((s, d) =>
+      Analytics.cohortMatrix(Tables.events(s, d), "user_id", "ts",
+        periodUs = 604800000000L)),
+
+    // day-of-week seasonality + exact-integer chi-square uniformity
+    // per event type (organic-stream audit); dow 0=Monday via
+    // (days + 3) mod 7 — engine-exact integer arithmetic.
+    "q158_dow_profile" -> ((s, d) =>
+      Analytics.dowProfile(Tables.events(s, d), "event_type", "ts")),
+
     // does lang determine source? FD strength = 1 − min-deletions/n
     // (q144's MI says associated; this says whether it's a mapping).
     "q151_functional_dependency" -> ((s, d) =>
@@ -4153,6 +4173,90 @@ object SparkEntry {
         |  CASE WHEN sum(nb) > 0 THEN round(CAST(sum(bpe_tokens) AS DOUBLE)
         |    / CAST(sum(nb) AS DOUBLE), 6) END AS tokens_per_byte
         |FROM p GROUP BY source ORDER BY source""".stripMargin,
+
+    // CUSUM argmax in HUGEINT; DuckDB sum(BIGINT) windows are HUGEINT
+    // already; min_by on the unique t breaks ties like Spark
+    "q156_change_point" ->
+      """WITH b AS (
+        |  SELECT event_type AS k, ts, event_id,
+        |    CAST(CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT) AS v6
+        |  FROM events WHERE value IS NOT NULL),
+        |w AS (
+        |  SELECT k, ts, v6,
+        |    CAST(row_number() OVER
+        |      (PARTITION BY k ORDER BY ts, event_id) AS BIGINT) AS t,
+        |    CAST(sum(v6) OVER (PARTITION BY k ORDER BY ts, event_id)
+        |      AS BIGINT) AS st,
+        |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+        |    CAST(sum(v6) OVER (PARTITION BY k) AS BIGINT) AS sn
+        |  FROM b),
+        |d AS (
+        |  SELECT k, ts, t, st, n, sn,
+        |    abs(CAST(n AS HUGEINT) * CAST(st AS HUGEINT)
+        |      - CAST(t AS HUGEINT) * CAST(sn AS HUGEINT)) AS ad
+        |  FROM w WHERE t < n),
+        |m AS (SELECT k, max(ad) AS dmax FROM d GROUP BY k)
+        |SELECT d.k AS event_type, min(d.n) AS n,
+        |  min(d.t) AS t_star,
+        |  CAST(min_by(d.ts, d.t) AS TIMESTAMP) AS ts_star,
+        |  round(CAST(min_by(d.st, d.t) AS DOUBLE)
+        |    / CAST(min(d.t) AS DOUBLE) / 1e6, 6) AS mean_before,
+        |  round(CAST(min(d.sn) - min_by(d.st, d.t) AS DOUBLE)
+        |    / CAST(min(d.n) - min(d.t) AS DOUBLE) / 1e6, 6) AS mean_after,
+        |  round(CAST(min(d.sn) - min_by(d.st, d.t) AS DOUBLE)
+        |    / CAST(min(d.n) - min(d.t) AS DOUBLE) / 1e6
+        |    - CAST(min_by(d.st, d.t) AS DOUBLE)
+        |    / CAST(min(d.t) AS DOUBLE) / 1e6, 6) AS shift
+        |FROM d JOIN m ON m.k = d.k AND d.ad = m.dmax
+        |GROUP BY d.k ORDER BY d.k""".stripMargin,
+
+    // q109's machinery generalized to the full cohort × age matrix
+    "q157_cohort_matrix" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS p
+        |  FROM events WHERE user_id IS NOT NULL),
+        |c AS (SELECT user_id, min(p) AS c0 FROM a GROUP BY user_id),
+        |n AS (
+        |  SELECT c.c0 AS cohort_period, a.p - c.c0 AS age,
+        |    CAST(count(*) AS BIGINT) AS n_users
+        |  FROM a JOIN c USING (user_id)
+        |  GROUP BY c.c0, a.p - c.c0),
+        |s AS (SELECT cohort_period, n_users AS sz FROM n WHERE age = 0)
+        |SELECT n.cohort_period,
+        |  CAST(n.cohort_period * 604800000000 AS BIGINT) AS cohort_start_us,
+        |  n.age, n.n_users,
+        |  round(CAST(n.n_users AS DOUBLE) / CAST(s.sz AS DOUBLE), 6)
+        |    AS retention
+        |FROM n JOIN s USING (cohort_period)
+        |ORDER BY n.cohort_period, n.age""".stripMargin,
+
+    // dow = (epoch-days + 3) mod 7 (0 = Monday); chi2 numerator over
+    // ALL SEVEN days in HUGEINT (absent days contribute N²), one IEEE
+    // division by 7N
+    "q158_dow_profile" ->
+      """WITH d AS (
+        |  SELECT event_type AS k,
+        |    ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow
+        |  FROM events WHERE event_type IS NOT NULL),
+        |pd AS (
+        |  SELECT k, dow, CAST(count(*) AS BIGINT) AS nd
+        |  FROM d GROUP BY k, dow),
+        |t AS (
+        |  SELECT k, CAST(sum(nd) AS BIGINT) AS nt, max(nd) AS mx,
+        |    CAST(count(*) AS BIGINT) AS days
+        |  FROM pd GROUP BY k)
+        |SELECT pd.k AS event_type, min(t.nt) AS n_total,
+        |  round(CAST(sum(CAST(7 * pd.nd - t.nt AS HUGEINT)
+        |      * CAST(7 * pd.nd - t.nt AS HUGEINT))
+        |    + (7 - min(t.days)) * CAST(min(t.nt) AS HUGEINT)
+        |      * CAST(min(t.nt) AS HUGEINT) AS DOUBLE)
+        |    / CAST(7 * min(t.nt) AS DOUBLE), 6) AS chi2_dow,
+        |  min(CASE WHEN pd.nd = t.mx THEN pd.dow END) AS peak_dow,
+        |  round(CAST(min(t.mx) AS DOUBLE) / CAST(min(t.nt) AS DOUBLE), 6)
+        |    AS peak_share
+        |FROM pd JOIN t USING (k)
+        |GROUP BY pd.k ORDER BY pd.k""".stripMargin,
 
     // contingency -> per-key max/sum -> one reduction
     "q151_functional_dependency" ->

@@ -1087,4 +1087,141 @@ object Analytics {
         round(lit(1.0) - col("violations").cast("double")
           / col("n_rows").cast("double"), 6).as("fd_strength"))
   }
+
+  /** Single change-point per key — the offline complement to
+    * [[rollingAnomaly]]'s online flags: where did this series' MEAN
+    * shift? The CUSUM statistic in exact integers: with v lifted to
+    * 6-dp longs, t = 1..n the (tsCol, seqCol)-ordered position, S_t
+    * the prefix sum, the deviation D_t = n·S_t − t·S_n (the scaled
+    * "prefix mean vs global mean" gap; exact DECIMAL(38,0)) peaks at
+    * the split point. Returns per key: the t* maximizing |D_t| over
+    * t < n (ties → earliest t — a total order), its timestamp, n, and
+    * the 6-dp means either side plus their shift. Keys with one row
+    * have no split and drop; null values are excluded.
+    *
+    * Plan: ONE key exchange carries both windows (the ordered prefix
+    * sum and the full-partition n/S_n — fixed frames, O(n) per key,
+    * never the quadratic running-following frame), then the argmax is
+    * the two-stage max-then-min-tiebreak aggregate (composite integer
+    * keys would overflow at |D| scale — the q124 shape instead), with
+    * the per-key max rejoined under an explicit `merge` hint. */
+  def changePoint(df: DataFrame, keyCol: String, tsCol: String,
+      seqCol: String, valueCol: String): DataFrame = {
+    def lift6(c: Column): Column =
+      round(c, 6).cast(DecimalType(18, 6)).multiply(lit(1000000))
+        .cast("long")
+    val dec = DecimalType(38, 0)
+    val wOrd = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(seqCol))
+    val wAll = Window.partitionBy(col(keyCol))
+    val base = df.filter(col(valueCol).isNotNull)
+      .withColumn("__v", lift6(col(valueCol).cast("double")))
+      .withColumn("__t", row_number().over(wOrd).cast("long"))
+      .withColumn("__st", sum(col("__v")).over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__sn", sum(col("__v")).over(wAll))
+      .filter(col("__t") < col("__n"))
+      .withColumn("__d",
+        col("__n").cast(dec) * col("__st").cast(dec)
+          - col("__t").cast(dec) * col("__sn").cast(dec))
+      .withColumn("__ad", abs(col("__d")))
+    val dmax = base.groupBy(col(keyCol))
+      .agg(max(col("__ad")).as("__dmax"))
+    base.join(dmax.hint("merge"), Seq(keyCol))
+      .filter(col("__ad") === col("__dmax"))
+      .groupBy(col(keyCol))
+      .agg(min(col("__t")).as("t_star"),
+        min_by(col(tsCol), col("__t")).as("ts_star"),
+        min_by(col("__st"), col("__t")).as("__sstar"),
+        first(col("__n")).as("n"),
+        first(col("__sn")).as("__snall"))
+      .select(col(keyCol), col("n"), col("t_star"), col("ts_star"),
+        round(col("__sstar").cast("double") / col("t_star").cast("double")
+          / lit(1e6), 6).as("mean_before"),
+        round((col("__snall") - col("__sstar")).cast("double")
+          / (col("n") - col("t_star")).cast("double") / lit(1e6), 6)
+          .as("mean_after"),
+        round((col("__snall") - col("__sstar")).cast("double")
+          / (col("n") - col("t_star")).cast("double") / lit(1e6)
+          - col("__sstar").cast("double") / col("t_star").cast("double")
+          / lit(1e6), 6).as("shift"))
+      .orderBy(col(keyCol))
+  }
+
+  /** Cohort retention MATRIX — the full (signup cohort × age) table
+    * behind [[retention]]'s period-over-period cut: a user's cohort is
+    * the integral period (`unix_micros DIV periodUs`, the q109/q141
+    * engine-exact bucket) of their FIRST activity; for each (cohort,
+    * age) the matrix counts users of that cohort active `age` periods
+    * later, with retention relative to the cohort's size (its age-0
+    * count — every user is active in their own first period by
+    * definition). State bounded by |users| + |cohorts × ages| at every
+    * stage: distinct (user, period) first, min-period cohort
+    * aggregate, one count aggregate, and the age-0 sizes rejoined
+    * under a `merge` hint. Truncating DIV means the pre-epoch periods
+    * land in bucket ≤ 0 (the q141 documented posture). */
+  def cohortMatrix(df: DataFrame, userCol: String, tsCol: String,
+      periodUs: Long): DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive: $periodUs")
+    val up = df.select(col(userCol).as("__u"),
+        expr(s"unix_micros(`$tsCol`) DIV ${periodUs}L").as("__p"))
+      .filter(col("__u").isNotNull)
+      .distinct()
+    val cohort = up.groupBy(col("__u")).agg(min(col("__p")).as("__c"))
+    val counts = up.join(cohort, Seq("__u"))
+      .groupBy(col("__c").as("cohort_period"),
+        (col("__p") - col("__c")).as("age"))
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = counts.filter(col("age") === 0L)
+      .select(col("cohort_period"), col("n_users").as("__size"))
+    counts.join(sizes.hint("merge"), Seq("cohort_period"))
+      .select(col("cohort_period"),
+        (col("cohort_period") * periodUs).as("cohort_start_us"),
+        col("age"), col("n_users"),
+        round(col("n_users").cast("double") / col("__size").cast("double"),
+          6).as("retention"))
+      .orderBy(col("cohort_period"), col("age"))
+  }
+
+  /** Day-of-week seasonality profile per key — the event-data quality
+    * check behind "is this stream really organic?": per-key event
+    * counts by day of week with an exact chi-square uniformity
+    * statistic. dow = ((unix_micros DIV 86_400_000_000) + 3) mod 7 —
+    * 0 = Monday (1970-01-01 was a Thursday), engine-exact integer
+    * arithmetic (truncating DIV: pre-epoch timestamps shift one day,
+    * the q141 documented posture). chi2 against uniform is computed
+    * entirely in integers — Σ_d (7·n_d − N)² over ALL SEVEN days
+    * (absent days contribute N²) — then ONE IEEE division by 7N, so
+    * the statistic is cross-engine exact; a perfectly uniform week
+    * reads an exact 0.0. Peak day ties break to the earliest dow.
+    * Output: (key, n_total, chi2_dow, peak_dow, peak_share). */
+  def dowProfile(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val perDow = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol),
+        pmod(expr(s"unix_micros(`$tsCol`) DIV 86400000000L") + lit(3L),
+          lit(7L)).as("__dow"))
+      .agg(count(lit(1)).as("__nd"))
+    val totals = perDow.groupBy(col(keyCol))
+      .agg(sum(col("__nd")).as("__nt"), max(col("__nd")).as("__mx"),
+        count(lit(1)).as("__days"))
+    perDow.join(totals.hint("merge"), Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(first(col("__nt")).as("n_total"),
+        (sum({
+          val d = (lit(7L) * col("__nd") - col("__nt")).cast(dec)
+          d * d
+        }) + (lit(7L) - first(col("__days"))).cast(dec)
+          * first(col("__nt")).cast(dec) * first(col("__nt")).cast(dec))
+          .as("__chi2num"),
+        min(when(col("__nd") === col("__mx"), col("__dow"))).as("peak_dow"),
+        first(col("__mx")).as("__mxn"))
+      .select(col(keyCol), col("n_total"),
+        round(col("__chi2num").cast("double")
+          / (lit(7L) * col("n_total")).cast("double"), 6).as("chi2_dow"),
+        col("peak_dow"),
+        round(col("__mxn").cast("double") / col("n_total").cast("double"),
+          6).as("peak_share"))
+      .orderBy(col(keyCol))
+  }
 }

@@ -565,4 +565,89 @@ class RobustSpec extends SparkSpec {
       .collect().toSeq
     assert(p1 == p7)
   }
+
+  // ---- changePoint ----------------------------------------------------
+
+  test("changePoint: planted mean shift found exactly; ties break to " +
+      "the earliest t; single-row key drops; null values excluded; " +
+      "partition independence") {
+    // key A: 4 rows at 1.0 then 4 rows at 5.0 — the CUSUM argmax is
+    // exactly t=4 (the last low row); shift = 4.0
+    val rows =
+      (1 to 4).map(i => ("A", i.toLong, i.toLong, Some(1.0))) ++
+      (5 to 8).map(i => ("A", i.toLong, i.toLong, Some(5.0))) ++
+      // key B: constant series — every |D_t| = 0, tie → t = 1
+      (1 to 5).map(i => ("B", i.toLong, i.toLong, Some(2.0))) ++
+      // key C: one row → no split point → dropped
+      Seq(("C", 1L, 1L, Some(9.0))) ++
+      // key D: a null value is excluded (3 effective rows, shift at 2)
+      Seq(("D", 1L, 1L, Some(1.0)), ("D", 2L, 2L, None),
+        ("D", 3L, 3L, Some(1.0)), ("D", 4L, 4L, Some(7.0)))
+    val df = rows.toDF("k", "us", "seq", "v")
+      .select($"k", timestamp_micros($"us").as("ts"), $"seq", $"v")
+    def run(parts: Int) =
+      Analytics.changePoint(df.repartition(parts), "k", "ts", "seq", "v")
+        .select($"k", $"n", $"t_star", unix_micros($"ts_star"),
+          $"mean_before", $"mean_after", $"shift")
+        .as[(String, Long, Long, Long, Double, Double, Double)]
+        .collect().toSeq
+    val got = run(3)
+    assert(got === Seq(
+      ("A", 8L, 4L, 4L, 1.0, 5.0, 4.0),
+      ("B", 5L, 1L, 1L, 2.0, 2.0, 0.0),
+      ("D", 3L, 2L, 3L, 1.0, 7.0, 6.0)))
+    assert(run(1) === got && run(8) === got)
+  }
+
+  // ---- cohortMatrix ---------------------------------------------------
+
+  test("cohortMatrix: hand-exact cohort x age counts and retention; " +
+      "within-period dedup; partition independence") {
+    val week = 604800000000L
+    // users 1,2 join week 0 (1 retained at week 1, both at week 2);
+    // user 3 joins week 1 only; duplicate activity within a week
+    // counts once
+    val rows = Seq(
+      (1L, 0L), (1L, 1L), (1L, 2L), (1L, 2L + 0L), // dup in week 2
+      (2L, 0L), (2L, 2L),
+      (3L, 1L))
+    val df = rows.toDF("u", "w")
+      .select($"u", timestamp_micros($"w" * week + lit(5L)).as("ts"))
+    def run(parts: Int) =
+      Analytics.cohortMatrix(df.repartition(parts), "u", "ts", week)
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val got = run(4)
+    assert(got === Seq(
+      (0L, 0L, 0L, 2L, 1.0),
+      (0L, 0L, 1L, 1L, 0.5),
+      (0L, 0L, 2L, 2L, 1.0),
+      (1L, week, 0L, 1L, 1.0)))
+    assert(run(1) === got && run(7) === got)
+  }
+
+  // ---- dowProfile -----------------------------------------------------
+
+  test("dowProfile: exact uniform week reads chi2 0.0; planted skew is " +
+      "hand-exact incl. absent days; dow anchoring (1970-01-01 = " +
+      "Thursday = 3); partition independence") {
+    val day = 86400000000L
+    // key U: one event on each of 7 consecutive days → chi2 exactly 0,
+    // peak ties to the earliest dow (epoch day 0 = Thursday = 3, so
+    // days 0..6 cover dows 3,4,5,6,0,1,2 → earliest dow 0)
+    val uni = (0 until 7).map(i => ("U", i.toLong * day))
+    // key S: 3 events on epoch day 0 (dow 3), 1 on day 1 (dow 4) →
+    // N=4, present d: (7·3−4)²=289, (7·1−4)²=9; absent 5 days: 5·16=80
+    // → chi2 = 378/28 = 13.5; peak_dow 3, share 0.75
+    val skew = Seq(("S", 0L), ("S", 1L), ("S", 2L), ("S", day))
+    val df = (uni ++ skew).toDF("k", "us")
+      .select($"k", timestamp_micros($"us").as("ts"))
+    def run(parts: Int) =
+      Analytics.dowProfile(df.repartition(parts), "k", "ts")
+        .as[(String, Long, Double, Long, Double)].collect().toSeq
+    val got = run(3)
+    assert(got === Seq(
+      ("S", 4L, 13.5, 3L, 0.75),
+      ("U", 7L, 0.0, 0L, 0.142857)))
+    assert(run(1) === got && run(6) === got)
+  }
 }

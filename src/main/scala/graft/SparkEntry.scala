@@ -1751,6 +1751,13 @@ object SparkEntry {
     "q158_dow_profile" -> ((s, d) =>
       Analytics.dowProfile(Tables.events(s, d), "event_type", "ts")),
 
+    // label × label centroid-cosine affinity matrix (q121's discipline
+    // across groups instead of snapshots; q134's shingle view in
+    // embedding space) — the domain-mixing recipe input.
+    "q159_embedding_affinity" -> ((s, d) =>
+      Similarity.embeddingAffinity(fan(Tables.embeddings(s, d), "vec_id"),
+        "label", "embedding")),
+
     // does lang determine source? FD strength = 1 − min-deletions/n
     // (q144's MI says associated; this says whether it's a mapping).
     "q151_functional_dependency" -> ((s, d) =>
@@ -4257,6 +4264,41 @@ object SparkEntry {
         |    AS peak_share
         |FROM pd JOIN t USING (k)
         |GROUP BY pd.k ORDER BY pd.k""".stripMargin,
+
+    // the q121 centroid discipline across group pairs
+    "q159_embedding_affinity" ->
+      """WITH e AS (
+        |  SELECT label, i,
+        |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12)) AS v
+        |  FROM embeddings, generate_series(1, 64) t(i)
+        |  WHERE label IS NOT NULL),
+        |s AS (
+        |  SELECT label, i, sum(v) AS sv, CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY label, i),
+        |l AS (
+        |  SELECT label, i, n,
+        |    CAST(CAST(round(CAST(sv AS DOUBLE) / n, 6) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT) AS l6
+        |  FROM s),
+        |nm AS (
+        |  SELECT label, max(n) AS n, CAST(sum(l6 * l6) AS BIGINT) AS nrm2
+        |  FROM l GROUP BY label),
+        |d AS (
+        |  SELECT a.label AS group_a, b.label AS group_b,
+        |    CAST(sum(a.l6 * b.l6) AS BIGINT) AS dot,
+        |    CAST(sum((a.l6 - b.l6) * (a.l6 - b.l6)) AS BIGINT) AS d2
+        |  FROM l a JOIN l b ON a.i = b.i AND a.label < b.label
+        |  GROUP BY a.label, b.label)
+        |SELECT d.group_a, d.group_b,
+        |  na.n AS n_a, nb.n AS n_b,
+        |  CASE WHEN na.nrm2 = 0 OR nb.nrm2 = 0 THEN NULL
+        |    ELSE round(CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm2 AS DOUBLE))
+        |      / sqrt(CAST(nb.nrm2 AS DOUBLE)), 6) END AS cos_sim,
+        |  round(sqrt(CAST(d.d2 AS DOUBLE)) / 1e6, 6) AS l2_dist
+        |FROM d
+        |JOIN nm na ON na.label = d.group_a
+        |JOIN nm nb ON nb.label = d.group_b
+        |ORDER BY d.group_a, d.group_b""".stripMargin,
 
     // contingency -> per-key max/sum -> one reduction
     "q151_functional_dependency" ->

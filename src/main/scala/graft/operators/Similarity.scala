@@ -274,6 +274,60 @@ object Similarity {
       .orderBy(col(groupCol))
   }
 
+  /** Pairwise GROUP-centroid affinity matrix — which domains live near
+    * each other in embedding space (the mixing-recipe input next to
+    * [[graft.operators.Curation.vocabDivergence]]'s token view and
+    * q134's shingle overlap): one row per unordered group pair with
+    * centroid cosine and L2 distance. [[centroidDrift]]'s exact-integer
+    * discipline, taken across groups instead of across snapshots:
+    * per-(group, dim) DECIMAL(28,12) sums → 6-dp-lifted integer
+    * centroids → exact BIGINT dot/norms → one IEEE cosine per pair.
+    * The centroid frame (|groups| × dim rows) is localCheckpoint'ed
+    * ONCE — it feeds both sides of the pair join and the norm join
+    * (the q144 multi-branch recompute lesson); the pair join is
+    * |groups|²·dim rows, group count being small by construction
+    * (sources/domains, never documents). Zero-norm centroids give a
+    * NULL cosine; groups are ordered (group_a < group_b), each pair
+    * once. */
+  def embeddingAffinity(df: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    def lift6(c: Column): Column =
+      round(c, 6).cast(org.apache.spark.sql.types.DecimalType(18, 6))
+        .multiply(lit(1000000)).cast("long")
+    val cells = df.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("ea_g"),
+        posexplode(col(vecCol)).as(Seq("ea_pos", "ea_v")))
+      .groupBy(col("ea_g"), col("ea_pos"))
+      .agg(sum(col("ea_v").cast("double").cast(dec)).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("ea_g"), col("ea_pos"), col("n"),
+        lift6(col("s").cast("double") / col("n")).as("l6"))
+      .localCheckpoint()
+    val norms = cells.groupBy(col("ea_g"))
+      .agg(max(col("n")).as("n"), sum(col("l6") * col("l6")).as("nrm2"))
+    val dots = cells.select(col("ea_g").as("group_a"), col("ea_pos"),
+        col("l6").as("la"))
+      .join(cells.select(col("ea_g").as("group_b"), col("ea_pos"),
+        col("l6").as("lb")), Seq("ea_pos"))
+      .filter(col("group_a") < col("group_b"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(sum(col("la") * col("lb")).as("dot"),
+        sum((col("la") - col("lb")) * (col("la") - col("lb"))).as("d2"))
+    dots
+      .join(broadcast(norms.select(col("ea_g").as("group_a"),
+        col("n").as("n_a"), col("nrm2").as("a2"))), Seq("group_a"))
+      .join(broadcast(norms.select(col("ea_g").as("group_b"),
+        col("n").as("n_b"), col("nrm2").as("b2"))), Seq("group_b"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        when(col("a2") === 0L || col("b2") === 0L, lit(null))
+          .otherwise(round(col("dot").cast("double") /
+            sqrt(col("a2").cast("double")) / sqrt(col("b2").cast("double")),
+            6)).as("cos_sim"),
+        round(sqrt(col("d2").cast("double")) / lit(1e6), 6).as("l2_dist"))
+      .orderBy(col("group_a"), col("group_b"))
+  }
+
   /** IVF-style approximate nearest neighbors: partition the corpus
     * into `nList` cells by nearest seed centroid (seeds = deterministic
     * corpus sample: the `nList` vectors with the smallest ids — at

@@ -392,4 +392,32 @@ class SimilaritySpec extends SparkSpec {
     // the assignment column matches the reference assignment
     out.foreach { case (id, cl, _) => assert(cl === clusterOf(id)) }
   }
+
+  test("embeddingAffinity: planted orthogonal groups read 0.0, aligned " +
+      "groups 1.0, zero-norm group NULL; each pair once, ordered; " +
+      "partition independence") {
+    // group A along e1, B along e1 scaled (cos 1.0 with A), C along e2
+    // (orthogonal to both), Z all-zero (NULL cosine with everyone)
+    def vec(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val rows = Seq(
+      ("A", vec(2, 0)), ("A", vec(4, 0)),
+      ("B", vec(1, 0)),
+      ("C", vec(0, 3)), ("C", vec(0, 5)),
+      ("Z", vec(0, 0)))
+    val df = rows.toDF("g", "v")
+    def run(parts: Int) =
+      Similarity.embeddingAffinity(df.repartition(parts), "g", "v")
+        .as[(String, String, Long, Long, Option[Double], Double)]
+        .collect().toSeq
+    val got = run(3)
+    // centroids: A=(3,0), B=(1,0), C=(0,4), Z=(0,0)
+    assert(got === Seq(
+      ("A", "B", 2L, 1L, Some(1.0), 2.0),
+      ("A", "C", 2L, 2L, Some(0.0), 5.0),
+      ("A", "Z", 2L, 1L, None, 3.0),
+      ("B", "C", 1L, 2L, Some(0.0), 4.123106), // sqrt(17) @ 6 dp
+      ("B", "Z", 1L, 1L, None, 1.0),
+      ("C", "Z", 2L, 1L, None, 4.0)))
+    assert(run(1) === got && run(6) === got)
+  }
 }

@@ -575,21 +575,40 @@ object Dedup {
       textCol: String, sep: String = "\n", maxDf: Long = 1): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1: $maxDf")
     require(sep.nonEmpty, "sep must be non-empty")
-    val segs = df.filter(col(textCol).isNotNull)
+    val segs = paragraphSegments(df, idCol, textCol, sep)
+    val dfreq = segs.groupBy(col("__h"))
+      .agg(countDistinct(col("__id")).as("__df"))
+    reassembleKept(df, idCol,
+      segs.join(dfreq.hint("merge"), Seq("__h"))
+        .withColumn("__keep", col("__df") <= maxDf),
+      sep)
+  }
+
+  /** The paragraph splitter shared by [[dropDuplicateParagraphs]] and
+    * the streaming `ParagraphStore`: (__id, __pos, __seg, __h) with
+    * space-trim, empty-segment drop and the sha2 digest that keys every
+    * downstream aggregate (paragraph bytes never ride a shuffle). */
+  private[graft] def paragraphSegments(df: DataFrame, idCol: String,
+      textCol: String, sep: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("__id"),
         posexplode(split(col(textCol),
           java.util.regex.Pattern.quote(sep))).as(Seq("__pos", "__seg")))
       .withColumn("__seg", trim(col("__seg")))
       .filter(length(col("__seg")) > 0)
       .withColumn("__h", sha2(col("__seg"), 256))
-    val dfreq = segs.groupBy(col("__h"))
-      .agg(countDistinct(col("__id")).as("__df"))
-    val agg = segs.join(dfreq.hint("merge"), Seq("__h"))
+
+  /** Order-preserving reassembly of the `__keep`-marked segments per
+    * document — one row per `df` input doc (zero-segment and
+    * all-dropped docs included, with empty `text_clean`). */
+  private[graft] def reassembleKept(df: DataFrame, idCol: String,
+      segsWithKeep: DataFrame, sep: String): DataFrame = {
+    val agg = segsWithKeep
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("n_paragraphs"),
-        sum(when(col("__df") <= maxDf, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
         array_join(transform(array_sort(collect_list(
-          when(col("__df") <= maxDf,
+          when(col("__keep"),
             struct(col("__pos").as("p"), col("__seg").as("s"))))),
           x => x.getField("s")), sep).as("text_clean"))
     df.select(col(idCol))

@@ -1758,6 +1758,21 @@ object SparkEntry {
       Similarity.embeddingAffinity(fan(Tables.embeddings(s, d), "vec_id"),
         "label", "embedding")),
 
+    // funnel latency: per-user first view → first purchase at-or-after
+    // (q108's time dimension); |users|-bounded min aggregates + join.
+    "q160_conversion_lag" -> ((s, d) =>
+      Analytics.conversionLag(Tables.events(s, d), "user_id", "ts",
+        "event_type", "view", "purchase")),
+
+    // Benford leading-digit audit on exact cents (decimal→long is
+    // exact); digit from the BIGINT's decimal string, expected shares
+    // inlined at 6 dp on both engines — no libm in the comparison.
+    "q161_benford" -> ((s, d) =>
+      Analytics.benfordProfile(
+        Tables.lineitem(s, d)
+          .select((col("l_extendedprice") * 100).cast("long").as("cents")),
+        "cents")),
+
     // does lang determine source? FD strength = 1 − min-deletions/n
     // (q144's MI says associated; this says whether it's a mapping).
     "q151_functional_dependency" -> ((s, d) =>
@@ -4299,6 +4314,49 @@ object SparkEntry {
         |JOIN nm na ON na.label = d.group_a
         |JOIN nm nb ON nb.label = d.group_b
         |ORDER BY d.group_a, d.group_b""".stripMargin,
+
+    // first-view min, first-purchase-at-or-after min, one join
+    "q160_conversion_lag" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS from_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |t AS (
+        |  SELECT e.user_id, min(e.ts) AS to_ts, min(v.from_ts) AS from_ts
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= v.from_ts
+        |  GROUP BY e.user_id)
+        |SELECT user_id, CAST(from_ts AS TIMESTAMP) AS from_ts,
+        |  CAST(to_ts AS TIMESTAMP) AS to_ts,
+        |  CAST(epoch_us(to_ts) - epoch_us(from_ts) AS BIGINT) AS lag_us
+        |FROM t ORDER BY user_id""".stripMargin,
+
+    // leading digit of the BIGINT's decimal string; the nine Benford
+    // constants inlined at 6 dp (identical literals both engines)
+    "q161_benford" ->
+      """WITH cts AS (
+        |  SELECT CAST(substr(CAST(CAST(l_extendedprice * 100 AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice * 100 > 0
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cts),
+        |dg AS (
+        |  SELECT unnest(generate_series(1, 9)) AS digit,
+        |    unnest(CAST([0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+        |      0.066947, 0.057992, 0.051153, 0.045757] AS DOUBLE[]))
+        |      AS benford)
+        |SELECT dg.digit,
+        |  CAST(coalesce(cts.n, 0) AS BIGINT) AS n_values,
+        |  CASE WHEN tot.nt > 0 THEN
+        |    round(CAST(coalesce(cts.n, 0) AS DOUBLE)
+        |      / CAST(tot.nt AS DOUBLE), 6) END AS share,
+        |  dg.benford,
+        |  CASE WHEN tot.nt > 0 THEN
+        |    round(abs(round(CAST(coalesce(cts.n, 0) AS DOUBLE)
+        |      / CAST(tot.nt AS DOUBLE), 6) - dg.benford), 6) END AS abs_dev
+        |FROM dg LEFT JOIN cts USING (digit) CROSS JOIN tot
+        |ORDER BY dg.digit""".stripMargin,
 
     // contingency -> per-key max/sum -> one reduction
     "q151_functional_dependency" ->

@@ -1183,6 +1183,74 @@ object Analytics {
       .orderBy(col("cohort_period"), col("age"))
   }
 
+  /** Funnel LATENCY — the time dimension [[funnel]]'s counts leave
+    * out: per user, the lag between their FIRST `fromType` event and
+    * their first `toType` event at-or-after it (same-instant counts,
+    * the q108 gating). Two |users|-bounded min aggregates and one
+    * join — never a per-user window over the event stream. Users
+    * missing either stage drop. Returns (user, from_ts, to_ts,
+    * lag_us) ordered by user; feed the lag column to [[quantiles]]
+    * for the conversion-time distribution. */
+  def conversionLag(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, fromType: String, toType: String): DataFrame = {
+    val v = df.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("from_ts"))
+    val t = df.filter(col(typeCol) === toType)
+      .join(v, Seq(userCol))
+      .filter(col(tsCol) >= col("from_ts"))
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("to_ts"),
+        first(col("from_ts")).as("from_ts"))
+    t.select(col(userCol), col("from_ts"), col("to_ts"),
+        (expr("unix_micros(to_ts)") - expr("unix_micros(from_ts)"))
+          .as("lag_us"))
+      .orderBy(col(userCol))
+  }
+
+  /** Benford leading-digit audit — the classic synthetic-data /
+    * fabricated-numbers screen: distribution of the leading digit of
+    * a POSITIVE INTEGER measure (pass monetary values as exact cents;
+    * a decimal→long cast is exact) against Benford's law. The digit is
+    * taken from the BIGINT's decimal string (integer-to-string is
+    * format-stable across engines — never float formatting, never a
+    * log10 whose power-of-ten boundary is one ulp away); expected
+    * shares are the nine 6-dp constants INLINED on both engines, so no
+    * libm call exists anywhere in the comparison. All nine digits are
+    * always present in the output (absent digits read n=0). Returns
+    * (digit 1-9, n_values, share, benford, abs_dev) — share and
+    * abs_dev 6-dp, NULL share on an empty input. */
+  def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
+    val benford = Seq(0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+      0.066947, 0.057992, 0.051153, 0.045757)
+    val spark = df.sparkSession
+    val counts = df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(substring(col(valueCol).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("__n"))
+      // ≤ 9 rows, TWO consumers (digit join + the total reduction):
+      // without the barrier each broadcast subtree recomputes the
+      // corpus scan — the q144 multi-branch class
+      .localCheckpoint()
+    val digits = spark.range(1, 10)
+      .select(col("id").cast("int").as("digit"),
+        element_at(array(benford.map(lit): _*), col("id").cast("int"))
+          .as("benford"))
+    val total = counts.agg(sum(col("__n")).as("__nt"))
+    digits
+      .join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"),
+        coalesce(col("__n"), lit(0L)).as("n_values"),
+        when(col("__nt") > 0,
+          round(coalesce(col("__n"), lit(0L)).cast("double")
+            / col("__nt").cast("double"), 6)).as("share"),
+        col("benford"))
+      .withColumn("abs_dev",
+        when(col("share").isNotNull,
+          round(abs(col("share") - col("benford")), 6)))
+      .orderBy(col("digit"))
+  }
+
   /** Day-of-week seasonality profile per key — the event-data quality
     * check behind "is this stream really organic?": per-key event
     * counts by day of week with an exact chi-square uniformity

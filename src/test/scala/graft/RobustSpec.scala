@@ -625,6 +625,55 @@ class RobustSpec extends SparkSpec {
     assert(run(1) === got && run(7) === got)
   }
 
+  // ---- conversionLag --------------------------------------------------
+
+  test("conversionLag: first-from to first-to-at-or-after, same instant " +
+      "counts, pre-from purchases gated out, missing stage drops; " +
+      "partition independence") {
+    val rows = Seq(
+      // user 1: purchase BEFORE first view gated out; next one matches
+      (1L, 5L, "purchase"), (1L, 10L, "view"), (1L, 40L, "purchase"),
+      (1L, 50L, "purchase"),
+      // user 2: same-instant conversion counts (lag 0)
+      (2L, 7L, "view"), (2L, 7L, "purchase"),
+      // user 3: view only — drops; user 4: purchase only — drops
+      (3L, 1L, "view"), (4L, 2L, "purchase"))
+    val df = rows.toDF("user_id", "us", "event_type")
+      .select($"user_id", timestamp_micros($"us").as("ts"), $"event_type")
+    def run(parts: Int) =
+      graft.operators.Analytics.conversionLag(df.repartition(parts),
+        "user_id", "ts", "event_type", "view", "purchase")
+        .select($"user_id", unix_micros($"from_ts"), unix_micros($"to_ts"),
+          $"lag_us")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    val got = run(3)
+    assert(got === Seq((1L, 10L, 40L, 30L), (2L, 7L, 7L, 0L)))
+    assert(run(1) === got && run(7) === got)
+  }
+
+  // ---- benfordProfile -------------------------------------------------
+
+  test("benfordProfile: hand-exact shares and deviations, absent digits " +
+      "read zero, non-positive and null values drop; partition " +
+      "independence") {
+    // 4× leading-1 (1, 19, 123, 1000), 1× leading-9 (900); zero,
+    // negative and null drop
+    val vals: Seq[java.lang.Long] =
+      Seq(1L, 19L, 123L, 1000L, 900L, 0L, -5L, null)
+    val df = vals.toDF("v")
+    def run(parts: Int) =
+      graft.operators.Analytics.benfordProfile(df.repartition(parts), "v")
+        .as[(Int, Long, Option[Double], Double, Option[Double])]
+        .collect().toSeq
+    val got = run(3)
+    assert(got.size === 9)
+    val m = got.map(r => r._1 -> r).toMap
+    assert(m(1) === ((1, 4L, Some(0.8), 0.301030, Some(0.498970))))
+    assert(m(9) === ((9, 1L, Some(0.2), 0.045757, Some(0.154243))))
+    assert(m(2) === ((2, 0L, Some(0.0), 0.176091, Some(0.176091))))
+    assert(run(1) === got && run(6) === got)
+  }
+
   // ---- dowProfile -----------------------------------------------------
 
   test("dowProfile: exact uniform week reads chi2 0.0; planted skew is " +

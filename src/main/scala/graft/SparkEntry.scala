@@ -4203,7 +4203,7 @@ object SparkEntry {
         |  SELECT event_type AS k, ts, event_id,
         |    CAST(CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6))
         |      * 1000000 AS BIGINT) AS v6
-        |  FROM events WHERE value IS NOT NULL),
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
         |w AS (
         |  SELECT k, ts, v6,
         |    CAST(row_number() OVER
@@ -4237,7 +4237,7 @@ object SparkEntry {
     "q157_cohort_matrix" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS p
-        |  FROM events WHERE user_id IS NOT NULL),
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         |c AS (SELECT user_id, min(p) AS c0 FROM a GROUP BY user_id),
         |n AS (
         |  SELECT c.c0 AS cohort_period, a.p - c.c0 AS age,
@@ -4260,7 +4260,7 @@ object SparkEntry {
       """WITH d AS (
         |  SELECT event_type AS k,
         |    ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow
-        |  FROM events WHERE event_type IS NOT NULL),
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
         |pd AS (
         |  SELECT k, dow, CAST(count(*) AS BIGINT) AS nd
         |  FROM d GROUP BY k, dow),

@@ -1114,7 +1114,7 @@ object Analytics {
     val wOrd = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col(seqCol))
     val wAll = Window.partitionBy(col(keyCol))
-    val base = df.filter(col(valueCol).isNotNull)
+    val base = df.filter(col(valueCol).isNotNull && col(tsCol).isNotNull)
       .withColumn("__v", lift6(col(valueCol).cast("double")))
       .withColumn("__t", row_number().over(wOrd).cast("long"))
       .withColumn("__st", sum(col("__v")).over(wOrd))
@@ -1165,7 +1165,7 @@ object Analytics {
     require(periodUs > 0, s"periodUs must be positive: $periodUs")
     val up = df.select(col(userCol).as("__u"),
         expr(s"unix_micros(`$tsCol`) DIV ${periodUs}L").as("__p"))
-      .filter(col("__u").isNotNull)
+      .filter(col("__u").isNotNull && col("__p").isNotNull)
       .distinct()
     val cohort = up.groupBy(col("__u")).agg(min(col("__p")).as("__c"))
     val counts = up.join(cohort, Seq("__u"))
@@ -1265,7 +1265,7 @@ object Analytics {
     * Output: (key, n_total, chi2_dow, peak_dow, peak_share). */
   def dowProfile(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
     val dec = DecimalType(38, 0)
-    val perDow = df.filter(col(keyCol).isNotNull)
+    val perDow = df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .groupBy(col(keyCol),
         pmod(expr(s"unix_micros(`$tsCol`) DIV 86400000000L") + lit(3L),
           lit(7L)).as("__dow"))

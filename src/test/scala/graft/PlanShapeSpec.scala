@@ -175,4 +175,30 @@ class PlanShapeSpec extends SparkSpec {
           plan.split("\n").filter(_.contains("Window")).mkString("\n"))
     }
   }
+
+  test("changePoint windows are fixed frames on ONE key exchange; " +
+      "conversionLag plans with no window at all") {
+    // q156's windows (ordered prefix sum + full-partition totals) must
+    // all be PARTITIONED BY the key (never a global "No Partition
+    // Defined" window), and the whole plan re-shuffles only on that
+    // key: one exchange for the shared window stage, one each for the
+    // argmax aggregate and its merge rejoin — all hashpartitioning on
+    // event_type, nothing else
+    val cp = physical(SparkEntry.queries("q156_change_point")(spark, sf))
+    val windows = cp.split("\n").filter(_.contains("Window"))
+      .filterNot(_.contains("WindowGroupLimit"))
+    assert(windows.nonEmpty && windows.forall(_.contains("event_type")),
+      s"q156 window not partitioned by the key:\n${windows.mkString("\n")}")
+    val hashEx = cp.split("\n")
+      .filter(_.contains("Exchange hashpartitioning"))
+    assert(hashEx.forall(_.contains("event_type")),
+      s"q156 shuffles on something other than the key:\n" +
+        hashEx.mkString("\n"))
+    // funnel latency is aggregates + joins only — a per-user window
+    // over the event stream would be the hot-user straggler shape
+    val cl = physical(SparkEntry.queries("q160_conversion_lag")(spark, sf))
+    assert(!cl.contains("Window"), s"q160 grew a window:\n$cl")
+    assert(cl.contains("partial_min") || cl.contains("partial_"),
+      s"q160 lost map-side combine:\n$cl")
+  }
 }

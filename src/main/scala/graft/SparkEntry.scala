@@ -4259,7 +4259,7 @@ object SparkEntry {
     "q158_dow_profile" ->
       """WITH d AS (
         |  SELECT event_type AS k,
-        |    ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow
+        |    (((((epoch_us(ts) // 86400000000) + 3) % 7) + 7) % 7) AS dow
         |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
         |pd AS (
         |  SELECT k, dow, CAST(count(*) AS BIGINT) AS nd
@@ -4288,7 +4288,7 @@ object SparkEntry {
         |  FROM embeddings, generate_series(1, 64) t(i)
         |  WHERE label IS NOT NULL),
         |s AS (
-        |  SELECT label, i, sum(v) AS sv, CAST(count(*) AS BIGINT) AS n
+        |  SELECT label, i, sum(v) AS sv, CAST(count(v) AS BIGINT) AS n
         |  FROM e GROUP BY label, i),
         |l AS (
         |  SELECT label, i, n,
@@ -4338,7 +4338,8 @@ object SparkEntry {
         |      AS VARCHAR), 1, 1) AS INT) AS digit,
         |    CAST(count(*) AS BIGINT) AS n
         |  FROM lineitem
-        |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice * 100 > 0
+        |  WHERE l_extendedprice IS NOT NULL
+        |    AND CAST(l_extendedprice * 100 AS BIGINT) >= 1
         |  GROUP BY 1),
         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cts),
         |dg AS (

@@ -1217,13 +1217,17 @@ object Analytics {
     * libm call exists anywhere in the comparison. All nine digits are
     * always present in the output (absent digits read n=0). Returns
     * (digit 1-9, n_values, share, benford, abs_dev) — share and
-    * abs_dev 6-dp, NULL share on an empty input. */
+    * abs_dev 6-dp, NULL share on an empty input. The positive-integer
+    * contract is ENFORCED: the filter is on the value's LONG cast
+    * (≥ 1), so a fractional input in (0,1) — which would cast to
+    * digit 0, invisible in the nine rows yet counted in the share
+    * denominator — is dropped rather than silently under-summing. */
   def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
     val benford = Seq(0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
       0.066947, 0.057992, 0.051153, 0.045757)
     val spark = df.sparkSession
     val counts = df
-      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .filter(col(valueCol).isNotNull && col(valueCol).cast("long") >= 1)
       .select(substring(col(valueCol).cast("long").cast("string"), 1, 1)
         .cast("int").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("__n"))

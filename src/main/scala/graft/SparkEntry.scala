@@ -1616,6 +1616,19 @@ object SparkEntry {
           col("hamming"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // from-spec FLAC decode (sources/Flac.scala, RFC 9639: fixed/LPC
+    // prediction + Rice-coded residuals, CRC-verified) feeding the
+    // q130 65-bucket envelope fingerprint; FLAC is lossless integer
+    // arithmetic so the decode is sample-EXACT — differential oracle
+    // via tools/flac_replica.py, an INDEPENDENT Python decoder over
+    // the same checked-in bytes.
+    "q162_flac_fingerprint" -> ((s, d) =>
+      Multimodal.audioHashes(s,
+        Multimodal.readBinaryDir(s, flacDir, "*.flac"))
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+          col("afp"))
+        .orderBy(col("file"))),
+
     // temperature-α domain resampling (α=0.5 over the skewed lang
     // strata, budget 1000 docs on a 500-doc corpus): rare domains
     // upsample via integral copies, the regime q82's keep-rate ≤ 1
@@ -2233,6 +2246,13 @@ object SparkEntry {
     * tools/gen_audio_fixtures.py` then `python3 tools/gen_expected.py
     * /root/testdata/sf0.01 src/test/resources/graft/expected q130 q131`. */
   private val audioDir = "/root/repo/src/test/resources/graft/audio"
+
+  /** Checked-in deterministic FLAC fixtures (q162; WAV twins with
+    * identical samples for the spec round-trip) — regenerate via
+    * `python3 tools/gen_flac_fixtures.py` then `python3
+    * tools/gen_expected.py /root/testdata/sf0.01
+    * src/test/resources/graft/expected q162`. */
+  private val flacDir = "/root/repo/src/test/resources/graft/flac"
 
   private def expectedSql(q: String, cols: String, order: String): String =
     s"SELECT $cols FROM read_parquet(" +
@@ -3938,6 +3958,8 @@ object SparkEntry {
       expectedSql("q130", "file, afp", "file"),
     "q131_audio_neardups" ->
       expectedSql("q131", "id_a, id_b, hamming", "id_a, id_b"),
+    "q162_flac_fingerprint" ->
+      expectedSql("q162", "file, afp", "file"),
     "q135_mmr_rerank" ->
       expectedSql("q135", "rank, vec_id, rel, score_nano", "rank"),
 

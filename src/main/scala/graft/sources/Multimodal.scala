@@ -51,7 +51,7 @@ object Multimodal {
     val m = typedlit(Map(
       "jpg" -> "image/jpeg", "jpeg" -> "image/jpeg", "png" -> "image/png",
       "gif" -> "image/gif", "mp3" -> "audio/mpeg", "wav" -> "audio/wav",
-      "mp4" -> "video/mp4", "txt" -> "text/plain"))
+      "flac" -> "audio/flac", "mp4" -> "video/mp4", "txt" -> "text/plain"))
     coalesce(element_at(m, ext), lit("application/octet-stream"))
   }
 
@@ -69,6 +69,7 @@ object Multimodal {
     else if (ascii(0, "GIF8")) Some("image/gif")
     else if (ascii(0, "ID3") || (at(0) == 0xff && (at(1) & 0xe0) == 0xe0)) Some("audio/mpeg")
     else if (ascii(0, "RIFF") && ascii(8, "WAVE")) Some("audio/wav")
+    else if (ascii(0, "fLaC")) Some("audio/flac")
     else if (ascii(4, "ftyp")) Some("video/mp4")
     else if (ascii(0, "%PDF")) Some("application/pdf")
     else if (ascii(0, "PK")) Some("application/zip")
@@ -277,9 +278,8 @@ object Multimodal {
     * `None` on undecodable bytes (mp3/mp4 need codecs this container
     * lacks) → caller falls back to the stub. */
   private[graft] def audioFeatures(content: Array[Byte], buckets: Int = 16): Option[Array[Float]] =
-    jdkPcm(content).orElse(imaAdpcmPcm(content)).flatMap {
-      case (bytes, ch) => rmsEnvelope(bytes, ch, buckets)
-    }
+    jdkPcm(content).orElse(imaAdpcmPcm(content)).orElse(Flac.pcm16(content))
+      .flatMap { case (bytes, ch) => rmsEnvelope(bytes, ch, buckets) }
 
   /** PCM via the JDK (`javax.sound.sampled`): covers PCM WAVs and —
     * through the JDK's bundled G.711 `FormatConversionProvider`s —

@@ -640,7 +640,7 @@ def gen_q128(fx):
 AUDIO_DIR = "/root/repo/src/test/resources/graft/audio"
 
 
-def _afp_of_wav(path):
+def _afp_of_samples(samples):
     """Replicate Multimodal.rmsEnvelope(buckets=65) + dHashBits(65,1)
     exactly: mono double per frame (ch=1 -> the sample value), bucket
     f*65//n, sum-of-squares in frame order, float32 of
@@ -648,8 +648,6 @@ def _afp_of_wav(path):
     runtimes), strict > deltas, signed-64 wrap."""
     import math as m
     import numpy as np
-    from gen_audio_fixtures import read_wav
-    samples = read_wav(path)
     n = len(samples)
     buckets = 65
     sum_sq = [0.0] * buckets
@@ -668,6 +666,29 @@ def _afp_of_wav(path):
     if bits >= 1 << 63:
         bits -= 1 << 64
     return bits
+
+
+def _afp_of_wav(path):
+    from gen_audio_fixtures import read_wav
+    return _afp_of_samples(read_wav(path))
+
+
+FLAC_DIR = "/root/repo/src/test/resources/graft/flac"
+
+
+def _afp_of_flac(path):
+    """q162: the INDEPENDENT from-spec Python FLAC decoder
+    (tools/flac_replica.py — no code shared with the fixture encoder
+    or the Scala decoder) followed by the exact q130 envelope fold."""
+    from flac_replica import decode_flac
+    return _afp_of_samples(decode_flac(open(path, "rb").read()))
+
+
+def gen_q162(fx):
+    return ("file VARCHAR, afp BIGINT",
+            [(fn, _afp_of_flac(os.path.join(FLAC_DIR, fn)))
+             for fn in sorted(os.listdir(FLAC_DIR))
+             if fn.endswith(".flac")])
 
 
 def _audio_hashes():
@@ -929,6 +950,7 @@ GENERATORS = {
     "q93": gen_q93, "q95": gen_q95, "q96": gen_q96, "q97": gen_q97,
     "q128": gen_q128, "q129": gen_q129,
     "q130": gen_q130, "q131": gen_q131, "q135": gen_q135,
+    "q162": gen_q162,
 }
 
 

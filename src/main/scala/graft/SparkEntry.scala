@@ -210,6 +210,19 @@ object SparkEntry {
       () => m
     })()
 
+  /** Per-(JVM, dataset) OPQ model (q163): covariance-eigen allocation
+    * rotation + one Procrustes alternation, codebooks on rotated
+    * vectors. */
+  private val opqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, () => Pq.OpqModel]()
+  private def opqModel(e: org.apache.spark.sql.DataFrame,
+      d: String): Pq.OpqModel =
+    opqCache.computeIfAbsent("opq:" + d, _ => {
+      lazy val m = Pq.trainOpq(e, "vec_id", "embedding", 64, m = 8, k = 16,
+        maxIter = 5, opqIters = 1)
+      () => m
+    })()
+
   /** q79's persisted production store: the north-star pipeline's ingest
     * half, built once per (JVM, dataset). Incoming batch (doc_id%5==0)
     * is near-dup-deduped against the persisted signature store of the
@@ -2130,6 +2143,26 @@ object SparkEntry {
         k = 20, mCand = 50)
     }),
 
+    // OPQ store (Ge et al. CVPR 2013: a trained orthonormal rotation
+    // before the subspace split — covariance-eigen allocation init +
+    // one Procrustes alternation): balanced per-subspace variance buys
+    // recall at IDENTICAL probe cost vs q81's raw PQ. Differential
+    // oracle per the q81 pattern: tools/replica.py replays the ENTIRE
+    // train bit-for-bit (exact 1e6-lifted moments, fixed-sweep Jacobi,
+    // exact-BigDecimal/Fraction eigenvalue allocation, Procrustes
+    // polar, joint k-means) plus the rotated-space probe.
+    "q163_opq_store" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val model = opqModel(e, d)
+      val path = cachedStorePath("opqstore:" + d) { pth =>
+        Pq.writeStoreOpq(e, "vec_id", "embedding", pth, model)
+      }
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      Pq.topKOpq(s, path, e, "vec_id", "embedding", probe, model,
+        k = 20, mCand = 50)
+    }),
+
     // real BPE token counting (checked-in merge table trained offline
     // by tools/train_bpe.py) + greedy 64-token chunk boundaries — the
     // faithful replacement for the bpeTokenEstimate heuristic. Oracle =
@@ -3960,6 +3993,8 @@ object SparkEntry {
       expectedSql("q131", "id_a, id_b, hamming", "id_a, id_b"),
     "q162_flac_fingerprint" ->
       expectedSql("q162", "file, afp", "file"),
+    "q163_opq_store" ->
+      expectedSql("q163", "vec_id, sim", "vec_id"),
     "q135_mmr_rerank" ->
       expectedSql("q135", "rank, vec_id, rel, score_nano", "rank"),
 

@@ -712,6 +712,91 @@ case class CharShingles(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Dense matrix-vector product y = R·x against a FIXED row-major
+  * matrix carried as ONE reference object — the [[NearestCentroid]]
+  * posture (no per-cell plan literals, matrix serialized once with the
+  * task binary, generated code independent of matrix size). Each
+  * output component is a sequential double fold in input-index order
+  * (the determinism contract every replica relies on). Mismatched
+  * input length yields NULL. First caller: the OPQ rotation
+  * (`Pq.trainOpq` / `Pq.rotateExpr`). */
+case class MatVec(child: Expression, matrix: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "mat_vec"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val vec = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      vec(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Double](matrix.length)
+    var r = 0
+    while (r < matrix.length) {
+      val row = matrix(r)
+      if (row.length != n) return null
+      var acc = 0.0
+      i = 0
+      while (i < n) { acc += row(i) * vec(i); i += 1 }
+      out(r) = acc
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("matrix", matrix, "double[][]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val vec = ctx.freshName("vec")
+      val out = ctx.freshName("out")
+      val r = ctx.freshName("r")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val row = ctx.freshName("row")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $n = $a.numElements();
+         |double[] $vec = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $vec[$i] = (double) $a.$get($i);
+         |}
+         |double[] $out = new double[$mat.length];
+         |boolean $bad = false;
+         |for (int $r = 0; $r < $mat.length && !$bad; $r++) {
+         |  double[] $row = $mat[$r];
+         |  if ($row.length != $n) { $bad = true; break; }
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $row[$i] * $vec[$i];
+         |  }
+         |  $out[$r] = $acc;
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   private def expr(c: Column): Expression = GraftShims.expression(c)
 
@@ -751,6 +836,9 @@ object VectorExpressions {
 
   def nearestCentroid(vec: Column, centroids: Seq[Array[Double]]): Column =
     GraftShims.column(NearestCentroid(expr(vec), centroids.toArray))
+
+  def matVec(vec: Column, matrix: Array[Array[Double]]): Column =
+    GraftShims.column(MatVec(expr(vec), matrix))
 
   def int8Cosine(codes: Column, vmin: Column, scale: Column,
       probe: Seq[Double]): Column =

@@ -266,4 +266,416 @@ object Pq {
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
+
+  // --- OPQ: optimized product quantization (Ge et al., CVPR 2013) ----
+
+  /** Trained OPQ model: an orthonormal `rotation` (row-major dim×dim)
+    * applied before the subspace split, plus the PQ codebooks trained
+    * on the ROTATED vectors. */
+  final case class OpqModel(rotation: Array[Array[Double]], pq: Model)
+
+  /** In-plan rotation y = R·x — the [[graft.expressions.MatVec]]
+    * kernel (single reference object, codegen'd, sequential fold per
+    * output component). */
+  def rotateExpr(vecCol: Column, rotation: Array[Array[Double]]): Column =
+    graft.expressions.VectorExpressions.matVec(vecCol, rotation)
+
+  /** Driver-side rotation of a probe vector — ARITHMETIC-IDENTICAL to
+    * [[rotateExpr]] (same sequential fold), so probe-side and
+    * store-side values live in the same rotated space bit-for-bit. */
+  def rotateVec(rotation: Array[Array[Double]], v: Seq[Double]): Seq[Double] =
+    rotation.toIndexedSeq.map { row =>
+      var acc = 0.0
+      var i = 0
+      while (i < row.length) { acc += row(i) * v(i); i += 1 }
+      acc
+    }
+
+  /** Exact 1e6-lifted first/second moments of the vector column:
+    * (Σ x6 x6ᵀ row-major, Σ x6, n) with per-partition `addExact` long
+    * partials merged on the driver — partition-count independent by
+    * exactness (the CentroidScaledAggregator discipline applied to a
+    * matrix), ANSI-faithful on overflow. One single-stage job. */
+  private[graft] def liftedMoments(df: DataFrame, vecCol: String,
+      dim: Int): (Array[Long], Array[Long], Long) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = df.select(col(vecCol).cast("array<double>")).as[Seq[Double]]
+      .mapPartitions { it =>
+        val sxx = new Array[Long](dim * dim)
+        val sx = new Array[Long](dim)
+        var n = 0L
+        it.foreach { v =>
+          require(v.length == dim, s"vector length ${v.length} != dim $dim")
+          val x6 = new Array[Long](dim)
+          var i = 0
+          while (i < dim) { x6(i) = Math.round(v(i) * 1e6); i += 1 }
+          i = 0
+          while (i < dim) {
+            var j = 0
+            val base = i * dim
+            while (j < dim) {
+              sxx(base + j) = Math.addExact(sxx(base + j), x6(i) * x6(j))
+              j += 1
+            }
+            sx(i) = Math.addExact(sx(i), x6(i))
+            i += 1
+          }
+          n += 1
+        }
+        Iterator.single((sxx, sx, n))
+      }.collect()
+    val sxx = new Array[Long](dim * dim)
+    val sx = new Array[Long](dim)
+    var n = 0L
+    parts.foreach { case (pxx, px, pn) =>
+      var i = 0
+      while (i < dim * dim) { sxx(i) = Math.addExact(sxx(i), pxx(i)); i += 1 }
+      i = 0
+      while (i < dim) { sx(i) = Math.addExact(sx(i), px(i)); i += 1 }
+      n += pn
+    }
+    (sxx, sx, n)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix — FIXED
+    * `sweeps` full sweeps, no early exit, no thresholds: the operation
+    * sequence depends only on the input values, so the Python replica
+    * (tools/replica.py `jacobi_eigen`) reproduces it bit-for-bit
+    * (IEEE doubles, correctly-rounded sqrt, identical op order).
+    * Returns (eigenvalues = final diagonal, V with `V(i)(j)` =
+    * component i of eigenvector j). 12 sweeps drive a 64×64
+    * off-diagonal below any double's resolution. */
+  private[graft] def jacobiEigen(mIn: Array[Array[Double]],
+      sweeps: Int = 12): (Array[Double], Array[Array[Double]]) = {
+    val n = mIn.length
+    val a = Array.tabulate(n, n)((i, j) => mIn(i)(j))
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    while (sweep < sweeps) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (apq != 0.0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0.0) 1.0 / (theta + math.sqrt(1.0 + theta * theta))
+              else 1.0 / (theta - math.sqrt(1.0 + theta * theta))
+            val c = 1.0 / math.sqrt(1.0 + t * t)
+            val s = t * c
+            var k = 0
+            while (k < n) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /** The OPQ eigenvalue-allocation rotation (Ge et al. §4, the
+    * parametric init): eigenvectors of the covariance, assigned in
+    * descending-eigenvalue order to the m subspace buckets, each
+    * assignment going to the non-full bucket with the smallest exact
+    * eigenvalue PRODUCT (balanced per-subspace variance — the property
+    * PQ needs for equal-bit subspaces). Products compare in EXACT
+    * BigDecimal arithmetic (a double is an exact rational; comparing
+    * via floating log-sums could flip an allocation between engines),
+    * negative (numerically) eigenvalues clamp to zero, ties break to
+    * the lowest bucket. Row r = j·dsub+slot of the rotation is the
+    * eigenvector in bucket j, slot order = assignment order. */
+  private[graft] def allocationRotation(eigVals: Array[Double],
+      eigVecs: Array[Array[Double]], dim: Int, m: Int): Array[Array[Double]] = {
+    val dsub = dim / m
+    val order = eigVals.indices.sortBy(j => (-eigVals(j), j))
+    val prod = Array.fill(m)(java.math.BigDecimal.ONE)
+    val cnt = new Array[Int](m)
+    val rows = new Array[Array[Double]](dim)
+    order.foreach { j =>
+      val lam = math.max(eigVals(j), 0.0)
+      var best = -1
+      var b = 0
+      while (b < m) {
+        if (cnt(b) < dsub &&
+          (best < 0 || prod(b).compareTo(prod(best)) < 0)) best = b
+        b += 1
+      }
+      prod(best) = prod(best).multiply(new java.math.BigDecimal(lam))
+      rows(best * dsub + cnt(best)) =
+        Array.tabulate(dim)(i => eigVecs(i)(j))
+      cnt(best) += 1
+    }
+    rows
+  }
+
+  /** Exact 1e6-lifted cross-moment M = Σ y6 x6ᵀ between each vector's
+    * PQ RECONSTRUCTION in rotated space (y = concat of assigned
+    * centroids) and its ORIGINAL vector — the Procrustes input of the
+    * OPQ alternation. Same single-job addExact-partials discipline as
+    * [[liftedMoments]]. */
+  private[graft] def reconstructionCross(df: DataFrame, vecCol: String,
+      rotation: Array[Array[Double]], model: Model,
+      dim: Int): Array[Long] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val books = model.codebooks.map(_.toArray).toArray
+    val dsub = model.dsub
+    val parts = df.select(col(vecCol).cast("array<double>")).as[Seq[Double]]
+      .mapPartitions { it =>
+        val acc = new Array[Long](dim * dim)
+        it.foreach { v =>
+          val rx = new Array[Double](dim)
+          var r = 0
+          while (r < dim) {
+            val row = rotation(r)
+            var s = 0.0
+            var i = 0
+            while (i < dim) { s += row(i) * v(i); i += 1 }
+            rx(r) = s
+            r += 1
+          }
+          val y = new Array[Double](dim)
+          var j = 0
+          while (j < books.length) {
+            val book = books(j)
+            var best = Double.PositiveInfinity
+            var bi = 0
+            var c = 0
+            while (c < book.length) {
+              var d2 = 0.0
+              var i = 0
+              while (i < dsub) {
+                val d = rx(j * dsub + i) - book(c)(i)
+                d2 += d * d
+                i += 1
+              }
+              if (d2 < best) { best = d2; bi = c }
+              c += 1
+            }
+            System.arraycopy(book(bi), 0, y, j * dsub, dsub)
+            j += 1
+          }
+          var a = 0
+          while (a < dim) {
+            val y6 = Math.round(y(a) * 1e6)
+            var b = 0
+            val base = a * dim
+            while (b < dim) {
+              acc(base + b) = Math.addExact(acc(base + b),
+                y6 * Math.round(v(b) * 1e6))
+              b += 1
+            }
+            a += 1
+          }
+        }
+        Iterator.single(acc)
+      }.collect()
+    val out = new Array[Long](dim * dim)
+    parts.foreach { p =>
+      var i = 0
+      while (i < out.length) { out(i) = Math.addExact(out(i), p(i)); i += 1 }
+    }
+    out
+  }
+
+  /** Orthogonal Procrustes solution R = U Vᵀ from the SVD of M,
+    * computed rank-aware: [[jacobiEigen]] of MᵀM gives V and σ² = λ;
+    * U columns come from M·v/σ for eigenvalues ABOVE λmax·1e−10 only —
+    * below that, λ is double-rounding noise of the dominant scale (the
+    * reconstruction cross-moment is genuinely low-rank when codebooks
+    * barely vary in noise subspaces; a raw M(MᵀM)^(−1/2) polar factor
+    * measured 0.40 off orthogonal there), MGS-cleaned, then
+    * deterministically COMPLETED to a full orthonormal basis from
+    * standard-basis candidates in index order (any completion is
+    * Procrustes-optimal on the null space). All driver doubles over an
+    * EXACT integer M — deterministic and replica-reproducible
+    * (tools/replica.py `polar_rotation`). An all-zero M yields the
+    * identity. */
+  private[graft] def polarRotation(mLong: Array[Long],
+      dim: Int): Array[Array[Double]] = {
+    val md = Array.tabulate(dim, dim)((i, j) => mLong(i * dim + j).toDouble)
+    val mtm = Array.tabulate(dim, dim) { (i, j) =>
+      var s = 0.0
+      var k = 0
+      while (k < dim) { s += md(k)(i) * md(k)(j); k += 1 }
+      s
+    }
+    val (vals, v) = jacobiEigen(mtm)
+    var lmax = 0.0
+    vals.foreach(l => if (l > lmax) lmax = l)
+    if (lmax <= 0.0)
+      return Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    val order = vals.indices.sortBy(j => (-vals(j), j))
+    val ucols = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    val usedOrder = scala.collection.mutable.ArrayBuffer[Int]()
+    order.foreach { j =>
+      if (vals(j) > lmax * 1e-10) {
+        val sigma = math.sqrt(vals(j))
+        val u = Array.tabulate(dim) { i =>
+          var s = 0.0
+          var k = 0
+          while (k < dim) { s += md(i)(k) * v(k)(j); k += 1 }
+          s / sigma
+        }
+        ucols += u
+        usedOrder += j
+      }
+    }
+    // V columns in the SAME (used-then-unused) order as U's
+    order.foreach(j => if (!(vals(j) > lmax * 1e-10)) usedOrder += j)
+    // clean the computed columns, then complete from standard-basis
+    // candidates (index order; a candidate joins iff its residual
+    // keeps more than half its mass — deterministic, always fills)
+    val uArr = ucols.toArray
+    gramSchmidtRows(uArr)
+    val all = scala.collection.mutable.ArrayBuffer[Array[Double]](uArr: _*)
+    while (all.length < dim) {
+      // the standard-basis candidate with the LARGEST residual after
+      // projecting out the held columns (strict >, first index wins) —
+      // max residual² ≥ (dim − held)/dim > 0, so this always fills
+      var bestW: Array[Double] = null
+      var bestN2 = -1.0
+      var t = 0
+      while (t < dim) {
+        val w = Array.tabulate(dim)(i => if (i == t) 1.0 else 0.0)
+        all.foreach { u =>
+          var d = 0.0
+          var k = 0
+          while (k < dim) { d += w(k) * u(k); k += 1 }
+          k = 0
+          while (k < dim) { w(k) = w(k) - d * u(k); k += 1 }
+        }
+        var n2 = 0.0
+        var k = 0
+        while (k < dim) { n2 += w(k) * w(k); k += 1 }
+        if (n2 > bestN2) { bestN2 = n2; bestW = w }
+        t += 1
+      }
+      val inv = 1.0 / math.sqrt(bestN2)
+      var k = 0
+      while (k < dim) { bestW(k) = bestW(k) * inv; k += 1 }
+      all += bestW
+    }
+    // R = U Vᵀ: R(i)(j) = Σ_p U(i)(p) · V(j)(order_p)
+    val r = Array.tabulate(dim, dim) { (i, j) =>
+      var s = 0.0
+      var p = 0
+      while (p < dim) { s += all(p)(i) * v(j)(usedOrder(p)); p += 1 }
+      s
+    }
+    gramSchmidtRows(r)
+    r
+  }
+
+  /** Modified Gram-Schmidt over rows IN ROW ORDER — restores
+    * machine-precision orthonormality after the polar step (squaring M
+    * into MᵀM squares its condition number; Jacobi's eigenvector error
+    * leaves the raw polar factor only ~1e−5 orthogonal on
+    * ill-conditioned data). Deterministic sequential folds; a
+    * (numerically) zero row is left untouched rather than divided. */
+  private[graft] def gramSchmidtRows(r: Array[Array[Double]]): Unit = {
+    val dim = r.length
+    var i = 0
+    while (i < dim) {
+      var p = 0
+      while (p < i) {
+        var dotv = 0.0
+        var k = 0
+        while (k < dim) { dotv += r(i)(k) * r(p)(k); k += 1 }
+        k = 0
+        while (k < dim) { r(i)(k) = r(i)(k) - dotv * r(p)(k); k += 1 }
+        p += 1
+      }
+      var n2 = 0.0
+      var k = 0
+      while (k < dim) { n2 += r(i)(k) * r(i)(k); k += 1 }
+      if (n2 > 0.0) {
+        val inv = 1.0 / math.sqrt(n2)
+        k = 0
+        while (k < dim) { r(i)(k) = r(i)(k) * inv; k += 1 }
+      }
+      i += 1
+    }
+  }
+
+  /** Train an OPQ model: covariance eigendecomposition → eigenvalue-
+    * allocation rotation (the paper's parametric init — already the
+    * variance-balancing step that delivers most of the recall lift) →
+    * PQ codebooks on rotated vectors; then `opqIters` optional
+    * alternations of (Procrustes rotation update from the exact
+    * reconstruction cross-moment, codebook retrain). Every distributed
+    * reduction is an exact integer sum and every driver step is a
+    * fixed-op-order double computation, so the model is
+    * partition-count independent (spec-asserted) and differentially
+    * oracle-able (tools/replica.py replays it bit-for-bit). */
+  def trainOpq(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Int = 8, k: Int = 16, maxIter: Int = 5,
+      opqIters: Int = 0): OpqModel = {
+    val (sxx, sx, n) = liftedMoments(df, vecCol, dim)
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      (sxx(i * dim + j).toDouble -
+        sx(i).toDouble * sx(j).toDouble / n.toDouble) / n.toDouble
+    }
+    val (vals, vecs) = jacobiEigen(cov)
+    var rot = allocationRotation(vals, vecs, dim, m)
+    def trainBooks(r: Array[Array[Double]]): Model =
+      train(df.select(col(idCol), rotateExpr(col(vecCol), r).as("__rx")),
+        idCol, "__rx", dim, m, k, maxIter)
+    var model = trainBooks(rot)
+    var t = 0
+    while (t < opqIters) {
+      rot = polarRotation(reconstructionCross(df, vecCol, rot, model, dim),
+        dim)
+      model = trainBooks(rot)
+      t += 1
+    }
+    OpqModel(rot, model)
+  }
+
+  /** OPQ store: the q81 layout over ROTATED vectors (bucket and codes
+    * both computed in rotated space — probes rotate too, so pruning
+    * behavior is self-consistent). */
+  def writeStoreOpq(df: DataFrame, idCol: String, vecCol: String,
+      path: String, opq: OpqModel, nBits: Int = 4): Unit =
+    writeStore(
+      df.select(col(idCol), rotateExpr(col(vecCol), opq.rotation).as("__rx")),
+      idCol, "__rx", path, opq.pq, nBits)
+
+  /** OPQ probe: rotate the probe on the driver (identical fold), ADC
+    * against the rotated-space codes, exact rerank on the ORIGINAL
+    * vectors — rotation is invisible in the final cosines. */
+  def topKOpq(spark: SparkSession, path: String, source: DataFrame,
+      idCol: String, vecCol: String, probe: Seq[Double], opq: OpqModel,
+      k: Int, mCand: Int, nBits: Int = 4): DataFrame = {
+    val rp = rotateVec(opq.rotation, probe)
+    val probeCol = array(probe.map(lit): _*)
+    topKApprox(spark, path, idCol, rp, opq.pq, mCand, nBits)
+      .join(source.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col(idCol), VectorOps.cosine6(col(vecCol), probeCol).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -56,6 +56,47 @@ object RecallScale {
     println(f"[recall] corpus=$nCorpus nList=$nList nProbe=$nProbe k=$k  " +
       f"candFrac=${nProbe.toDouble / nList}%.3f  " +
       f"ivfJoin=$rIvf%.3f  ivfJoinTrained=$rIvfT%.3f")
+
+    // --- PQ-store recall at EQUAL probe cost: residual IVF-PQ (the
+    // q93 recipe) vs its OPQ-rotated composition (q163's trained
+    // rotation applied to the corpus, then the SAME residual
+    // machinery over rotated vectors; rerank cosine is
+    // rotation-invariant so recall sets compare directly). Same
+    // nList/nProbe/mCand on both sides. 16 probes (store probes are
+    // per-probe driver plans, 64 would quadruple the wall). ---
+    import graft.operators.Pq
+    val mCand = 50
+    val probeVecs = probes.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().map { case (i, v) => (i, v.map(_.toDouble).toSeq) }
+    val exact16 = exact.filter(_._1 < 16)
+
+    def pqRecall(src: org.apache.spark.sql.DataFrame, vecCol: String,
+        rot: Option[Array[Array[Double]]]): Double = {
+      val cents = graft.operators.Similarity.kMeans(
+        src, "vec_id", vecCol, nList, maxIter = 5).centroids
+      val model = Pq.trainResidual(src, "vec_id", vecCol, cents, 64,
+        m = 8, k = 16, maxIter = 5)
+      val path = java.nio.file.Files.createTempDirectory("graft_rs_pq").toString
+      Pq.writeStoreIvfResidual(src, "vec_id", vecCol, path, model, cents)
+      val got = probeVecs.flatMap { case (pid, pv0) =>
+        val pv = rot.map(r => Pq.rotateVec(r, pv0)).getOrElse(pv0)
+        Pq.topKIvfResidual(spark, path, src, "vec_id", vecCol, pv, model,
+            cents, k, mCand, nProbe)
+          .select(col("vec_id")).as[Long].collect().map(n => (pid, n))
+      }.toSet
+      got.intersect(exact16).size.toDouble / exact16.size
+    }
+
+    val rResid = pqRecall(corpus, "embedding", None)
+    val opq = Pq.trainOpq(corpus, "vec_id", "embedding", 64,
+      m = 8, k = 16, maxIter = 5, opqIters = 1)
+    val rotCorpus = corpus.select(col("vec_id"),
+      Pq.rotateExpr(col("embedding"), opq.rotation).as("rx"))
+      .localCheckpoint()
+    val rOpq = pqRecall(rotCorpus, "rx", Some(opq.rotation))
+    println(f"[recall-pq] nList=$nList nProbe=$nProbe mCand=$mCand k=$k  " +
+      f"residIvfPq=$rResid%.3f  opqResidIvfPq=$rOpq%.3f")
     spark.stop()
   }
 }

@@ -169,4 +169,81 @@ class PqSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq
     assert(pruned.head === ((0L, 1.0)))
   }
+
+  test("OPQ: orthonormal trained rotation; partition-independent model; " +
+    "strict quantization-error win on variance-concentrated data; " +
+    "exhaustive probe equals brute force") {
+    import graft.operators.Similarity
+    // planted correlated corpus: energy concentrated in 8 of 64 dims.
+    // An identity subspace split gives ALL the energy to subspace 0
+    // (16 codes for 8 hot dims) and wastes the other 7 books on noise;
+    // the eigenvalue-allocation rotation routes one hot eigendirection
+    // to each subspace.
+    val rnd = new java.util.Random(7)
+    val planted = (0L until 256L).map { i =>
+      i -> (0 until 64).map(j =>
+        if (j < 8) (rnd.nextDouble() * 2 - 1).toFloat
+        else ((rnd.nextDouble() * 2 - 1) * 0.01f).toFloat)
+    }.toDF("vec_id", "embedding")
+    val opq = Pq.trainOpq(planted, "vec_id", "embedding", 64,
+      m = 8, k = 16, maxIter = 5, opqIters = 1)
+    val plain = Pq.train(planted, "vec_id", "embedding", 64,
+      m = 8, k = 16, maxIter = 5)
+
+    // trained rotation is orthonormal
+    val r = opq.rotation
+    for (i <- 0 until 64; j <- i until 64) {
+      val d = (0 until 64).map(k => r(i)(k) * r(j)(k)).sum
+      // 1e-6: the Procrustes polar inherits Jacobi's precision on an
+      // ill-conditioned MᵀM (8 dominant eigenvalues vs 56 tiny ones on
+      // the planted data); determinism is exact, orthonormality is
+      // numerical
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-6,
+        s"rotation not orthonormal at ($i,$j): $d")
+    }
+
+    // partition independence: exact integer reductions + driver math
+    // mean the model is bit-identical at any layout
+    val opq3 = Pq.trainOpq(planted.repartition(3), "vec_id", "embedding",
+      64, m = 8, k = 16, maxIter = 5, opqIters = 1)
+    assert(opq3.rotation.map(_.toSeq).toSeq === r.map(_.toSeq).toSeq)
+    assert(opq3.pq.codebooks.map(_.map(_.toSeq)) ===
+      opq.pq.codebooks.map(_.map(_.toSeq)))
+
+    // total squared quantization error (rotation preserves norms, so
+    // rotated-space and original-space errors are directly comparable)
+    val vecs = planted.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+      .map { case (_, v) => v.map(_.toDouble).toArray }
+    def reconErr(rot: Option[Array[Array[Double]]], m: Pq.Model): Double =
+      vecs.map { v0 =>
+        val v = rot.map(rr => Pq.rotateVec(rr, v0.toSeq).toArray).getOrElse(v0)
+        (0 until m.m).map { j =>
+          val sub = v.slice(j * m.dsub, (j + 1) * m.dsub)
+          m.codebooks(j).map(c =>
+            sub.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum).min
+        }.sum
+      }.sum
+    val opqErr = reconErr(Some(r), opq.pq)
+    val pqErr = reconErr(None, plain)
+    assert(opqErr < pqErr * 0.5,
+      s"OPQ error $opqErr not well below plain PQ $pqErr on correlated data")
+
+    // exhaustive probe == brute force on the fixture corpus (the q81
+    // invariant, unchanged by the rotation)
+    val fixOpq = Pq.trainOpq(src, "vec_id", "embedding", 64,
+      m = 8, k = 16, maxIter = 5, opqIters = 1)
+    val path = Files.createTempDirectory("graft_opq").toString
+    // nBits = 0 on BOTH sides: one bucket → full scan, so with
+    // mCand = corpus the only would-be approximations are disabled
+    Pq.writeStoreOpq(src, "vec_id", "embedding", path, fixOpq, nBits = 0)
+    val probe = src.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).map(_.toDouble).toSeq
+    val exact = Similarity.topKCosine(src, "embedding", probe, 10, "vec_id")
+      .as[(Long, Double)].collect().toSeq
+    val got = Pq.topKOpq(spark, path, src, "vec_id", "embedding", probe,
+        fixOpq, k = 10, mCand = src.count().toInt, nBits = 0)
+      .as[(Long, Double)].collect().toSeq
+    assert(got === exact)
+  }
 }

@@ -28,8 +28,8 @@ from replica import (  # noqa: E402
     assign, brp_unit_vectors, cosine6, dot, fingerprint, hash_embed,
     hllpp_count, hyperplane_bits, hyperplane_bucket, int8_cosine,
     int8_encode, kmeans, l2_dist_sq, lr_train, minhash_sig, norm2,
-    pq_adc_dist, pq_adc_tables, pq_encode, pq_train, r6, sigmoid6,
-    simhash_bits, spark_round, word_shingles, words)
+    mat_vec, opq_train, pq_adc_dist, pq_adc_tables, pq_encode, pq_train,
+    r6, sigmoid6, simhash_bits, spark_round, word_shingles, words)
 
 QUESTION = "query filter join aggregate window shuffle"
 
@@ -111,6 +111,10 @@ class Fixtures:
 
     def pq_model(self):
         return self.cached("pq", lambda: pq_train(self.embs, 64, 8, 16, 5))
+
+    def opq_model(self):
+        return self.cached(
+            "opq", lambda: opq_train(self.embs, 64, 8, 16, 5, 1))
 
     def pq_resid_model(self):
         def build():
@@ -529,6 +533,26 @@ def gen_q81(fx):
     probe = dict(fx.embs)[0]
     rows = _pq_probe(fx, fx.pq_model(), probe)
     return ("vec_id BIGINT, sim DOUBLE", rows)
+
+
+def gen_q163(fx):
+    """OPQ store probe: everything lives in ROTATED space except the
+    final exact rerank (original vectors, original probe)."""
+    probe = dict(fx.embs)[0]
+    rot, model = fx.opq_model()
+    rp = mat_vec(rot, probe)
+    bs = set(probe_buckets(rp))
+    tables = pq_adc_tables(rp, model)
+    scored = []
+    for i, v in fx.embs:
+        rv = mat_vec(rot, v)
+        if hyperplane_bucket(rv, 4) in bs:
+            scored.append((pq_adc_dist(pq_encode(rv, model), tables), i))
+    top_m = sorted(scored, key=lambda t: (t[0], t[1]))[:50]
+    vecs = dict(fx.embs)
+    rer = sorted(((cosine6(vecs[i], probe), i) for _, i in top_m),
+                 key=lambda t: (-t[0], t[1]))[:20]
+    return ("vec_id BIGINT, sim DOUBLE", [(i, s) for s, i in rer])
 
 
 def _probe_cells(probe, cents, n_probe):
@@ -950,7 +974,7 @@ GENERATORS = {
     "q93": gen_q93, "q95": gen_q95, "q96": gen_q96, "q97": gen_q97,
     "q128": gen_q128, "q129": gen_q129,
     "q130": gen_q130, "q131": gen_q131, "q135": gen_q135,
-    "q162": gen_q162,
+    "q162": gen_q162, "q163": gen_q163,
 }
 
 

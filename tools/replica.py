@@ -573,3 +573,236 @@ def sum_sq_seq(xs):
     for x in xs:
         acc += x * x
     return acc
+
+
+# --- OPQ (Pq.trainOpq) — bit-for-bit replay of the Scala trainer -----
+
+
+def mat_vec(rotation, v):
+    """Sequential fold per output row — identical op order to the
+    MatVec kernel / Pq.rotateVec."""
+    out = []
+    for row in rotation:
+        acc = 0.0
+        for i in range(len(row)):
+            acc += row[i] * v[i]
+        out.append(acc)
+    return out
+
+
+def lifted_moments(items, dim):
+    """(sxx row-major, sx, n) over java_round(x*1e6) lifts — Python
+    ints are exact, matching the addExact long partials."""
+    sxx = [0] * (dim * dim)
+    sx = [0] * dim
+    n = 0
+    for _, v in items:
+        x6 = [java_round(x * 1e6) for x in v]
+        for i in range(dim):
+            base = i * dim
+            xi = x6[i]
+            for j in range(dim):
+                sxx[base + j] += xi * x6[j]
+            sx[i] += xi
+        n += 1
+    return sxx, sx, n
+
+
+def jacobi_eigen(m_in, sweeps=12):
+    """Cyclic Jacobi, FIXED sweeps, no early exit — transliterated from
+    Pq.jacobiEigen op for op (IEEE doubles, correctly-rounded sqrt)."""
+    n = len(m_in)
+    a = [list(row) for row in m_in]
+    v = [[1.0 if i == j else 0.0 for j in range(n)] for i in range(n)]
+    for _ in range(sweeps):
+        for p in range(n - 1):
+            for q in range(p + 1, n):
+                apq = a[p][q]
+                if apq != 0.0:
+                    theta = (a[q][q] - a[p][p]) / (2.0 * apq)
+                    if theta >= 0.0:
+                        t = 1.0 / (theta + math.sqrt(1.0 + theta * theta))
+                    else:
+                        t = 1.0 / (theta - math.sqrt(1.0 + theta * theta))
+                    c = 1.0 / math.sqrt(1.0 + t * t)
+                    s = t * c
+                    for k in range(n):
+                        akp = a[k][p]
+                        akq = a[k][q]
+                        a[k][p] = c * akp - s * akq
+                        a[k][q] = s * akp + c * akq
+                    for k in range(n):
+                        apk = a[p][k]
+                        aqk = a[q][k]
+                        a[p][k] = c * apk - s * aqk
+                        a[q][k] = s * apk + c * aqk
+                    for k in range(n):
+                        vkp = v[k][p]
+                        vkq = v[k][q]
+                        v[k][p] = c * vkp - s * vkq
+                        v[k][q] = s * vkp + c * vkq
+    return [a[i][i] for i in range(n)], v
+
+
+def allocation_rotation(vals, vecs, dim, m):
+    """Ge et al. eigenvalue allocation: descending-eigenvalue order,
+    each eigenvector to the non-full bucket with the smallest EXACT
+    product (fractions.Fraction == the Scala BigDecimal compare);
+    negative eigenvalues clamp to 0, ties to the lowest bucket."""
+    from fractions import Fraction
+    dsub = dim // m
+    order = sorted(range(dim), key=lambda j: (-vals[j], j))
+    prod = [Fraction(1)] * m
+    cnt = [0] * m
+    rows = [None] * dim
+    for j in order:
+        lam = vals[j] if vals[j] > 0.0 else 0.0
+        best = -1
+        for b in range(m):
+            if cnt[b] < dsub and (best < 0 or prod[b] < prod[best]):
+                best = b
+        prod[best] = prod[best] * Fraction(lam)
+        rows[best * dsub + cnt[best]] = [vecs[i][j] for i in range(dim)]
+        cnt[best] += 1
+    return rows
+
+
+def reconstruction_cross(items, rotation, model, dim):
+    """Exact 1e6-lifted M = sum y6 x6^T, y = PQ reconstruction of the
+    rotated vector (argmin per subspace, first-match ties)."""
+    dsub = model["dsub"]
+    acc = [0] * (dim * dim)
+    for _, v in items:
+        rx = mat_vec(rotation, v)
+        y = []
+        for j, book in enumerate(model["books"]):
+            best = None
+            bi = 0
+            for ci, cent in enumerate(book):
+                d2 = 0.0
+                for i in range(dsub):
+                    d = rx[j * dsub + i] - cent[i]
+                    d2 += d * d
+                if best is None or d2 < best:
+                    best = d2
+                    bi = ci
+            y.extend(book[bi])
+        x6 = [java_round(x * 1e6) for x in v]
+        for a_ in range(dim):
+            y6 = java_round(y[a_] * 1e6)
+            base = a_ * dim
+            for b_ in range(dim):
+                acc[base + b_] += y6 * x6[b_]
+    return acc
+
+
+def polar_rotation(mlong, dim):
+    """R = M (M^T M)^(-1/2) via jacobi_eigen — Pq.polarRotation."""
+    md = [[float(mlong[i * dim + j]) for j in range(dim)] for i in range(dim)]
+    mtm = []
+    for i in range(dim):
+        row = []
+        for j in range(dim):
+            s = 0.0
+            for k in range(dim):
+                s += md[k][i] * md[k][j]
+            row.append(s)
+        mtm.append(row)
+    vals, v = jacobi_eigen(mtm)
+    lmax = 0.0
+    for l in vals:
+        if l > lmax:
+            lmax = l
+    if lmax <= 0.0:
+        return [[1.0 if i == j else 0.0 for j in range(dim)]
+                for i in range(dim)]
+    order = sorted(range(dim), key=lambda j: (-vals[j], j))
+    ucols = []
+    used_order = []
+    for j in order:
+        if vals[j] > lmax * 1e-10:
+            sigma = math.sqrt(vals[j])
+            u = []
+            for i in range(dim):
+                s = 0.0
+                for k in range(dim):
+                    s += md[i][k] * v[k][j]
+                u.append(s / sigma)
+            ucols.append(u)
+            used_order.append(j)
+    for j in order:
+        if not (vals[j] > lmax * 1e-10):
+            used_order.append(j)
+    gram_schmidt_rows(ucols)
+    allc = list(ucols)
+    while len(allc) < dim:
+        best_w = None
+        best_n2 = -1.0
+        for t in range(dim):
+            w = [1.0 if i == t else 0.0 for i in range(dim)]
+            for u in allc:
+                d = 0.0
+                for k in range(dim):
+                    d += w[k] * u[k]
+                for k in range(dim):
+                    w[k] = w[k] - d * u[k]
+            n2 = 0.0
+            for k in range(dim):
+                n2 += w[k] * w[k]
+            if n2 > best_n2:
+                best_n2 = n2
+                best_w = w
+        inv = 1.0 / math.sqrt(best_n2)
+        allc.append([x * inv for x in best_w])
+    out = []
+    for i in range(dim):
+        row = []
+        for j in range(dim):
+            s = 0.0
+            for p in range(dim):
+                s += allc[p][i] * v[j][used_order[p]]
+            row.append(s)
+        out.append(row)
+    gram_schmidt_rows(out)
+    return out
+
+
+def opq_train(items, dim, m, k, max_iter, opq_iters=0):
+    """Pq.trainOpq: covariance eigen -> allocation rotation -> PQ on
+    rotated vectors -> opq_iters Procrustes alternations."""
+    sxx, sx, n = lifted_moments(items, dim)
+    cov = [[(float(sxx[i * dim + j]) - float(sx[i]) * float(sx[j]) / float(n))
+            / float(n) for j in range(dim)] for i in range(dim)]
+    vals, vecs = jacobi_eigen(cov)
+    rot = allocation_rotation(vals, vecs, dim, m)
+
+    def train_books(r):
+        rotated = [(i, mat_vec(r, v)) for i, v in items]
+        return pq_train(rotated, dim, m, k, max_iter)
+
+    model = train_books(rot)
+    for _ in range(opq_iters):
+        rot = polar_rotation(
+            reconstruction_cross(items, rot, model, dim), dim)
+        model = train_books(rot)
+    return rot, model
+
+
+def gram_schmidt_rows(r):
+    """Pq.gramSchmidtRows — modified Gram-Schmidt over rows in row
+    order, in place; zero rows left untouched."""
+    dim = len(r)
+    for i in range(dim):
+        for p in range(i):
+            d = 0.0
+            for k in range(dim):
+                d += r[i][k] * r[p][k]
+            for k in range(dim):
+                r[i][k] = r[i][k] - d * r[p][k]
+        n2 = 0.0
+        for k in range(dim):
+            n2 += r[i][k] * r[i][k]
+        if n2 > 0.0:
+            inv = 1.0 / math.sqrt(n2)
+            for k in range(dim):
+                r[i][k] = r[i][k] * inv

@@ -946,6 +946,32 @@ object SparkEntry {
         .orderBy(col("rrf").desc, col("doc_id"))
     }),
 
+    // retrieval-quality audit: exact nDCG@10 + MRR of the q67 hybrid
+    // RRF ranking against the exact-cosine ground truth (q20's signal)
+    // — the measured answer-quality number for the retrieval family,
+    // the way RecallScale's recall@k is for ANN. Gains are graded by
+    // ground-truth position (rel = 11 − truth rank), gain = 2^rel−1 in
+    // BIGINT, discounts are inlined 6-dp constants (the q161
+    // discipline), nDCG/MRR each ONE IEEE division → pure-ANSI oracle.
+    "q164_retrieval_quality" -> ((s, d) => {
+      val bm = Retrieval.rankTopK(
+        Retrieval.bm25(Tables.documents(s, d), "doc_id", "text",
+          Seq("vector", "hash", "join", "stream")),
+        "doc_id", "score", 20)
+      val e = Tables.embeddings(s, d)
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("__probe"))
+      val cosScores = e.crossJoin(broadcast(probe))
+        .withColumn("sim", VectorOps.cosine6(col("embedding"), col("__probe")))
+        .select(col("vec_id").as("doc_id"), col("sim"))
+      val cosTop = Retrieval.rankTopK(cosScores, "doc_id", "sim", 20)
+      val sys = Retrieval.rankTopK(
+        Retrieval.rrfFuse(bm, cosTop, "doc_id"), "doc_id", "rrf", 10)
+      val truth = Retrieval.rankTopK(cosScores, "doc_id", "sim", 10)
+      Retrieval.rankingQuality(sys, truth, "doc_id", 10)
+        .orderBy(col("k"))
+    }),
+
     // int8 scalar quantization of the embedding store (4× compression
     // before ANN indexing at 100 TB); digested to scalars for the
     // driver comparator — scale, exact integer code checksum, first and
@@ -3123,6 +3149,96 @@ object SparkEntry {
          |FROM bmrank a FULL JOIN csrank b ON a.doc_id = b.doc_id
          |ORDER BY rrf DESC, doc_id""".stripMargin,
 
+    // q67's CTE chain + integer-exact DCG: inlined 6-dp discount
+    // constants (identical literals both engines), BIGINT gains via
+    // <<, one IEEE division each for ndcg and mrr
+    "q164_retrieval_quality" ->
+      s"""WITH base AS (
+         |  SELECT doc_id AS doc, string_split_regex(trim(text), '\\s+') AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |dl AS (SELECT doc, len(ws) AS dl FROM base),
+         |st AS (SELECT count(*) AS n,
+         |         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |       FROM dl),
+         |tf AS (
+         |  SELECT doc, term, count(*) AS tf
+         |  FROM (SELECT doc, unnest(ws) AS term FROM base)
+         |  WHERE term IN ('vector', 'hash', 'join', 'stream')
+         |  GROUP BY doc, term),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |p AS (
+         |  SELECT tf.doc,
+         |    CAST(round(
+         |      ln(CAST(1.0 AS DOUBLE)
+         |         + (CAST(st.n - dfx.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |           / (CAST(dfx.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+         |      * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+         |      / (CAST(tf.tf AS DOUBLE)
+         |         + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+         |           + CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE) / st.avgdl)),
+         |      6) AS DECIMAL(18,6)) AS s
+         |  FROM tf JOIN dfx USING (term) JOIN dl USING (doc) CROSS JOIN st),
+         |bm AS (
+         |  SELECT doc AS doc_id,
+         |    CAST(CAST(sum(s) AS DECIMAL(18,6)) AS DOUBLE) AS score
+         |  FROM p GROUP BY doc),
+         |bmtop AS (SELECT doc_id, score FROM bm
+         |          ORDER BY score DESC, doc_id LIMIT 20),
+         |bmrank AS (SELECT doc_id, CAST(row_number() OVER
+         |             (ORDER BY score DESC, doc_id) AS INT) AS rank
+         |           FROM bmtop),
+         |cs AS (
+         |  SELECT e.vec_id AS doc_id,
+         |    round(${cos("e.embedding", "pr.embedding")}, 6) AS sim
+         |  FROM embeddings e,
+         |    (SELECT embedding FROM embeddings WHERE vec_id = 0) pr),
+         |cstop AS (SELECT doc_id, sim FROM cs
+         |          ORDER BY sim DESC, doc_id LIMIT 20),
+         |csrank AS (SELECT doc_id, CAST(row_number() OVER
+         |             (ORDER BY sim DESC, doc_id) AS INT) AS rank
+         |           FROM cstop),
+         |fused AS (
+         |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         |    round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + a.rank),
+         |        CAST(0 AS DOUBLE))
+         |      + COALESCE(CAST(1.0 AS DOUBLE) / (60 + b.rank),
+         |        CAST(0 AS DOUBLE)), 6) AS rrf
+         |  FROM bmrank a FULL JOIN csrank b ON a.doc_id = b.doc_id),
+         |sysr AS (
+         |  SELECT doc_id, CAST(row_number() OVER
+         |      (ORDER BY rrf DESC, doc_id) AS INT) AS srank
+         |  FROM (SELECT doc_id, rrf FROM fused
+         |        ORDER BY rrf DESC, doc_id LIMIT 10)),
+         |tr AS (
+         |  SELECT doc_id, CAST(row_number() OVER
+         |      (ORDER BY sim DESC, doc_id) AS INT) AS trank
+         |  FROM (SELECT doc_id, sim FROM cs
+         |        ORDER BY sim DESC, doc_id LIMIT 10)),
+         |w AS (SELECT unnest(generate_series(1, 10)) AS r,
+         |        unnest(CAST([1000000, 630930, 500000, 430677, 386853,
+         |          356207, 333333, 315465, 301030, 289065] AS BIGINT[]))
+         |          AS w6),
+         |jq AS (
+         |  SELECT sysr.srank, COALESCE(11 - tr.trank, 0) AS rel
+         |  FROM sysr LEFT JOIN tr USING (doc_id)),
+         |dm AS (
+         |  SELECT
+         |    CAST(sum(((CAST(1 AS BIGINT) << rel) - 1) * w.w6) AS BIGINT)
+         |      AS dcg6,
+         |    CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_rel_ret,
+         |    min(CASE WHEN rel > 0 THEN srank END) AS fr
+         |  FROM jq JOIN w ON w.r = jq.srank),
+         |im AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_truth,
+         |    CAST(sum(((CAST(1 AS BIGINT) << (11 - trank)) - 1) * w.w6)
+         |      AS BIGINT) AS idcg6
+         |  FROM tr JOIN w ON w.r = tr.trank)
+         |SELECT 10 AS k, n_truth, n_rel_ret, dcg6, idcg6,
+         |  round(CAST(dcg6 AS DOUBLE) / CAST(idcg6 AS DOUBLE), 6) AS ndcg,
+         |  round(CAST(1.0 AS DOUBLE) / CAST(fr AS DOUBLE), 6) AS mrr
+         |FROM dm CROSS JOIN im""".stripMargin,
+
     // int8 quantization: all arithmetic forced to DOUBLE on both
     // engines; codes are exact ints so the checksum needs no rounding
     // discipline, only the scale is rounded
@@ -3994,7 +4110,7 @@ object SparkEntry {
     "q162_flac_fingerprint" ->
       expectedSql("q162", "file, afp", "file"),
     "q163_opq_store" ->
-      expectedSql("q163", "vec_id, sim", "vec_id"),
+      expectedSql("q163", "vec_id, sim", "sim DESC, vec_id"),
     "q135_mmr_rerank" ->
       expectedSql("q135", "rank, vec_id, rel, score_nano", "rank"),
 

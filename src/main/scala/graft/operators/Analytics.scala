@@ -851,22 +851,47 @@ object Analytics {
     * from both snapshots. */
   def distributionDrift(a: DataFrame, b: DataFrame, groupCol: String,
       valueCol: String, bucketWidth: Double): DataFrame = {
+    val w6 = driftW6(bucketWidth)
+    driftFromCounts(
+      driftBucketCounts(a, groupCol, valueCol, w6),
+      driftBucketCounts(b, groupCol, valueCol, w6), groupCol)
+  }
+
+  /** The 1e6-lifted bucket width of [[distributionDrift]] (6-dp round
+    * through DECIMAL — the q102 lift discipline). */
+  private[graft] def driftW6(bucketWidth: Double): Long = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
     val w6 = (BigDecimal(bucketWidth)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP) * BigDecimal(1000000))
       .toLongExact
     require(w6 > 0, s"bucketWidth under 1e-6: $bucketWidth")
+    w6
+  }
+
+  /** Per-(group, bucket) counts of one snapshot — (dd_g, dd_b, c)
+    * with the exact lift/DIV bucketing of [[distributionDrift]].
+    * Exposed separately so a STREAMING monitor can hold these counts
+    * as its bounded additive state (`Streams.driftStream`): counts of
+    * a union == sum of counts, so accumulating state and re-counting
+    * history are bit-identical. */
+  private[graft] def driftBucketCounts(df: DataFrame, groupCol: String,
+      valueCol: String, w6: Long): DataFrame = df
+    .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+    .select(col(groupCol).as("dd_g"),
+      expr(s"CAST(CAST(round($valueCol, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) DIV ${w6}L")
+        .as("dd_b"))
+    .groupBy(col("dd_g"), col("dd_b"))
+    .agg(count(lit(1)).as("c"))
+
+  /** PSI from two pre-counted (dd_g, dd_b, c) frames — the arithmetic
+    * half of [[distributionDrift]], unchanged. */
+  private[graft] def driftFromCounts(aCounts: DataFrame, bCounts: DataFrame,
+      groupCol: String): DataFrame = {
     def lift6(c: Column): Column =
       round(c, 6).cast(DecimalType(18, 6)).multiply(lit(1000000)).cast("long")
-    def counted(df: DataFrame, cn: String) = df
-      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
-      .select(col(groupCol).as("dd_g"),
-        expr(s"CAST(CAST(round($valueCol, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) DIV ${w6}L")
-          .as("dd_b"))
-      .groupBy(col("dd_g"), col("dd_b"))
-      .agg(count(lit(1)).as(cn))
-    val j = counted(a, "c_a")
-      .join(counted(b, "c_b"), Seq("dd_g", "dd_b"), "full_outer")
+    val j = aCounts.select(col("dd_g"), col("dd_b"), col("c").as("c_a"))
+      .join(bCounts.select(col("dd_g"), col("dd_b"), col("c").as("c_b")),
+        Seq("dd_g", "dd_b"), "full_outer")
       .select(col("dd_g"), col("dd_b"),
         coalesce(col("c_a"), lit(0L)).as("c_a"),
         coalesce(col("c_b"), lit(0L)).as("c_b"))

@@ -101,4 +101,55 @@ object Retrieval {
         coalesce(col("__ra"), lit(0)).as("rank_a"),
         coalesce(col("__rb"), lit(0)).as("rank_b"))
   }
+
+  /** DCG rank discounts round(1/log2(rank+1), 6)·1e6 for ranks 1..20,
+    * INLINED as integers on both engines (the q161 Benford-constants
+    * discipline — no libm call exists anywhere in the nDCG
+    * comparison). */
+  private[graft] val discount6: IndexedSeq[Long] = IndexedSeq(
+    1000000L, 630930L, 500000L, 430677L, 386853L, 356207L, 333333L,
+    315465L, 301030L, 289065L, 278943L, 270238L, 262650L, 255958L,
+    250000L, 244651L, 239812L, 235409L, 231378L, 227670L)
+
+  /** Retrieval-quality audit: exact nDCG@k and MRR of a system ranking
+    * against a graded ground-truth ranking — the answer-quality number
+    * for a retrieval pipeline, the way RecallScale's recall@k is for
+    * ANN. Both inputs are (`idCol`, rank) frames (from [[rankTopK]] —
+    * rank 1..k, integer-exact on both engines). Relevance of a system
+    * hit is graded by its GROUND-TRUTH position: rel = k+1−truthRank
+    * (top truth hit worth k, … , kth worth 1; misses 0). Exact-integer
+    * arithmetic end to end: gain = 2^rel−1 in BIGINT, discounts are
+    * the inlined [[discount6]] constants, DCG and the ideal DCG are
+    * BIGINT sums, and nDCG/MRR are each ONE IEEE division — pure-ANSI
+    * oracle, no float fold anywhere. Output is one bounded row
+    * (k, n_truth, n_rel_ret, dcg6, idcg6, ndcg, mrr); MRR is NULL when
+    * no truth doc is retrieved. Both inputs are ≤ k rows, so every
+    * join is broadcast-sized by construction. */
+  def rankingQuality(system: DataFrame, truth: DataFrame, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= discount6.length,
+      s"k $k out of range 1..${discount6.length}")
+    val w6 = typedlit(discount6.take(k))
+    val t = truth.select(col(idCol), col("rank").as("__tr"))
+      .filter(col("__tr") <= k)
+    val j = system.select(col(idCol), col("rank").as("__sr"))
+      .filter(col("__sr") <= k)
+      .join(broadcast(t), Seq(idCol), "left")
+      .select(col("__sr"),
+        coalesce(lit(k + 1) - col("__tr"), lit(0)).as("__rel"))
+    val d = j.agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), __rel) - 1")
+        * element_at(w6, col("__sr"))).as("dcg6"),
+      sum(when(col("__rel") > 0, 1L).otherwise(0L)).as("n_rel_ret"),
+      min(when(col("__rel") > 0, col("__sr"))).as("__fr"))
+    val ideal = t.agg(count(lit(1)).as("n_truth"),
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${k + 1} - __tr) - 1")
+        * element_at(w6, col("__tr"))).as("idcg6"))
+    d.crossJoin(broadcast(ideal))
+      .select(lit(k).as("k"), col("n_truth"), col("n_rel_ret"),
+        col("dcg6"), col("idcg6"),
+        round(col("dcg6").cast("double") / col("idcg6").cast("double"), 6)
+          .as("ndcg"),
+        round(lit(1.0) / col("__fr").cast("double"), 6).as("mrr"))
+  }
 }

@@ -223,6 +223,54 @@ object Streams {
         anomalyStatePath(stateDir, b)))
   }
 
+  /** Streaming distribution-drift monitor — q143's PSI as a per-batch
+    * gate (the versioning-audit family's streaming member): every
+    * micro-batch is scored against the ACCUMULATED value distribution
+    * of all prior batches, per group. State is the per-(group, bucket)
+    * count histogram — bounded by groups × buckets, ADDITIVE (counts
+    * of a union are sums of counts), written under `batch=<id>` with
+    * the packStream/anomalyStream replay contract: the read is batch
+    * id−1's state, the write is batch id's, prune keeps id−1..id — so
+    * a crash-replayed batch recomputes bit-identical output and state.
+    * Batch 0 (no reference yet) emits an empty result. Output rows per
+    * batch: (group, n_a = reference count, n_b = batch count,
+    * n_buckets, psi) — exactly `Analytics.distributionDrift(history,
+    * batch)` (spec-asserted). */
+  def driftStream(stream: DataFrame, groupCol: String, valueCol: String,
+      bucketWidth: Double, stateDir: String, outDir: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        driftBatch(batch, batchId, groupCol, valueCol, bucketWidth,
+          stateDir, outDir)
+      }
+      .start()
+
+  private[graft] def driftBatch(batch: DataFrame, batchId: Long,
+      groupCol: String, valueCol: String, bucketWidth: Double,
+      stateDir: String, outDir: String): Unit = {
+    import graft.operators.Analytics
+    val spark = batch.sparkSession
+    val w6 = Analytics.driftW6(bucketWidth)
+    val cur = Analytics.driftBucketCounts(batch, groupCol, valueCol, w6)
+    val prev =
+      if (batchId == 0L) cur.limit(0)
+      else spark.read.parquet(s"$stateDir/batch=${batchId - 1}")
+    val out = Analytics.driftFromCounts(prev, cur, groupCol)
+    (if (batchId == 0L) out.limit(0) else out)
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    cur.unionByName(prev)
+      .groupBy(col("dd_g"), col("dd_b")).agg(sum(col("c")).as("c"))
+      .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+    graft.sources.StoreFs.childNames(spark, stateDir)
+      .filter(_.startsWith("batch=")).map(_.drop(6).toLong)
+      .filter(_ <= batchId - 2)
+      .foreach(b => graft.sources.StoreFs.delete(spark,
+        s"$stateDir/batch=$b"))
+  }
+
   def windowedCounts(stream: DataFrame): DataFrame =
     stream
       .withWatermark("ts", "2 hours")

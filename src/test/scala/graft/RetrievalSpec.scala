@@ -77,4 +77,31 @@ class RetrievalSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(2000))
     assert(q.count() > 0)
   }
+
+  test("rankingQuality: hand-exact nDCG/MRR on a planted ranking; " +
+    "perfect ranking reads exactly 1.0; zero overlap reads 0 with NULL MRR") {
+    import spark.implicits._
+    // truth top-3: docs 1,2,3 (rel 3,2,1). system@3: (5, 2, 1) →
+    // rels (0, 2, 3): dcg6 = 0·w1 + 3·w2 + 7·w3 = 3·630930 + 7·500000
+    // idcg6 = 7·w1 + 3·w2 + 1·w3 = 7000000 + 1892790 + 500000
+    val sys = Seq((5L, 1), (2L, 2), (1L, 3)).toDF("doc_id", "rank")
+    val truth = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val r = Retrieval.rankingQuality(sys, truth, "doc_id", 3)
+      .as[(Int, Long, Long, Long, Long, Double, Double)].head()
+    val dcg6 = 3L * 630930L + 7L * 500000L
+    val idcg6 = 7L * 1000000L + 3L * 630930L + 1L * 500000L
+    assert(r === ((3, 3L, 2L, dcg6, idcg6,
+      BigDecimal(dcg6.toDouble / idcg6.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 0.5)))
+    // perfect: system == truth → ndcg exactly 1.0, mrr 1.0
+    val perfect = Retrieval.rankingQuality(truth, truth, "doc_id", 3)
+      .select($"ndcg", $"mrr").as[(Double, Double)].head()
+    assert(perfect === ((1.0, 1.0)))
+    // disjoint: ndcg 0, mrr NULL, n_rel_ret 0
+    val none = Seq((8L, 1), (9L, 2)).toDF("doc_id", "rank")
+    val z = Retrieval.rankingQuality(none, truth, "doc_id", 3)
+      .select($"n_rel_ret", $"ndcg", $"mrr".isNull)
+      .as[(Long, Double, Boolean)].head()
+    assert(z === ((0L, 0.0, true)))
+  }
 }

@@ -178,6 +178,78 @@ class StreamsSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq === snapSt)
   }
 
+  test("driftStream: each batch's PSI equals distributionDrift(history, batch); " +
+      "batch 0 empty; bounded additive state; bit-identical batch replay") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    // three slices: slice 2 shifts group a's values up by 5 → drift
+    val slice = (0 until 3).map { b =>
+      for {
+        g <- Seq("a", "b"); i <- 1 to 40
+      } yield (g, (if (g == "a" && b == 2) 15.0 else 10.0) + (i % 5))
+    }
+    val staging = Files.createTempDirectory("graft_dr_stage")
+    slice.zipWithIndex.foreach { case (rows, b) =>
+      val tmp = Files.createTempDirectory(s"graft_dr_tmp$b")
+      rows.toDF("g", "x").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = Paths.get(staging.toString, f"slice_$b%03d.parquet")
+      Files.copy(part.toPath, dest)
+      Files.setLastModifiedTime(dest,
+        FileTime.fromMillis(1700000000000L + b * 60000L))
+    }
+    val out = "file://" + Files.createTempDirectory("graft_dr_out").toString + "/o"
+    val state = "file://" + Files.createTempDirectory("graft_dr_state").toString + "/s"
+    val ck = Files.createTempDirectory("graft_dr_ck").toString
+    val schema = slice(0).toDF("g", "x").schema
+    val q = Streams.driftStream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(staging.toString),
+      "g", "x", bucketWidth = 2.0, state, out, ck)
+    assert(q.awaitTermination(180000))
+
+    // (the r10 lesson: tuple TYPE ALIASES break encoder derivation)
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long, Long, Double)] =
+      df.select($"g", $"n_a", $"n_b", $"n_buckets", $"psi")
+        .orderBy($"g").as[(String, Long, Long, Long, Double)]
+        .collect().toSeq
+    // batch 0: no reference yet → empty
+    assert(spark.read.parquet(s"$out/batch=0").count() === 0L)
+    // batch i ≥ 1 == the batch operator over (history, slice_i)
+    for (i <- 1 until 3) {
+      val hist = (0 until i).map(b => slice(b).toDF("g", "x"))
+        .reduce(_.unionByName(_))
+      val expect = rowsOf(graft.operators.Analytics.distributionDrift(
+        hist, slice(i).toDF("g", "x"), "g", "x", 2.0))
+      assert(rowsOf(spark.read.parquet(s"$out/batch=$i")) === expect,
+        s"batch $i drift != batch operator")
+    }
+    // the shifted batch actually reads as drift for group a only
+    val b2 = spark.read.parquet(s"$out/batch=2")
+      .select($"g", $"psi").as[(String, Double)].collect().toMap
+    assert(b2("a") > 0.25, s"shift not flagged: ${b2("a")}")
+    assert(b2("b") < 0.1, s"stable group drifted: ${b2("b")}")
+    // bounded state: ≤ 2 batch dirs, ≤ groups × buckets rows
+    val stDirs = graft.sources.StoreFs.childNames(spark, state)
+      .filter(_.startsWith("batch="))
+    assert(stDirs.length <= 2, stDirs.mkString(","))
+    assert(spark.read.parquet(s"$state/batch=2").count() <= 2L * 16L)
+    // crash-replay: re-running batch 2 against batch 1's state
+    // reproduces output and state bit-identically
+    val snapOut = spark.read.parquet(s"$out/batch=2")
+      .collect().map(_.toString).sorted.toSeq
+    val snapSt = spark.read.parquet(s"$state/batch=2")
+      .collect().map(_.toString).sorted.toSeq
+    Streams.driftBatch(slice(2).toDF("g", "x"), 2L, "g", "x", 2.0,
+      state, out)
+    assert(spark.read.parquet(s"$out/batch=2")
+      .collect().map(_.toString).sorted.toSeq === snapOut)
+    assert(spark.read.parquet(s"$state/batch=2")
+      .collect().map(_.toString).sorted.toSeq === snapSt)
+  }
+
   test("streaming dedup within watermark removes duplicate keys") {
     // duplicate the source rows → dropDuplicatesWithinWatermark must halve
     val out = Files.createTempDirectory("graft_dedup_out").toString

@@ -2194,6 +2194,42 @@ object SparkEntry {
         k = 20, mCand = 50)
     }),
 
+    // Cohen's kappa between two weak quality raters (char-length ≥ 200
+    // vs word-count ≥ 40) — the chance-corrected agreement audit for
+    // labeling rules; exact-integer po/pe/kappa, one IEEE division
+    // each (q158 discipline), pure-ANSI oracle.
+    "q165_cohen_kappa" -> ((s, d) => {
+      val raters = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select((length(col("text")) >= 200).cast("int").as("rater_len"),
+          (size(TextOps.words(col("text"))) >= 40).cast("int")
+            .as("rater_words"))
+      Analytics.cohenKappa(raters, "rater_len", "rater_words")
+        .orderBy(col("n"))
+    }),
+
+    // first-order Markov transition matrix over per-user event
+    // sequences (what follows what — the user-journey model): adjacent
+    // pairs under the (ts, event_id) total order, exact counts, one
+    // IEEE division per probability. lead(1) is an incremental frame.
+    "q166_transitions" -> ((s, d) =>
+      Analytics.transitionMatrix(Tables.events(s, d), "user_id",
+        Seq("ts", "event_id"), "event_type")),
+
+    // two-proportion A/B audit: per-user purchase conversion of the
+    // user_id-parity split — exact 2×2 chi-square (all-HUGEINT
+    // numerator/denominator, one IEEE division), rates 6-dp.
+    "q167_ab_test" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("converted"))
+        .select(concat(lit("v"), (col("user_id") % 2).cast("string"))
+          .as("variant"), col("converted"))
+      Analytics.proportionTest(perUser, "variant", "converted")
+        .orderBy(col("group_a"))
+    }),
+
     // real BPE token counting (checked-in merge table trained offline
     // by tools/train_bpe.py) + greedy 64-token chunk boundaries — the
     // faithful replacement for the bpeTokenEstimate heuristic. Oracle =
@@ -4116,6 +4152,85 @@ object SparkEntry {
       expectedSql("q162", "file, afp", "file"),
     "q163_opq_store" ->
       expectedSql("q163", "vec_id, sim", "sim DESC, vec_id"),
+
+    // exact-integer po/pe/kappa; HUGEINT == the Spark DECIMAL(38,0)
+    "q165_cohen_kappa" ->
+      s"""WITH r AS (
+         |  SELECT CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END AS a,
+         |    CASE WHEN len($wsSql) >= 40 THEN 1 ELSE 0 END AS b
+         |  FROM documents WHERE text IS NOT NULL),
+         |ct AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+         |       FROM r GROUP BY a, b),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+         |      AS n_agree
+         |  FROM ct),
+         |rm AS (SELECT a AS k, CAST(sum(c) AS HUGEINT) AS ra
+         |       FROM ct GROUP BY a),
+         |cm AS (SELECT b AS k, CAST(sum(c) AS HUGEINT) AS cb
+         |       FROM ct GROUP BY b),
+         |e AS (SELECT COALESCE(CAST(sum(ra * cb) AS HUGEINT),
+         |        CAST(0 AS HUGEINT)) AS e
+         |      FROM rm JOIN cm USING (k))
+         |SELECT n, n_agree,
+         |  round(CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+         |  round(CAST(e AS DOUBLE)
+         |    / CAST(CAST(n AS HUGEINT) * n AS DOUBLE), 6) AS pe,
+         |  CASE WHEN CAST(n AS HUGEINT) * n <> e THEN
+         |    round(CAST(CAST(n_agree AS HUGEINT) * n - e AS DOUBLE)
+         |      / CAST(CAST(n AS HUGEINT) * n - e AS DOUBLE), 6) END AS kappa
+         |FROM tot CROSS JOIN e ORDER BY n""".stripMargin,
+
+    // lead() under the same (ts, event_id) total order; one IEEE
+    // division per probability
+    "q166_transitions" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND ts IS NOT NULL AND event_id IS NOT NULL),
+        |p AS (SELECT event_type AS from_state, nxt AS to_state,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_state, CAST(sum(n) AS BIGINT) AS n_from
+        |      FROM p GROUP BY 1)
+        |SELECT p.from_state, p.to_state, p.n, t.n_from,
+        |  round(CAST(p.n AS DOUBLE) / CAST(t.n_from AS DOUBLE), 6) AS prob
+        |FROM p JOIN t USING (from_state)
+        |ORDER BY p.from_state, p.to_state""".stripMargin,
+
+    // exact 2×2 chi-square in HUGEINT; the simplified margins
+    // (a+b = n_a etc.) produce the SAME exact integers the Spark
+    // DECIMAL(38,0) tree does, so the one double conversion matches
+    "q167_ab_test" ->
+      """WITH u AS (
+        |  SELECT 'v' || CAST(user_id % 2 AS VARCHAR) AS g,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS f
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |cg AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(f) AS BIGINT) AS x FROM u GROUP BY g),
+        |a AS (SELECT g AS group_a, n AS n_a, x AS x_a FROM cg
+        |      ORDER BY g LIMIT 1),
+        |b AS (SELECT g AS group_b, n AS n_b, x AS x_b FROM cg
+        |      ORDER BY g DESC LIMIT 1)
+        |SELECT group_a, group_b, n_a, x_a, n_b, x_b,
+        |  round(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+        |  round(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+        |  round(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_diff,
+        |  CASE WHEN CAST(n_a AS HUGEINT) * n_b * (x_a + x_b)
+        |      * ((n_a - x_a) + (n_b - x_b)) <> 0 THEN
+        |    round(CAST(CAST(n_a + n_b AS HUGEINT)
+        |        * (CAST(x_a AS HUGEINT) * (n_b - x_b)
+        |           - CAST(n_a - x_a AS HUGEINT) * x_b)
+        |        * (CAST(x_a AS HUGEINT) * (n_b - x_b)
+        |           - CAST(n_a - x_a AS HUGEINT) * x_b) AS DOUBLE)
+        |      / CAST(CAST(n_a AS HUGEINT) * n_b * (x_a + x_b)
+        |        * ((n_a - x_a) + (n_b - x_b)) AS DOUBLE), 6)
+        |  END AS chi2
+        |FROM a CROSS JOIN b ORDER BY group_a""".stripMargin,
     "q135_mmr_rerank" ->
       expectedSql("q135", "rank, vec_id, rel, score_nano", "rank"),
 

@@ -1321,4 +1321,123 @@ object Analytics {
           6).as("peak_share"))
       .orderBy(col(keyCol))
   }
+
+  /** Cohen's kappa between two categorical raters of the same rows —
+    * the chance-corrected agreement number behind every labeling /
+    * weak-supervision audit (are two quality rules measuring the same
+    * thing, or just both firing often?). Exact-integer end to end:
+    * with n = rows, A = agreements, E = Σ_k rowMarg_k·colMarg_k, then
+    * po = A/n, pe = E/n², kappa = (A·n − E)/(n² − E) — every operand
+    * an exact DECIMAL(38,0) integer, each output ONE IEEE division
+    * (the q158 chi² discipline). kappa is NULL when pe = 1 (a single
+    * category on both sides — agreement is all chance). Rows with a
+    * null on either side drop. Plan: one contingency aggregate
+    * (map-side combinable, |A-cats|×|B-cats| bounded),
+    * localCheckpoint'ed once for its three consumers (the q144
+    * multi-branch recompute class), marginal products through an
+    * inner join on category. */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val ct = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val tot = ct.agg(sum(col("__c")).as("n"),
+      sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L))
+        .as("n_agree"))
+    val rowm = ct.groupBy(col("__a").as("__k")).agg(sum(col("__c")).as("__ra"))
+    val colm = ct.groupBy(col("__b").as("__k")).agg(sum(col("__c")).as("__cb"))
+    val e = rowm.join(colm, Seq("__k"))
+      .agg(coalesce(sum((col("__ra").cast(dec) * col("__cb").cast(dec))),
+        lit(0).cast(dec)).as("__e"))
+    tot.crossJoin(broadcast(e))
+      .select(col("n"), col("n_agree"),
+        round(col("n_agree").cast("double") / col("n").cast("double"), 6)
+          .as("po"),
+        round(col("__e").cast("double")
+          / (col("n").cast(dec) * col("n").cast(dec)).cast("double"), 6)
+          .as("pe"),
+        when(col("n").cast(dec) * col("n").cast(dec) =!= col("__e"),
+          round((col("n_agree").cast(dec) * col("n").cast(dec) - col("__e"))
+            .cast("double")
+            / (col("n").cast(dec) * col("n").cast(dec) - col("__e"))
+              .cast("double"), 6)).as("kappa"))
+  }
+
+  /** First-order Markov transition matrix over a per-key event
+    * sequence — the user-journey model behind "what follows what":
+    * adjacent (state → next state) counts under the (`orderCols`)
+    * total order within each key, with row-normalized probabilities.
+    * lead(1) over a key-partitioned window is an incremental frame
+    * (NOT the UNBOUNDED FOLLOWING hazard — one-row lookahead). Counts
+    * are exact; each probability is ONE IEEE division, 6 dp. Output
+    * (from_state, to_state, n, n_from, prob) ordered by (from, to);
+    * state space bounded ⇒ the totals side broadcasts. */
+  def transitionMatrix(df: DataFrame, keyCol: String,
+      orderCols: Seq[String], stateCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val pairs = df
+      .filter(col(keyCol).isNotNull && col(stateCol).isNotNull &&
+        orderCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(col(keyCol), col(stateCol).as("from_state"),
+        lead(col(stateCol), 1).over(w).as("to_state"))
+      .filter(col("to_state").isNotNull)
+      .groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_state"))
+      .agg(sum(col("n")).as("n_from"))
+    pairs.join(broadcast(totals), Seq("from_state"))
+      .select(col("from_state"), col("to_state"), col("n"), col("n_from"),
+        round(col("n").cast("double") / col("n_from").cast("double"), 6)
+          .as("prob"))
+      .orderBy(col("from_state"), col("to_state"))
+  }
+
+  /** Two-proportion A/B comparison: conversion rates of EXACTLY two
+    * groups plus the exact-integer 2×2 chi-square —
+    * chi2 = n·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)) with a/b/c/d the
+    * contingency cells, every term DECIMAL(38,0) (HUGEINT in the
+    * oracle), ONE IEEE division at the end (z² for the usual pooled
+    * two-proportion z — reported as chi2 because it needs no sqrt or
+    * float intermediate). Groups order lexicographically into
+    * (group_a, group_b); a zero margin (all rows one outcome or one
+    * group empty of flags) reads chi2 NULL. `flagCol` must be 0/1 or
+    * boolean; null group/flag rows drop. */
+  def proportionTest(df: DataFrame, groupCol: String,
+      flagCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cg = df.filter(col(groupCol).isNotNull && col(flagCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(flagCol).cast("long")).as("__x"))
+      .localCheckpoint()
+    require(cg.count() == 2L,
+      s"proportionTest needs exactly two $groupCol groups")
+    val a = cg.orderBy(col("__g")).limit(1)
+      .select(col("__g").as("group_a"), col("__n").as("n_a"),
+        col("__x").as("x_a"))
+    val b = cg.orderBy(col("__g").desc).limit(1)
+      .select(col("__g").as("group_b"), col("__n").as("n_b"),
+        col("__x").as("x_b"))
+    val aa = col("x_a").cast(dec)
+    val bb = (col("n_a") - col("x_a")).cast(dec)
+    val cc = col("x_b").cast(dec)
+    val dd = (col("n_b") - col("x_b")).cast(dec)
+    val num = (col("n_a") + col("n_b")).cast(dec) *
+      (aa * dd - bb * cc) * (aa * dd - bb * cc)
+    val den = (aa + bb) * (cc + dd) * (aa + cc) * (bb + dd)
+    a.crossJoin(broadcast(b))
+      .select(col("group_a"), col("group_b"),
+        col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        round(col("x_a").cast("double") / col("n_a").cast("double"), 6)
+          .as("rate_a"),
+        round(col("x_b").cast("double") / col("n_b").cast("double"), 6)
+          .as("rate_b"),
+        round(col("x_a").cast("double") / col("n_a").cast("double")
+          - col("x_b").cast("double") / col("n_b").cast("double"), 6)
+          .as("rate_diff"),
+        when(den =!= lit(0).cast(dec),
+          round((num.cast("double") / den.cast("double")), 6)).as("chi2"))
+  }
 }

@@ -699,4 +699,62 @@ class RobustSpec extends SparkSpec {
       ("U", 7L, 0.0, 0L, 0.142857)))
     assert(run(1) === got && run(6) === got)
   }
+
+  test("cohenKappa: hand-exact planted contingency; single-category NULL; " +
+    "partition independence") {
+    // 40 (1,1) + 40 (0,0) + 10 (1,0) + 10 (0,1): po .8, pe .5, kappa .6
+    val rows = Seq.fill(40)((1, 1)) ++ Seq.fill(40)((0, 0)) ++
+      Seq.fill(10)((1, 0)) ++ Seq.fill(10)((0, 1))
+    def run(parts: Int) =
+      Analytics.cohenKappa(rows.toDF("a", "b").repartition(parts), "a", "b")
+        .as[(Long, Long, Double, Double, Option[Double])].head()
+    val got = run(4)
+    assert(got === ((100L, 80L, 0.8, 0.5, Some(0.6))))
+    assert(run(1) === got && run(7) === got)
+    // one category on both sides: pe = 1 → kappa NULL
+    val const = Seq.fill(5)((1, 1)).toDF("a", "b")
+    val k = Analytics.cohenKappa(const, "a", "b")
+      .select($"kappa").as[Option[Double]].head()
+    assert(k.isEmpty)
+    // null rows drop
+    val withNulls = Seq((Some(1), Some(1)), (None, Some(1)), (Some(0), None))
+      .toDF("a", "b")
+    assert(Analytics.cohenKappa(withNulls, "a", "b")
+      .select($"n").as[Long].head() === 1L)
+  }
+
+  test("transitionMatrix: hand-exact adjacent pairs under the total order; " +
+    "partition independence") {
+    val rows = Seq(
+      (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"), (1L, 4L, "B"),
+      (2L, 1L, "A"), (2L, 2L, "A"))
+    def run(parts: Int) =
+      Analytics.transitionMatrix(
+        rows.toDF("u", "t", "e").repartition(parts), "u", Seq("t"), "e")
+        .as[(String, String, Long, Long, Double)].collect().toSeq
+    val got = run(3)
+    assert(got === Seq(
+      ("A", "A", 1L, 3L, 0.333333),
+      ("A", "B", 2L, 3L, 0.666667),
+      ("B", "A", 1L, 1L, 1.0)))
+    assert(run(1) === got && run(5) === got)
+  }
+
+  test("proportionTest: hand-exact 2x2 chi-square; zero margin NULL; " +
+    "rejects non-two group counts") {
+    val rows = (Seq.fill(4)(("v0", 1)) ++ Seq.fill(6)(("v0", 0)) ++
+      Seq.fill(2)(("v1", 1)) ++ Seq.fill(8)(("v1", 0)))
+    val got = Analytics.proportionTest(rows.toDF("g", "f"), "g", "f")
+      .as[(String, String, Long, Long, Long, Long, Double, Double,
+        Double, Option[Double])].head()
+    assert(got === (("v0", "v1", 10L, 4L, 10L, 2L, 0.4, 0.2, 0.2,
+      Some(0.952381))))
+    // all-converted: a zero margin → chi2 NULL
+    val allOne = Seq(("v0", 1), ("v1", 1)).toDF("g", "f")
+    assert(Analytics.proportionTest(allOne, "g", "f")
+      .select($"chi2").as[Option[Double]].head().isEmpty)
+    intercept[IllegalArgumentException] {
+      Analytics.proportionTest(Seq(("v0", 1)).toDF("g", "f"), "g", "f")
+    }
+  }
 }

@@ -954,14 +954,17 @@ object SparkEntry {
     // BIGINT, discounts are inlined 6-dp constants (the q161
     // discipline), nDCG/MRR each ONE IEEE division → pure-ANSI oracle.
     "q164_retrieval_quality" -> ((s, d) => {
+      // fan both corpus scans: the fixture files are single-row-group
+      // (1-partition scans) and tokenize/cosine are per-row-expensive —
+      // the parallelize-first rule (q121/q146 precedent)
       val bm = Retrieval.rankTopK(
-        Retrieval.bm25(Tables.documents(s, d), "doc_id", "text",
-          Seq("vector", "hash", "join", "stream")),
+        Retrieval.bm25(fan(Tables.documents(s, d), "doc_id"), "doc_id",
+          "text", Seq("vector", "hash", "join", "stream")),
         "doc_id", "score", 20)
       val e = Tables.embeddings(s, d)
       val probe = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("__probe"))
-      val cosScores = e.crossJoin(broadcast(probe))
+      val cosScores = fan(e, "vec_id").crossJoin(broadcast(probe))
         .withColumn("sim", VectorOps.cosine6(col("embedding"), col("__probe")))
         .select(col("vec_id").as("doc_id"), col("sim"))
       // the 20-row ranked frame feeds BOTH the fusion and the truth
@@ -2199,7 +2202,10 @@ object SparkEntry {
     // labeling rules; exact-integer po/pe/kappa, one IEEE division
     // each (q158 discipline), pure-ANSI oracle.
     "q165_cohen_kappa" -> ((s, d) => {
-      val raters = Tables.documents(s, d).filter(col("text").isNotNull)
+      // fan: tokenize over the 1-partition fixture scan (m10 maxTask
+      // 1.35 s serial without it — the parallelize-first rule)
+      val raters = fan(Tables.documents(s, d), "doc_id")
+        .filter(col("text").isNotNull)
         .select((length(col("text")) >= 200).cast("int").as("rater_len"),
           (size(TextOps.words(col("text"))) >= 40).cast("int")
             .as("rater_words"))

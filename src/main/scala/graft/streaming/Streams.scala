@@ -271,6 +271,79 @@ object Streams {
         s"$stateDir/batch=$b"))
   }
 
+  /** Streaming Markov transition monitor — q166's stateful
+    * continuation: per micro-batch, the CUMULATIVE transition matrix
+    * (counts + row-normalized probabilities) over everything seen so
+    * far. Two-part state under `batch=<id>` (read id−1, write own,
+    * prune ≤ id−2 — the replay contract): `last/` carries each key's
+    * final (order, state) row so the cross-batch boundary transition
+    * is counted exactly once (|keys|-bounded), `counts/` carries the
+    * additive cumulative (from, to) counts (|states|²-bounded).
+    * Contract: per-key event order must be nondecreasing across
+    * batches (the file-drain posture every store here shares); the
+    * spec asserts each batch's output equals the BATCH operator over
+    * the concatenation, and that a crash-replayed batch is
+    * bit-identical. */
+  def transitionStream(stream: DataFrame, keyCol: String,
+      orderCols: Seq[String], stateCol: String, stateDir: String,
+      outDir: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        transitionBatch(batch, batchId, keyCol, orderCols, stateCol,
+          stateDir, outDir)
+      }
+      .start()
+
+  private[graft] def transitionBatch(batch: DataFrame, batchId: Long,
+      keyCol: String, orderCols: Seq[String], stateCol: String,
+      stateDir: String, outDir: String): Unit = {
+    val spark = batch.sparkSession
+    val cols = (keyCol +: orderCols :+ stateCol).map(col)
+    val cur = batch
+      .filter((col(keyCol).isNotNull && col(stateCol).isNotNull) &&
+        orderCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(cols: _*)
+    val prevLast =
+      if (batchId == 0L) cur.limit(0)
+      else spark.read.parquet(s"$stateDir/batch=${batchId - 1}/last")
+        .select(cols: _*)
+    val union = cur.unionByName(prevLast)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val delta = union
+      .select(col(stateCol).as("from_state"),
+        lead(col(stateCol), 1).over(w).as("to_state"))
+      .filter(col("to_state").isNotNull)
+      .groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val prevCounts =
+      if (batchId == 0L) delta.limit(0)
+      else spark.read.parquet(s"$stateDir/batch=${batchId - 1}/counts")
+    val cum = delta.unionByName(prevCounts)
+      .groupBy(col("from_state"), col("to_state"))
+      .agg(sum(col("n")).as("n"))
+    val totals = cum.groupBy(col("from_state")).agg(sum(col("n")).as("n_from"))
+    cum.join(broadcast(totals), Seq("from_state"))
+      .select(col("from_state"), col("to_state"), col("n"), col("n_from"),
+        round(col("n").cast("double") / col("n_from").cast("double"), 6)
+          .as("prob"))
+      .orderBy(col("from_state"), col("to_state"))
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    cum.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId/counts")
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderCols.map(col(_).desc): _*)
+    union.select(cols :+ row_number().over(wd).as("__rn"): _*)
+      .filter(col("__rn") === 1).drop("__rn")
+      .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId/last")
+    graft.sources.StoreFs.childNames(spark, stateDir)
+      .filter(_.startsWith("batch=")).map(_.drop(6).toLong)
+      .filter(_ <= batchId - 2)
+      .foreach(b => graft.sources.StoreFs.delete(spark,
+        s"$stateDir/batch=$b"))
+  }
+
   def windowedCounts(stream: DataFrame): DataFrame =
     stream
       .withWatermark("ts", "2 hours")

@@ -250,6 +250,69 @@ class StreamsSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq === snapSt)
   }
 
+  test("transitionStream: cumulative matrix per batch equals the batch " +
+      "operator over the concatenation (cross-batch boundary pairs " +
+      "counted once); bounded state; bit-identical batch replay") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    // keys span slices so boundary transitions exist at every seam
+    val all = Seq(
+      (1L, 1L, "A"), (1L, 2L, "B"), (2L, 3L, "A"),   // slice 0
+      (1L, 4L, "A"), (2L, 5L, "A"), (2L, 6L, "C"),   // slice 1
+      (1L, 7L, "C"), (3L, 8L, "B"), (2L, 9L, "A"))   // slice 2
+    val slice = (0 until 3).map(b => all.slice(b * 3, b * 3 + 3))
+    val staging = Files.createTempDirectory("graft_tr_stage")
+    slice.zipWithIndex.foreach { case (rows, b) =>
+      val tmp = Files.createTempDirectory(s"graft_tr_tmp$b")
+      rows.toDF("u", "t", "e").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = Paths.get(staging.toString, f"slice_$b%03d.parquet")
+      Files.copy(part.toPath, dest)
+      Files.setLastModifiedTime(dest,
+        FileTime.fromMillis(1700000000000L + b * 60000L))
+    }
+    val out = "file://" + Files.createTempDirectory("graft_tr_out").toString + "/o"
+    val state = "file://" + Files.createTempDirectory("graft_tr_state").toString + "/s"
+    val ck = Files.createTempDirectory("graft_tr_ck").toString
+    val q = Streams.transitionStream(
+      spark.readStream.schema(slice(0).toDF("u", "t", "e").schema)
+        .option("maxFilesPerTrigger", 1).parquet(staging.toString),
+      "u", Seq("t"), "e", state, out, ck)
+    assert(q.awaitTermination(180000))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"from_state", $"to_state", $"n", $"n_from", $"prob")
+        .orderBy($"from_state", $"to_state")
+        .as[(String, String, Long, Long, Double)].collect().toSeq
+    for (i <- 0 until 3) {
+      val expect = rowsOf(graft.operators.Analytics.transitionMatrix(
+        all.take((i + 1) * 3).toDF("u", "t", "e"), "u", Seq("t"), "e"))
+      assert(rowsOf(spark.read.parquet(s"$out/batch=$i")) === expect,
+        s"batch $i cumulative matrix != batch operator")
+    }
+    // the final matrix really contains a cross-batch boundary pair:
+    // key 1's B (t=2, slice 0) -> A (t=4, slice 1)
+    assert(rowsOf(spark.read.parquet(s"$out/batch=2"))
+      .exists(r => r._1 == "B" && r._2 == "A" && r._3 >= 1L))
+    // bounded state: ≤ 2 batch dirs; last/ ≤ |keys| rows
+    val stDirs = graft.sources.StoreFs.childNames(spark, state)
+      .filter(_.startsWith("batch="))
+    assert(stDirs.length <= 2, stDirs.mkString(","))
+    assert(spark.read.parquet(s"$state/batch=2/last").count() <= 3L)
+    // crash-replay: re-running batch 2 against batch 1's state is
+    // bit-identical in output and both state surfaces
+    val snaps = Seq(s"$out/batch=2", s"$state/batch=2/counts",
+      s"$state/batch=2/last").map(p =>
+      p -> spark.read.parquet(p).collect().map(_.toString).sorted.toSeq)
+    Streams.transitionBatch(slice(2).toDF("u", "t", "e"), 2L,
+      "u", Seq("t"), "e", state, out)
+    snaps.foreach { case (p, snap) =>
+      assert(spark.read.parquet(p)
+        .collect().map(_.toString).sorted.toSeq === snap, p)
+    }
+  }
+
   test("streaming dedup within watermark removes duplicate keys") {
     // duplicate the source rows → dropDuplicatesWithinWatermark must halve
     val out = Files.createTempDirectory("graft_dedup_out").toString

@@ -223,6 +223,29 @@ object SparkEntry {
       () => m
     })()
 
+  /** Per-(JVM, dataset) IVF-OPQ models (q168): coarse cells + residual
+    * codebooks trained in ROTATED space (the q163 rotation, shared via
+    * [[opqModel]]); the rotated frame is localCheckpoint'ed once for
+    * the two trainers. */
+  private val opqIvfCache = new java.util.concurrent.ConcurrentHashMap[
+    String, () => (IndexedSeq[Array[Double]], Pq.Model)]()
+  private def opqIvfModels(e: org.apache.spark.sql.DataFrame,
+      d: String): (IndexedSeq[Array[Double]], Pq.Model) =
+    opqIvfCache.computeIfAbsent("opqivfm:" + d, _ => {
+      lazy val m = {
+        val opq = opqModel(e, d)
+        val rot = e.select(col("vec_id"),
+          Pq.rotateExpr(col("embedding"), opq.rotation).as("__rx"))
+          .localCheckpoint()
+        val cents = Similarity.kMeans(rot, "vec_id", "__rx", 16,
+          maxIter = 5).centroids
+        val model = Pq.trainResidual(rot, "vec_id", "__rx", cents, 64,
+          m = 8, k = 16, maxIter = 5)
+        (cents, model)
+      }
+      () => m
+    })()
+
   /** q79's persisted production store: the north-star pipeline's ingest
     * half, built once per (JVM, dataset). Incoming batch (doc_id%5==0)
     * is near-dup-deduped against the persisted signature store of the
@@ -2236,6 +2259,24 @@ object SparkEntry {
         .orderBy(col("group_a"))
     }),
 
+    // IVF-OPQ (the complete modern ANN recipe: q163's trained rotation
+    // + q93's residual IVF-PQ, everything in rotated space, exact
+    // rerank on originals). Differential oracle: the replica composes
+    // its existing opq/kmeans/residual/ADC pieces the same way.
+    "q168_opq_ivf_store" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val opq = opqModel(e, d)
+      val (centsR, modelR) = opqIvfModels(e, d)
+      val path = cachedStorePath("opqivf:" + d) { pth =>
+        Pq.writeStoreIvfOpq(e, "vec_id", "embedding", pth, opq, modelR,
+          centsR)
+      }
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      Pq.topKIvfOpq(s, path, e, "vec_id", "embedding", probe, opq, modelR,
+        centsR, k = 20, mCand = 50, nProbe = 4)
+    }),
+
     // real BPE token counting (checked-in merge table trained offline
     // by tools/train_bpe.py) + greedy 64-token chunk boundaries — the
     // faithful replacement for the bpeTokenEstimate heuristic. Oracle =
@@ -4158,6 +4199,8 @@ object SparkEntry {
       expectedSql("q162", "file, afp", "file"),
     "q163_opq_store" ->
       expectedSql("q163", "vec_id, sim", "sim DESC, vec_id"),
+    "q168_opq_ivf_store" ->
+      expectedSql("q168", "vec_id, sim", "sim DESC, vec_id"),
 
     // exact-integer po/pe/kappa; HUGEINT == the Spark DECIMAL(38,0)
     "q165_cohen_kappa" ->

@@ -267,6 +267,37 @@ object Pq {
       .limit(k)
   }
 
+  /** IVF-OPQ store: the complete modern recipe — OPQ rotation, then
+    * the residual IVF-PQ machinery entirely in ROTATED space (coarse
+    * cells trained on rotated vectors, residual codebooks on rotated
+    * residuals). `centsR`/`modelR` must be trained on the rotated
+    * corpus (see the q168 cache in SparkEntry). */
+  def writeStoreIvfOpq(df: DataFrame, idCol: String, vecCol: String,
+      path: String, opq: OpqModel, modelR: Model,
+      centsR: Seq[Array[Double]]): Unit =
+    writeStoreIvfResidual(
+      df.select(col(idCol), rotateExpr(col(vecCol), opq.rotation).as("__rx")),
+      idCol, "__rx", path, modelR, centsR)
+
+  /** IVF-OPQ probe: rotate the probe (identical fold), run the
+    * per-cell residual ADC scan of [[topKIvfResidualAdc]] in rotated
+    * space, exact-rerank on the ORIGINAL vectors — the rotation is
+    * invisible in the final cosines (q163's contract). */
+  def topKIvfOpq(spark: SparkSession, path: String, source: DataFrame,
+      idCol: String, vecCol: String, probe: Seq[Double], opq: OpqModel,
+      modelR: Model, centsR: Seq[Array[Double]], k: Int, mCand: Int,
+      nProbe: Int): DataFrame = {
+    val rp = rotateVec(opq.rotation, probe)
+    val probeCol = array(probe.map(lit): _*)
+    topKIvfResidualAdc(spark, path, idCol, rp, modelR, centsR, nProbe)
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(mCand)
+      .join(source.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col(idCol), VectorOps.cosine6(col(vecCol), probeCol).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   // --- OPQ: optimized product quantization (Ge et al., CVPR 2013) ----
 
   /** Trained OPQ model: an orthonormal `rotation` (row-major dim×dim)

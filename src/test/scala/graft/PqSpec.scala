@@ -245,5 +245,22 @@ class PqSpec extends SparkSpec {
         fixOpq, k = 10, mCand = src.count().toInt, nBits = 0)
       .as[(Long, Double)].collect().toSeq
     assert(got === exact)
+
+    // IVF-OPQ (q168 composition): exhaustive settings == brute force
+    val rot = src.select($"vec_id",
+      Pq.rotateExpr($"embedding", fixOpq.rotation).as("__rx"))
+      .localCheckpoint()
+    val centsR = Similarity.kMeans(rot, "vec_id", "__rx", 16,
+      maxIter = 5).centroids
+    val modelR = Pq.trainResidual(rot, "vec_id", "__rx", centsR, 64,
+      m = 8, k = 16, maxIter = 5)
+    val ivfPath = Files.createTempDirectory("graft_opq_ivf").toString
+    Pq.writeStoreIvfOpq(src, "vec_id", "embedding", ivfPath, fixOpq,
+      modelR, centsR)
+    val gotIvf = Pq.topKIvfOpq(spark, ivfPath, src, "vec_id", "embedding",
+        probe, fixOpq, modelR, centsR, k = 10,
+        mCand = src.count().toInt, nProbe = centsR.length)
+      .as[(Long, Double)].collect().toSeq
+    assert(gotIvf === exact)
   }
 }

@@ -555,6 +555,35 @@ def gen_q163(fx):
     return ("vec_id BIGINT, sim DOUBLE", [(i, s) for s, i in rer])
 
 
+def gen_q168(fx):
+    """IVF-OPQ: the q163 rotation + the q93 residual recipe entirely in
+    rotated space; exact rerank on originals."""
+    probe = dict(fx.embs)[0]
+    rot, _books = fx.opq_model()
+    rotated = [(i, mat_vec(rot, v)) for i, v in fx.embs]
+    cents = kmeans(rotated, 16, 5)[0]
+    resid = [(i, [x - c for x, c in zip(v, cents[assign(v, cents)[0]])])
+             for i, v in rotated]
+    model = pq_train(resid, 64, 8, 16, 5)
+    rp = mat_vec(rot, probe)
+    cells = _probe_cells(rp, cents, 4)
+    cell_of = {i: assign(v, cents)[0] for i, v in rotated}
+    scored = []
+    for c in cells:
+        pres = [p - cc for p, cc in zip(rp, cents[c])]
+        tables = pq_adc_tables(pres, model)
+        for i, v in rotated:
+            if cell_of[i] != c:
+                continue
+            enc = [x - cc for x, cc in zip(v, cents[c])]
+            scored.append((pq_adc_dist(pq_encode(enc, model), tables), i))
+    top_m = sorted(scored, key=lambda t: (t[0], t[1]))[:50]
+    vecs = dict(fx.embs)
+    rer = sorted(((cosine6(vecs[i], probe), i) for _, i in top_m),
+                 key=lambda t: (-t[0], t[1]))[:20]
+    return ("vec_id BIGINT, sim DOUBLE", [(i, s) for s, i in rer])
+
+
 def _probe_cells(probe, cents, n_probe):
     ds = sorted(((l2_dist_sq(probe, c), i) for i, c in enumerate(cents)))
     return [i for _, i in ds[:n_probe]]
@@ -974,7 +1003,7 @@ GENERATORS = {
     "q93": gen_q93, "q95": gen_q95, "q96": gen_q96, "q97": gen_q97,
     "q128": gen_q128, "q129": gen_q129,
     "q130": gen_q130, "q131": gen_q131, "q135": gen_q135,
-    "q162": gen_q162, "q163": gen_q163,
+    "q162": gen_q162, "q163": gen_q163, "q168": gen_q168,
 }
 
 

@@ -39,7 +39,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // whole suite runs partially interpreted. Measured same-window A/B
   // on the full Bench: 90.6 s (2 passes) at the default vs 75.4 s
   // (3 passes) at 512 MB (r12, 110 queries). Re-raised to 768 MB at
-  // 114 queries, 1 GB at 126, 1280 MB at 139 (r14), 1536 MB at 159 (r15) — grow with
+  // 114 queries, 1 GB at 126, 1280 MB at 139 (r14), 1536 MB at 159 (r15), 1792 MB at 168 (r16) — grow with
   // the suite before bisecting any uniform suite-wide "regression".
-  "-XX:ReservedCodeCacheSize=1536m",
+  "-XX:ReservedCodeCacheSize=1792m",
 )

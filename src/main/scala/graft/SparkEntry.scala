@@ -2277,6 +2277,21 @@ object SparkEntry {
         centsR, k = 20, mCand = 50, nProbe = 4)
     }),
 
+    // lag-1 autocorrelation of the value series per event type — the
+    // periodicity probe (q158's calendar complement): exact-integer
+    // Pearson (q146 discipline) over lead-paired 6-dp lifts.
+    "q169_autocorrelation" -> ((s, d) =>
+      Analytics.autocorrelation(Tables.events(s, d), "event_type",
+        Seq("ts", "event_id"), "value", lag = 1)),
+
+    // winnowing fingerprint selection (MOSS): per-window minimal md5
+    // of char 8-grams, w=4 (ties rightmost) — any shared substring of
+    // length ≥ 11 guarantees a shared fingerprint; md5 hex strings are
+    // bit-identical both engines so the oracle is pure ANSI.
+    "q170_winnowing" -> ((s, d) =>
+      Dedup.winnowingFingerprints(Tables.documents(s, d), "doc_id",
+        "text", k = 8, w = 4)),
+
     // real BPE token counting (checked-in merge table trained offline
     // by tools/train_bpe.py) + greedy 64-token chunk boundaries — the
     // faithful replacement for the bpeTokenEstimate heuristic. Oracle =
@@ -4201,6 +4216,64 @@ object SparkEntry {
       expectedSql("q163", "vec_id, sim", "sim DESC, vec_id"),
     "q168_opq_ivf_store" ->
       expectedSql("q168", "vec_id, sim", "sim DESC, vec_id"),
+
+    // lead-paired 6-dp lifts; HUGEINT moments; identical IEEE corr tree
+    "q169_autocorrelation" ->
+      """WITH l AS (
+        |  SELECT event_type AS k, ts, event_id,
+        |    CAST(CAST(round(value, 6) AS DECIMAL(18,6)) * 1000000
+        |      AS BIGINT) AS a6
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND ts IS NOT NULL AND event_id IS NOT NULL),
+        |p AS (
+        |  SELECT k, a6,
+        |    lead(a6) OVER (PARTITION BY k ORDER BY ts, event_id) AS b6
+        |  FROM l),
+        |g AS (
+        |  SELECT k, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(CAST(a6 AS HUGEINT)) AS HUGEINT) AS sa,
+        |    CAST(sum(CAST(b6 AS HUGEINT)) AS HUGEINT) AS sb,
+        |    CAST(sum(CAST(a6 AS HUGEINT) * a6) AS HUGEINT) AS saa,
+        |    CAST(sum(CAST(b6 AS HUGEINT) * b6) AS HUGEINT) AS sbb,
+        |    CAST(sum(CAST(a6 AS HUGEINT) * b6) AS HUGEINT) AS sab
+        |  FROM p WHERE b6 IS NOT NULL GROUP BY k)
+        |SELECT k AS event_type, CAST(n AS BIGINT) AS n_pairs,
+        |  CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0 THEN
+        |    round(CAST(n * sab - sa * sb AS DOUBLE)
+        |      / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+        |         * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))), 6) END AS acf
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    // same composite string key (md5 ∥ lpad(1e9 − i)), same
+    // descending-position bounded frame, same anchor filter
+    "q170_winnowing" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, len(text) - 7 AS np FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND len(text) - 7 >= 4),
+        |pos AS (
+        |  SELECT doc_id, np, text,
+        |    unnest(generate_series(1, len(text) - 7)) AS i
+        |  FROM d),
+        |keyed AS (
+        |  SELECT doc_id, np, i,
+        |    md5(substr(text, i, 8))
+        |      || lpad(CAST(1000000000 - i AS VARCHAR), 10, '0') AS key
+        |  FROM pos),
+        |win AS (
+        |  SELECT doc_id, np, i,
+        |    min(key) OVER (PARTITION BY doc_id ORDER BY i DESC
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
+        |  FROM keyed),
+        |sel AS (SELECT DISTINCT doc_id, np, mk FROM win WHERE i <= np - 3)
+        |SELECT doc_id, CAST(min(np) AS BIGINT) AS n_grams,
+        |  CAST(count(*) AS BIGINT) AS n_selected,
+        |  CAST(count(DISTINCT substr(mk, 1, 32)) AS BIGINT)
+        |    AS n_distinct_fps,
+        |  min(substr(mk, 1, 32)) AS min_fp,
+        |  max(substr(mk, 1, 32)) AS max_fp
+        |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // exact-integer po/pe/kappa; HUGEINT == the Spark DECIMAL(38,0)
     "q165_cohen_kappa" ->

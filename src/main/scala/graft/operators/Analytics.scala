@@ -1322,6 +1322,52 @@ object Analytics {
       .orderBy(col(keyCol))
   }
 
+  /** Lag-`lag` autocorrelation of a per-key ordered series — the
+    * periodicity probe next to [[dowProfile]]'s calendar view: exact
+    * Pearson correlation (the q146 integer-moment discipline) between
+    * the series and itself shifted by `lag` positions under the
+    * (`orderCols`) total order. Values 6-dp-lift to 1e6-scaled longs
+    * BEFORE pairing (lead of the lifted value == lift of the led
+    * value), pairs with a null on either side drop, moments accumulate
+    * in DECIMAL(38,0), and acf = (n·Sab − Sa·Sb)/(√(n·Saa − Sa²)·
+    * √(n·Sbb − Sb²)) evaluates on correctly-rounded integer→double
+    * conversions — the SAME IEEE tree both engines. Zero variance on
+    * either side ⇒ NULL. lead(lag) is an incremental frame. Output
+    * (key, n_pairs, acf) ordered by key. */
+  def autocorrelation(df: DataFrame, keyCol: String,
+      orderCols: Seq[String], valueCol: String, lag: Int): DataFrame = {
+    require(lag >= 1, s"lag must be >= 1: $lag")
+    val dec = DecimalType(38, 0)
+    def lift6(c: Column): Column =
+      round(c, 6).cast(DecimalType(18, 6)).multiply(lit(1000000)).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val p = df
+      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull &&
+        orderCols.map(col(_).isNotNull).reduce(_ && _))
+      .select((col(keyCol) +: orderCols.map(col) :+
+        lift6(col(valueCol)).as("__a6")): _*)
+      .select(col(keyCol), col("__a6"),
+        lead(col("__a6"), lag).over(w).as("__b6"))
+      .filter(col("__b6").isNotNull)
+    val g = p.groupBy(col(keyCol)).agg(
+      count(lit(1)).cast(dec).as("__n"),
+      sum(col("__a6").cast(dec)).as("__sa"),
+      sum(col("__b6").cast(dec)).as("__sb"),
+      sum(col("__a6").cast(dec) * col("__a6").cast(dec)).as("__saa"),
+      sum(col("__b6").cast(dec) * col("__b6").cast(dec)).as("__sbb"),
+      sum(col("__a6").cast(dec) * col("__b6").cast(dec)).as("__sab"))
+    val num = col("__n") * col("__sab") - col("__sa") * col("__sb")
+    val da = col("__n") * col("__saa") - col("__sa") * col("__sa")
+    val db = col("__n") * col("__sbb") - col("__sb") * col("__sb")
+    g.select(col(keyCol), col("__n").cast("long").as("n_pairs"),
+        when(da > 0 && db > 0,
+          round(num.cast("double")
+            / (sqrt(da.cast("double")) * sqrt(db.cast("double"))), 6))
+          .as("acf"))
+      .orderBy(col(keyCol))
+  }
+
   /** Cohen's kappa between two categorical raters of the same rows —
     * the chance-corrected agreement number behind every labeling /
     * weak-supervision audit (are two quality rules measuring the same

@@ -1001,4 +1001,57 @@ object Dedup {
         explode(graft.expressions.VectorExpressions
           .charShingles(col(textCol), k)).as("span"))
 
+  /** Winnowing fingerprint selection (Schleimer et al., MOSS) — the
+    * guaranteed-coverage document fingerprinter: hash every char
+    * `k`-gram, then in every window of `w` consecutive positions keep
+    * the MINIMAL hash (ties → rightmost, the original algorithm), so
+    * any match of length ≥ w+k−1 between two documents shares at
+    * least one selected fingerprint while only ~2/(w+1) of positions
+    * are kept. Cross-engine exact without a hash replica: the "hash"
+    * is md5's 32-char hex string (bit-identical both engines,
+    * CLAUDE.md) compared lexicographically, and the rightmost-minimal
+    * rule rides a composite string key h ∥ lpad(1e9 − i) whose min is
+    * (h asc, i desc) — the q153 composite-argmax idiom in string form
+    * (documents must be shorter than 1e9 chars). The per-window min is
+    * a (w−1 PRECEDING, CURRENT) frame over DESCENDING position —
+    * incremental, never the UNBOUNDED FOLLOWING hazard — and anchors
+    * whose ascending window would run past the end are filtered by
+    * position arithmetic (no extra count pass). Returns the per-doc
+    * digest (doc, n_grams, n_selected, n_distinct_fps, min_fp, max_fp)
+    * — selected fingerprints stay available to a pair-join caller via
+    * the same plan prefix. */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k $k / w $w must be >= 1")
+    val np = length(col(textCol)) - lit(k - 1)
+    val grams = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+        np >= lit(w))
+      .select(col(idCol).as("doc"), col(textCol).as("__t"), np.as("__np"))
+      .repartition(par(df), col("doc"))
+      .select(col("doc"), col("__np"),
+        posexplode(expr(s"sequence(1, length(__t) - ${k - 1})"))
+          .as(Seq("__x", "__i")),
+        col("__t"))
+      .select(col("doc"), col("__np"), col("__i"),
+        md5(expr(s"CAST(substr(__t, __i, $k) AS BINARY)")).as("__h"))
+    val keyed = grams.select(col("doc"), col("__np"), col("__i"),
+      concat(col("__h"),
+        lpad((lit(1000000000) - col("__i")).cast("string"), 10, "0"))
+        .as("__key"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("__i").desc)
+      .rowsBetween(-(w - 1), 0)
+    val sel = keyed
+      .withColumn("__mk", min(col("__key")).over(wd))
+      .filter(col("__i") <= col("__np") - lit(w - 1))
+      .select(col("doc"), col("__np"), col("__mk")).distinct()
+    sel.groupBy(col("doc").as(idCol))
+      .agg(first(col("__np")).cast("long").as("n_grams"),
+        count(lit(1)).as("n_selected"),
+        countDistinct(substring(col("__mk"), 1, 32)).as("n_distinct_fps"),
+        min(substring(col("__mk"), 1, 32)).as("min_fp"),
+        max(substring(col("__mk"), 1, 32)).as("max_fp"))
+      .orderBy(col(idCol))
+  }
 }

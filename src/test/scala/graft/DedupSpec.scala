@@ -633,4 +633,64 @@ class DedupSpec extends SparkSpec {
       "text", "q").collect().toSeq
     assert(p1 == p7)
   }
+
+  test("winnowingFingerprints == an independent brute-force winnower; " +
+    "the w+k-1 shared-substring guarantee holds; density bounds; " +
+    "partition independence") {
+    import spark.implicits._
+    val k = 8
+    val w = 4
+    // independent reference: plain Scala + MessageDigest (no code
+    // shared with the operator)
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map(b => f"${b & 0xff}%02x").mkString
+    }
+    def brute(text: String): Set[(Int, String)] = {
+      val hs = (1 to text.length - k + 1)
+        .map(i => i -> md5hex(text.substring(i - 1, i - 1 + k)))
+      (1 to hs.length - w + 1).map { j =>
+        // minimal hash in window, ties -> RIGHTMOST
+        hs.slice(j - 1, j - 1 + w)
+          .minBy { case (i, h) => (h, -i) }
+      }.toSet
+    }
+    val shared = "the-shared-run-of-text-here!"  // length 28 >= w+k-1
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, s"completely different prefix $shared and a different tail"),
+      (3L, s"zzz $shared yyy unrelated words follow here now"),
+      (4L, "aaaaaaaaaaaaaaaaaaaaaaaa"))  // degenerate: all grams equal
+    val df = docs.toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .winnowingFingerprints(df, "doc_id", "text", k, w)
+      .as[(Long, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    for ((id, text) <- docs) {
+      val ref = brute(text)
+      val refFps = ref.map(_._2)
+      val g = got(id)
+      assert(g._2 === (text.length - k + 1).toLong, s"n_grams doc $id")
+      assert(g._3 === ref.size.toLong, s"n_selected doc $id")
+      assert(g._4 === refFps.size.toLong, s"n_distinct_fps doc $id")
+      assert(g._5 === refFps.min && g._6 === refFps.max, s"fp range doc $id")
+      // density: between 1/w and 1 of the windows
+      assert(g._3 >= 1L && g._3 <= (g._2 - w + 1))
+    }
+    // guarantee: docs 2 and 3 share a >= w+k-1 substring → their
+    // selected fingerprint SETS intersect (the MOSS property)
+    val fps = (id: Long) => brute(docs.find(_._1 == id).get._2).map(_._2)
+    assert(fps(2L).intersect(fps(3L)).nonEmpty)
+    // degenerate doc 4: one distinct gram → exactly one fingerprint
+    assert(got(4L)._4 === 1L)
+    // partition independence
+    val a = graft.operators.Dedup
+      .winnowingFingerprints(df.repartition(1), "doc_id", "text", k, w)
+      .collect().toSeq
+    val b = graft.operators.Dedup
+      .winnowingFingerprints(df.repartition(5), "doc_id", "text", k, w)
+      .collect().toSeq
+    assert(a === b)
+  }
 }

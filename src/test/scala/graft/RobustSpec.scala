@@ -740,6 +740,31 @@ class RobustSpec extends SparkSpec {
     assert(run(1) === got && run(5) === got)
   }
 
+  test("autocorrelation: hand-exact lag-1 Pearson; anti-correlated reads " +
+    "-1; constant reads NULL; partition independence") {
+    // a = [1,2,4,3]: pairs (1,2)(2,4)(4,3) → acf = 3/sqrt(14*6) = 0.327327
+    val rows = Seq((1L, 1.0), (2L, 2.0), (3L, 4.0), (4L, 3.0))
+      .map { case (t, v) => ("k", t, v) }
+    def run(parts: Int) =
+      Analytics.autocorrelation(rows.toDF("g", "t", "x").repartition(parts),
+        "g", Seq("t"), "x", lag = 1)
+        .as[(String, Long, Option[Double])].collect().toSeq
+    val got = run(3)
+    assert(got === Seq(("k", 3L, Some(0.327327))))
+    assert(run(1) === got && run(5) === got)
+    // b = -a exactly → acf −1.0 (after the 6-dp round)
+    val anti = (1 to 6).map(i => ("k", i.toLong,
+      if (i % 2 == 0) -1.0 else 1.0))
+    assert(Analytics.autocorrelation(anti.toDF("g", "t", "x"),
+      "g", Seq("t"), "x", 1)
+      .as[(String, Long, Option[Double])].head()._3 === Some(-1.0))
+    // constant series: zero variance → NULL
+    val const = (1 to 5).map(i => ("k", i.toLong, 7.0))
+    assert(Analytics.autocorrelation(const.toDF("g", "t", "x"),
+      "g", Seq("t"), "x", 1)
+      .as[(String, Long, Option[Double])].head()._3.isEmpty)
+  }
+
   test("proportionTest: hand-exact 2x2 chi-square; zero margin NULL; " +
     "rejects non-two group counts") {
     val rows = (Seq.fill(4)(("v0", 1)) ++ Seq.fill(6)(("v0", 0)) ++

@@ -2292,6 +2292,14 @@ object SparkEntry {
       Dedup.winnowingFingerprints(Tables.documents(s, d), "doc_id",
         "text", k = 8, w = 4)),
 
+    // MOSS matching: near-dup pairs by SHARED winnowed fingerprints
+    // (≥ 30 shared selected md5s at df ≤ 64 — the cap is
+    // ANSI-expressible so the declared query carries it). Completes
+    // the q170 family: q170 selects, q171 matches.
+    "q171_winnowed_neardups" -> ((s, d) =>
+      Dedup.winnowedNearDups(Tables.documents(s, d), "doc_id", "text",
+        k = 8, w = 4, maxFpDf = 64, minShared = 30)),
+
     // real BPE token counting (checked-in merge table trained offline
     // by tools/train_bpe.py) + greedy 64-token chunk boundaries — the
     // faithful replacement for the bpeTokenEstimate heuristic. Oracle =
@@ -4274,6 +4282,38 @@ object SparkEntry {
         |  min(substr(mk, 1, 32)) AS min_fp,
         |  max(substr(mk, 1, 32)) AS max_fp
         |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q170's CTE chain + df-capped fingerprint self-join + threshold
+    "q171_winnowed_neardups" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, len(text) - 7 AS np FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND len(text) - 7 >= 4),
+        |pos AS (
+        |  SELECT doc_id, np, text,
+        |    unnest(generate_series(1, len(text) - 7)) AS i
+        |  FROM d),
+        |keyed AS (
+        |  SELECT doc_id, np, i,
+        |    md5(substr(text, i, 8))
+        |      || lpad(CAST(1000000000 - i AS VARCHAR), 10, '0') AS key
+        |  FROM pos),
+        |win AS (
+        |  SELECT doc_id, np, i,
+        |    min(key) OVER (PARTITION BY doc_id ORDER BY i DESC
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
+        |  FROM keyed),
+        |sel AS (SELECT DISTINCT doc_id, substr(mk, 1, 32) AS fp
+        |        FROM win WHERE i <= np - 3),
+        |dfq AS (SELECT fp, CAST(count(*) AS BIGINT) AS df
+        |        FROM sel GROUP BY fp),
+        |kept AS (SELECT s.doc_id, s.fp FROM sel s JOIN dfq USING (fp)
+        |         WHERE df <= 64)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 30
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // exact-integer po/pe/kappa; HUGEINT == the Spark DECIMAL(38,0)
     "q165_cohen_kappa" ->

@@ -1022,6 +1022,22 @@ object Dedup {
     * the same plan prefix. */
   def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
+    val sel = winnowedSelections(df, idCol, textCol, k, w)
+    sel.groupBy(col("doc").as(idCol))
+      .agg(first(col("__np")).cast("long").as("n_grams"),
+        count(lit(1)).as("n_selected"),
+        countDistinct(substring(col("__mk"), 1, 32)).as("n_distinct_fps"),
+        min(substring(col("__mk"), 1, 32)).as("min_fp"),
+        max(substring(col("__mk"), 1, 32)).as("max_fp"))
+      .orderBy(col(idCol))
+  }
+
+  /** The winnowing SELECTION stage shared by [[winnowingFingerprints]]
+    * and [[winnowedNearDups]]: distinct (doc, __np, __mk) where __mk
+    * is the window-minimal composite key (fingerprint hex in chars
+    * 1..32, the selected position recoverable from the lpad tail). */
+  private[graft] def winnowedSelections(df: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 1, s"k $k / w $w must be >= 1")
     val np = length(col(textCol)) - lit(k - 1)
     val grams = df
@@ -1042,16 +1058,41 @@ object Dedup {
     val wd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc")).orderBy(col("__i").desc)
       .rowsBetween(-(w - 1), 0)
-    val sel = keyed
+    keyed
       .withColumn("__mk", min(col("__key")).over(wd))
       .filter(col("__i") <= col("__np") - lit(w - 1))
       .select(col("doc"), col("__np"), col("__mk")).distinct()
-    sel.groupBy(col("doc").as(idCol))
-      .agg(first(col("__np")).cast("long").as("n_grams"),
-        count(lit(1)).as("n_selected"),
-        countDistinct(substring(col("__mk"), 1, 32)).as("n_distinct_fps"),
-        min(substring(col("__mk"), 1, 32)).as("min_fp"),
-        max(substring(col("__mk"), 1, 32)).as("max_fp"))
-      .orderBy(col(idCol))
+  }
+
+  /** Near-duplicate candidate pairs by SHARED winnowed fingerprints —
+    * the matching half of MOSS: two documents sharing ≥ `minShared`
+    * distinct selected fingerprints (each shared fingerprint is a
+    * guaranteed k-char exact match inside a w-window; a shared run of
+    * length ≥ w+k−1 always contributes at least one). Fingerprints
+    * with document frequency above `maxFpDf` are dropped BEFORE the
+    * pair join — boilerplate grams appear in thousands of documents
+    * and contribute df² candidate pairs of pure noise (the
+    * maxShingleDf lesson); unlike the shingle caps this cap is
+    * ANSI-expressible, so the DECLARED query carries it and the
+    * oracle mirrors it exactly. The df rejoin is merge-hinted (the
+    * duplicatedSpans AQE-broadcast-OOM class). Returns (id_a, id_b,
+    * n_shared) with id_a < id_b, ordered. */
+  def winnowedNearDups(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, maxFpDf: Int = 64,
+      minShared: Int = 30): DataFrame = {
+    val sel = winnowedSelections(df, idCol, textCol, k, w)
+      .select(col("doc"), substring(col("__mk"), 1, 32).as("__fp"))
+      .distinct()
+    val dfq = sel.groupBy(col("__fp")).agg(count(lit(1)).as("__df"))
+    val kept = sel.join(dfq.hint("merge"), Seq("__fp"))
+      .filter(col("__df") <= maxFpDf)
+      .select(col("__fp"), col("doc"))
+    kept.as("a")
+      .join(kept.as("b").hint("shuffle_hash"),
+        col("a.__fp") === col("b.__fp") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("id_a"), col("id_b"))
   }
 }

@@ -692,5 +692,24 @@ class DedupSpec extends SparkSpec {
       .winnowingFingerprints(df.repartition(5), "doc_id", "text", k, w)
       .collect().toSeq
     assert(a === b)
+
+    // winnowedNearDups == the brute-force shared-fingerprint count
+    // (cap never binds at 4 docs); docs 2/3 share the planted run
+    val pairs = graft.operators.Dedup
+      .winnowedNearDups(df, "doc_id", "text", k, w,
+        maxFpDf = 64, minShared = 1)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    for (i <- docs.map(_._1); j <- docs.map(_._1) if i < j) {
+      val expect = fps(i).intersect(fps(j)).size.toLong
+      assert(pairs.getOrElse((i, j), 0L) === expect, s"pair ($i,$j)")
+    }
+    assert(pairs((2L, 3L)) >= 1L)
+    // the threshold drops weak pairs
+    val strong = graft.operators.Dedup
+      .winnowedNearDups(df, "doc_id", "text", k, w, 64,
+        minShared = (pairs((2L, 3L)) + 1).toInt)
+      .as[(Long, Long, Long)].collect()
+    assert(!strong.exists(r => r._1 == 2L && r._2 == 3L))
   }
 }

@@ -1035,14 +1035,23 @@ object Dedup {
   /** The winnowing SELECTION stage shared by [[winnowingFingerprints]]
     * and [[winnowedNearDups]]: distinct (doc, __np, __mk) where __mk
     * is the window-minimal composite key (fingerprint hex in chars
-    * 1..32, the selected position recoverable from the lpad tail). */
+    * 1..32, the selected position recoverable from the lpad tail).
+    *
+    * Short-document contract (r17): a document whose k-gram count np
+    * is in [1, w−1] gets ONE truncated window covering all of its
+    * positions (anchor pinned at position 1, whose w-row frame simply
+    * runs out of rows — Schleimer et al.'s selection applied to the
+    * whole doc), so tweet-length texts are never invisible to the
+    * near-dup surface. Documents SHORTER than k chars have no k-gram
+    * at all and fall outside the fingerprint domain entirely — route
+    * those through [[Dedup.exact]] (or lower k). */
   private[graft] def winnowedSelections(df: DataFrame, idCol: String,
       textCol: String, k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 1, s"k $k / w $w must be >= 1")
     val np = length(col(textCol)) - lit(k - 1)
     val grams = df
       .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
-        np >= lit(w))
+        np >= lit(1))
       .select(col(idCol).as("doc"), col(textCol).as("__t"), np.as("__np"))
       .repartition(par(df), col("doc"))
       .select(col("doc"), col("__np"),
@@ -1060,7 +1069,7 @@ object Dedup {
       .rowsBetween(-(w - 1), 0)
     keyed
       .withColumn("__mk", min(col("__key")).over(wd))
-      .filter(col("__i") <= col("__np") - lit(w - 1))
+      .filter(col("__i") <= greatest(col("__np") - lit(w - 1), lit(1)))
       .select(col("doc"), col("__np"), col("__mk")).distinct()
   }
 

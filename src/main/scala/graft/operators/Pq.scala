@@ -326,7 +326,11 @@ object Pq {
     * (Σ x6 x6ᵀ row-major, Σ x6, n) with per-partition `addExact` long
     * partials merged on the driver — partition-count independent by
     * exactness (the CentroidScaledAggregator discipline applied to a
-    * matrix), ANSI-faithful on overflow. One single-stage job. */
+    * matrix), ANSI-faithful on overflow — the per-row lifted products
+    * use `multiplyExact` too, so a component with |v| ≳ 3037 (whose
+    * 1e6-lift squares past Long.MaxValue) THROWS instead of silently
+    * wrapping into a corrupt covariance (Python-replica side needs no
+    * guard: its ints are exact). One single-stage job. */
   private[graft] def liftedMoments(df: DataFrame, vecCol: String,
       dim: Int): (Array[Long], Array[Long], Long) = {
     val spark = df.sparkSession
@@ -346,7 +350,8 @@ object Pq {
             var j = 0
             val base = i * dim
             while (j < dim) {
-              sxx(base + j) = Math.addExact(sxx(base + j), x6(i) * x6(j))
+              sxx(base + j) =
+                Math.addExact(sxx(base + j), Math.multiplyExact(x6(i), x6(j)))
               j += 1
             }
             sx(i) = Math.addExact(sx(i), x6(i))
@@ -516,7 +521,7 @@ object Pq {
             val base = a * dim
             while (b < dim) {
               acc(base + b) = Math.addExact(acc(base + b),
-                y6 * Math.round(v(b) * 1e6))
+                Math.multiplyExact(y6, Math.round(v(b) * 1e6)))
               b += 1
             }
             a += 1

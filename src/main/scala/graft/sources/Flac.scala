@@ -15,8 +15,15 @@ package graft.sources
   * decorrelation modes, CONSTANT / VERBATIM / FIXED 0-4 / LPC
   * subframes, wasted bits, Rice methods 0 and 1 at arbitrary
   * partition orders incl. escape codes, CRC-8 header and CRC-16 frame
-  * verification (a tampered frame decodes to `None`, never to wrong
-  * samples). The reference stores attachments as opaque blobs
+  * verification (a tampered FRAME decodes to `None`, never to wrong
+  * samples). STREAMINFO integrity (r17): the declared total-samples
+  * count is cross-checked against the decoded frame sum, and the
+  * stream MD5 (unencoded interleaved little-endian samples) is
+  * verified whenever the encoder wrote one (all-zero = "unknown" per
+  * spec, as this repo's fixtures do) and bps is a whole byte count —
+  * so metadata tampering is caught except a zero-MD5 total flipped to
+  * another exact frame-boundary value, which no checksum in the file
+  * covers. The reference stores attachments as opaque blobs
   * (`src/signal/process_incoming_message.rs:53-59` sniffs mime only);
   * decode is engine-side capability beyond it. */
 object Flac {
@@ -190,6 +197,7 @@ object Flac {
         data(2) != 'a' || data(3) != 'C') return None
       var pos = 4
       var sr = -1; var ch = 0; var bps = 0; var total = 0L
+      var md5 = new Array[Byte](16)
       var last = false
       while (!last) {
         val hdr = data(pos) & 0xff
@@ -204,6 +212,8 @@ object Flac {
           ch = br.readInt(3) + 1
           bps = br.readInt(5) + 1
           total = br.read(36)
+          var m = 0
+          while (m < 16) { md5(m) = br.read(8).toByte; m += 1 }
         }
         pos += 4 + len
       }
@@ -276,10 +286,31 @@ object Flac {
         decoded += blocksize
         pos = br.pos
       }
+      // STREAMINFO consistency: the declared total must equal the sum of
+      // frame blocksizes exactly (a tampered 36-bit total that does not
+      // land on a frame boundary, or exceeds the stream, decodes to None).
+      require(total == 0L || decoded == total, "total-samples mismatch")
       val totalLen = { var t = 0; out.forEach(a => t += a.length); t }
       val all = new Array[Int](totalLen)
       var off = 0
       out.forEach { a => System.arraycopy(a, 0, all, off, a.length); off += a.length }
+      // STREAMINFO MD5 (over the unencoded interleaved little-endian
+      // samples) verified when present; all-zero means "unknown" per the
+      // spec. Only whole-byte sample sizes are checked — sub-byte packing
+      // is out of the subset this decoder accepts from real encoders.
+      if (md5.exists(_ != 0) && bps % 8 == 0) {
+        val bytesPer = bps / 8
+        val dig = java.security.MessageDigest.getInstance("MD5")
+        val buf = new Array[Byte](bytesPer)
+        var s = 0
+        while (s < all.length) {
+          var b = 0
+          while (b < bytesPer) { buf(b) = ((all(s) >> (8 * b)) & 0xff).toByte; b += 1 }
+          dig.update(buf)
+          s += 1
+        }
+        require(java.util.Arrays.equals(dig.digest(), md5), "stream md5 mismatch")
+      }
       Some((all, nch, bps))
     } catch { case _: Exception => None }
   }

@@ -712,4 +712,43 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     assert(!strong.exists(r => r._1 == 2L && r._2 == 3L))
   }
+
+  test("winnowing short-document contract (r17): a doc with 1 <= np < w " +
+    "gets ONE truncated whole-doc window (min hash, ties rightmost); " +
+    "docs shorter than k chars stay outside the fingerprint domain") {
+    import spark.implicits._
+    val k = 8
+    val w = 4
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    // np = len - 7: "tweetlen" -> np 1; "tweet-len!" -> np 3; "short" -> 0
+    val docs = Seq(
+      (1L, "tweetlen"),            // np = 1: single gram, one fingerprint
+      (2L, "tweet-len!"),          // np = 3 < w: truncated window over all
+      (3L, "short"),               // len < k: no k-gram, absent
+      (4L, "a full-length document that clears k+w-1 comfortably"))
+    val df = docs.toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .winnowingFingerprints(df, "doc_id", "text", k, w)
+      .as[(Long, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!got.contains(3L), "sub-k doc must be absent")
+    // doc 1: exactly its single gram's hash
+    assert(got(1L)._2 === 1L && got(1L)._3 === 1L)
+    assert(got(1L)._5 === md5hex("tweetlen"))
+    // doc 2: one selection = the min hash over ALL np grams (rightmost tie)
+    val grams2 = (1 to 3).map(i => i -> md5hex("tweet-len!".substring(i - 1, i + 7)))
+    val want2 = grams2.minBy { case (i, h) => (h, -i) }._2
+    assert(got(2L)._2 === 3L && got(2L)._3 === 1L && got(2L)._5 === want2)
+    assert(got(2L)._5 === got(2L)._6)
+    // short docs participate in matching: two identical short texts
+    // (np < w -> one truncated-window fingerprint each) pair up
+    val tw = Seq((10L, "tweet-len!"), (11L, "tweet-len!"))
+      .toDF("doc_id", "text")
+    val p = graft.operators.Dedup
+      .winnowedNearDups(tw, "doc_id", "text", k, w, 64, minShared = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(p.toSeq === Seq((10L, 11L, 1L)))
+  }
 }

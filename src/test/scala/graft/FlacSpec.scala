@@ -74,6 +74,35 @@ class FlacSpec extends SparkSpec {
     assert(Flac.pcm16(Array[Byte]()).isEmpty)
   }
 
+  test("STREAMINFO integrity (r17): a tampered total-samples count decodes " +
+    "to None; a written MD5 is verified (good -> Some, flipped -> None)") {
+    val good = bytes("clip_01.flac")
+    // STREAMINFO data starts at byte 8; total-samples occupies bits
+    // 108..143 of it -> its last byte is abs offset 8 + 17 = 25.
+    val badTotal = good.clone()
+    badTotal(25) = (badTotal(25) ^ 0x01).toByte
+    assert(Flac.pcm16(badTotal).isEmpty, "off-by-one total still decoded")
+    // total = 0 means "unknown" -> still decodes, same samples.
+    // total-samples = bits 108..143 of STREAMINFO data (abs bytes 21-25:
+    // low nibble of 21, then 22..25).
+    val zeroTotal = good.clone()
+    zeroTotal(21) = (zeroTotal(21) & 0xf0).toByte
+    for (i <- 22 to 25) zeroTotal(i) = 0
+    assert(Flac.pcm16(zeroTotal).get._1.sameElements(Flac.pcm16(good).get._1))
+    // Write the CORRECT stream MD5 into the fixture's zeroed field ->
+    // must still decode; flip a byte of it -> None. For 16-bit mono the
+    // MD5 input (unencoded interleaved LE samples) IS the pcm16 stream.
+    val samples = Flac.pcm16(good).get._1
+    val dig = java.security.MessageDigest.getInstance("MD5").digest(samples)
+    val withMd5 = good.clone()
+    System.arraycopy(dig, 0, withMd5, 26, 16)
+    assert(Flac.pcm16(withMd5).get._1.sameElements(samples),
+      "correct MD5 rejected")
+    val badMd5 = withMd5.clone()
+    badMd5(30) = (badMd5(30) ^ 0x10).toByte
+    assert(Flac.pcm16(badMd5).isEmpty, "flipped MD5 still decoded")
+  }
+
   test("decoder-only paths: wasted bits and Rice escape partitions " +
     "(hand-assembled frames)") {
     // samples 8,16,24,32 with 3 wasted bits -> stored as 1,2,3,4;

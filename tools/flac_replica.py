@@ -229,6 +229,10 @@ def decode_flac(data):
                 out.append(chans[c][i])
         decoded += blocksize
         pos = br.pos
+    # STREAMINFO consistency (mirrors the Scala decoder's r17 check):
+    # a non-zero declared total must equal the decoded frame sum.
+    if total != 0 and decoded != total:
+        raise ValueError("total-samples mismatch")
     return out
 
 

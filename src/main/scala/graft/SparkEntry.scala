@@ -2292,6 +2292,26 @@ object SparkEntry {
       Dedup.winnowingFingerprints(Tables.documents(s, d), "doc_id",
         "text", k = 8, w = 4)),
 
+    // Vamana graph ANN (DiskANN; q172) — the graph-index family the
+    // reference's installed-but-unused pgvectorscale extension ships
+    // (StreamingDiskANN). Sharded deterministic build (exact-integer
+    // distances, integer α-pruning), scatter-gather greedy beam probe,
+    // exact cosine rerank on originals. Differential oracle:
+    // tools/replica.py vamana_build/vamana_search_shards transliterate
+    // the build+search bit-for-bit (all-integer decisions).
+    "q172_vamana" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val p = Vamana.Params(r = 16, l = 32, alphaNum = 12L,
+        alphaDen = 10L, nShards = 4)
+      val path = cachedStorePath("vamana:" + d) { pth =>
+        Vamana.writeStore(e, "vec_id", "embedding", pth, p)
+      }
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      Vamana.topK(s, path, e, "vec_id", "embedding", probe, p,
+        k = 20, mCand = 50)
+    }),
+
     // MOSS matching: near-dup pairs by SHARED winnowed fingerprints
     // (≥ 30 shared selected md5s at df ≤ 64 — the cap is
     // ANSI-expressible so the declared query carries it). Completes
@@ -4222,6 +4242,11 @@ object SparkEntry {
       expectedSql("q162", "file, afp", "file"),
     "q163_opq_store" ->
       expectedSql("q163", "vec_id, sim", "sim DESC, vec_id"),
+
+    // Vamana graph ANN — differential oracle (the q163 precedent):
+    // expected rows from the transliterated Python build+search.
+    "q172_vamana" ->
+      expectedSql("q172", "vec_id, sim", "sim DESC, vec_id"),
     "q168_opq_ivf_store" ->
       expectedSql("q168", "vec_id, sim", "sim DESC, vec_id"),
 
@@ -4259,7 +4284,7 @@ object SparkEntry {
       """WITH d AS (
         |  SELECT doc_id, text, len(text) - 7 AS np FROM documents
         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
-        |    AND len(text) - 7 >= 4),
+        |    AND len(text) - 7 >= 1),
         |pos AS (
         |  SELECT doc_id, np, text,
         |    unnest(generate_series(1, len(text) - 7)) AS i
@@ -4274,7 +4299,7 @@ object SparkEntry {
         |    min(key) OVER (PARTITION BY doc_id ORDER BY i DESC
         |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
         |  FROM keyed),
-        |sel AS (SELECT DISTINCT doc_id, np, mk FROM win WHERE i <= np - 3)
+        |sel AS (SELECT DISTINCT doc_id, np, mk FROM win WHERE i <= greatest(np - 3, 1))
         |SELECT doc_id, CAST(min(np) AS BIGINT) AS n_grams,
         |  CAST(count(*) AS BIGINT) AS n_selected,
         |  CAST(count(DISTINCT substr(mk, 1, 32)) AS BIGINT)
@@ -4288,7 +4313,7 @@ object SparkEntry {
       """WITH d AS (
         |  SELECT doc_id, text, len(text) - 7 AS np FROM documents
         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
-        |    AND len(text) - 7 >= 4),
+        |    AND len(text) - 7 >= 1),
         |pos AS (
         |  SELECT doc_id, np, text,
         |    unnest(generate_series(1, len(text) - 7)) AS i
@@ -4304,7 +4329,7 @@ object SparkEntry {
         |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
         |  FROM keyed),
         |sel AS (SELECT DISTINCT doc_id, substr(mk, 1, 32) AS fp
-        |        FROM win WHERE i <= np - 3),
+        |        FROM win WHERE i <= greatest(np - 3, 1)),
         |dfq AS (SELECT fp, CAST(count(*) AS BIGINT) AS df
         |        FROM sel GROUP BY fp),
         |kept AS (SELECT s.doc_id, s.fp FROM sel s JOIN dfq USING (fp)

@@ -29,7 +29,8 @@ from replica import (  # noqa: E402
     hllpp_count, hyperplane_bits, hyperplane_bucket, int8_cosine,
     int8_encode, kmeans, l2_dist_sq, lr_train, minhash_sig, norm2,
     mat_vec, opq_train, pq_adc_dist, pq_adc_tables, pq_encode, pq_train,
-    r6, sigmoid6, simhash_bits, spark_round, word_shingles, words)
+    r6, sigmoid6, simhash_bits, spark_round, word_shingles, words,
+    lift6_vec, vamana_build, vamana_search_shards)
 
 QUESTION = "query filter join aggregate window shuffle"
 
@@ -584,6 +585,29 @@ def gen_q168(fx):
     return ("vec_id BIGINT, sim DOUBLE", [(i, s) for s, i in rer])
 
 
+def gen_q172(fx):
+    """Vamana graph ANN (q172): sharded deterministic DiskANN build +
+    scatter-gather greedy beam search, exact cosine rerank on the
+    ORIGINAL vectors — transliterates operators/Vamana.scala (all
+    decisions in exact 1e6-lifted integers, nothing to match but the
+    op order)."""
+    probe = dict(fx.embs)[0]
+    q6 = lift6_vec(probe)
+    n_shards = 4
+    shards = []
+    for s in range(n_shards):
+        members = [(i, v) for i, v in fx.embs if i % n_shards == s]
+        ids = [i for i, _ in members]      # fx.embs is vec_id-ordered
+        vecs6 = [lift6_vec(v) for _, v in members]
+        medoid, adj = vamana_build(vecs6, 16, 32, 12, 10)
+        shards.append((ids, vecs6, medoid, adj))
+    merged = vamana_search_shards(shards, q6, 32)[:50]
+    vecs = dict(fx.embs)
+    rer = sorted(((cosine6(vecs[i], probe), i) for _, i in merged),
+                 key=lambda t: (-t[0], t[1]))[:20]
+    return ("vec_id BIGINT, sim DOUBLE", [(i, s) for s, i in rer])
+
+
 def _probe_cells(probe, cents, n_probe):
     ds = sorted(((l2_dist_sq(probe, c), i) for i, c in enumerate(cents)))
     return [i for _, i in ds[:n_probe]]
@@ -1004,6 +1028,7 @@ GENERATORS = {
     "q128": gen_q128, "q129": gen_q129,
     "q130": gen_q130, "q131": gen_q131, "q135": gen_q135,
     "q162": gen_q162, "q163": gen_q163, "q168": gen_q168,
+    "q172": gen_q172,
 }
 
 

@@ -592,7 +592,9 @@ def mat_vec(rotation, v):
 
 def lifted_moments(items, dim):
     """(sxx row-major, sx, n) over java_round(x*1e6) lifts — Python
-    ints are exact, matching the addExact long partials."""
+    ints are exact, matching the addExact/multiplyExact long partials
+    (Scala throws when a lifted product exceeds Long.MaxValue, i.e.
+    |component| >~ 3037; no guard needed here)."""
     sxx = [0] * (dim * dim)
     sx = [0] * dim
     n = 0
@@ -806,3 +808,108 @@ def gram_schmidt_rows(r):
             inv = 1.0 / math.sqrt(n2)
             for k in range(dim):
                 r[i][k] = r[i][k] * inv
+
+
+# --- Vamana graph ANN (operators/Vamana.scala, q172) -----------------
+# Everything is exact integer arithmetic over 1e6-lifted vectors, so
+# the transliteration has nothing to match but the op order: distances
+# are exact int sums, argmins tie-break to the smaller index, and the
+# alpha-pruning test is the integer comparison
+# alpha_num*d(p*,v) <= alpha_den*d(p,v).
+
+def lift6_vec(v):
+    return [java_round(x * 1e6) for x in v]
+
+
+def vamana_dist2(a, b):
+    s = 0
+    for x, y in zip(a, b):
+        d = x - y
+        s += d * d
+    return s
+
+
+def vamana_greedy(adj, vecs, start, q, l):
+    """GreedySearch(start, q, L) -> (beam [(dist, idx)] sorted asc,
+    visited set). Beam = pool truncated to the L closest."""
+    dist = {}
+
+    def d(i):
+        if i not in dist:
+            dist[i] = vamana_dist2(vecs[i], q)
+        return dist[i]
+
+    pool = {start}
+    visited = set()
+    while True:
+        best, best_d = -1, None
+        for p in pool:
+            if p in visited:
+                continue
+            dp = d(p)
+            if best_d is None or dp < best_d or (dp == best_d and p < best):
+                best, best_d = p, dp
+        if best < 0:
+            break
+        visited.add(best)
+        pool.update(adj[best])
+        if len(pool) > l:
+            kept = sorted(((d(p), p) for p in pool))[:l]
+            pool = {p for _, p in kept}
+    beam = sorted(((d(p), p) for p in pool))[:l]
+    return beam, visited
+
+
+def vamana_robust_prune(p, cands, vecs, alpha_num, alpha_den, r):
+    vp = vecs[p]
+    pool = sorted((vamana_dist2(vecs[c], vp), c)
+                  for c in set(cands) if c != p)
+    out = []
+    while pool and len(out) < r:
+        p_star = pool[0][1]
+        out.append(p_star)
+        vs = vecs[p_star]
+        pool = [(dpv, v) for dpv, v in pool[1:]
+                if alpha_num * vamana_dist2(vecs[v], vs) > alpha_den * dpv]
+    return out
+
+
+def vamana_build(vecs, r=16, l=32, alpha_num=12, alpha_den=10):
+    """(medoid_idx, adjacency) over vecs in ascending-id order — the
+    Vamana.buildShard transliteration (two passes: alpha=1 then alpha)."""
+    n = len(vecs)
+    dim = len(vecs[0])
+    cent = [0] * dim
+    for v in vecs:
+        for j in range(dim):
+            cent[j] += v[j]
+    # Math.floorDiv == Python // for any signs
+    cent = [c // n for c in cent]
+    medoid, best_d = 0, None
+    for i in range(n):
+        dd = vamana_dist2(vecs[i], cent)
+        if best_d is None or dd < best_d:
+            medoid, best_d = i, dd
+    adj = [[] for _ in range(n)]
+    for a_num in (alpha_den, alpha_num):
+        for x in range(n):
+            _, visited = vamana_greedy(adj, vecs, medoid, vecs[x], l)
+            adj[x] = vamana_robust_prune(
+                x, list(visited) + adj[x], vecs, a_num, alpha_den, r)
+            for b in adj[x]:
+                if x not in adj[b]:
+                    nb = adj[b] + [x]
+                    adj[b] = (vamana_robust_prune(
+                        b, nb, vecs, a_num, alpha_den, r)
+                        if len(nb) > r else nb)
+    return medoid, adj
+
+
+def vamana_search_shards(shards, q6, l):
+    """Scatter-gather: per-shard greedy beams merged by (dist, id).
+    `shards` = list of (ids_sorted, vecs6, medoid_idx, adj)."""
+    merged = []
+    for ids, vecs, medoid, adj in shards:
+        beam, _ = vamana_greedy(adj, vecs, medoid, q6, l)
+        merged.extend((d, ids[i]) for d, i in beam)
+    return sorted(merged)

@@ -1092,6 +1092,15 @@ object Dedup {
     val sel = winnowedSelections(df, idCol, textCol, k, w)
       .select(col("doc"), substring(col("__mk"), 1, 32).as("__fp"))
       .distinct()
+    winnowedPairsFromSelections(sel, maxFpDf, minShared)
+  }
+
+  /** The MOSS matching half over ALREADY-SELECTED fingerprints —
+    * `sel` must be distinct (doc, __fp) rows. Shared by
+    * [[winnowedNearDups]] and the streaming `WinnowStore`, so the
+    * whole-store matching is q171-identical by construction. */
+  private[graft] def winnowedPairsFromSelections(sel: DataFrame,
+      maxFpDf: Int, minShared: Int): DataFrame = {
     val dfq = sel.groupBy(col("__fp")).agg(count(lit(1)).as("__df"))
     val kept = sel.join(dfq.hint("merge"), Seq("__fp"))
       .filter(col("__df") <= maxFpDf)

@@ -97,6 +97,30 @@ object RecallScale {
     val rOpq = pqRecall(rotCorpus, "rx", Some(opq.rotation))
     println(f"[recall-pq] nList=$nList nProbe=$nProbe mCand=$mCand k=$k  " +
       f"residIvfPq=$rResid%.3f  opqResidIvfPq=$rOpq%.3f")
+
+    // --- Vamana (q172) recall at the SAME rerank budget (k, mCand):
+    // fixed nShards so shard size grows ∝ N — the graph-search
+    // promise is that the beam (L) holds recall while per-shard probe
+    // work stays sublinear in shard size. args(4) = nShards. ---
+    val nShards = if (args.length > 4) args(4).toInt else 4
+    val vp = graft.operators.Vamana.Params(nShards = nShards)
+    val vPath = java.nio.file.Files
+      .createTempDirectory("graft_rs_vam").toString
+    val tb0 = System.nanoTime()
+    graft.operators.Vamana.writeStore(corpus, "vec_id", "embedding",
+      vPath, vp)
+    val buildS = (System.nanoTime() - tb0) / 1e9
+    val tp0 = System.nanoTime()
+    val gotV = probeVecs.flatMap { case (pid, pv) =>
+      graft.operators.Vamana.topK(spark, vPath, corpus, "vec_id",
+          "embedding", pv, vp, k, mCand)
+        .select(col("vec_id")).as[Long].collect().map(n => (pid, n))
+    }.toSet
+    val probeS = (System.nanoTime() - tp0) / 1e9
+    val rVam = gotV.intersect(exact16).size.toDouble / exact16.size
+    println(f"[recall-vamana] nShards=$nShards r=${vp.r} l=${vp.l} " +
+      f"mCand=$mCand k=$k  vamana=$rVam%.3f  " +
+      f"build=$buildS%.1fs  probes16=$probeS%.1fs")
     spark.stop()
   }
 }

@@ -494,6 +494,120 @@ object Similarity {
         round(nc.getField("dist2"), 6).as("dist2"))
     }
 
+  /** Collect threshold below which the iterative trainers run their
+    * DRIVER-LOCAL twin (the `connectedComponents` size-adaptive
+    * precedent, r17): every per-iteration reduction in the distributed
+    * loops is an exact 1e12-quantized long sum and every decision an
+    * exact double/integer comparison, so a driver loop summing the
+    * same longs in any order is BIT-IDENTICAL — verified end-to-end by
+    * the q74/q78/q81/q83/q93/q163/q168 expected-parquet pins, which
+    * compare both paths against the same independent Python replica.
+    * What the local path buys is the per-iteration Spark-job overhead
+    * (AQE stage churn dominated the cold map: q93/q163/q168 together
+    * ~50 s of the r16 cold total at 2 000 rows). 1M rows × 64 dims ≈
+    * 0.5 GB — comfortably driver-resident; production corpora above
+    * the limit take the distributed loop unchanged (quantizer training
+    * at 100 TB is sample-based anyway — cap the sample, not the
+    * corpus). */
+  val LocalTrainCollectLimit = 1000000L
+
+  /** Local path applies only to integral ids (the seed order must
+    * match the distributed orderBy) and bounded inputs. One count()
+    * job decides — column-pruned, far cheaper than one training
+    * iteration. */
+  private[graft] def localTrainEligible(df: DataFrame, idCol: String,
+      collectLimit: Long): Boolean = {
+    import org.apache.spark.sql.types._
+    if (collectLimit <= 0) false
+    else df.select(col(idCol)).schema.head.dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        df.count() <= collectLimit
+      case _ => false
+    }
+  }
+
+  private[graft] def collectVecs(df: DataFrame, idCol: String,
+      vecCol: String): Array[(Long, Array[Double])] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (i, v) => (i, v.toArray) }
+  }
+
+  /** Sequential-fold squared L2 — the exact op order of the replica's
+    * `l2_dist_sq` and the assignment kernels. */
+  private[graft] def l2Local(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** argmin cell, strict-< first-match tie-break (lowest cell id) —
+    * `assignExpr`'s contract. */
+  private[graft] def assignLocal(v: Array[Double],
+      cents: IndexedSeq[Array[Double]]): Int = {
+    var bi = 0
+    var best = Double.NaN
+    var i = 0
+    while (i < cents.length) {
+      val d = l2Local(v, cents(i))
+      if (i == 0 || d < best) { best = d; bi = i }
+      i += 1
+    }
+    bi
+  }
+
+  /** Driver-local Lloyd's loop — bit-identical to the distributed
+    * [[kMeans]] body (same lowest-id seeds, same Math.round(v*1e12)
+    * long sums, same `s.toDouble / 1e12 / n` mean, same exact-fixpoint
+    * convergence; sums are order-independent by exactness). */
+  private[graft] def kMeansLocal(items: Array[(Long, Array[Double])],
+      k: Int, maxIter: Int): KMeansResult = {
+    val sorted = items.sortBy(_._1)
+    var cents: IndexedSeq[Array[Double]] =
+      sorted.take(k).map(_._2).toIndexedSeq
+    val dim = if (cents.nonEmpty) cents(0).length else 0
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val sums = new Array[Array[Long]](cents.length)
+      val counts = new Array[Long](cents.length)
+      items.foreach { case (_, v) =>
+        val ci = assignLocal(v, cents)
+        if (sums(ci) == null) sums(ci) = new Array[Long](dim)
+        val s = sums(ci)
+        var j = 0
+        while (j < dim) { s(j) += Math.round(v(j) * 1e12); j += 1 }
+        counts(ci) += 1
+      }
+      val updated = cents.indices.map { ci =>
+        if (counts(ci) == 0L) cents(ci)
+        else sums(ci).map(s => s.toDouble / 1e12 / counts(ci))
+      }
+      converged = cents.indices.forall(c =>
+        java.util.Arrays.equals(cents(c), updated(c)))
+      cents = updated
+      iter += 1
+    }
+    KMeansResult(cents, iter)
+  }
+
+  /** Driver-local per-subspace codebook training — bit-identical to
+    * the joint [[kMeansSubspaces]] loop (whose scaladoc pins the
+    * joint-vs-per-subspace equivalence). */
+  private[graft] def kMeansSubspacesLocal(
+      items: Array[(Long, Array[Double])], dim: Int, m: Int, k: Int,
+      maxIter: Int): IndexedSeq[IndexedSeq[Array[Double]]] = {
+    val dsub = dim / m
+    (0 until m).map { j =>
+      kMeansLocal(items.map { case (i, v) =>
+        (i, java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      }, k, maxIter).centroids
+    }
+  }
+
   /** Iterative Lloyd's k-means over an embedding column — the loop the
     * one-step `assignToCentroids` classifier was built for (SURVEY
     * "centroid assignment (k-means step)"); IVF coarse quantizers
@@ -519,7 +633,10 @@ object Similarity {
     * bounds the input lineage (reliable checkpointing on a real
     * cluster). */
   def kMeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      maxIter: Int = 25): KMeansResult = {
+      maxIter: Int = 25,
+      collectLimit: Long = LocalTrainCollectLimit): KMeansResult = {
+    if (localTrainEligible(df, idCol, collectLimit))
+      return kMeansLocal(collectVecs(df, idCol, vecCol), k, maxIter)
     val base = df.select(col(idCol).as("__kid"), col(vecCol).as("__kvec"))
       .repartition(par(df), col("__kid"))
       .localCheckpoint()
@@ -577,9 +694,13 @@ object Similarity {
     * Lloyd fixpoints are stable, so running "extra" iterations cannot
     * move it. */
   def kMeansSubspaces(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, m: Int, k: Int,
-      maxIter: Int): IndexedSeq[IndexedSeq[Array[Double]]] = {
+      dim: Int, m: Int, k: Int, maxIter: Int,
+      collectLimit: Long = LocalTrainCollectLimit)
+      : IndexedSeq[IndexedSeq[Array[Double]]] = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
+    if (localTrainEligible(df, idCol, collectLimit))
+      return kMeansSubspacesLocal(collectVecs(df, idCol, vecCol), dim, m,
+        k, maxIter)
     val dsub = dim / m
     val spark = df.sparkSession
     import spark.implicits._

@@ -131,7 +131,7 @@ object Pq {
   def writeStoreIvf(df: DataFrame, idCol: String, vecCol: String,
       path: String, model: Model, centroids: Seq[Array[Double]]): Unit =
     df.select(col(idCol),
-        Similarity.assignExpr(col(vecCol), centroids).as("cell"),
+        Similarity.assignExprAuto(col(vecCol), centroids).as("cell"),
         encodeExpr(col(vecCol), model).as("codes"))
       .write.partitionBy("cell").mode("overwrite").parquet(path)
 
@@ -145,7 +145,7 @@ object Pq {
   def appendIvf(df: DataFrame, idCol: String, vecCol: String,
       path: String, model: Model, centroids: Seq[Array[Double]]): Unit =
     df.select(col(idCol),
-        Similarity.assignExpr(col(vecCol), centroids).as("cell"),
+        Similarity.assignExprAuto(col(vecCol), centroids).as("cell"),
         encodeExpr(col(vecCol), model).as("codes"))
       .write.partitionBy("cell").mode("append").parquet(path)
 
@@ -182,7 +182,11 @@ object Pq {
     * training/encode pass, never inside the probe's hot scoring path
     * (probes subtract on the driver). */
   def residualExpr(vecCol: Column, centroids: Seq[Array[Double]]): Column = {
-    val cell = Similarity.assignExpr(vecCol, centroids)
+    // coarse cells scale with N — the literal expression at nList=480
+    // measured a Catalyst plan blow-up (janino 64KB fallback + driver
+    // OOM at m30); assignExprAuto switches to the NearestCentroid
+    // kernel past the cell budget, bit-identically (r17)
+    val cell = Similarity.assignExprAuto(vecCol, centroids)
     val centLit = typedlit(centroids.map(_.toIndexedSeq).toIndexedSeq)
     zip_with(vecCol.cast("array<double>"), element_at(centLit, cell + 1),
       (a, b) => a - b)
@@ -207,7 +211,7 @@ object Pq {
   def writeStoreIvfResidual(df: DataFrame, idCol: String, vecCol: String,
       path: String, model: Model, centroids: Seq[Array[Double]]): Unit =
     df.select(col(idCol),
-        Similarity.assignExpr(col(vecCol), centroids).as("cell"),
+        Similarity.assignExprAuto(col(vecCol), centroids).as("cell"),
         encodeExpr(residualExpr(col(vecCol), centroids), model).as("codes"))
       .write.partitionBy("cell").mode("overwrite").parquet(path)
 

@@ -2312,6 +2312,23 @@ object SparkEntry {
         k = 20, mCand = 50)
     }),
 
+    // exact weighted quantiles (q174): per return flag, the price
+    // quartiles BY SHIPPED QUANTITY — lower-value rule, thresholds in
+    // pure BIGINT ceil arithmetic, selection of existing values (no
+    // interpolation ⇒ nothing to replicate cross-engine).
+    "q174_weighted_quantiles" -> ((s, d) =>
+      Analytics.weightedQuantiles(Tables.lineitem(s, d), "l_returnflag",
+        "l_extendedprice", "l_quantity")),
+
+    // entity-resolution fuzzy matching (q173): exact-levenshtein pairs
+    // at dist <= 8 behind two-pass prefix/suffix blocking with a
+    // df-capped block key (the q171 cap discipline — ANSI-expressible,
+    // declared + mirrored). Both engines' levenshtein is the standard
+    // integer DP — pure-ANSI oracle.
+    "q173_edit_distance_pairs" -> ((s, d) =>
+      Dedup.editDistancePairs(Tables.documents(s, d), "doc_id", "text",
+        maxDist = 8, blockLen = 16, maxBlockDf = 256)),
+
     // MOSS matching: near-dup pairs by SHARED winnowed fingerprints
     // (≥ 30 shared selected md5s at df ≤ 64 — the cap is
     // ANSI-expressible so the declared query carries it). Completes
@@ -4247,6 +4264,52 @@ object SparkEntry {
     // expected rows from the transliterated Python build+search.
     "q172_vamana" ->
       expectedSql("q172", "vec_id, sim", "sim DESC, vec_id"),
+
+    // weighted lower-rule quantiles: histogram + window cumsum, ceil
+    // thresholds via BIGINT // — DuckDB // == Spark DIV bit-for-bit
+    "q174_weighted_quantiles" ->
+      """WITH hist AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT l_returnflag, v, w,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS tw
+        |  FROM hist)
+        |SELECT l_returnflag,
+        |  min(CASE WHEN cw >= (tw * 1 + 3) // 4 THEN v END) AS p25,
+        |  min(CASE WHEN cw >= (tw * 1 + 1) // 2 THEN v END) AS p50,
+        |  min(CASE WHEN cw >= (tw * 3 + 3) // 4 THEN v END) AS p75
+        |FROM cum GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // blocked exact-levenshtein ER pairs; the blocking + block-df cap
+    // are part of the declared contract and mirrored here verbatim
+    "q173_edit_distance_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |keyed AS (
+        |  SELECT doc_id, 'p' || substr(text, 1, 16) AS bk FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 's' || substr(reverse(text), 1, 16) AS bk FROM d),
+        |dfq AS (SELECT bk, CAST(count(*) AS BIGINT) AS df
+        |        FROM keyed GROUP BY bk),
+        |kept AS (SELECT k.bk, k.doc_id FROM keyed k JOIN dfq USING (bk)
+        |         WHERE df <= 256),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM kept a JOIN kept b
+        |         ON a.bk = b.bk AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  CAST(levenshtein(da.text, db.text) AS INT) AS dist
+        |FROM cand
+        |JOIN d da ON da.doc_id = cand.id_a
+        |JOIN d db ON db.doc_id = cand.id_b
+        |WHERE levenshtein(da.text, db.text) <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
     "q168_opq_ivf_store" ->
       expectedSql("q168", "vec_id, sim", "sim DESC, vec_id"),
 

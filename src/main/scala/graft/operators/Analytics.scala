@@ -183,6 +183,42 @@ object Analytics {
       .select(col(groupCol) +: outs: _*).orderBy(col(groupCol))
   }
 
+  /** Exact WEIGHTED quantiles per group (r17) — the token-budget
+    * question the unweighted q41 cannot answer: "the median document
+    * BY TOKEN MASS", "the price below which half the shipped quantity
+    * sits". Lower-value rule, fully integer-exact: with integral
+    * weights, the q-quantile is the SMALLEST value whose cumulative
+    * weight reaches ceil(W·num/den) — thresholds in pure BIGINT
+    * arithmetic (never a float of W), selection a conditional `min`
+    * of EXISTING values (no interpolation ⇒ nothing to replicate,
+    * bit-exact cross-engine by construction). Same scale shape as
+    * [[quantiles]]: per-(group, value) histogram with map-side
+    * combine, one spill-able ordered window, broadcast totals derived
+    * from the same histogram subtree (one source scan). Weights must
+    * be non-negative integers after the `cast("long")`; null values /
+    * weights drop. Output wide: (group, p25, p50, p75). */
+  def weightedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String): DataFrame = {
+    val ps = Seq("p25" -> ((1L, 4L)), "p50" -> ((1L, 2L)),
+      "p75" -> ((3L, 4L)))
+    val hist = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).as("__v"))
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+    val totals = hist.groupBy(col(groupCol)).agg(sum(col("__w")).as("__tw"))
+    val cum = hist
+      .withColumn("__cw", sum(col("__w")).over(w))
+      .join(broadcast(totals), Seq(groupCol))
+    val aggs = ps.map { case (nme, (num, den)) =>
+      // ceil(W·num/den) in exact integers: (W·num + den − 1) DIV den
+      val t = expr(s"(__tw * $num + ${den - 1}) div $den")
+      min(when(col("__cw") >= t, col("__v"))).as(nme)
+    }
+    cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+      .orderBy(col(groupCol))
+  }
+
   /** Scale-safe quantiles: `approx_percentile` (Greenwald-Khanna
     * sketch) with a fixed-size buffer per group — rank error bounded by
     * 1/accuracy regardless of group size, mergeable map-side partials.

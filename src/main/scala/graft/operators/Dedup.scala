@@ -1095,6 +1095,59 @@ object Dedup {
     winnowedPairsFromSelections(sel, maxFpDf, minShared)
   }
 
+  /** Entity-resolution fuzzy matching by bounded edit distance (q173)
+    * — the record-linkage member of the dedup family: near-identical
+    * records (typos, OCR noise, one-word edits) paired by EXACT
+    * levenshtein distance ≤ `maxDist`, made tractable by standard ER
+    * BLOCKING: candidates must share a length-`blockLen` prefix OR
+    * suffix (two-pass blocking — an edit inside one block's window
+    * still matches through the other; only pairs edited in BOTH ends
+    * are outside the declared contract). Blocks hotter than
+    * `maxBlockDf` are dropped before the pair join (boilerplate
+    * prefixes are df² noise — the q171 cap, ANSI-expressible so the
+    * declared query and oracle carry it identically).
+    *
+    * Plan shape: (id, block-key) rows only through the self-join,
+    * DISTINCT pairs first, text payload late-materialized per
+    * surviving pair (the LSH lesson — verify needs the heavy payload,
+    * so dedup first); the verify is Spark's BANDED levenshtein
+    * (threshold form, O(len·maxDist) instead of O(len²), exact when ≤
+    * maxDist). Both engines' levenshtein is the standard integer DP —
+    * bit-identical on the ASCII fixture (probed cell-by-cell), so the
+    * oracle is pure ANSI. Returns (id_a, id_b, dist), id_a < id_b,
+    * ordered. */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 8, blockLen: Int = 16,
+      maxBlockDf: Int = 256): DataFrame = {
+    require(maxDist >= 0 && blockLen >= 1 && maxBlockDf >= 1,
+      s"bad editDistancePairs params ($maxDist, $blockLen, $maxBlockDf)")
+    val d = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), col(textCol).as("__t"))
+    val keyed = d.select(col("__id"),
+        concat(lit("p"), substring(col("__t"), 1, blockLen)).as("__bk"))
+      .unionByName(d.select(col("__id"),
+        concat(lit("s"), substring(reverse(col("__t")), 1, blockLen))
+          .as("__bk")))
+    val dfq = keyed.groupBy(col("__bk")).agg(count(lit(1)).as("__df"))
+    val kept = keyed.join(dfq.hint("merge"), Seq("__bk"))
+      .filter(col("__df") <= maxBlockDf)
+      .select(col("__bk"), col("__id"))
+    val cand = kept.as("a")
+      .join(kept.as("b").hint("shuffle_hash"),
+        col("a.__bk") === col("b.__bk") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    cand
+      .join(d.select(col("__id").as("id_a"), col("__t").as("__ta")),
+        Seq("id_a"))
+      .join(d.select(col("__id").as("id_b"), col("__t").as("__tb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__ta"), col("__tb"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** The MOSS matching half over ALREADY-SELECTED fingerprints —
     * `sel` must be distinct (doc, __fp) rows. Shared by
     * [[winnowedNearDups]] and the streaming `WinnowStore`, so the

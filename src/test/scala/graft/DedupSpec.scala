@@ -713,6 +713,65 @@ class DedupSpec extends SparkSpec {
     assert(!strong.exists(r => r._1 == 2L && r._2 == 3L))
   }
 
+  test("editDistancePairs (q173): exact banded-levenshtein verify behind " +
+    "prefix/suffix blocking; either-end blocking contract; block-df cap; " +
+    "partition independence") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      1L -> base,
+      2L -> base,                                     // dist 0 (both keys)
+      3L -> base.replace("quick", "quikc"),           // small edit mid-prefix?
+      4L -> base.replace("jumps", "jumped"),          // middle edit: both keys hold
+      5L -> ("XYZ " + base.drop(4)),                  // prefix edited -> suffix key pairs it
+      6L -> (base.dropRight(7) + "at dawn"),          // suffix edited -> prefix key pairs it
+      7L -> ("AAA " + base.drop(4).dropRight(7) + "at dusk"), // BOTH ends edited -> blocked out
+      8L -> "completely unrelated text that matches nothing else here")
+    val df = docs.toDF("doc_id", "text")
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val t = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(a.length)
+    }
+    val maxDist = 8
+    val got = graft.operators.Dedup
+      .editDistancePairs(df, "doc_id", "text", maxDist, 16, 256)
+      .as[(Long, Long, Int)].collect().toSeq
+    // independent reference: all pairs sharing a 16-prefix or 16-suffix
+    val ref = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      if ta.take(16) == tb.take(16) ||
+        ta.reverse.take(16) == tb.reverse.take(16)
+      d = lev(ta, tb) if d <= maxDist
+    } yield (ia, ib, d)).sorted
+    assert(got.sorted === ref)
+    assert(got.exists(t => t._1 == 1L && t._2 == 2L && t._3 == 0))
+    assert(got.exists(t => t._1 == 1L && t._2 == 5L), "suffix key must pair 5")
+    assert(got.exists(t => t._1 == 1L && t._2 == 6L), "prefix key must pair 6")
+    assert(!got.exists(t => t._2 == 7L || t._1 == 7L),
+      "both-ends-edited doc is outside the blocking contract")
+    assert(!got.exists(t => t._1 == 8L || t._2 == 8L))
+    // block-df cap: with maxBlockDf = 1 every block is hot -> no pairs
+    assert(graft.operators.Dedup
+      .editDistancePairs(df, "doc_id", "text", maxDist, 16, 1).isEmpty)
+    // partition independence
+    val p1 = graft.operators.Dedup
+      .editDistancePairs(df.repartition(1), "doc_id", "text", maxDist, 16, 256)
+      .collect().toSeq
+    val p7 = graft.operators.Dedup
+      .editDistancePairs(df.repartition(7), "doc_id", "text", maxDist, 16, 256)
+      .collect().toSeq
+    assert(p1.map(_.toString) === p7.map(_.toString))
+  }
+
   test("winnowing short-document contract (r17): a doc with 1 <= np < w " +
     "gets ONE truncated whole-doc window (min hash, ties rightmost); " +
     "docs shorter than k chars stay outside the fingerprint domain") {

@@ -782,4 +782,33 @@ class RobustSpec extends SparkSpec {
       Analytics.proportionTest(Seq(("v0", 1)).toDF("g", "f"), "g", "f")
     }
   }
+
+  // ---- weightedQuantiles (q174) ----------------------------------------
+
+  test("weightedQuantiles: hand-exact lower-rule picks, zero weights " +
+    "can't shift the pick, null drops, partition independence") {
+    // group g: values 1..4 with weights 1,1,2,4 -> W=8
+    //   thresholds: p25 ceil(8/4)=2, p50 ceil(8/2)=4, p75 ceil(24/4)=6
+    //   cumw: 1->1, 2->2 (2.5 adds 0), 3->4, 4->8 => p25=2, p50=3, p75=4
+    val df = Seq(
+      ("g", java.lang.Double.valueOf(1.0), java.lang.Long.valueOf(1L)),
+      ("g", java.lang.Double.valueOf(2.0), java.lang.Long.valueOf(1L)),
+      ("g", java.lang.Double.valueOf(3.0), java.lang.Long.valueOf(2L)),
+      ("g", java.lang.Double.valueOf(4.0), java.lang.Long.valueOf(4L)),
+      ("g", java.lang.Double.valueOf(2.5), java.lang.Long.valueOf(0L)),
+      ("h", java.lang.Double.valueOf(7.0), java.lang.Long.valueOf(5L)),
+      ("h", java.lang.Double.valueOf(9.0), java.lang.Long.valueOf(0L)),
+      ("g", null, java.lang.Long.valueOf(1L)))
+      .toDF("grp", "v", "w")
+    val got = Analytics.weightedQuantiles(df, "grp", "v", "w")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("g") === ((2.0, 3.0, 4.0)))
+    assert(got("h") === ((7.0, 7.0, 7.0)))
+    val p1 = Analytics.weightedQuantiles(df.repartition(1), "grp", "v", "w")
+      .collect().map(_.toString).toSeq
+    val p7 = Analytics.weightedQuantiles(df.repartition(7), "grp", "v", "w")
+      .collect().map(_.toString).toSeq
+    assert(p1 === p7)
+  }
 }

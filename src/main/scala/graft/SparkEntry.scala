@@ -2329,6 +2329,22 @@ object SparkEntry {
       Dedup.editDistancePairs(Tables.documents(s, d), "doc_id", "text",
         maxDist = 8, blockLen = 16, maxBlockDf = 256)),
 
+    // referential-integrity audit (q175): exact orphan counts + rate
+    // in integer ppm per declared FK edge — the row-level complement
+    // to q145's join-size profile. Child collapses to (key, count)
+    // BEFORE the merge-hinted join against parent distinct keys.
+    "q175_integrity_audit" -> ((s, d) =>
+      Analytics.integrityAudit(Seq(
+        ("events.user_id->customer.c_custkey",
+          Tables.events(s, d), "user_id",
+          Tables.customer(s, d), "c_custkey"),
+        ("lineitem.l_orderkey->orders.o_orderkey",
+          Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey"),
+        ("orders.o_custkey->customer.c_custkey",
+          Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey")))),
+
     // MOSS matching: near-dup pairs by SHARED winnowed fingerprints
     // (≥ 30 shared selected md5s at df ≤ 64 — the cap is
     // ANSI-expressible so the declared query carries it). Completes
@@ -4310,6 +4326,48 @@ object SparkEntry {
         |JOIN d db ON db.doc_id = cand.id_b
         |WHERE levenshtein(da.text, db.text) <= 8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // FK orphan audit: LEFT JOIN vs parent distinct keys, CASE sums,
+    // ppm via BIGINT // (== Spark DIV bit-for-bit)
+    "q175_integrity_audit" ->
+      """WITH e1 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN c.user_id IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_nulls,
+        |    CAST(sum(CASE WHEN c.user_id IS NOT NULL AND p.k IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        |  FROM events c LEFT JOIN (SELECT DISTINCT c_custkey AS k
+        |    FROM customer WHERE c_custkey IS NOT NULL) p
+        |    ON c.user_id = p.k),
+        |e2 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN c.l_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_nulls,
+        |    CAST(sum(CASE WHEN c.l_orderkey IS NOT NULL AND p.k IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        |  FROM lineitem c LEFT JOIN (SELECT DISTINCT o_orderkey AS k
+        |    FROM orders WHERE o_orderkey IS NOT NULL) p
+        |    ON c.l_orderkey = p.k),
+        |e3 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN c.o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_nulls,
+        |    CAST(sum(CASE WHEN c.o_custkey IS NOT NULL AND p.k IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        |  FROM orders c LEFT JOIN (SELECT DISTINCT c_custkey AS k
+        |    FROM customer WHERE c_custkey IS NOT NULL) p
+        |    ON c.o_custkey = p.k)
+        |SELECT fk, n_rows, n_nulls, n_orphans,
+        |  CASE WHEN n_rows - n_nulls > 0
+        |    THEN n_orphans * 1000000 // (n_rows - n_nulls) END
+        |    AS orphan_ppm
+        |FROM (
+        |  SELECT 'events.user_id->customer.c_custkey' AS fk, * FROM e1
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS fk, * FROM e2
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer.c_custkey' AS fk, * FROM e3)
+        |ORDER BY fk""".stripMargin,
     "q168_opq_ivf_store" ->
       expectedSql("q168", "vec_id, sim", "sim DESC, vec_id"),
 

@@ -1522,4 +1522,48 @@ object Analytics {
         when(den =!= lit(0).cast(dec),
           round((num.cast("double") / den.cast("double")), 6)).as("chi2"))
   }
+
+  /** Referential-integrity audit — the pre-flight join-quality report
+    * a pipeline reads before trusting an enrichment join: for each
+    * declared FK edge (child.key → parent.key), the exact row count,
+    * null-key count, orphan count (non-null child keys with no parent
+    * row), and the orphan rate in exact parts-per-million (BIGINT DIV
+    * — no float). The row-level complement of q145's cardinality
+    * profile: q145 says how BIG the join output is, this says how
+    * much of the child never joins at all.
+    *
+    * Plan per edge: the child collapses to a (key, count) aggregate
+    * FIRST (map-side combine — the join input is distinct-key sized,
+    * never row sized), the parent to distinct keys; one merge-hinted
+    * left equi-join between the two aggregates (the r13 lesson: AQE's
+    * broadcast estimate for a large aggregate side can OOM — never
+    * leave an agg-join unhinted), then ONE aggregate folds rows /
+    * nulls / orphans from the counts. Null child keys never match and
+    * count as null, not orphan. Output is one row per edge — bounded
+    * by the declared schema, flat at any N. */
+  def integrityAudit(
+      edges: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame = {
+    require(edges.nonEmpty, "integrityAudit needs at least one FK edge")
+    val rows = edges.map { case (name, child, ck, parent, pk) =>
+      val ca = child.groupBy(col(ck).as("__k"))
+        .agg(count(lit(1)).as("__c"))
+      val pa = parent.select(col(pk).as("__k"))
+        .filter(col("__k").isNotNull).distinct()
+        .withColumn("__p", lit(1))
+      ca.join(pa.hint("merge"), Seq("__k"), "left")
+        .agg(
+          coalesce(sum(col("__c")), lit(0L)).as("n_rows"),
+          coalesce(sum(when(col("__k").isNull, col("__c"))), lit(0L))
+            .as("n_nulls"),
+          coalesce(sum(when(col("__k").isNotNull && col("__p").isNull,
+            col("__c"))), lit(0L)).as("n_orphans"))
+        .select(lit(name).as("fk"), col("n_rows"), col("n_nulls"),
+          col("n_orphans"),
+          when(col("n_rows") - col("n_nulls") > 0L,
+            expr("n_orphans * 1000000L DIV (n_rows - n_nulls)"))
+            .as("orphan_ppm"))
+    }
+    rows.reduce(_ union _).orderBy(col("fk"))
+  }
 }

@@ -811,4 +811,40 @@ class RobustSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(p1 === p7)
   }
+
+  // ---- integrityAudit -------------------------------------------------
+
+  test("integrityAudit: exact rows/nulls/orphans/ppm per edge; " +
+      "duplicate parent keys don't double-count; partition independent") {
+    val child = Seq(
+      Some(1L), Some(1L), Some(2L), Some(3L), Some(9L), Some(9L), None,
+      None)
+      .toDF("fkcol")
+    // parent has 1,2,3 (2 twice — dup keys must not double-count) but
+    // not 9: the two key-9 rows orphan, 2 of 6 non-null = 333333 ppm
+    val parent = Seq(1L, 2L, 2L, 3L).toDF("pk")
+    val got = Analytics.integrityAudit(Seq(
+      ("c->p", child, "fkcol", parent, "pk")))
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(("c->p", 8L, 2L, 2L, Some(333333L))))
+    // all-null child: ppm is NULL, never a divide-by-zero
+    val allNull = Seq[Option[Long]](None, None).toDF("fkcol")
+    val gn = Analytics.integrityAudit(Seq(
+      ("n->p", allNull, "fkcol", parent, "pk")))
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(gn == Seq(("n->p", 2L, 2L, 0L, None)))
+    // multiple edges order by fk; partition independence
+    val two = Analytics.integrityAudit(Seq(
+      ("z", child, "fkcol", parent, "pk"),
+      ("a", child.repartition(5), "fkcol", parent.repartition(3), "pk")))
+      .collect().map(_.toString).toSeq
+    assert(two.head.startsWith("[a,") && two.last.startsWith("[z,"))
+    val p1 = Analytics.integrityAudit(Seq(
+      ("e", child.repartition(1), "fkcol", parent.repartition(1), "pk")))
+      .collect().map(_.toString).toSeq
+    val p7 = Analytics.integrityAudit(Seq(
+      ("e", child.repartition(7), "fkcol", parent.repartition(4), "pk")))
+      .collect().map(_.toString).toSeq
+    assert(p1 === p7)
+  }
 }

@@ -2345,6 +2345,13 @@ object SparkEntry {
           Tables.orders(s, d), "o_custkey",
           Tables.customer(s, d), "c_custkey")))),
 
+    // n-gram repetition signals (q176): the Gopher-filter form of
+    // q28's word-level stats — per (doc, n) duplicate fraction + top
+    // gram share in exact integer ppm. One scan/tokenize feeds all n.
+    "q176_ngram_repetition" -> ((s, d) =>
+      Curation.ngramRepetition(fan(Tables.documents(s, d), "doc_id"),
+        "doc_id", "text", ns = Seq(2, 3, 4))),
+
     // MOSS matching: near-dup pairs by SHARED winnowed fingerprints
     // (≥ 30 shared selected md5s at df ≤ 64 — the cap is
     // ANSI-expressible so the declared query carries it). Completes
@@ -4368,6 +4375,38 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'orders.o_custkey->customer.c_custkey' AS fk, * FROM e3)
         |ORDER BY fk""".stripMargin,
+
+    // n-gram repetition: grams per n via positional slices of the
+    // regex-split array; exact ppm via BIGINT //
+    "q176_ngram_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id, 2 AS n, w[i] || ' ' || w[i+1] AS gram
+        |  FROM (SELECT doc_id, w,
+        |          unnest(generate_series(1, len(w)-1)) AS i FROM d)
+        |  UNION ALL
+        |  SELECT doc_id, 3 AS n,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |  FROM (SELECT doc_id, w,
+        |          unnest(generate_series(1, len(w)-2)) AS i FROM d)
+        |  UNION ALL
+        |  SELECT doc_id, 4 AS n,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |    AS gram
+        |  FROM (SELECT doc_id, w,
+        |          unnest(generate_series(1, len(w)-3)) AS i FROM d)),
+        |c AS (SELECT doc_id, n, gram, count(*) AS cnt
+        |      FROM g GROUP BY 1, 2, 3)
+        |SELECT doc_id, n,
+        |  CAST(sum(cnt) AS BIGINT) AS n_ngrams,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  (CAST(sum(cnt) AS BIGINT) - CAST(count(*) AS BIGINT))
+        |    * 1000000 // CAST(sum(cnt) AS BIGINT) AS dup_ppm,
+        |  CAST(max(cnt) AS BIGINT) * 1000000
+        |    // CAST(sum(cnt) AS BIGINT) AS top_ppm
+        |FROM c GROUP BY doc_id, n ORDER BY doc_id, n""".stripMargin,
     "q168_opq_ivf_store" ->
       expectedSql("q168", "vec_id, sim", "sim DESC, vec_id"),
 

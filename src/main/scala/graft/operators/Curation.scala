@@ -62,6 +62,46 @@ object Curation {
           .as("top_word_ratio"))
   }
 
+  /** N-gram repetition signals — the n-gram generalization of
+    * [[repetitionStats]] and the form the published web-corpus quality
+    * filters actually use (top n-gram share for small n, duplicate
+    * n-gram fraction for larger n): per document and per n, the total
+    * and distinct adjacent-n-gram counts plus the duplicate fraction
+    * and the most-frequent-gram share in EXACT integer ppm (BIGINT
+    * DIV — no float enters the filter decision, so a downstream
+    * threshold is bit-stable cross-engine).
+    *
+    * ONE scan and ONE tokenize feed every n: the per-n gram streams
+    * come from the WordNgrams kernel over the same split array inside
+    * a single projection (explode of (n, grams) structs), then two
+    * hash aggregations with map-side combine — (doc, n, gram) keys are
+    * bounded by input mass × |ns|, the q22 shuffle posture. Documents
+    * with fewer than n words emit no row for that n (the kernel's
+    * empty array — callers treat absent as "no signal"). */
+  def ngramRepetition(df: DataFrame, idCol: String, textCol: String,
+      ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"bad ngram sizes: $ns")
+    val perN = array(ns.map(n => struct(lit(n).as("n"),
+      graft.expressions.VectorExpressions.wordNgrams(col("__ws"), n)
+        .as("g"))): _*)
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__ws"))
+      .select(col(idCol), explode(perN).as("__s"))
+      .select(col(idCol), col("__s.n").as("n"),
+        explode(col("__s.g")).as("__g"))
+      .groupBy(col(idCol), col("n"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol), col("n"))
+      .agg(sum(col("__c")).as("n_ngrams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("__c")).as("__m"))
+      .select(col(idCol), col("n"), col("n_ngrams"), col("n_distinct"),
+        expr("(n_ngrams - n_distinct) * 1000000L DIV n_ngrams")
+          .as("dup_ppm"),
+        expr("__m * 1000000L DIV n_ngrams").as("top_ppm"))
+      .orderBy(col(idCol), col("n"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing at least
     * one word k-shingle with the benchmark set — the standard
     * eval-leakage guard before pretraining. The benchmark side is

@@ -609,4 +609,31 @@ class CurationSpec extends SparkSpec {
       .collect().toSeq
     assert(p3 === p8)
   }
+  // ---- ngramRepetition ------------------------------------------------
+
+  test("ngramRepetition: hand-exact counts and ppm; short docs emit no " +
+      "row for large n; null text drops; partition independent") {
+    val df = Seq(
+      (1L, Some("a b a b a")),
+      (2L, Some("x y z")),
+      (3L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val got = Curation.ngramRepetition(df, "doc_id", "text", Seq(2, 3, 4))
+      .as[(Long, Int, Long, Long, Long, Long)].collect().toSeq
+    // doc 1: 2-grams [a b, b a, a b, b a] -> 4/2, max 2
+    //        3-grams [a b a, b a b, a b a] -> 3/2, max 2
+    //        4-grams [a b a b, b a b a] -> 2/2, max 1
+    // doc 2: 2-grams 2/2 max 1; 3-grams 1/1 max 1; NO 4-gram row
+    assert(got === Seq(
+      (1L, 2, 4L, 2L, 500000L, 500000L),
+      (1L, 3, 3L, 2L, 333333L, 666666L),
+      (1L, 4, 2L, 2L, 0L, 500000L),
+      (2L, 2, 2L, 2L, 0L, 500000L),
+      (2L, 3, 1L, 1L, 0L, 1000000L)))
+    val p1 = Curation.ngramRepetition(df.repartition(1), "doc_id", "text")
+      .collect().map(_.toString).toSeq
+    val p7 = Curation.ngramRepetition(df.repartition(7), "doc_id", "text")
+      .collect().map(_.toString).toSeq
+    assert(p1 === p7)
+  }
 }

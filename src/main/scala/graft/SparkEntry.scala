@@ -2352,6 +2352,14 @@ object SparkEntry {
       Curation.ngramRepetition(fan(Tables.documents(s, d), "doc_id"),
         "doc_id", "text", ns = Seq(2, 3, 4))),
 
+    // exact-count stratified sample (q177): largest-remainder
+    // allocation of a 137-row budget across sources, rows picked by
+    // LCG order through the two-phase bucket selection. The odd budget
+    // exercises the remainder tie-break (all 25 sources tie at sf0.01).
+    "q177_stratified_exact" -> ((s, d) =>
+      Curation.allocateStratified(Tables.documents(s, d), "doc_id",
+        "source", budget = 137L)),
+
     // MOSS matching: near-dup pairs by SHARED winnowed fingerprints
     // (≥ 30 shared selected md5s at df ≤ 64 — the cap is
     // ANSI-expressible so the declared query carries it). Completes
@@ -4407,6 +4415,36 @@ object SparkEntry {
         |  CAST(max(cnt) AS BIGINT) * 1000000
         |    // CAST(sum(cnt) AS BIGINT) AS top_ppm
         |FROM c GROUP BY doc_id, n ORDER BY doc_id, n""".stripMargin,
+
+    // largest-remainder allocation + LCG-order pick, replayed exactly:
+    // quotas in BIGINT //, remainder ranks via window, pick via
+    // row_number over (lcg, id) — the bucket decomposition is
+    // invisible in the result (the q110 rule)
+    "q177_stratified_exact" ->
+      """WITH b AS (
+        |  SELECT source AS s, doc_id AS id,
+        |    ((doc_id % 2147483648) * 1103515245 + 12345)
+        |      % 2147483648 AS lcg
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+        |cnts AS (SELECT s, CAST(count(*) AS BIGINT) AS cnt
+        |         FROM b GROUP BY s),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM cnts),
+        |q0 AS (SELECT s, cnt, (cnt * 137) // tot AS base,
+        |         cnt * 137 - ((cnt * 137) // tot) * tot AS rem
+        |       FROM cnts, t),
+        |l AS (SELECT 137 - CAST(sum(base) AS BIGINT) AS lo FROM q0),
+        |r AS (SELECT s, cnt, base,
+        |        CAST(row_number() OVER (ORDER BY rem DESC, s) AS BIGINT)
+        |          - 1 AS ahead FROM q0),
+        |quota AS (SELECT s, least(base + CASE WHEN ahead < lo
+        |            THEN 1 ELSE 0 END, cnt) AS quota FROM r, l),
+        |rn AS (SELECT s, id,
+        |         row_number() OVER (PARTITION BY s ORDER BY lcg, id)
+        |           AS rn FROM b)
+        |SELECT rn.s AS source, rn.id AS doc_id
+        |FROM rn JOIN quota USING (s) WHERE rn <= quota
+        |ORDER BY source, doc_id""".stripMargin,
     "q168_opq_ivf_store" ->
       expectedSql("q168", "vec_id, sim", "sim DESC, vec_id"),
 

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Pretraining-corpus curation operators beyond the dedup ladder:
   * PII/URL scrubbing, within-document repetition statistics
@@ -526,6 +527,99 @@ object Curation {
       pmod(pmod(id, lit(1L << 31)) * lit(1103515245L) + lit(12345L),
         lit(1L << 31)),
       lit(mod))
+
+  /** EXACT-count stratified sampling — largest-remainder (Hamilton)
+    * allocation: exactly `budget` rows total (when the corpus has
+    * them), split across strata proportionally to stratum size with
+    * the classic floor-quota + ranked-remainder top-up, rows inside a
+    * stratum picked by the deterministic LCG order (the q102/q103
+    * discipline). The guaranteed-count complement of the rate-based
+    * samplers ([[stratifiedSample]]/[[mixToBudget]] hit their budgets
+    * only in expectation; an eval-set or annotation-batch builder
+    * needs the count exact).
+    *
+    * Allocation runs on the driver over the collected strata counts —
+    * a BOUNDED aggregate by definition (a stratification column is a
+    * domain/lang/source; `maxStrata` gates the collect, the
+    * connectedComponents/heavyHitters driver-path precedent): quota =
+    * n·B/N and remainder in exact long arithmetic (multiplyExact —
+    * overflow throws like ANSI, never wraps, the q120 discipline),
+    * remainders ranked (desc, stratum asc — stratum keys compared AS
+    * STRINGS, the internal and output key form). Budget ≥ corpus
+    * keeps every row.
+    *
+    * Selection at scale is the two-phase order-statistic plan, not a
+    * per-stratum sort: phase A aggregates per-(stratum, 2048-bucket)
+    * counts of the LCG key (map-side combine, ≤ 2048·|strata| rows)
+    * and finds each stratum's boundary bucket by cumulative count;
+    * rows in earlier buckets keep outright, and ONLY the boundary
+    * bucket's ~1/2048 slice pays a row_number window for the exact
+    * (lcg, id) cut. A hot stratum costs a bounded window, never a
+    * full sort — the bucket decomposition is invisible in the result
+    * (the q110 rule). Null id/stratum rows drop. Returns
+    * (`strataCol`, `idCol`) ordered by both. */
+  def allocateStratified(df: DataFrame, idCol: String, strataCol: String,
+      budget: Long, maxStrata: Int = 1 << 20): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val spark = df.sparkSession
+    val base = df
+      .filter(col(idCol).isNotNull && col(strataCol).isNotNull)
+      .select(col(strataCol).cast("string").as("__s"),
+        col(idCol).as("__id"))
+      .withColumn("__lcg", lcgBucket(col("__id"), 1L << 31))
+    val strata = base.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(strata.length <= maxStrata,
+      s"${strata.length} strata exceed maxStrata=$maxStrata — " +
+        "is the stratum column really categorical?")
+    if (strata.isEmpty) {
+      return base.select(col("__s").as(strataCol), col("__id").as(idCol))
+        .limit(0)
+    }
+    val totalN = strata.map(_._2).reduce(Math.addExact(_, _))
+    val withQ = strata.map { case (s, c) =>
+      val prod = Math.multiplyExact(c, budget)
+      (s, c, prod / totalN, prod % totalN)
+    }
+    val leftover = budget - withQ.map(_._3).sum
+    val topUp = withQ.sortBy { case (s, _, _, rem) => (-rem, s) }
+      .take(if (leftover > Int.MaxValue) withQ.length else leftover.toInt)
+      .map(_._1).toSet
+    val quotaSeq = withQ.map { case (s, c, b, _) =>
+      (s, math.min(b + (if (topUp(s)) 1L else 0L), c))
+    }.toSeq
+    val quotas = spark.createDataFrame(quotaSeq)
+      .toDF("__s", "__quota")
+    // phase A: bucket histogram of the LCG key (2^31 space / 2^20)
+    val rows = base.withColumn("__hb", expr("__lcg DIV 1048576"))
+    val w = Window.partitionBy(col("__s")).orderBy(col("__hb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = rows.groupBy(col("__s"), col("__hb"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .join(broadcast(quotas), Seq("__s"))
+      .localCheckpoint() // tiny; boundary + need both read it
+    val boundary = cum.filter(col("__cum") >= col("__quota"))
+      .groupBy(col("__s")).agg(min(col("__hb")).as("__bhb"))
+    val bInfo = cum.join(broadcast(boundary), Seq("__s"))
+      .filter(col("__hb") === col("__bhb"))
+      .select(col("__s"), col("__bhb"),
+        (col("__quota") - (col("__cum") - col("__c"))).as("__need"))
+    // phase B: earlier buckets keep outright; only the boundary slice
+    // pays the exact (lcg, id) row_number cut
+    val withB = rows.join(broadcast(bInfo), Seq("__s"))
+    val direct = withB.filter(col("__hb") < col("__bhb"))
+      .select(col("__s"), col("__id"))
+    val wb = Window.partitionBy(col("__s"))
+      .orderBy(col("__lcg"), col("__id"))
+    val picked = withB.filter(col("__hb") === col("__bhb"))
+      .withColumn("__rn", row_number().over(wb))
+      .filter(col("__rn") <= col("__need"))
+      .select(col("__s"), col("__id"))
+    direct.union(picked)
+      .select(col("__s").as(strataCol), col("__id").as(idCol))
+      .orderBy(col(strataCol), col(idCol))
+  }
 
   /** Leakage-free train/validation split: the unit of assignment is the
     * near-duplicate CLUSTER, not the document. A plain random split of

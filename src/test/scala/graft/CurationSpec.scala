@@ -636,4 +636,51 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(p1 === p7)
   }
+
+  // ---- allocateStratified ---------------------------------------------
+
+  test("allocateStratified: largest-remainder quotas, LCG-order picks " +
+      "== window reference, exact total, zero-quota stratum, budget >= " +
+      "corpus keeps all, partition independent") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (0L to 4L).map(i => ("a", i)) ++ (10L to 12L).map(i => ("b", i))
+    val d = df.toDF("s", "id")
+    // N=8, B=5: base a=3 (rem 1), b=1 (rem 7); L=1 -> b +1 => a=3, b=2
+    val got = Curation.allocateStratified(d, "id", "s", 5L)
+      .as[(String, Long)].collect().toSeq
+    assert(got.count(_._1 == "a") == 3 && got.count(_._1 == "b") == 2)
+    // picks match the independent window-rank reference over (lcg, id)
+    val lcg = pmod(pmod(col("id"), lit(1L << 31)) * lit(1103515245L)
+      + lit(12345L), lit(1L << 31))
+    val ref = d.withColumn("lcg", lcg)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("s")).orderBy(col("lcg"), col("id"))))
+      .filter((col("s") === "a" && col("rn") <= 3) ||
+        (col("s") === "b" && col("rn") <= 2))
+      .select(col("s"), col("id")).orderBy(col("s"), col("id"))
+      .as[(String, Long)].collect().toSeq
+    assert(got === ref)
+    // zero-quota stratum: a:50 rows, b:1, budget 3 -> a=3, b=0
+    val big = ((0L until 50L).map(i => ("a", i)) :+ (("b", 99L))).toDF("s", "id")
+    val g2 = Curation.allocateStratified(big, "id", "s", 3L)
+      .as[(String, Long)].collect().toSeq
+    assert(g2.size == 3 && g2.forall(_._1 == "a"))
+    // budget >= corpus keeps every row
+    val all = Curation.allocateStratified(d, "id", "s", 100L)
+      .as[(String, Long)].collect().toSeq
+    assert(all.size == 8)
+    // null stratum/id rows drop
+    val withNull = d.unionByName(
+      Seq((Option.empty[String], Option(77L)),
+        (Option("a"), Option.empty[Long]))
+        .toDF("s", "id"))
+    val gn = Curation.allocateStratified(withNull, "id", "s", 5L)
+      .as[(String, Long)].collect().toSeq
+    assert(gn === got)
+    val p1 = Curation.allocateStratified(d.repartition(1), "id", "s", 5L)
+      .collect().map(_.toString).toSeq
+    val p7 = Curation.allocateStratified(d.repartition(7), "id", "s", 5L)
+      .collect().map(_.toString).toSeq
+    assert(p1 === p7)
+  }
 }

@@ -2360,6 +2360,13 @@ object SparkEntry {
       Curation.allocateStratified(Tables.documents(s, d), "doc_id",
         "source", budget = 137L)),
 
+    // Kaplan–Meier survival (q178): per event_type, user lifetimes in
+    // days with censoring at the 7-day horizon — exact counts, 6-dp ln
+    // lifts, one exp at the end (q89/q132 precedent).
+    "q178_kaplan_meier" -> ((s, d) =>
+      Analytics.kaplanMeier(Tables.events(s, d), "event_type",
+        "user_id", "ts", censorDays = 7)),
+
     // MOSS matching: near-dup pairs by SHARED winnowed fingerprints
     // (≥ 30 shared selected md5s at df ≤ 64 — the cap is
     // ANSI-expressible so the declared query carries it). Completes
@@ -4445,6 +4452,47 @@ object SparkEntry {
         |SELECT rn.s AS source, rn.id AS doc_id
         |FROM rn JOIN quota USING (s) WHERE rn <= quota
         |ORDER BY source, doc_id""".stripMargin,
+
+    // Kaplan–Meier: exact day DIV lifetimes, windowed at-risk counts,
+    // 6-dp lifted ln factors, one exp — all the established lifts
+    "q178_kaplan_meier" ->
+      """WITH e AS (
+        |  SELECT event_type AS g, user_id AS u,
+        |    epoch_us(ts) // 86400000000 AS d
+        |  FROM events WHERE event_type IS NOT NULL
+        |    AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |us AS (SELECT g, u, min(d) AS f, max(d) AS l
+        |       FROM e GROUP BY g, u),
+        |h AS (SELECT max(l) AS hz FROM us),
+        |uu AS (SELECT g, l - f AS t,
+        |         CASE WHEN hz - l >= 7 THEN 1 ELSE 0 END AS ev
+        |       FROM us, h),
+        |bt AS (SELECT g, t, CAST(count(*) AS BIGINT) AS n_t,
+        |         CAST(sum(ev) AS BIGINT) AS d_t FROM uu GROUP BY g, t),
+        |rk AS (SELECT g, t, n_t, d_t,
+        |    CAST(sum(n_t) OVER (PARTITION BY g) AS BIGINT)
+        |    - (CAST(sum(n_t) OVER (PARTITION BY g ORDER BY t
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |       AS BIGINT) - n_t) AS n_risk
+        |  FROM bt),
+        |tm AS (SELECT g, t, n_risk, d_t, n_t,
+        |    CASE WHEN d_t < n_risk THEN
+        |      CAST(CAST(round(ln(CAST(n_risk - d_t AS DOUBLE)
+        |        / CAST(n_risk AS DOUBLE)), 6) AS DECIMAL(18,6))
+        |        * 1000000 AS BIGINT) END AS lt
+        |  FROM rk),
+        |fin AS (SELECT g, t, n_risk, d_t, n_t,
+        |    max(CASE WHEN d_t = n_risk THEN 1 ELSE 0 END) OVER w AS dead,
+        |    sum(lt) OVER w AS cumln
+        |  FROM tm
+        |  WINDOW w AS (PARTITION BY g ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT g AS event_type, t AS t_days, n_risk, d_t AS n_event,
+        |  n_t - d_t AS n_censor,
+        |  CASE WHEN dead = 1 THEN 0.0
+        |    ELSE round(exp(CAST(cumln AS DOUBLE) / 1000000), 6) END
+        |    AS survival
+        |FROM fin ORDER BY event_type, t_days""".stripMargin,
     "q168_opq_ivf_store" ->
       expectedSql("q168", "vec_id, sim", "sim DESC, vec_id"),
 

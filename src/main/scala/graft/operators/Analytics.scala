@@ -1523,6 +1523,73 @@ object Analytics {
           round((num.cast("double") / den.cast("double")), 6)).as("chi2"))
   }
 
+  /** Kaplan–Meier survival curve — the retention/churn estimator that
+    * handles CENSORING, which q109/q157's retention matrices cannot: a
+    * user still active at the observation horizon hasn't churned, they
+    * are censored, and treating them as churned biases every lifetime
+    * estimate downward. Per group: each user's lifetime in whole days
+    * (first → last event, epoch-day DIV), death = last event at least
+    * `censorDays` before the global horizon (the newest day anywhere),
+    * else censored at their duration. At each distinct duration t:
+    * n_risk (users with duration ≥ t), n_event (deaths at t), n_censor,
+    * and S(t) = Π_{i≤t} (1 − d_i/n_i).
+    *
+    * Determinism: every count is exact BIGINT; each product factor
+    * enters as the 6-dp-lifted ln of ONE IEEE division of exact longs
+    * (the q122/q125/q142 discipline), the cumulative sum is exact long
+    * arithmetic, and the single exp at the end is the q89/q132
+    * cross-engine precedent. A time where everyone at risk dies sends
+    * S to an EXACT 0.0 from that row on (the ln(0) row is excluded
+    * from the lift, flagged through a windowed max).
+    *
+    * Scale: one per-(group, user) aggregate (map-side combine), one
+    * tiny global-horizon cross join, then windows over the (group,
+    * duration) frame — bounded by groups × distinct DAYS, not by
+    * users. Null group/user/ts rows drop. */
+  def kaplanMeier(df: DataFrame, groupCol: String, userCol: String,
+      tsCol: String, censorDays: Int = 7): DataFrame = {
+    require(censorDays >= 0, s"censorDays must be >= 0: $censorDays")
+    def lift6(c: Column): Column =
+      round(c, 6).cast(DecimalType(18, 6))
+        .multiply(lit(1000000)).cast("long")
+    val users = df
+      .filter(col(groupCol).isNotNull && col(userCol).isNotNull &&
+        col(tsCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(userCol).as("__u"),
+        expr(s"unix_micros($tsCol) DIV 86400000000L").as("__d"))
+      .groupBy(col("__g"), col("__u"))
+      .agg(min(col("__d")).as("__f"), max(col("__d")).as("__l"))
+    val horizon = users.agg(max(col("__l")).as("__h"))
+    val byT = users.crossJoin(broadcast(horizon))
+      .select(col("__g"), (col("__l") - col("__f")).as("__t"),
+        when(col("__h") - col("__l") >= censorDays.toLong, 1L)
+          .otherwise(0L).as("__ev"))
+      .groupBy(col("__g"), col("__t"))
+      .agg(count(lit(1)).as("__n_t"), sum(col("__ev")).as("__d_t"))
+    val wAll = Window.partitionBy(col("__g"))
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("__n_risk",
+        sum(col("__n_t")).over(wAll) -
+          (sum(col("__n_t")).over(wCum) - col("__n_t")))
+      .withColumn("__lt",
+        when(col("__d_t") < col("__n_risk"),
+          lift6(log((col("__n_risk") - col("__d_t")).cast("double") /
+            col("__n_risk").cast("double")))))
+      .withColumn("__dead",
+        max(when(col("__d_t") === col("__n_risk"), 1).otherwise(0))
+          .over(wCum))
+      .withColumn("__cumln", sum(col("__lt")).over(wCum))
+      .select(col("__g").as(groupCol), col("__t").as("t_days"),
+        col("__n_risk").as("n_risk"), col("__d_t").as("n_event"),
+        (col("__n_t") - col("__d_t")).as("n_censor"),
+        when(col("__dead") === 1, lit(0.0))
+          .otherwise(round(exp(col("__cumln").cast("double") / lit(1e6)), 6))
+          .as("survival"))
+      .orderBy(col(groupCol), col("t_days"))
+  }
+
   /** Referential-integrity audit — the pre-flight join-quality report
     * a pipeline reads before trusting an enrichment join: for each
     * declared FK edge (child.key → parent.key), the exact row count,

@@ -847,4 +847,42 @@ class RobustSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(p1 === p7)
   }
+
+  // ---- kaplanMeier ----------------------------------------------------
+
+  test("kaplanMeier: hand-exact survival with censoring, all-dead time " +
+      "reads exact 0.0, null rows drop, partition independent") {
+    // group g: durations 10,10 (censored at horizon), 5,3,0 (deaths);
+    // group z: two users both dying at t=3 -> S drops to exact 0.0
+    val rows = Seq(
+      ("g", 1L, 0L), ("g", 1L, 10L), ("g", 2L, 0L), ("g", 2L, 10L),
+      ("g", 3L, 0L), ("g", 3L, 5L), ("g", 4L, 2L), ("g", 4L, 5L),
+      ("g", 5L, 0L),
+      ("z", 6L, 0L), ("z", 6L, 3L), ("z", 7L, 0L), ("z", 7L, 3L))
+    val df = rows.toDF("grp", "uid", "day")
+      .withColumn("ts", expr("timestamp_micros(day * 86400000000)"))
+    val got = Analytics.kaplanMeier(df, "grp", "uid", "ts", censorDays = 2)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      ("g", 0L, 5L, 1L, 0L, 0.8),
+      ("g", 3L, 4L, 1L, 0L, 0.6),
+      ("g", 5L, 3L, 1L, 0L, 0.4),
+      ("g", 10L, 2L, 0L, 2L, 0.4),
+      ("z", 3L, 2L, 2L, 0L, 0.0)))
+    // null user/ts/group rows drop without shifting anything
+    val withNull = df.select($"grp", $"uid", $"ts").unionByName(
+      Seq((Option.empty[String], Option(9L)), (Option("g"), Option.empty[Long]))
+        .toDF("grp", "uid")
+        .withColumn("ts", expr("timestamp_micros(86400000000)")))
+      .unionByName(Seq(("g", 9L)).toDF("grp", "uid")
+        .withColumn("ts", expr("CAST(NULL AS TIMESTAMP)")))
+    val gn = Analytics.kaplanMeier(withNull, "grp", "uid", "ts", 2)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(gn === got)
+    val p1 = Analytics.kaplanMeier(df.repartition(1), "grp", "uid", "ts", 2)
+      .collect().map(_.toString).toSeq
+    val p7 = Analytics.kaplanMeier(df.repartition(7), "grp", "uid", "ts", 2)
+      .collect().map(_.toString).toSeq
+    assert(p1 === p7)
+  }
 }

@@ -2367,6 +2367,14 @@ object SparkEntry {
       Analytics.kaplanMeier(Tables.events(s, d), "event_type",
         "user_id", "ts", censorDays = 7)),
 
+    // SCD type-2 build (q179): per-user validity intervals of the
+    // event_type attribute — islands by value change under the total
+    // (ts, event_id) order, exclusive valid_to via one island-frame
+    // lead window. run_seq keeps the output order total.
+    "q179_scd2" -> ((s, d) =>
+      Analytics.scd2Build(Tables.events(s, d), "user_id", "ts",
+        "event_id", "event_type")),
+
     // MOSS matching: near-dup pairs by SHARED winnowed fingerprints
     // (≥ 30 shared selected md5s at df ≤ 64 — the cap is
     // ANSI-expressible so the declared query carries it). Completes
@@ -4493,6 +4501,36 @@ object SparkEntry {
         |    ELSE round(exp(CAST(cumln AS DOUBLE) / 1000000), 6) END
         |    AS survival
         |FROM fin ORDER BY event_type, t_days""".stripMargin,
+
+    // SCD2: lag change-flag + cumsum islands + island-frame lead,
+    // null-safe change compare; ts outputs CAST AS TIMESTAMP
+    "q179_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id IS NOT NULL),
+        |flg AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN row_number() OVER w = 1
+        |      OR event_type IS DISTINCT FROM lag(event_type) OVER w
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id)),
+        |isl AS (SELECT user_id, ts, event_type,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts,
+        |      event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |      ROW) AS BIGINT) AS run_seq
+        |  FROM flg),
+        |runs AS (SELECT user_id, run_seq,
+        |    min(event_type) AS event_type,
+        |    min(ts) AS valid_from,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM isl GROUP BY user_id, run_seq)
+        |SELECT user_id, run_seq, event_type,
+        |  CAST(valid_from AS TIMESTAMP) AS valid_from,
+        |  CAST(lead(valid_from) OVER (PARTITION BY user_id
+        |    ORDER BY run_seq) AS TIMESTAMP) AS valid_to,
+        |  n_rows
+        |FROM runs ORDER BY user_id, run_seq""".stripMargin,
     "q168_opq_ivf_store" ->
       expectedSql("q168", "vec_id, sim", "sim DESC, vec_id"),
 

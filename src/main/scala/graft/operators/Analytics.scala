@@ -1523,6 +1523,52 @@ object Analytics {
           round((num.cast("double") / den.cast("double")), 6)).as("chi2"))
   }
 
+  /** SCD type-2 dimension build — turn a change/event stream into
+    * validity intervals: per key, consecutive runs of the SAME tracked
+    * value collapse into one row (value, valid_from, valid_to,
+    * n_rows), valid_to = the next run's start (exclusive, the
+    * standard SCD2 convention) and NULL for the current run. The
+    * dimension-table twin of q13's gaps-and-islands sessionization
+    * (islands by VALUE CHANGE, not time gap) and q123's interval
+    * merge (which consumes intervals; this PRODUCES them).
+    *
+    * Plan: one lag window per key (change flag), running cumsum
+    * (island id), then the island groupBy — which adds NO exchange
+    * after a window partitioned by the same key (the q123 rule) —
+    * and one lead window over the per-key ISLAND frame (bounded by
+    * value changes, not rows) for valid_to. Ties inside a timestamp
+    * break by `tieCol` so the order is total. Null key/ts/tie rows
+    * drop; a null tracked VALUE is a legal state (null-safe change
+    * compare). */
+  def scd2Build(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val wc = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(tieCol).isNotNull)
+      .withColumn("__prev", lag(col(valueCol), 1).over(w))
+      .withColumn("__first",
+        when(row_number().over(w) === 1, 1).otherwise(0))
+      .withColumn("__chg",
+        when(col("__first") === 1 ||
+          !(col(valueCol) <=> col("__prev")), 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__chg")).over(wc))
+    val runs = islands.groupBy(col(keyCol), col("__isl"))
+      .agg(first(col(valueCol)).as(valueCol),
+        min(col(tsCol)).as("valid_from"),
+        count(lit(1)).as("n_rows"))
+    val wi = Window.partitionBy(col(keyCol)).orderBy(col("__isl"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wi))
+      .select(col(keyCol), col("__isl").as("run_seq"), col(valueCol),
+        col("valid_from"), col("valid_to"), col("n_rows"))
+      .orderBy(col(keyCol), col("run_seq"))
+  }
+
   /** Kaplan–Meier survival curve — the retention/churn estimator that
     * handles CENSORING, which q109/q157's retention matrices cannot: a
     * user still active at the observation horizon hasn't churned, they

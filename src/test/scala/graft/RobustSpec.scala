@@ -885,4 +885,41 @@ class RobustSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(p1 === p7)
   }
+
+  // ---- scd2Build ------------------------------------------------------
+
+  test("scd2Build: runs collapse with exclusive valid_to, same-ts ties " +
+      "break by tie column, null value is a legal state, partition " +
+      "independent") {
+    val rows = Seq(
+      // u1: A A B A  (B run in the middle; last run open)
+      ("u1", 1L, 10L, Some("A")), ("u1", 2L, 20L, Some("A")),
+      ("u1", 3L, 30L, Some("B")), ("u1", 4L, 40L, Some("A")),
+      // u2: same-ts tie ordered by event_id: A (id5), B (id6)
+      ("u2", 5L, 100L, Some("A")), ("u2", 6L, 100L, Some("B")),
+      // u3: null-valued run between A runs
+      ("u3", 7L, 1L, Some("A")), ("u3", 8L, 2L, None),
+      ("u3", 9L, 3L, None), ("u3", 10L, 4L, Some("A")))
+    val df = rows.toDF("u", "eid", "day", "v")
+      .withColumn("ts", expr("timestamp_micros(day * 1000000)"))
+    val got = Analytics.scd2Build(df, "u", "ts", "eid", "v")
+      .selectExpr("u", "run_seq", "v", "unix_micros(valid_from) DIV 1000000",
+        "unix_micros(valid_to) DIV 1000000", "n_rows")
+      .as[(String, Long, Option[String], Long, Option[Long], Long)]
+      .collect().toSeq
+    assert(got === Seq(
+      ("u1", 1L, Some("A"), 10L, Some(30L), 2L),
+      ("u1", 2L, Some("B"), 30L, Some(40L), 1L),
+      ("u1", 3L, Some("A"), 40L, None, 1L),
+      ("u2", 1L, Some("A"), 100L, Some(100L), 1L),
+      ("u2", 2L, Some("B"), 100L, None, 1L),
+      ("u3", 1L, Some("A"), 1L, Some(2L), 1L),
+      ("u3", 2L, None, 2L, Some(4L), 2L),
+      ("u3", 3L, Some("A"), 4L, None, 1L)))
+    val p1 = Analytics.scd2Build(df.repartition(1), "u", "ts", "eid", "v")
+      .collect().map(_.toString).toSeq
+    val p7 = Analytics.scd2Build(df.repartition(7), "u", "ts", "eid", "v")
+      .collect().map(_.toString).toSeq
+    assert(p1 === p7)
+  }
 }

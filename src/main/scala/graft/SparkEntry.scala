@@ -2367,6 +2367,16 @@ object SparkEntry {
       Analytics.kaplanMeier(Tables.events(s, d), "event_type",
         "user_id", "ts", censorDays = 7)),
 
+    // near-dup link prediction (q180): common-neighbor + Adamic–Adar
+    // scores for non-adjacent GROUP pairs two hops apart on the
+    // distinct-sig graph — the q98/q120/q138 collapse; the wedge
+    // degree cap is part of the declared contract (mirrored in the
+    // oracle). blocks=8 per the hot-band regime.
+    "q180_link_prediction" -> ((s, d) =>
+      Dedup.nearDupLinkPrediction(Tables.documents(s, d), "doc_id",
+        "text", maxHamming = 3, selfJoinBlocks = 8,
+        maxWedgeDegree = 128)),
+
     // SCD type-2 build (q179): per-user validity intervals of the
     // event_type attribute — islands by value change under the total
     // (ts, event_id) order, exclusive valid_to via one island-frame
@@ -4501,6 +4511,53 @@ object SparkEntry {
         |    ELSE round(exp(CAST(cumln AS DOUBLE) / 1000000), 6) END
         |    AS survival
         |FROM fin ORDER BY event_type, t_days""".stripMargin,
+
+    // link prediction replayed over the PINNED q25 pair set (the
+    // q98/q120/q138 precedent): groups = CC over hamming-0 edges,
+    // group edges = cross-rep pairs, wedges on centers with
+    // 2 <= deg <= 128, AA terms as 6-dp lifts of 1/ln(deg)
+    "q180_link_prediction" ->
+      """WITH RECURSIVE p0 AS (
+        |  SELECT id_a, id_b FROM read_parquet(
+        |    '/root/repo/src/test/resources/graft/expected/q25_sf001.parquet')
+        |  WHERE hamming = 0),
+        |pall AS (
+        |  SELECT id_a, id_b FROM read_parquet(
+        |    '/root/repo/src/test/resources/graft/expected/q25_sf001.parquet')
+        |  WHERE hamming > 0),
+        |e0 AS (SELECT id_a AS ea, id_b AS eb FROM p0
+        |       UNION SELECT id_b, id_a FROM p0),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.eb FROM reach r JOIN e0 e ON r.dst = e.ea),
+        |rep AS (SELECT src AS doc_id, MIN(dst) AS rep
+        |        FROM reach GROUP BY src),
+        |ge AS (SELECT DISTINCT least(ra.rep, rb.rep) AS ga,
+        |         greatest(ra.rep, rb.rep) AS gb
+        |       FROM pall p
+        |       JOIN rep ra ON ra.doc_id = p.id_a
+        |       JOIN rep rb ON rb.doc_id = p.id_b
+        |       WHERE ra.rep <> rb.rep),
+        |adj AS (SELECT ga AS u, gb AS v FROM ge
+        |        UNION ALL SELECT gb, ga FROM ge),
+        |dg AS (SELECT u, CAST(count(*) AS BIGINT) AS d
+        |       FROM adj GROUP BY u),
+        |ctr AS (SELECT u, d FROM dg WHERE d >= 2 AND d <= 128),
+        |wdg AS (SELECT a1.u AS u, c.d, a1.v AS v1, a2.v AS v2
+        |        FROM adj a1
+        |        JOIN adj a2 ON a1.u = a2.u AND a1.v < a2.v
+        |        JOIN ctr c ON c.u = a1.u),
+        |cand AS (SELECT w.u, w.d, w.v1, w.v2 FROM wdg w
+        |         LEFT JOIN ge ON ge.ga = w.v1 AND ge.gb = w.v2
+        |         WHERE ge.ga IS NULL)
+        |SELECT v1 AS rep_a, v2 AS rep_b,
+        |  CAST(count(*) AS BIGINT) AS cn,
+        |  round(CAST(CAST(sum(CAST(CAST(round(
+        |      1.0 / ln(CAST(d AS DOUBLE)), 6) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6, 6)
+        |    AS aa_score
+        |FROM cand GROUP BY v1, v2 ORDER BY rep_a, rep_b""".stripMargin,
 
     // SCD2: lag change-flag + cumsum islands + island-frame lead,
     // null-safe change compare; ts outputs CAST AS TIMESTAMP

@@ -543,6 +543,71 @@ object Dedup {
       .orderBy(col("node"))
   }
 
+  /** Link prediction over the near-dup GROUP graph — which near-dup
+    * families are two hops apart but not yet connected: common-neighbor
+    * counts and Adamic–Adar scores for every non-adjacent group pair
+    * sharing at least one neighbor group. The curation read: a high-AA
+    * non-edge is usually a template family the banding missed (drifted
+    * beyond maxHamming through an intermediate variant) — the
+    * candidates a second, looser dedup pass should verify first.
+    *
+    * Everything runs on the DISTINCT-SIG group graph (the
+    * q98/q120/q138 collapse): nodes = distinct signatures (rep = min
+    * doc id), edges = band-verified sig pairs, so the doc-level
+    * quadratic pair stream never exists. Wedges enumerate per center
+    * group with degree in [2, `maxWedgeDegree`] (the cap is part of
+    * the declared contract, mirrored in the oracle — a mega-hub's
+    * two-hop pairs are noise); existing edges anti-join away. The AA
+    * term 1/ln(deg(center)) enters as a 6-dp lift of the identical
+    * IEEE tree both engines (deg ≥ 2 ⇒ ln > 0), summed exact.
+    * Returns (rep_a, rep_b, cn, aa_score) ordered by the rep pair. */
+  def nearDupLinkPrediction(df: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int = 3, selfJoinBlocks: Int = 1,
+      maxWedgeDegree: Int = 128): DataFrame = {
+    def lift6(c: Column): Column =
+      round(c, 6).cast(org.apache.spark.sql.types.DecimalType(18, 6))
+        .multiply(lit(1000000)).cast("long")
+    val sigs = df.select(col(idCol).as("doc"), col(textCol))
+      .repartition(par(df), col("doc"))
+      .select(col("doc"), simhash(col(textCol), 64).as("sig"))
+    val grp = sigs.groupBy(col("sig")).agg(min(col("doc")).as("rep"))
+      .localCheckpoint()
+    val sigPairs = simhashBandPairs(
+      grp.select(col("sig").as("doc"), col("sig")), maxHamming,
+      selfJoinBlocks)
+      .select(col("id_a").as("sa"), col("id_b").as("sb"))
+      .localCheckpoint() // consumers: degrees, adjacency, anti-join
+    val deg = sigPairs.select(col("sa").as("g"))
+      .union(sigPairs.select(col("sb").as("g")))
+      .groupBy(col("g")).agg(count(lit(1)).as("d"))
+    val centers = (if (maxWedgeDegree > 0)
+      deg.filter(col("d") <= maxWedgeDegree.toLong) else deg)
+      .filter(col("d") >= 2L)
+    val adj = sigPairs.select(col("sa").as("u"), col("sb").as("v"))
+      .union(sigPairs.select(col("sb").as("u"), col("sa").as("v")))
+      .join(centers.select(col("g").as("u"), col("d")), Seq("u"))
+      .localCheckpoint() // both sides of the wedge self-join
+    val wedges = adj.select(col("u"), col("d"), col("v").as("v1"))
+      .join(adj.select(col("u"), col("v").as("v2")), Seq("u"))
+      .filter(col("v1") < col("v2"))
+    val cand = wedges.join(
+      sigPairs.select(col("sa").as("v1"), col("sb").as("v2")),
+      Seq("v1", "v2"), "left_anti")
+    val scored = cand
+      .withColumn("__t",
+        lift6(lit(1.0) / log(col("d").cast("double"))))
+      .groupBy(col("v1"), col("v2"))
+      .agg(count(lit(1)).as("cn"), sum(col("__t")).as("__aa6"))
+    scored
+      .join(grp.select(col("sig").as("v1"), col("rep").as("__ra")), "v1")
+      .join(grp.select(col("sig").as("v2"), col("rep").as("__rb")), "v2")
+      .select(least(col("__ra"), col("__rb")).as("rep_a"),
+        greatest(col("__ra"), col("__rb")).as("rep_b"),
+        col("cn"),
+        round(col("__aa6").cast("double") / lit(1e6), 6).as("aa_score"))
+      .orderBy(col("rep_a"), col("rep_b"))
+  }
+
   /** Paragraph-level exact dedup — the CCNet-style boilerplate killer
     * web corpora run FIRST, sitting between [[exact]] (whole-document)
     * and `duplicatedSpans` (char windows): split each document into

@@ -810,4 +810,67 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     assert(p.toSeq === Seq((10L, 11L, 1L)))
   }
+
+  test("nearDupLinkPrediction: brute-force reference over the documented " +
+      "group-graph semantics (fixture + planted), the degree cap binds, " +
+      "blocks and partitioning invariant") {
+    def r6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def brute(df: org.apache.spark.sql.DataFrame, cap: Int)
+        : Seq[(Long, Long, Long, Double)] = {
+      val sigRep = df.filter($"text".isNotNull)
+        .select($"doc_id", Dedup.simhash($"text", 64).as("sig"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val reps = sigRep.groupBy(_._2).map { case (s, xs) =>
+        (s, xs.map(_._1).min) }
+      def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+      val nodes = reps.keys.toSeq.sorted
+      val edges = (for {
+        i <- nodes.indices; j <- i + 1 until nodes.size
+        if ham(nodes(i), nodes(j)) <= 3
+      } yield Set(nodes(i), nodes(j))).toSet
+      def nbrs(u: Long) = nodes.filter(v => v != u && edges(Set(u, v)))
+      val cands = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
+      for (u <- nodes) {
+        val nb = nbrs(u); val d = nb.size
+        if (d >= 2 && (cap <= 0 || d <= cap)) {
+          val t = (r6(1.0 / math.log(d.toDouble)) * 1000000).toLongExact
+          for (i <- nb.indices; j <- i + 1 until nb.size
+               if !edges(Set(nb(i), nb(j)))) {
+            val key = (math.min(reps(nb(i)), reps(nb(j))),
+              math.max(reps(nb(i)), reps(nb(j))))
+            val (c0, s0) = cands.getOrElse(key, (0L, 0L))
+            cands(key) = (c0 + 1, s0 + t)
+          }
+        }
+      }
+      cands.toSeq.map { case ((ra, rb), (cn, aa6)) =>
+        (ra, rb, cn, r6(aa6.toDouble / 1e6).toDouble)
+      }.sortBy(x => (x._1, x._2))
+    }
+    def run(df: org.apache.spark.sql.DataFrame, cap: Int, blocks: Int = 1) =
+      Dedup.nearDupLinkPrediction(df, "doc_id", "text", 3, blocks, cap)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+    // planted: a base text with three one-word variants (the triangles
+    // hub shape) — guaranteed wedges; two-doc families exercise reps
+    val base = (1 to 24).map(i => s"w$i").mkString(" ")
+    def variant(pos: Int, w: String) =
+      (1 to 24).map(i => if (i == pos) w else s"w$i").mkString(" ")
+    val texts = Seq(base, variant(8, "beta"), variant(13, "gamma"),
+      variant(21, "omega"), "unique little text payload")
+    val planted = texts.zipWithIndex.flatMap { case (t, fi) =>
+      Seq(((fi * 10).toLong, t), ((fi * 10 + 1).toLong, t)) }
+      .toDF("doc_id", "text")
+    val gp = run(planted, 128)
+    assert(gp === brute(planted, 128) && gp.nonEmpty)
+    // the cap binds: capping at 2 removes the degree-3 centers
+    val gc = run(planted, 2)
+    assert(gc === brute(planted, 2) && gc != gp)
+    // fixture parity + blocks/partitioning invariance
+    val docs = Tables.documents(spark, sf)
+    val gf = run(docs, 128)
+    assert(gf === brute(docs, 128))
+    assert(run(docs, 128, 8) === gf)
+    assert(run(docs.repartition(7), 128) === gf)
+  }
 }

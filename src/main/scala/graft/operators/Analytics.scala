@@ -130,17 +130,28 @@ object Analytics {
     * 100 TB) shrinks the histogram further. [[quantilesApprox]]
     * remains the sketch alternative when a rank-error tolerance is
     * acceptable. */
-  def quantiles(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+  def quantiles(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    // histogram over ALL rows (nulls included as their own row) — see
+    // quantilesFromHist for the split; the streaming twin
+    // (Streams.quantileStream) feeds the same from-histogram form with
+    // its ACCUMULATED additive state, so batch and stream are
+    // bit-identical by construction.
+    quantilesFromHist(
+      df.groupBy(col(groupCol), col(valueCol).as("__v"))
+        .agg(count(lit(1)).as("__cnt")),
+      groupCol)
+
+  /** The rank math of [[quantiles]] over a precomputed additive
+    * (group, __v, __cnt) histogram. */
+  private[graft] def quantilesFromHist(all: DataFrame,
+      groupCol: String): DataFrame = {
     val ps = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
-    // histogram over ALL rows (nulls included as their own row), then
-    // split: the null-filtered view feeds the rank math, while the
-    // unfiltered aggregate also yields every group key — so a group
+    // the null-filtered view feeds the rank math, while the
+    // unfiltered histogram also yields every group key — so a group
     // whose values are all null still emits a row (null p50/p90/p99),
     // matching the built-in `percentile` contract. Both views share the
     // same aggregate subtree, so the exchange is reused and the source
     // is scanned once.
-    val all = df.groupBy(col(groupCol), col(valueCol).as("__v"))
-      .agg(count(lit(1)).as("__cnt"))
     val hist = all.filter(col("__v").isNotNull)
     val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
     // group totals as a broadcast join, not a second (unordered) window

@@ -271,6 +271,51 @@ object Streams {
         s"$stateDir/batch=$b"))
   }
 
+  /** Streaming exact-quantile monitor — q41's stateful continuation:
+    * per micro-batch, the exact p50/p90/p99 of EVERYTHING seen so far,
+    * from the additive (group, value, count) histogram state (the
+    * driftStream state contract verbatim: read batch id−1, write own
+    * `batch=<id>`, prune ≤ id−2 — crash-replay bit-identical). The
+    * output of each batch equals `Analytics.quantiles` over the
+    * concatenation of all batches BY CONSTRUCTION — both run the same
+    * from-histogram rank math, and histogram merge is additive. State
+    * is bounded by groups × distinct values, the same spill posture
+    * as the batch plan. */
+  def quantileStream(stream: DataFrame, groupCol: String,
+      valueCol: String, stateDir: String, outDir: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        quantileBatch(batch, batchId, groupCol, valueCol, stateDir,
+          outDir)
+      }
+      .start()
+
+  private[graft] def quantileBatch(batch: DataFrame, batchId: Long,
+      groupCol: String, valueCol: String, stateDir: String,
+      outDir: String): Unit = {
+    import graft.operators.Analytics
+    val spark = batch.sparkSession
+    val cur = batch.groupBy(col(groupCol), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val prev =
+      if (batchId == 0L) cur.limit(0)
+      else spark.read.parquet(s"$stateDir/batch=${batchId - 1}")
+    val merged = cur.unionByName(prev)
+      .groupBy(col(groupCol), col("__v"))
+      .agg(sum(col("__cnt")).as("__cnt"))
+    Analytics.quantilesFromHist(merged, groupCol)
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    merged.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+    graft.sources.StoreFs.childNames(spark, stateDir)
+      .filter(_.startsWith("batch=")).map(_.drop(6).toLong)
+      .filter(_ <= batchId - 2)
+      .foreach(b => graft.sources.StoreFs.delete(spark,
+        s"$stateDir/batch=$b"))
+  }
+
   /** Streaming Markov transition monitor — q166's stateful
     * continuation: per micro-batch, the CUMULATIVE transition matrix
     * (counts + row-normalized probabilities) over everything seen so

@@ -250,6 +250,66 @@ class StreamsSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq === snapSt)
   }
 
+  test("quantileStream: each batch's quantiles equal the batch operator " +
+      "over the concatenation; bounded additive state; bit-identical " +
+      "batch replay") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val slice = (0 until 3).map { b =>
+      for {
+        g <- Seq("a", "b"); i <- 1 to 30
+      } yield (g, ((i * 7 + b * 13) % 23).toDouble +
+        (if (g == "b") 100.0 else 0.0))
+    }
+    val staging = Files.createTempDirectory("graft_qs_stage")
+    slice.zipWithIndex.foreach { case (rows, b) =>
+      val tmp = Files.createTempDirectory(s"graft_qs_tmp$b")
+      rows.toDF("g", "x").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = Paths.get(staging.toString, f"slice_$b%03d.parquet")
+      Files.copy(part.toPath, dest)
+      Files.setLastModifiedTime(dest,
+        FileTime.fromMillis(1700000000000L + b * 60000L))
+    }
+    val out = "file://" + Files.createTempDirectory("graft_qs_out").toString + "/o"
+    val state = "file://" + Files.createTempDirectory("graft_qs_state").toString + "/s"
+    val ck = Files.createTempDirectory("graft_qs_ck").toString
+    val schema = slice(0).toDF("g", "x").schema
+    val q = Streams.quantileStream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(staging.toString),
+      "g", "x", state, out, ck)
+    assert(q.awaitTermination(180000))
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy($"g").collect().map(_.toString).toSeq
+    for (i <- 0 until 3) {
+      val hist = (0 to i).map(b => slice(b).toDF("g", "x"))
+        .reduce(_.unionByName(_))
+      val expect = rowsOf(graft.operators.Analytics.quantiles(hist, "g", "x"))
+      assert(rowsOf(spark.read.parquet(s"$out/batch=$i")) === expect,
+        s"batch $i quantiles != batch operator over concatenation")
+    }
+    // bounded state: <= 2 batch dirs, <= groups x distinct values rows
+    val stDirs = graft.sources.StoreFs.childNames(spark, state)
+      .filter(_.startsWith("batch="))
+    assert(stDirs.length <= 2, stDirs.mkString(","))
+    assert(spark.read.parquet(s"$state/batch=2").count() <= 2L * 23L)
+    // crash-replay: re-running batch 2 against batch 1's state is
+    // bit-identical in both output and state
+    val snapOut = spark.read.parquet(s"$out/batch=2")
+      .collect().map(_.toString).sorted.toSeq
+    val snapSt = spark.read.parquet(s"$state/batch=2")
+      .collect().map(_.toString).sorted.toSeq
+    Streams.quantileBatch(slice(2).toDF("g", "x"), 2L, "g", "x",
+      state, out)
+    assert(spark.read.parquet(s"$out/batch=2")
+      .collect().map(_.toString).sorted.toSeq === snapOut)
+    assert(spark.read.parquet(s"$state/batch=2")
+      .collect().map(_.toString).sorted.toSeq === snapSt)
+  }
+
   test("transitionStream: cumulative matrix per batch equals the batch " +
       "operator over the concatenation (cross-batch boundary pairs " +
       "counted once); bounded state; bit-identical batch replay") {

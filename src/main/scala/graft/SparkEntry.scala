@@ -2367,6 +2367,13 @@ object SparkEntry {
       Analytics.kaplanMeier(Tables.events(s, d), "event_type",
         "user_id", "ts", censorDays = 7)),
 
+    // KMV sketch overlaps (q181): distinct-user estimates + union /
+    // intersection estimates per event-type pair from k=64 md5-min
+    // sketches — deterministic, exact-integer estimate math.
+    "q181_kmv_overlap" -> ((s, d) =>
+      Scale.kmvOverlap(Tables.events(s, d), "event_type", "user_id",
+        k = 64)),
+
     // near-dup link prediction (q180): common-neighbor + Adamic–Adar
     // scores for non-adjacent GROUP pairs two hops apart on the
     // distinct-sig graph — the q98/q120/q138 collapse; the wedge
@@ -4511,6 +4518,52 @@ object SparkEntry {
         |    ELSE round(exp(CAST(cumln AS DOUBLE) / 1000000), 6) END
         |    AS survival
         |FROM fin ORDER BY event_type, t_days""".stripMargin,
+
+    // KMV: md5-hex order is engine-identical (q170 precedent); hex →
+    // BIGINT via CAST('0x'||…) == Spark conv(…,16,10); ests in exact
+    // BIGINT //, HUGEINT avoided by CASTing every CASE to BIGINT
+    "q181_kmv_overlap" ->
+      """WITH hh AS (
+        |  SELECT g, md5(CAST(u AS VARCHAR)) AS h FROM (
+        |    SELECT DISTINCT event_type AS g, user_id AS u FROM events
+        |    WHERE event_type IS NOT NULL AND user_id IS NOT NULL)),
+        |km AS (SELECT g, h FROM (
+        |    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h)
+        |      AS rn FROM hh) WHERE rn <= 64),
+        |gs AS (SELECT g, CAST(count(*) AS BIGINT) AS nk, max(h) AS hm
+        |       FROM km GROUP BY g),
+        |ge AS (SELECT g, CAST(CASE WHEN nk < 64 THEN nk
+        |    ELSE 63 * 72057594037927936
+        |      // CAST('0x' || substr(hm, 1, 14) AS BIGINT) END
+        |    AS BIGINT) AS est FROM gs),
+        |gl AS (SELECT DISTINCT g FROM km),
+        |pr AS (SELECT a.g AS ga, b.g AS gb FROM gl a
+        |       JOIN gl b ON a.g < b.g),
+        |hu AS (SELECT ga, gb, h, max(ia) AS ia, max(ib) AS ib FROM (
+        |    SELECT pr.ga, pr.gb, km.h, 1 AS ia, 0 AS ib
+        |    FROM pr JOIN km ON km.g = pr.ga
+        |    UNION ALL
+        |    SELECT pr.ga, pr.gb, km.h, 0, 1
+        |    FROM pr JOIN km ON km.g = pr.gb)
+        |  GROUP BY ga, gb, h),
+        |sk AS (SELECT * FROM (SELECT ga, gb, h, ia, ib,
+        |    row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+        |  FROM hu) WHERE rn <= 64),
+        |ps AS (SELECT ga, gb, CAST(count(*) AS BIGINT) AS ku,
+        |    max(h) AS hm,
+        |    CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS rho
+        |  FROM sk GROUP BY ga, gb),
+        |pe AS (SELECT ga, gb, ku, rho, CAST(CASE WHEN ku < 64 THEN ku
+        |    ELSE 63 * 72057594037927936
+        |      // CAST('0x' || substr(hm, 1, 14) AS BIGINT) END
+        |    AS BIGINT) AS eu FROM ps)
+        |SELECT pe.ga AS src_a, pe.gb AS src_b,
+        |  ea.est AS est_a, eb.est AS est_b, pe.eu AS est_union,
+        |  CAST(rho * (eu // ku) + (rho * (eu % ku)) // ku AS BIGINT)
+        |    AS est_inter
+        |FROM pe JOIN ge ea ON ea.g = pe.ga JOIN ge eb ON eb.g = pe.gb
+        |ORDER BY src_a, src_b""".stripMargin,
 
     // link prediction replayed over the PINNED q25 pair set (the
     // q98/q120/q138 precedent): groups = CC over hamming-0 edges,

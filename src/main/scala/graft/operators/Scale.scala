@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Scale utilities: skew mitigation and storage-layout helpers for the
   * 100 TB design point. These exist because at cluster scale the two
@@ -633,5 +634,86 @@ object Scale {
         col("total_pairs"), col("n_matching_keys"),
         round(col("pairs").cast("double")
           / col("total_pairs").cast("double"), 6).as("share"))
+  }
+
+  // --- KMV distinct sketch -------------------------------------------------
+
+  /** KMV (k-minimum-values) distinct-count sketches with SET-OPERATION
+    * estimates — the mergeable sketch family member between HLL (q29:
+    * distinct counts, no set ops) and the exact overlap matrices
+    * (q105/q134: exact, but cost ∝ the data): per group the k smallest
+    * md5 values stand in for the whole set, and two groups' sketches
+    * merge (k smallest of the union) into union AND intersection
+    * estimates without touching the raw sets again — at 100 TB the
+    * sketches are k-row frames per group, so every pairwise overlap
+    * after the one hashing pass is broadcast-sized work.
+    *
+    * Fully deterministic ⇒ oracle-able (the q170 md5 precedent: hex is
+    * bit-identical both engines). Estimate math is EXACT integer: the
+    * k-th smallest hash's first 14 hex digits parse to v ∈ [0, 2^56),
+    * est = (k−1)·2^56 DIV v ((k−1)·2^56 < 2^63 for k ≤ 64 — `k` is
+    * capped to keep the ANSI product in range); a group with fewer
+    * than k distinct values carries its FULL set, so its estimate is
+    * the exact count. Intersection: ρ = common-to-both hashes inside
+    * the merged k-sketch, est = (ρ·est_union) DIV k' decomposed as
+    * ρ·(e DIV k') + (ρ·(e mod k')) DIV k' — algebraically identical,
+    * never exceeds e ≈ 2^62. Returns one row per unordered group pair
+    * (src_a < src_b): (src_a, src_b, est_a, est_b, est_union,
+    * est_inter). Pair count is |groups|² by nature (the q134
+    * posture) — the inputs to it are k-row sketches. */
+  def kmvOverlap(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2 && k <= 64, s"k must be in [2, 64]: $k")
+    val two56 = 1L << 56
+    // reads the frame's __hm (max kept hash == the k-th smallest)
+    def est(nKept: String): Column =
+      expr(s"CASE WHEN $nKept < ${k}L THEN $nKept " +
+        s"ELSE ${k - 1}L * ${two56}L DIV " +
+        s"CAST(conv(substring(__hm, 1, 14), 16, 10) AS BIGINT) END")
+    val hashed = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(valueCol).cast("string").as("__val"))
+      .distinct()
+      .select(col("__g"), md5(col("__val")).as("__h"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__h"))
+    val kmin = hashed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).select(col("__g"), col("__h"))
+      .localCheckpoint() // k×|groups| rows; many consumers below
+    val gstat = kmin.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__nk"), max(col("__h")).as("__hm"))
+      .select(col("__g"), est("__nk").as("__est"))
+    val gl = kmin.select(col("__g")).distinct()
+    val pairs = gl.select(col("__g").as("ga"))
+      .join(gl.select(col("__g").as("gb")), col("ga") < col("gb"))
+    val hu = pairs
+      .join(kmin.select(col("__g").as("ga"), col("__h")), Seq("ga"))
+      .select(col("ga"), col("gb"), col("__h"),
+        lit(1).as("__ia"), lit(0).as("__ib"))
+      .union(pairs
+        .join(kmin.select(col("__g").as("gb"), col("__h")), Seq("gb"))
+        .select(col("ga"), col("gb"), col("__h"),
+          lit(0).as("__ia"), lit(1).as("__ib")))
+      .groupBy(col("ga"), col("gb"), col("__h"))
+      .agg(max(col("__ia")).as("__ia"), max(col("__ib")).as("__ib"))
+    val wu = Window.partitionBy(col("ga"), col("gb")).orderBy(col("__h"))
+    val pstat = hu.withColumn("__rn", row_number().over(wu))
+      .filter(col("__rn") <= k)
+      .groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).as("__ku"), max(col("__h")).as("__hm"),
+        sum(when(col("__ia") === 1 && col("__ib") === 1, 1L)
+          .otherwise(0L)).as("__rho"))
+      .select(col("ga"), col("gb"), col("__ku"), col("__rho"),
+        est("__ku").as("__eu"))
+    pstat
+      .join(broadcast(gstat.select(col("__g").as("ga"),
+        col("__est").as("est_a"))), Seq("ga"))
+      .join(broadcast(gstat.select(col("__g").as("gb"),
+        col("__est").as("est_b"))), Seq("gb"))
+      .select(col("ga").as("src_a"), col("gb").as("src_b"),
+        col("est_a"), col("est_b"), col("__eu").as("est_union"),
+        (col("__rho") * expr("__eu DIV __ku") +
+          expr("(__rho * (__eu % __ku)) DIV __ku")).as("est_inter"))
+      .orderBy(col("src_a"), col("src_b"))
   }
 }

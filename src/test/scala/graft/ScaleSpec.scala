@@ -747,4 +747,51 @@ class ScaleSpec extends SparkSpec {
       graft.operators.Scale.joinSizeProfile(a, b, "k", 0)
     }
   }
+
+  // ---- kmvOverlap -------------------------------------------------------
+
+  test("kmvOverlap: exact replica of the documented sketch math; " +
+      "under-k groups read exact counts; partition independent") {
+    import graft.operators.Scale
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // groups: a = 0..199, b = 100..299 (overlap 100), c = 0..9 (under k)
+    val rows = (0 until 200).map(i => ("a", i.toLong)) ++
+      (100 until 300).map(i => ("b", i.toLong)) ++
+      (0 until 10).map(i => ("c", i.toLong))
+    val df = rows.toDF("g", "v")
+    val k = 64
+    val got = Scale.kmvOverlap(df, "g", "v", k)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    // driver replica straight from the scaladoc
+    val sets = rows.groupBy(_._1).view
+      .mapValues(_.map(_._2.toString).distinct.map(md5hex).sorted).toMap
+    def estOf(kept: Seq[String]): Long =
+      if (kept.size < k) kept.size.toLong
+      else 63L * (1L << 56) / java.lang.Long.parseLong(
+        kept.last.substring(0, 14), 16)
+    val kmin = sets.map { case (g, hs) => (g, hs.take(k)) }
+    def pairRow(a: String, b: String) = {
+      val union = (kmin(a) ++ kmin(b)).distinct.sorted.take(k)
+      val ku = union.size.toLong
+      val rho = union.count(h => kmin(a).contains(h) && kmin(b).contains(h)).toLong
+      val eu = estOf(union)
+      (a, b, estOf(kmin(a)), estOf(kmin(b)), eu,
+        rho * (eu / ku) + (rho * (eu % ku)) / ku)
+    }
+    val expect = Seq(pairRow("a", "b"), pairRow("a", "c"), pairRow("b", "c"))
+      .sortBy(x => (x._1, x._2))
+    assert(got === expect)
+    // under-k group c reads its exact distinct count
+    assert(got.find(r => r._1 == "a" && r._2 == "c").get._4 === 10L)
+    // sketch estimates land in a sane band around the truth
+    val ab = got.find(r => r._1 == "a" && r._2 == "b").get
+    assert(ab._3 > 100L && ab._3 < 400L && ab._5 > 150L && ab._5 < 600L)
+    val p1 = Scale.kmvOverlap(df.repartition(1), "g", "v", k)
+      .collect().map(_.toString).toSeq
+    val p7 = Scale.kmvOverlap(df.repartition(7), "g", "v", k)
+      .collect().map(_.toString).toSeq
+    assert(p1 === p7)
+  }
 }

@@ -587,17 +587,38 @@ object Dedup {
       .union(sigPairs.select(col("sb").as("u"), col("sa").as("v")))
       .join(centers.select(col("g").as("u"), col("d")), Seq("u"))
       .localCheckpoint() // both sides of the wedge self-join
-    val wedges = adj.select(col("u"), col("d"), col("v").as("v1"))
-      .join(adj.select(col("u"), col("v").as("v2")), Seq("u"))
+    // the wedge self-join inherits the q98 hot-bucket regime: a dense
+    // group graph concentrates Σd² wedge output on the few tasks that
+    // own the hot centers (m10 scale fixture: one 4-6 s task in a
+    // 8.5-12 s query). Block-decompose with the same selfJoinBlocks
+    // knob — (u) widens to (u, blk(v1), blk(v2)), left rows replicated
+    // per right-block and vice versa, each pair produced exactly once —
+    // and hint shuffle_hash (r12: tiny input bytes would otherwise
+    // broadcast and the widened key would partition nothing).
+    // m10: 12.0 → 3.0 s with blocks=8.
+    val nb = math.max(1, selfJoinBlocks)
+    val blks = array((0 until nb).map(lit): _*)
+    val wl = adj.select(col("u"), col("d"), col("v").as("v1"))
+      .withColumn("__i", pmod(hash(col("v1")), lit(nb)))
+      .withColumn("__j", explode(blks))
+    val wr = adj.select(col("u"), col("v").as("v2"))
+      .withColumn("__j", pmod(hash(col("v2")), lit(nb)))
+      .withColumn("__i", explode(blks))
+    val wedges = wl.join(wr.hint("shuffle_hash"), Seq("u", "__i", "__j"))
       .filter(col("v1") < col("v2"))
-    val cand = wedges.join(
-      sigPairs.select(col("sa").as("v1"), col("sb").as("v2")),
-      Seq("v1", "v2"), "left_anti")
-    val scored = cand
+    // aggregate BEFORE the adjacency anti-join (the verify-before-dedup
+    // ordering, r11): the wedge stream concentrates on hot candidate
+    // pairs, and the groupBy's map-side combine absorbs that skew while
+    // shrinking the anti-join input to DISTINCT pairs — result-identical
+    // (the anti-join drops whole pairs, never individual wedges).
+    // m10 scale fixture: 8.5 s / 4.3 s straggler task → 2.8 s.
+    val scored = wedges
       .withColumn("__t",
         lift6(lit(1.0) / log(col("d").cast("double"))))
       .groupBy(col("v1"), col("v2"))
       .agg(count(lit(1)).as("cn"), sum(col("__t")).as("__aa6"))
+      .join(sigPairs.select(col("sa").as("v1"), col("sb").as("v2")),
+        Seq("v1", "v2"), "left_anti")
     scored
       .join(grp.select(col("sig").as("v1"), col("rep").as("__ra")), "v1")
       .join(grp.select(col("sig").as("v2"), col("rep").as("__rb")), "v2")

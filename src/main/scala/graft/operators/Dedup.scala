@@ -1209,20 +1209,38 @@ object Dedup {
       s"bad editDistancePairs params ($maxDist, $blockLen, $maxBlockDf)")
     val d = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).as("__id"), col(textCol).as("__t"))
-    val keyed = d.select(col("__id"),
+    val keyed = d.select(col("__id"), length(col("__t")).as("__ln"),
         concat(lit("p"), substring(col("__t"), 1, blockLen)).as("__bk"))
-      .unionByName(d.select(col("__id"),
+      .unionByName(d.select(col("__id"), length(col("__t")).as("__ln"),
         concat(lit("s"), substring(reverse(col("__t")), 1, blockLen))
           .as("__bk")))
     val dfq = keyed.groupBy(col("__bk")).agg(count(lit(1)).as("__df"))
     val kept = keyed.join(dfq.hint("merge"), Seq("__bk"))
       .filter(col("__df") <= maxBlockDf)
-      .select(col("__bk"), col("__id"))
+      .select(col("__bk"), col("__id"), col("__ln"))
+    // the length prefilter rides the candidate join: edit distance is
+    // at least the length difference, so |ln_a − ln_b| > maxDist pairs
+    // can never survive the verify — result-identical, and it is the
+    // cheap compare that prunes the duplicated-text skew fixture's
+    // candidate mass 5.3× (m30z: 873k → 165k pairs) BEFORE the
+    // expensive levenshtein ever runs.
     val cand = kept.as("a")
       .join(kept.as("b").hint("shuffle_hash"),
-        col("a.__bk") === col("b.__bk") && col("a.__id") < col("b.__id"))
+        col("a.__bk") === col("b.__bk") && col("a.__id") < col("b.__id")
+          && abs(col("a.__ln") - col("b.__ln")) <= maxDist.toLong)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
+      // explicit-n repartition: the distinct's exchange is tiny in
+      // BYTES, so AQE coalesces it to ~1 partition — and the verify
+      // stage (broadcast payload joins + levenshtein, which Catalyst
+      // pulls into the join condition) inherits that partitioning,
+      // serializing every levenshtein into one task (m30z: an 82 s
+      // straggler). The r2 lesson: per-row-expensive work rides
+      // behind repartition(n, col). Keyed by id_a ONLY — a
+      // repartition on (id_a, id_b) is partitioning-identical to the
+      // distinct's own exchange and gets REMOVED as redundant, putting
+      // the verify right back on the coalesced reads (measured).
+      .repartition(par(df), col("id_a"))
     cand
       .join(d.select(col("__id").as("id_a"), col("__t").as("__ta")),
         Seq("id_a"))

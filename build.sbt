@@ -39,7 +39,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // whole suite runs partially interpreted. Measured same-window A/B
   // on the full Bench: 90.6 s (2 passes) at the default vs 75.4 s
   // (3 passes) at 512 MB (r12, 110 queries). Re-raised to 768 MB at
-  // 114 queries, 1 GB at 126, 1280 MB at 139 (r14), 1536 MB at 159 (r15), 1792 MB at 168 (r16) — grow with
-  // the suite before bisecting any uniform suite-wide "regression".
-  "-XX:ReservedCodeCacheSize=1792m",
+  // 114 queries, 1 GB at 126, 1280 MB at 139 (r14), 1536 MB at 159 (r15), 1792 MB at 168 (r16),
+  // 2048 MB at 181 (r17) — grow with the suite before bisecting any
+  // uniform suite-wide "regression". NOTE (r17): 2048M is the JVM's
+  // HARD MAXIMUM for this flag ("Invalid ReservedCodeCacheSize=2560M.
+  // Must be at most 2048M") — the lever is exhausted; past this suite
+  // size late bench passes may run partially interpreted and the
+  // in-suite-vs-BenchOne residual grows. Adjudicate with BenchOne, not
+  // a bigger cache.
+  "-XX:ReservedCodeCacheSize=2048m",
 )

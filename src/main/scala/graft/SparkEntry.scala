@@ -1652,6 +1652,19 @@ object SparkEntry {
           col("dhash"))
         .orderBy(col("file"))),
 
+    // DCT perceptual hash per image (q182): pHash, the dHash sibling
+    // that survives brightness/contrast shifts — 32×32 grid →
+    // EXACT-INTEGER separable DCT (checked-in 6-dp weight table, the
+    // single source of truth for both runtimes) → 64 median-sign
+    // bits. Differential oracle: the Python replica over the same
+    // bytes and the same weight file.
+    "q182_image_phash" -> ((s, d) =>
+      Multimodal.imagePHashes(s,
+        Multimodal.readBinaryDir(s, imagesDir, "*.bmp"))
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+          col("phash"))
+        .orderBy(col("file"))),
+
     // near-duplicate images by dHash hamming — the multimodal dedup
     // member: the 64-bit signature rides the SAME banded self-join as
     // SimHash text dedup (pigeonhole-complete at maxHamming ≤ 3).
@@ -4312,6 +4325,8 @@ object SparkEntry {
     // bytes and replays the thumb grid (float32 cells) + gradient bits
     "q128_image_dhash" ->
       expectedSql("q128", "file, dhash", "file"),
+    "q182_image_phash" ->
+      expectedSql("q182", "file, phash", "file"),
     "q129_image_neardups" ->
       expectedSql("q129", "id_a, id_b, hamming", "id_a, id_b"),
     "q130_audio_fingerprint" ->

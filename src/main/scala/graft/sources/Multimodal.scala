@@ -171,6 +171,101 @@ object Multimodal {
       .map(im => dHashBits(imageThumbGrid(im, 9, 8), 9, 8))
   }
 
+  /** 6-dp-lifted 32-point DCT-II basis weights for frequencies 0..7,
+    * read from the CHECKED-IN resource (`graft/phash_weights.json`)
+    * that the Python replica reads too — one source of truth, so no
+    * libm `cos` (not correctly-rounded on either runtime) ever enters
+    * the cross-runtime comparison. */
+  private lazy val phashW: Array[Array[Long]] = {
+    val in = getClass.getResourceAsStream("/graft/phash_weights.json")
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val flat = txt.substring(txt.indexOf('[') + 1, txt.indexOf(']'))
+      .split(",").map(_.trim.toLong)
+    require(flat.length == 256, s"phash_weights: ${flat.length}")
+    Array.tabulate(8, 32)((u, x) => flat(u * 32 + x))
+  }
+
+  /** DCT-based perceptual hash bits over a 32×32 grayscale grid —
+    * pHash, the dHash sibling that survives global brightness/contrast
+    * shifts (gradient signs do not): the 8×8 low-frequency corner of a
+    * 2-D DCT-II, each bit = coefficient > the lower median of all 64.
+    * EXACT integer arithmetic end to end: float32 cells lift to 1e6
+    * longs (Java `Math.round` — the replica replays `floor(x+0.5)`),
+    * the separable DCT uses the checked-in 6-dp weight table with a
+    * deterministic `floorDiv 1000` rescale between the two passes
+    * (keeps every sum under 2^60; floorDiv == Python `//` on
+    * negatives), and the median is an exact selection — so the hash is
+    * bit-identical across runtimes by construction, no float DCT to
+    * replicate. */
+  private[graft] def phashBits(g: Array[Float]): Long = {
+    require(g.length == 1024, s"phash grid: ${g.length}")
+    val L = new Array[Long](1024)
+    var i = 0
+    while (i < 1024) {
+      L(i) = Math.round(g(i).toDouble * 1e6); i += 1
+    }
+    val mid = Array.ofDim[Long](8, 32) // (u, y)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 32) {
+        var s = 0L
+        var x = 0
+        while (x < 32) { s += phashW(u)(x) * L(y * 32 + x); x += 1 }
+        mid(u)(y) = Math.floorDiv(s, 1000L)
+        y += 1
+      }
+      u += 1
+    }
+    val f = new Array[Long](64)
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L
+        var y = 0
+        while (y < 32) { s += phashW(v)(y) * mid(u)(y); y += 1 }
+        f(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val med = f.sorted.apply(31) // lower median of the 64
+    var bits = 0L
+    i = 0
+    while (i < 64) {
+      if (f(i) > med) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  /** Perceptual DCT hash of an image (pHash: decode → 32×32
+    * box-filtered grayscale grid → exact-integer 2-D DCT → 64
+    * low-frequency median-sign bits). Real decode via `javax.imageio`;
+    * `None` on undecodable bytes. See [[phashBits]] for the
+    * determinism contract. */
+  def imagePHash(content: Array[Byte]): Option[Long] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content)))
+      catch { case _: Exception => None }
+    img.filter(im => im.getWidth > 0 && im.getHeight > 0)
+      .map(im => phashBits(imageThumbGrid(im, 32, 32)))
+  }
+
+  /** (path, phash) for every DECODABLE image in a binary frame — the
+    * pHash twin of [[imageHashes]]. */
+  def imagePHashes(spark: SparkSession, binaries: DataFrame): DataFrame = {
+    import spark.implicits._
+    binaries.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (p, c) =>
+        imagePHash(c).map(h => (p, h))
+      })
+      .toDF("path", "phash")
+  }
+
   /** (path, dhash) for every DECODABLE image in a binary frame —
     * undecodable rows drop (count them upstream via the mime sniff if
     * the drop rate matters). Per-partition typed map, no UDFs. */

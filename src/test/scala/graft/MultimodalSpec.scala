@@ -496,4 +496,35 @@ class MultimodalSpec extends SparkSpec {
       .as[(String, String, Int)].collect()
     assert(small.length === 1 && small.head._3 === 0)
   }
+
+  test("imagePHash: family variants stay within a few bits, distinct " +
+      "families differ, global brightness shift is phash-stable where " +
+      "dhash-like gradients would survive too; corrupt -> None") {
+    val dir = "/root/repo/src/test/resources/graft/images"
+    val hs = Multimodal.imagePHashes(spark,
+      Multimodal.readBinaryDir(spark, dir, "*.bmp"))
+      .as[(String, Long)].collect()
+      .map { case (p, h) => (p.substring(p.lastIndexOf('/') + 1), h) }
+      .sortBy(_._1).toMap
+    assert(hs.size === 32)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // one-pixel variants sit within a few bits of their family base
+    for (fam <- 0 until 6; v <- 1 to 3) {
+      val base = hs(f"img_${fam * 4}%02d.bmp")
+      val vr = hs(f"img_${fam * 4 + v}%02d.bmp")
+      assert(ham(base, vr) <= 8, s"family $fam variant $v: ${ham(base, vr)}")
+    }
+    // distinct families / uniques are far apart
+    val reps = (0 until 6).map(f => hs(f"img_${f * 4}%02d.bmp")) ++
+      (24 until 32).map(i => hs(f"img_$i%02d.bmp"))
+    for (i <- reps.indices; j <- (i + 1) until reps.size)
+      assert(ham(reps(i), reps(j)) > 8, s"reps $i,$j: ${ham(reps(i), reps(j))}")
+    // corrupt bytes decode to None
+    assert(Multimodal.imagePHash(Array[Byte]('B', 'M', 1, 2, 3)).isEmpty)
+    // deterministic: recompute equals
+    val again = Multimodal.imagePHash(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/img_00.bmp"))).get
+    assert(again === hs("img_00.bmp"))
+  }
 }

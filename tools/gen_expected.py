@@ -714,6 +714,78 @@ def gen_q128(fx):
     return ("file VARCHAR, dhash BIGINT", _image_hashes())
 
 
+_PHASH_W = None
+
+
+def _phash_weights():
+    global _PHASH_W
+    if _PHASH_W is None:
+        import json
+        flat = json.load(open(
+            "/root/repo/src/main/resources/graft/phash_weights.json"))["w"]
+        _PHASH_W = [flat[u * 32:(u + 1) * 32] for u in range(8)]
+    return _PHASH_W
+
+
+def _phash_of_bmp(path):
+    """Replicate Multimodal.imageThumbGrid(32,32) + phashBits exactly:
+    float32 cells (same double luminance fold), Java Math.round lift
+    (floor(x+0.5)), exact-integer separable DCT with the CHECKED-IN
+    weight table and floorDiv-1000 rescale (python // == Java floorDiv
+    on negatives), lower-median selection, strict >, signed-64 wrap."""
+    import math as m
+    import numpy as np
+    from gen_image_fixtures import read_bmp
+    px = read_bmp(path)
+    h, w = len(px), len(px[0])
+    gw = gh = 32
+    cells = [None] * 1024
+    for cy in range(gh):
+        for cx in range(gw):
+            x0 = cx * w // gw
+            x1 = max(x0 + 1, (cx + 1) * w // gw)
+            y0 = cy * h // gh
+            y1 = max(y0 + 1, (cy + 1) * h // gh)
+            acc = 0.0
+            for y in range(y0, y1):
+                for x in range(x0, x1):
+                    r, g, b = px[y][x]
+                    acc += 0.299 * r + 0.587 * g + 0.114 * b
+            cells[cy * gw + cx] = np.float32(
+                acc / ((x1 - x0) * (y1 - y0) * 255.0))
+    L = [m.floor(float(c) * 1e6 + 0.5) for c in cells]
+    W = _phash_weights()
+    mid = [[0] * 32 for _ in range(8)]
+    for u in range(8):
+        for y in range(32):
+            s = 0
+            for x in range(32):
+                s += W[u][x] * L[y * 32 + x]
+            mid[u][y] = s // 1000
+    f = [0] * 64
+    for u in range(8):
+        for v in range(8):
+            s = 0
+            for y in range(32):
+                s += W[v][y] * mid[u][y]
+            f[u * 8 + v] = s
+    med = sorted(f)[31]
+    bits = 0
+    for i in range(64):
+        if f[i] > med:
+            bits |= 1 << i
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def gen_q182(fx):
+    return ("file VARCHAR, phash BIGINT",
+            [(fn, _phash_of_bmp(os.path.join(IMAGES_DIR, fn)))
+             for fn in sorted(os.listdir(IMAGES_DIR))
+             if fn.endswith(".bmp")])
+
+
 AUDIO_DIR = "/root/repo/src/test/resources/graft/audio"
 
 
@@ -1025,7 +1097,7 @@ GENERATORS = {
     "q73": gen_q73, "q74": gen_q74, "q78": gen_q78, "q79": gen_q79,
     "q81": gen_q81, "q83": gen_q83, "q88": gen_q88, "q89": gen_q89,
     "q93": gen_q93, "q95": gen_q95, "q96": gen_q96, "q97": gen_q97,
-    "q128": gen_q128, "q129": gen_q129,
+    "q128": gen_q128, "q129": gen_q129, "q182": gen_q182,
     "q130": gen_q130, "q131": gen_q131, "q135": gen_q135,
     "q162": gen_q162, "q163": gen_q163, "q168": gen_q168,
     "q172": gen_q172,

@@ -2380,6 +2380,15 @@ object SparkEntry {
       Analytics.kaplanMeier(Tables.events(s, d), "event_type",
         "user_id", "ts", censorDays = 7)),
 
+    // k-core decomposition (q183): per-doc core numbers of the
+    // near-dup graph via the weighted Batagelj–Zaversnik peel on the
+    // distinct-sig GROUP quotient (doc graph never materializes;
+    // DedupSpec proves doc-level parity). Differential oracle: an
+    // INDEPENDENT doc-level peel in Python over the pinned q25 pairs.
+    "q183_graph_cores" -> ((s, d) =>
+      Dedup.simhashCores(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3, selfJoinBlocks = 8)),
+
     // KMV sketch overlaps (q181): distinct-user estimates + union /
     // intersection estimates per event-type pair from k=64 md5-min
     // sketches — deterministic, exact-integer estimate math.
@@ -4327,6 +4336,8 @@ object SparkEntry {
       expectedSql("q128", "file, dhash", "file"),
     "q182_image_phash" ->
       expectedSql("q182", "file, phash", "file"),
+    "q183_graph_cores" ->
+      expectedSql("q183", "node, core", "node"),
     "q129_image_neardups" ->
       expectedSql("q129", "id_a, id_b, hamming", "id_a, id_b"),
     "q130_audio_fingerprint" ->

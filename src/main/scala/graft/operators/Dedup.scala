@@ -629,6 +629,105 @@ object Dedup {
       .orderBy(col("rep_a"), col("rep_b"))
   }
 
+  /** k-core decomposition of the near-dup graph — per-document core
+    * numbers, the density ladder the flat clustering (q98) and triangle
+    * counts (q138) cannot give: a doc in the 10-core sits inside a
+    * template family mesh at least 10 deep (drop-the-whole-core is the
+    * aggressive boilerplate cut), core 1 is pairwise drift, core 0 is
+    * clean. Completes the graph family (CC q65/q98, PageRank q120,
+    * triangles q138, link prediction q180).
+    *
+    * Runs ENTIRELY on the distinct-sig GROUP quotient: a group of f
+    * identical sigs is a clique, adjacent groups complete-bipartite,
+    * and symmetric vertices share a core number — so the weighted
+    * Batagelj–Zaversnik peel over (group sizes, group edges) computes
+    * the exact doc-level cores while the doc graph never materializes
+    * (DedupSpec proves parity against a doc-level brute force).
+    * Peeling is inherently sequential; the quotient frame is collected
+    * behind `collectEdgeLimit` (the connectedComponents gate — the
+    * group graph is the banded pair set over DISTINCT sigs, orders of
+    * magnitude below doc mass; raise the gate deliberately, never
+    * silently). Degree updates clamp at the running max (the BZ rule —
+    * a vertex dragged down by a k-cascade is still in the k-core). */
+  def simhashCores(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, selfJoinBlocks: Int = 1,
+      collectEdgeLimit: Int = 1000000): DataFrame = {
+    val spark = df.sparkSession
+    val sigs = df.select(col(idCol).as("doc"), col(textCol))
+      .repartition(par(df), col("doc"))
+      .select(col("doc"), simhash(col(textCol), 64).as("sig"))
+    val grp = sigs.groupBy(col("sig")).agg(count(lit(1)).as("f"))
+      .localCheckpoint()
+    val sigPairs = simhashBandPairs(
+      grp.select(col("sig").as("doc"), col("sig")), maxHamming,
+      selfJoinBlocks)
+      .select(col("id_a").as("sa"), col("id_b").as("sb"))
+    val sizes = grp.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = sigPairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(sizes.length <= collectEdgeLimit &&
+      edges.length <= collectEdgeLimit,
+      s"group graph (${sizes.length} nodes, ${edges.length} edges) " +
+        s"exceeds collectEdgeLimit=$collectEdgeLimit — raise it " +
+        "deliberately; the peel is a bounded driver pass")
+    val size = sizes.toMap
+    val adj = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
+    for ((a, b) <- edges) {
+      adj.computeIfAbsent(a, _ => new java.util.ArrayList[Long]()).add(b)
+      adj.computeIfAbsent(b, _ => new java.util.ArrayList[Long]()).add(a)
+    }
+    val cur = new java.util.HashMap[Long, java.lang.Long]()
+    for ((g, f) <- sizes) {
+      var d = f - 1
+      val ns = adj.get(g)
+      if (ns != null) {
+        val it = ns.iterator()
+        while (it.hasNext) d = Math.addExact(d, size(it.next()))
+      }
+      cur.put(g, d)
+    }
+    val pq = new java.util.PriorityQueue[(Long, Long)](
+      math.max(1, sizes.length),
+      (x: (Long, Long), y: (Long, Long)) => {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+      })
+    for ((g, _) <- sizes) pq.add((cur.get(g).longValue(), g))
+    val removed = new java.util.HashSet[Long]()
+    val core = new java.util.HashMap[Long, Long]()
+    var kmax = 0L
+    while (!pq.isEmpty) {
+      val (d, g) = pq.poll()
+      if (!removed.contains(g) && cur.get(g).longValue() == d) {
+        kmax = math.max(kmax, d)
+        core.put(g, kmax)
+        removed.add(g)
+        val ns = adj.get(g)
+        if (ns != null) {
+          val it = ns.iterator()
+          while (it.hasNext) {
+            val h = it.next()
+            if (!removed.contains(h)) {
+              val nd = math.max(cur.get(h).longValue() - size(g), kmax)
+              if (nd != cur.get(h).longValue()) {
+                cur.put(h, nd)
+                pq.add((nd, h))
+              }
+            }
+          }
+        }
+      }
+    }
+    val coreSeq = core.entrySet().iterator()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    while (coreSeq.hasNext) {
+      val e = coreSeq.next(); buf += ((e.getKey, e.getValue))
+    }
+    val coreDf = spark.createDataFrame(buf.toSeq).toDF("sig", "core")
+    sigs.join(broadcast(coreDf), Seq("sig"))
+      .select(col("doc").as("node"), col("core"))
+      .orderBy(col("node"))
+  }
+
   /** Paragraph-level exact dedup — the CCNet-style boilerplate killer
     * web corpora run FIRST, sitting between [[exact]] (whole-document)
     * and `duplicatedSpans` (char windows): split each document into

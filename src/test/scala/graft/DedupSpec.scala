@@ -873,4 +873,56 @@ class DedupSpec extends SparkSpec {
     assert(run(docs, 128, 8) === gf)
     assert(run(docs.repartition(7), 128) === gf)
   }
+
+  test("simhashCores: group-quotient peel == doc-level Batagelj-Zaversnik " +
+      "brute force (fixture + planted families); blocks/partitioning " +
+      "invariant") {
+    def brute(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] = {
+      val sigOf = df.filter($"text".isNotNull)
+        .select($"doc_id", Dedup.simhash($"text", 64).as("sig"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+      val ids = sigOf.keys.toSeq.sorted
+      val adj = ids.map { u =>
+        u -> ids.filter(v => v != u &&
+          (sigOf(u) == sigOf(v) || ham(sigOf(u), sigOf(v)) <= 3))
+      }.toMap
+      val cur = scala.collection.mutable.Map(
+        ids.map(d => d -> adj(d).size.toLong): _*)
+      val heap = scala.collection.mutable.PriorityQueue(
+        ids.map(d => (cur(d), d)): _*)(
+        Ordering.by[(Long, Long), (Long, Long)](x => (-x._1, -x._2)))
+      val removed = scala.collection.mutable.Set.empty[Long]
+      val core = scala.collection.mutable.Map.empty[Long, Long]
+      var kmax = 0L
+      while (heap.nonEmpty) {
+        val (d, g) = heap.dequeue()
+        if (!removed(g) && cur(g) == d) {
+          kmax = math.max(kmax, d); core(g) = kmax; removed += g
+          for (h <- adj(g) if !removed(h)) {
+            val nd = math.max(cur(h) - 1, kmax)
+            if (nd != cur(h)) { cur(h) = nd; heap.enqueue((nd, h)) }
+          }
+        }
+      }
+      ids.map(d => (d, core(d)))
+    }
+    def run(df: org.apache.spark.sql.DataFrame, blocks: Int = 1) =
+      Dedup.simhashCores(df, "doc_id", "text", 3, blocks)
+        .as[(Long, Long)].collect().toSeq
+    // planted: one 10-doc identical family (9-core clique), a linked
+    // 6-doc variant family, singletons
+    val planted = (
+      (0 until 10).map(i => (i.toLong, "alpha beta gamma delta epsilon")) ++
+      (10 until 16).map(i => (i.toLong, "alpha beta gamma delta zeta")) ++
+      (16 until 20).map(i => (i.toLong, s"unique text $i payload")))
+      .toDF("doc_id", "text")
+    val gp = run(planted)
+    assert(gp === brute(planted) && gp.exists(_._2 >= 9))
+    val docs = Tables.documents(spark, sf)
+    val gf = run(docs)
+    assert(gf === brute(docs))
+    assert(run(docs, 8) === gf)
+    assert(run(docs.repartition(7)) === gf)
+  }
 }

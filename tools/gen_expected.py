@@ -786,6 +786,48 @@ def gen_q182(fx):
              if fn.endswith(".bmp")])
 
 
+def gen_q183(fx):
+    """Doc-level k-core peel over the PINNED q25 near-dup pair set —
+    an INDEPENDENT implementation (plain Batagelj-Zaversnik on the doc
+    graph, no group quotient) of what simhashCores computes via the
+    weighted group peel. Heap-lazy min-degree removal with the BZ
+    clamp (a vertex dragged below k by the k-cascade keeps core k)."""
+    import duckdb
+    import heapq
+    con = duckdb.connect()
+    pairs = con.execute(
+        "SELECT id_a, id_b FROM read_parquet('/root/repo/src/test/"
+        "resources/graft/expected/q25_sf001.parquet')").fetchall()
+    docs = [r[0] for r in con.execute(
+        f"SELECT doc_id FROM '{fx.sf_dir}/documents.parquet' "
+        "WHERE doc_id IS NOT NULL AND text IS NOT NULL").fetchall()]
+    adj = {d: [] for d in docs}
+    for a, b in pairs:
+        adj[a].append(b)
+        adj[b].append(a)
+    cur = {d: len(adj[d]) for d in docs}
+    heap = [(cur[d], d) for d in docs]
+    heapq.heapify(heap)
+    removed = set()
+    core = {}
+    kmax = 0
+    while heap:
+        d, g = heapq.heappop(heap)
+        if g in removed or cur[g] != d:
+            continue
+        kmax = max(kmax, d)
+        core[g] = kmax
+        removed.add(g)
+        for h in adj[g]:
+            if h not in removed:
+                nd = max(cur[h] - 1, kmax)
+                if nd != cur[h]:
+                    cur[h] = nd
+                    heapq.heappush(heap, (nd, h))
+    return ("node BIGINT, core BIGINT",
+            sorted((d, core[d]) for d in docs))
+
+
 AUDIO_DIR = "/root/repo/src/test/resources/graft/audio"
 
 
@@ -1097,7 +1139,7 @@ GENERATORS = {
     "q73": gen_q73, "q74": gen_q74, "q78": gen_q78, "q79": gen_q79,
     "q81": gen_q81, "q83": gen_q83, "q88": gen_q88, "q89": gen_q89,
     "q93": gen_q93, "q95": gen_q95, "q96": gen_q96, "q97": gen_q97,
-    "q128": gen_q128, "q129": gen_q129, "q182": gen_q182,
+    "q128": gen_q128, "q129": gen_q129, "q182": gen_q182, "q183": gen_q183,
     "q130": gen_q130, "q131": gen_q131, "q135": gen_q135,
     "q162": gen_q162, "q163": gen_q163, "q168": gen_q168,
     "q172": gen_q172,

@@ -2380,6 +2380,13 @@ object SparkEntry {
       Analytics.kaplanMeier(Tables.events(s, d), "event_type",
         "user_id", "ts", censorDays = 7)),
 
+    // exact Spearman rank correlation (q184): tie-exact doubled
+    // fractional ranks (pure BIGINT) + exact decimal moments — the
+    // robust sibling of q146's Pearson.
+    "q184_spearman" -> ((s, d) =>
+      Analytics.spearman(Tables.lineitem(s, d), "l_returnflag",
+        "l_quantity", "l_extendedprice")),
+
     // k-core decomposition (q183): per-doc core numbers of the
     // near-dup graph via the weighted Batagelj–Zaversnik peel on the
     // distinct-sig GROUP quotient (doc graph never materializes;
@@ -4338,6 +4345,44 @@ object SparkEntry {
       expectedSql("q182", "file, phash", "file"),
     "q183_graph_cores" ->
       expectedSql("q183", "node, core", "node"),
+
+    // Spearman: doubled fractional ranks via window cumsum (pure
+    // BIGINT), HUGEINT moments, the q146 IEEE tail tree
+    "q184_spearman" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS g, l_quantity AS x,
+        |    l_extendedprice AS y
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL
+        |    AND l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |hx AS (SELECT g, x, CAST(count(*) AS BIGINT) AS c
+        |       FROM b GROUP BY g, x),
+        |rx AS (SELECT g, x,
+        |    2 * (CAST(sum(c) OVER (PARTITION BY g ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) - c) + c + 1 AS r2x FROM hx),
+        |hy AS (SELECT g, y, CAST(count(*) AS BIGINT) AS c
+        |       FROM b GROUP BY g, y),
+        |ry AS (SELECT g, y,
+        |    2 * (CAST(sum(c) OVER (PARTITION BY g ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) - c) + c + 1 AS r2y FROM hy),
+        |j AS (SELECT b.g, r2x, r2y FROM b
+        |      JOIN rx ON rx.g = b.g AND rx.x = b.x
+        |      JOIN ry ON ry.g = b.g AND ry.y = b.y),
+        |m AS (SELECT g, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(r2x AS HUGEINT)) AS sx,
+        |    sum(CAST(r2y AS HUGEINT)) AS sy,
+        |    sum(CAST(r2x AS HUGEINT) * CAST(r2x AS HUGEINT)) AS sxx,
+        |    sum(CAST(r2y AS HUGEINT) * CAST(r2y AS HUGEINT)) AS syy,
+        |    sum(CAST(r2x AS HUGEINT) * CAST(r2y AS HUGEINT)) AS sxy
+        |  FROM j GROUP BY g)
+        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) END
+        |    AS spearman
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "q129_image_neardups" ->
       expectedSql("q129", "id_a, id_b, hamming", "id_a, id_b"),
     "q130_audio_fingerprint" ->

@@ -1534,6 +1534,62 @@ object Analytics {
           round((num.cast("double") / den.cast("double")), 6)).as("chi2"))
   }
 
+  /** Exact Spearman rank correlation per group — the robust sibling of
+    * q146's Pearson (monotone association, outlier-immune: one corrupt
+    * price can't swing it) with TIE-EXACT fractional ranks: a value
+    * tied m times gets the average of its rank block. Ranks are
+    * DOUBLED to stay integral (avg rank = (2·cum_before + m + 1)/2 ⇒
+    * r2 = 2·cum_before + m + 1 — exact BIGINT at any group size), so
+    * Spearman is Pearson over exact integers: DECIMAL(38,0) moments
+    * (HUGEINT in the oracle), one IEEE sqrt/divide tree at the end
+    * (the q146 discipline; the doubling cancels in the ratio).
+    *
+    * Scale shape: two per-(group, value) histograms (map-side
+    * combine) + spill-able ordered windows (the q41 plan), rank
+    * tables rejoined merge-hinted (the r13 agg-rejoin lesson), one
+    * moments aggregate. Rows with a null group/x/y drop (pairwise
+    * deletion is Pearson's contract; Spearman ranks both columns over
+    * the SAME row set, so deletion must precede ranking). Zero
+    * variance in either rank column (all-tied) reads NULL. */
+  def spearman(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val base = df.filter(col(groupCol).isNotNull &&
+        col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(xCol).as("__x"),
+        col(yCol).as("__y"))
+    def ranks(vc: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("__g")).orderBy(col(vc))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.groupBy(col("__g"), col(vc))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(w))
+        .select(col("__g"), col(vc),
+          (lit(2L) * (col("__cum") - col("__c")) + col("__c") + lit(1L))
+            .as(out))
+    }
+    val withR = base
+      .join(ranks("__x", "__rx").hint("merge"), Seq("__g", "__x"))
+      .join(ranks("__y", "__ry").hint("merge"), Seq("__g", "__y"))
+    val rx = col("__rx").cast(dec)
+    val ry = col("__ry").cast(dec)
+    val m = withR.groupBy(col("__g")).agg(
+      count(lit(1)).cast(dec).as("__n"),
+      sum(rx).as("__sx"), sum(ry).as("__sy"),
+      sum(rx * rx).as("__sxx"), sum(ry * ry).as("__syy"),
+      sum(rx * ry).as("__sxy"))
+    val n = col("__n")
+    val num = n * col("__sxy") - col("__sx") * col("__sy")
+    val da = n * col("__sxx") - col("__sx") * col("__sx")
+    val db = n * col("__syy") - col("__sy") * col("__sy")
+    m.select(col("__g").as(groupCol), n.cast("long").as("n"),
+        when(da > 0 && db > 0,
+          round(num.cast("double")
+            / (sqrt(da.cast("double")) * sqrt(db.cast("double"))), 6))
+          .as("spearman"))
+      .orderBy(col(groupCol))
+  }
+
   /** SCD type-2 dimension build — turn a change/event stream into
     * validity intervals: per key, consecutive runs of the SAME tracked
     * value collapse into one row (value, valid_from, valid_to,

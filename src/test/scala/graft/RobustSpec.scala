@@ -922,4 +922,49 @@ class RobustSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(p1 === p7)
   }
+
+  // ---- spearman -------------------------------------------------------
+
+  test("spearman: hand-exact monotone=1 and inverse=-1, tie-exact " +
+      "fractional ranks, outlier immunity vs pearson, all-tied NULL, " +
+      "partition independent") {
+    // perfectly monotone (nonlinear): spearman exactly 1
+    val mono = (1 to 8).map(i => ("g", i.toDouble, (i * i).toDouble))
+      .toDF("g", "x", "y")
+    val g1 = Analytics.spearman(mono, "g", "x", "y")
+      .as[(String, Long, Option[Double])].collect().head
+    assert(g1 === (("g", 8L, Some(1.0))))
+    // inverse: exactly -1
+    val inv = (1 to 8).map(i => ("g", i.toDouble, -i.toDouble))
+      .toDF("g", "x", "y")
+    assert(Analytics.spearman(inv, "g", "x", "y")
+      .as[(String, Long, Option[Double])].collect().head._3 === Some(-1.0))
+    // tie-exact: x = (1,1,2), y = (1,2,3) -> r2x = (3,3,6)/2, r2y ranks
+    // distinct; hand value: ranks x (1.5,1.5,3), y (1,2,3)
+    // pearson(ranks): mean rx=2, ry=2; cov terms: (-.5,-1)+(-.5,0)+(1,1)
+    // num = .5 + 0 + 1 = 1.5; varx = .25+.25+1=1.5; vary = 2
+    // rho = 1.5/sqrt(3) = 0.866025
+    val tie = Seq(("g", 1.0, 1.0), ("g", 1.0, 2.0), ("g", 2.0, 3.0))
+      .toDF("g", "x", "y")
+    val gt = Analytics.spearman(tie, "g", "x", "y")
+      .as[(String, Long, Option[Double])].collect().head
+    assert(gt._3 === Some(0.866025))
+    // a wild outlier barely moves spearman (rank-bounded)
+    val out = ((1 to 9).map(i => ("g", i.toDouble, i.toDouble)) :+
+      (("g", 10.0, 1e9))).toDF("g", "x", "y")
+    assert(Analytics.spearman(out, "g", "x", "y")
+      .as[(String, Long, Option[Double])].collect().head._3 === Some(1.0))
+    // all-tied x: zero rank variance -> NULL
+    val flat = Seq(("g", 5.0, 1.0), ("g", 5.0, 2.0)).toDF("g", "x", "y")
+    assert(Analytics.spearman(flat, "g", "x", "y")
+      .as[(String, Long, Option[Double])].collect().head._3 === None)
+    val big = (0 until 400).map(i =>
+      (s"k${i % 3}", ((i * 37) % 101).toDouble, ((i * 53) % 97).toDouble))
+      .toDF("g", "x", "y")
+    val p1 = Analytics.spearman(big.repartition(1), "g", "x", "y")
+      .collect().map(_.toString).toSeq
+    val p7 = Analytics.spearman(big.repartition(7), "g", "x", "y")
+      .collect().map(_.toString).toSeq
+    assert(p1 === p7)
+  }
 }

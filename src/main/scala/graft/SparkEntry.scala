@@ -2380,6 +2380,16 @@ object SparkEntry {
       Analytics.kaplanMeier(Tables.events(s, d), "event_type",
         "user_id", "ts", censorDays = 7)),
 
+    // semantic decontamination (q185): corpus vectors within cosine
+    // 0.3 of ANY benchmark vector (vec_id < 40 is the benchmark slice)
+    // — the embedding-space member of the contamination family.
+    "q185_semantic_decontaminate" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.semanticDecontaminate(
+        e.filter(col("vec_id") >= 40), e.filter(col("vec_id") < 40),
+        "vec_id", "embedding", minCos = 0.3)
+    }),
+
     // exact Spearman rank correlation (q184): tie-exact doubled
     // fractional ranks (pure BIGINT) + exact decimal moments — the
     // robust sibling of q146's Pearson.
@@ -4345,6 +4355,21 @@ object SparkEntry {
       expectedSql("q182", "file, phash", "file"),
     "q183_graph_cores" ->
       expectedSql("q183", "node, core", "node"),
+
+    // semantic decontamination: the q20 sequential-fold cosine SQL,
+    // rounded 6 dp BEFORE the threshold (the q99 rule)
+    "q185_semantic_decontaminate" ->
+      s"""SELECT cid AS vec_id, CAST(count(*) AS BIGINT) AS n_matches,
+         |  max(cs) AS max_cos
+         |FROM (
+         |  SELECT c.vec_id AS cid,
+         |    round(${cos("c.embedding", "b.embedding")}, 6) AS cs
+         |  FROM (SELECT * FROM embeddings WHERE vec_id >= 40
+         |        AND embedding IS NOT NULL) c,
+         |       (SELECT * FROM embeddings WHERE vec_id < 40
+         |        AND embedding IS NOT NULL) b)
+         |WHERE cs >= CAST(0.3 AS DOUBLE)
+         |GROUP BY cid ORDER BY vec_id""".stripMargin,
 
     // Spearman: doubled fractional ranks via window cumsum (pure
     // BIGINT), HUGEINT moments, the q146 IEEE tail tree

@@ -112,6 +112,43 @@ object Similarity {
     picked.map(_._2).toSeq.toDF("rank", idCol, "rel", "score_nano")
   }
 
+  /** SEMANTIC benchmark decontamination — the embedding-space member
+    * of the contamination family (binary lexical q63, fuzzy lexical
+    * q99, graded q127): flag corpus vectors whose cosine against ANY
+    * benchmark vector reaches `minCos` — paraphrased eval leakage that
+    * shares no shingle survives the lexical filters but not this one.
+    * Returns (id, n_matches, max_cos) for flagged corpus rows only.
+    *
+    * The benchmark side is an EVAL SET — small by construction — so it
+    * broadcasts and the corpus side never shuffles (the q99 posture):
+    * norms precompute once per row on each side, one broadcast
+    * cross-join stage, cosine rounded to 6 dp BEFORE the threshold
+    * (the q99 rounding rule, so the oracle replays the same sequential
+    * fold), one map-side-combinable aggregate. Zero-norm vectors drop
+    * BEFORE the join (ANSI division would throw); null id/vector rows
+    * drop. */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, vecCol: String, minCos: Double): DataFrame = {
+    val c = corpus
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("__cid"), col(vecCol).as("__cv"),
+        VectorOps.norm2(col(vecCol)).as("__cn"))
+      .filter(col("__cn") > 0.0) // ANSI: a zero norm would throw, not NaN
+    val b = benchmark.filter(col(vecCol).isNotNull)
+      .select(col(vecCol).as("__bv"),
+        VectorOps.norm2(col(vecCol)).as("__bn"))
+      .filter(col("__bn") > 0.0)
+    c.crossJoin(broadcast(b))
+      .withColumn("__cs",
+        round(VectorOps.dot(col("__cv"), col("__bv"))
+          / (col("__cn") * col("__bn")), 6))
+      .filter(col("__cs") >= minCos)
+      .groupBy(col("__cid"))
+      .agg(count(lit(1)).as("n_matches"), max(col("__cs")).as("max_cos"))
+      .select(col("__cid").as(idCol), col("n_matches"), col("max_cos"))
+      .orderBy(col(idCol))
+  }
+
   /** Exact per-probe top-k: broadcast the (small) probe set against the
     * corpus, rank within each probe. The corpus side stays pipelined —
     * the only shuffle is the window's hash partition by probe id, whose

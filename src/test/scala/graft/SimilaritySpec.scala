@@ -420,4 +420,38 @@ class SimilaritySpec extends SparkSpec {
       ("C", "Z", 2L, 1L, None, 4.0)))
     assert(run(1) === got && run(6) === got)
   }
+
+  test("semanticDecontaminate: planted parallel/orthogonal/opposite " +
+      "cases, rounding-before-threshold, zero-norm and null drop, " +
+      "partition independent") {
+    import graft.operators.Similarity
+    val bench = Seq(
+      (100L, Seq(1f, 0f, 0f, 0f)),
+      (101L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(2f, 0f, 0f, 0f)),   // parallel to b100: cos 1.0
+      (2L, Seq(1f, 1f, 0f, 0f)),   // cos 0.707107 to both
+      (3L, Seq(0f, 0f, 1f, 0f)),   // orthogonal to both
+      (4L, Seq(-1f, 0f, 0f, 0f)),  // opposite: cos -1
+      (5L, Seq(0f, 0f, 0f, 0f)))   // zero norm: NaN, drops
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontaminate(corpus, bench,
+      "vec_id", "embedding", 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 1L, 1.0), (2L, 2L, 0.707107)))
+    // threshold exactly at a rounded value keeps it (rounded BEFORE)
+    val exact = Similarity.semanticDecontaminate(corpus, bench,
+      "vec_id", "embedding", 0.707107)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(exact === Seq((1L, 1L, 1.0), (2L, 2L, 0.707107)))
+    val p1 = Similarity.semanticDecontaminate(
+      corpus.repartition(1), bench, "vec_id", "embedding", 0.5)
+      .collect().map(_.toString).toSeq
+    val p7 = Similarity.semanticDecontaminate(
+      corpus.repartition(7), bench.repartition(3), "vec_id",
+      "embedding", 0.5)
+      .collect().map(_.toString).toSeq
+    assert(p1 === p7)
+  }
 }

@@ -2385,8 +2385,12 @@ object SparkEntry {
     // — the embedding-space member of the contamination family.
     "q185_semantic_decontaminate" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
+      // fan the corpus side: the 1-partition fixture scan serializes
+      // the cosine stage otherwise (m30 maxTask 1.59 of 1.96 s — the
+      // q121 lesson); result-invisible
       Similarity.semanticDecontaminate(
-        e.filter(col("vec_id") >= 40), e.filter(col("vec_id") < 40),
+        fan(e.filter(col("vec_id") >= 40), "vec_id"),
+        e.filter(col("vec_id") < 40),
         "vec_id", "embedding", minCos = 0.3)
     }),
 

@@ -2380,6 +2380,13 @@ object SparkEntry {
       Analytics.kaplanMeier(Tables.events(s, d), "event_type",
         "user_id", "ts", censorDays = 7)),
 
+    // association rules (q186): directional confidence (exact integer
+    // ppm) + lift over user event-type baskets — the successor of
+    // q147's undirected pair counts.
+    "q186_association_rules" -> ((s, d) =>
+      Analytics.associationRules(Tables.events(s, d), "user_id",
+        "event_type", minPairCount = 5L)),
+
     // semantic decontamination (q185): corpus vectors within cosine
     // 0.3 of ANY benchmark vector (vec_id < 40 is the benchmark slice)
     // — the embedding-space member of the contamination family.
@@ -4359,6 +4366,30 @@ object SparkEntry {
       expectedSql("q182", "file, phash", "file"),
     "q183_graph_cores" ->
       expectedSql("q183", "node, core", "node"),
+
+    // association rules: same distinct-basket shape; conf via BIGINT
+    // //, lift as the identical IEEE tree of exact counts
+    "q186_association_rules" ->
+      """WITH it AS (
+        |  SELECT DISTINCT user_id AS b, event_type AS i FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS N FROM it),
+        |sp AS (SELECT i, CAST(count(*) AS BIGINT) AS s
+        |       FROM it GROUP BY i),
+        |pr AS (SELECT a.i AS ia, c.i AS ib,
+        |         CAST(count(*) AS BIGINT) AS np
+        |       FROM it a JOIN it c ON a.b = c.b AND a.i < c.i
+        |       GROUP BY a.i, c.i HAVING count(*) >= 5),
+        |ru AS (SELECT ia AS ante, ib AS conseq, np FROM pr
+        |       UNION ALL SELECT ib, ia, np FROM pr)
+        |SELECT ru.ante, ru.conseq, ru.np AS n_pair, sa.s AS n_ante,
+        |  ru.np * 1000000 // sa.s AS conf_ppm,
+        |  round((CAST(ru.np AS DOUBLE) * CAST(nb.N AS DOUBLE))
+        |    / (CAST(sa.s AS DOUBLE) * CAST(sc.s AS DOUBLE)), 6) AS lift
+        |FROM ru
+        |JOIN sp sa ON sa.i = ru.ante
+        |JOIN sp sc ON sc.i = ru.conseq, nb
+        |ORDER BY ante, conseq""".stripMargin,
 
     // semantic decontamination: the q20 sequential-fold cosine SQL,
     // rounded 6 dp BEFORE the threshold (the q99 rule)

@@ -1054,6 +1054,61 @@ object Analytics {
       .limit(k)
   }
 
+  /** Association rules over basket co-occurrence — the directional
+    * successor of [[frequentPairs]]: for every co-occurring item pair,
+    * BOTH rules a→b and b→a with support counts, confidence in exact
+    * integer ppm (n_pair·10⁶ DIV n_ante — BIGINT, threshold-stable),
+    * and lift as ONE IEEE expression of exact longs
+    * ((n_pair·N as double·double mult) / (n_a·n_b) — the identical
+    * tree both engines, documented float metric). Same distinct-
+    * basket-items shape and `maxBasketSize` contract as
+    * [[frequentPairs]]; item supports come from the same distinct
+    * frame (exchange reuse), rule rows bounded by 2× the pair count.
+    * Rules below `minPairCount` drop. */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+      minPairCount: Long = 1L, maxBasketSize: Int = 0): DataFrame = {
+    require(minPairCount >= 1, s"minPairCount must be >= 1: $minPairCount")
+    val items = df
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val sized = if (maxBasketSize > 0) {
+      val ok = items.groupBy(col("__b"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBasketSize)
+        .select(col("__b"))
+      items.join(ok, Seq("__b"), "left_semi")
+    } else items
+    val nBaskets = sized.select(col("__b")).distinct()
+      .agg(count(lit(1)).as("__N"))
+    val supp = sized.groupBy(col("__i")).agg(count(lit(1)).as("__s"))
+    val pairs = sized.select(col("__b"), col("__i").as("__ia"))
+      .join(sized.select(col("__b"), col("__i").as("__ib")), Seq("__b"))
+      .filter(col("__ia") < col("__ib"))
+      .groupBy(col("__ia"), col("__ib"))
+      .agg(count(lit(1)).as("__np"))
+      .filter(col("__np") >= minPairCount)
+      // consumed by BOTH directions of the rule union — checkpoint or
+      // each branch re-runs the basket self-join (the r11 lesson)
+      .localCheckpoint()
+    val rules = pairs
+      .select(col("__ia").as("ante"), col("__ib").as("conseq"), col("__np"))
+      .union(pairs
+        .select(col("__ib").as("ante"), col("__ia").as("conseq"), col("__np")))
+    rules
+      .join(broadcast(supp.select(col("__i").as("ante"),
+        col("__s").as("n_ante"))), Seq("ante"))
+      .join(broadcast(supp.select(col("__i").as("conseq"),
+        col("__s").as("__nc"))), Seq("conseq"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("ante"), col("conseq"), col("__np").as("n_pair"),
+        col("n_ante"),
+        expr("__np * 1000000L DIV n_ante").as("conf_ppm"),
+        round((col("__np").cast("double") * col("__N").cast("double"))
+          / (col("n_ante").cast("double") * col("__nc").cast("double")), 6)
+          .as("lift"))
+      .orderBy(col("ante"), col("conseq"))
+  }
+
   /** Per-group concentration audit — Gini coefficient + top-decile
     * share of a measure (how dominated is each segment by its heaviest
     * members: corpus mass by source, spend by user, events by key).

@@ -967,4 +967,37 @@ class RobustSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(p1 === p7)
   }
+
+  // ---- associationRules -----------------------------------------------
+
+  test("associationRules: hand-exact confidence/lift both directions, " +
+      "minPairCount gate, intra-basket duplicates collapse, partition " +
+      "independent") {
+    // baskets: u1 {x,y}, u2 {x,y}, u3 {x}, u4 {y,z} -> N=4
+    // n_x=3, n_y=3, n_z=1; pair (x,y): 2; (y,z): 1
+    val rows = Seq(
+      ("u1", "x"), ("u1", "y"), ("u1", "y"), // dup y collapses
+      ("u2", "x"), ("u2", "y"),
+      ("u3", "x"),
+      ("u4", "y"), ("u4", "z"))
+    val df = rows.toDF("b", "i")
+    val got = Analytics.associationRules(df, "b", "i", minPairCount = 2L)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    // only (x,y) survives minPairCount=2; conf x->y = 2e6 DIV 3 =
+    // 666666; y->x same; lift = 2*4/(3*3) = 0.888889
+    assert(got === Seq(
+      ("x", "y", 2L, 3L, 666666L, 0.888889),
+      ("y", "x", 2L, 3L, 666666L, 0.888889)))
+    val all = Analytics.associationRules(df, "b", "i", 1L)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    // (y,z) appears both ways at min 1: conf y->z = 1e6 DIV 3, z->y = 1e6
+    assert(all.size === 4)
+    assert(all.contains(("z", "y", 1L, 1L, 1000000L, 1.333333)))
+    assert(all.contains(("y", "z", 1L, 3L, 333333L, 1.333333)))
+    val p1 = Analytics.associationRules(df.repartition(1), "b", "i", 1L)
+      .collect().map(_.toString).toSeq
+    val p7 = Analytics.associationRules(df.repartition(7), "b", "i", 1L)
+      .collect().map(_.toString).toSeq
+    assert(p1 === p7)
+  }
 }

@@ -2380,6 +2380,23 @@ object SparkEntry {
       Analytics.kaplanMeier(Tables.events(s, d), "event_type",
         "user_id", "ts", censorDays = 7)),
 
+    // padding-efficiency report (q187): power-of-two length-bucket
+    // batching waste in exact integer ppm — the WHY behind packing
+    // (q95/q97 eliminate exactly this).
+    "q187_padding_efficiency" -> ((s, d) =>
+      Packing.paddingEfficiency(
+        Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(size(split(trim(col("text")), "\\s+"))
+            .as("n_tokens")),
+        "n_tokens", seqLen = 256, minBucket = 16)),
+
+    // Hill tail-index estimator (q188): alpha over the top-101 order
+    // statistics per return flag — the heavy-tail gauge next to
+    // q104's Zipf fit.
+    "q188_tail_index" -> ((s, d) =>
+      Analytics.tailIndex(Tables.lineitem(s, d), "l_returnflag",
+        "l_extendedprice", k = 100)),
+
     // association rules (q186): directional confidence (exact integer
     // ppm) + lift over user event-type baskets — the successor of
     // q147's undirected pair counts.
@@ -4366,6 +4383,55 @@ object SparkEntry {
       expectedSql("q182", "file, phash", "file"),
     "q183_graph_cores" ->
       expectedSql("q183", "node, core", "node"),
+
+    // padding buckets: the literal CASE ladder mirrored; chunked docs
+    // pad to ceil(n/seqLen)*seqLen via BIGINT //
+    "q187_padding_efficiency" ->
+      """WITH d AS (
+        |  SELECT CAST(len(string_split_regex(trim(text), '\s+'))
+        |    AS BIGINT) AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT
+        |    CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+        |      WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+        |      ELSE 256 END AS bucket,
+        |    n,
+        |    CASE WHEN n <= 256 THEN
+        |      CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+        |        WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+        |        ELSE 256 END
+        |    ELSE ((n + 255) // 256) * 256 END AS p
+        |  FROM d WHERE n > 0)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS token_mass,
+        |  CAST(sum(p) AS BIGINT) AS padded_mass,
+        |  (CAST(sum(p) AS BIGINT) - CAST(sum(n) AS BIGINT)) * 1000000
+        |    // CAST(sum(p) AS BIGINT) AS waste_ppm
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // Hill estimator: window top-(k+1), each ln term one IEEE division
+    // of identical doubles (boundary ties value-invariant), 6-dp
+    // lifts, alpha = one IEEE division of exact longs
+    "q188_tail_index" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+        |r AS (SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY v DESC) AS rn
+        |  FROM b),
+        |kth AS (SELECT g, v AS xk FROM r WHERE rn = 101),
+        |t AS (SELECT r.g,
+        |    CAST(CAST(round(ln(r.v / kth.xk), 6) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT) AS lt
+        |  FROM r JOIN kth USING (g) WHERE rn <= 100),
+        |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(lt) AS BIGINT) AS s FROM t GROUP BY g)
+        |SELECT g AS l_returnflag, 100 AS k,
+        |  round(CAST(100000000 AS DOUBLE) / CAST(s AS DOUBLE), 6)
+        |    AS alpha
+        |FROM m WHERE n = 100 AND s > 0 ORDER BY l_returnflag""".stripMargin,
 
     // association rules: same distinct-basket shape; conf via BIGINT
     // //, lift as the identical IEEE tree of exact counts

@@ -1054,6 +1054,48 @@ object Analytics {
       .limit(k)
   }
 
+  /** Hill tail-index estimator per group — the heavy-tail sibling of
+    * q104's full Zipf regression: α̂ = k / Σ_{i≤k} ln(x_(i) / x_(k+1))
+    * over the top k+1 order statistics, the standard "how Pareto is
+    * this distribution" gauge (α < 2 ⇒ infinite variance — sampling
+    * and mean-based stats stop being trustworthy). Each ln term is
+    * ONE IEEE division of two parquet doubles (identical operands both
+    * engines — the q142 discipline), 6-dp lifted, summed exact; α is
+    * then ONE IEEE division k·10⁶ / Σ, rounded 6 dp. Boundary ties
+    * are harmless: the top-(k+1) VALUE multiset is tie-order
+    * invariant. One row_number window per group (the q148 posture,
+    * spillable); groups with ≤ k positive values drop; non-positive
+    * and null values drop (ln needs x > 0). */
+  def tailIndex(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    def lift6(c: Column): Column =
+      round(c, 6).cast(DecimalType(18, 6))
+        .multiply(lit(1000000)).cast("long")
+    // ties in the window order are harmless — equal values give equal
+    // ln terms, so the summed top-k multiset is tie-order invariant
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v").desc)
+    val top = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
+        col(valueCol) > 0.0)
+      .select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k + 1)
+    val kth = top.filter(col("__rn") === k + 1)
+      .select(col("__g"), col("__v").as("__xk"))
+    top.filter(col("__rn") <= k)
+      .join(broadcast(kth), Seq("__g")) // only groups with > k values
+      .withColumn("__t", lift6(log(col("__v") / col("__xk"))))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col("__t")).as("__s"))
+      .filter(col("__n") === k.toLong && col("__s") > 0L)
+      .select(col("__g").as(groupCol), lit(k).as("k"),
+        round(lit(k.toLong * 1000000L).cast("double")
+          / col("__s").cast("double"), 6).as("alpha"))
+      .orderBy(col(groupCol))
+  }
+
   /** Association rules over basket co-occurrence — the directional
     * successor of [[frequentPairs]]: for every co-occurring item pair,
     * BOTH rules a→b and b→a with support counts, confidence in exact

@@ -329,4 +329,38 @@ object Packing {
       .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)).cast("int"))
       .withColumn("pos", row_number().over(w))
   }
+  /** Padding-efficiency report — the WHY behind sequence packing
+    * (q95/q97): if you batch unpacked documents into power-of-two
+    * length buckets (the standard non-packed serving/training layout),
+    * how many tokens are padding? Per bucket: document count, real
+    * token mass, padded mass (docs longer than `seqLen` CHUNK into
+    * ⌈n/seqLen⌉ max-length rows — the packing contract), and waste in
+    * exact integer ppm. All arithmetic BIGINT (the bucket ladder is a
+    * bounded literal CASE chain — mirrored verbatim in the oracle);
+    * one map-side-combinable aggregate over one scan. Null/non-positive
+    * token counts drop. */
+  def paddingEfficiency(df: DataFrame, tokensCol: String,
+      seqLen: Int, minBucket: Int = 16): DataFrame = {
+    require(seqLen >= minBucket && minBucket >= 1 &&
+      Integer.bitCount(seqLen) == 1 && Integer.bitCount(minBucket) == 1,
+      s"seqLen/minBucket must be powers of two: $seqLen/$minBucket")
+    val n = col(tokensCol).cast("long")
+    val ladder = Iterator.iterate(minBucket)(_ * 2)
+      .takeWhile(_ <= seqLen).toSeq
+    val bucket = ladder.init.foldRight(lit(seqLen.toLong): Column) {
+      (b, acc) => when(n <= b.toLong, lit(b.toLong)).otherwise(acc)
+    }
+    val padded = when(n <= seqLen.toLong, bucket)
+      .otherwise(expr(s"((${tokensCol} + ${seqLen - 1}L) DIV " +
+        s"${seqLen}L) * ${seqLen}L"))
+    df.filter(n.isNotNull && n > 0L)
+      .select(bucket.as("bucket"), n.as("__n"), padded.as("__p"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("token_mass"),
+        sum(col("__p")).as("padded_mass"))
+      .withColumn("waste_ppm",
+        expr("(padded_mass - token_mass) * 1000000L DIV padded_mass"))
+      .orderBy(col("bucket"))
+  }
 }

@@ -215,4 +215,30 @@ class PackingSpec extends SparkSpec {
       .as[(Long, Long, Long, Int, Int, Long)].collect().toSeq
     assert(got === Seq((0L, 4L, 2L, 1, 4, 30L), (1L, 1L, 1L, 5, 5, 5L)))
   }
+
+  test("paddingEfficiency: hand-exact bucket ladder, chunked oversize " +
+      "docs, exact waste ppm, guards, partition independence") {
+    import graft.operators.Packing
+    val df = Seq(10L, 16L, 17L, 100L, 300L).toDF("n_tokens")
+    val got = Packing.paddingEfficiency(df, "n_tokens", 256, 16)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (16L, 2L, 26L, 32L, 187500L),
+      (32L, 1L, 17L, 32L, 468750L),
+      (128L, 1L, 100L, 128L, 218750L),
+      (256L, 1L, 300L, 512L, 414062L)))
+    // zero / null drop
+    val withBad = df.unionByName(Seq(Option.empty[Long], Option(0L))
+      .toDF("n_tokens"))
+    assert(Packing.paddingEfficiency(withBad, "n_tokens", 256, 16)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq === got)
+    intercept[IllegalArgumentException] {
+      Packing.paddingEfficiency(df, "n_tokens", 100, 16)
+    }
+    val p1 = Packing.paddingEfficiency(df.repartition(1), "n_tokens", 256, 16)
+      .collect().map(_.toString).toSeq
+    val p5 = Packing.paddingEfficiency(df.repartition(5), "n_tokens", 256, 16)
+      .collect().map(_.toString).toSeq
+    assert(p1 === p5)
+  }
 }

@@ -1000,4 +1000,32 @@ class RobustSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(p1 === p7)
   }
+
+  // ---- tailIndex ------------------------------------------------------
+
+  test("tailIndex: hand-exact Hill alpha at k=2, short groups drop, " +
+      "non-positive values drop, boundary ties value-invariant, " +
+      "partition independent") {
+    def r6(x: Double): java.math.BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).bigDecimal
+    val df = Seq(
+      ("g", 100.0), ("g", 50.0), ("g", 10.0), ("g", 1.0),
+      ("h", 5.0), ("h", 4.0),           // only 2 values: drops at k=2
+      ("z", 9.0), ("z", 9.0), ("z", 9.0), ("z", -3.0)) // ties; neg drops
+      .toDF("grp", "v")
+    val got = Analytics.tailIndex(df, "grp", "v", k = 2)
+      .as[(String, Int, Double)].collect().toSeq
+    // g: x_(3)=10, terms ln(10)+ln(5) lifted; alpha = 2e6/sum
+    val sum = (r6(math.log(10.0)).movePointRight(6).longValueExact
+      + r6(math.log(5.0)).movePointRight(6).longValueExact)
+    val alphaG = BigDecimal(2000000.0 / sum.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // z: all-equal top values -> ln terms 0 -> s=0 -> dropped
+    assert(got === Seq(("g", 2, alphaG)))
+    val p1 = Analytics.tailIndex(df.repartition(1), "grp", "v", 2)
+      .collect().map(_.toString).toSeq
+    val p7 = Analytics.tailIndex(df.repartition(7), "grp", "v", 2)
+      .collect().map(_.toString).toSeq
+    assert(p1 === p7)
+  }
 }

@@ -2384,8 +2384,11 @@ object SparkEntry {
     // batching waste in exact integer ppm — the WHY behind packing
     // (q95/q97 eliminate exactly this).
     "q187_padding_efficiency" -> ((s, d) =>
+      // fan: the tokenize runs in the 1-partition fixture scan task
+      // otherwise (m30 maxTask 2.62 of 3.01 s — the q121 lesson)
       Packing.paddingEfficiency(
-        Tables.documents(s, d).filter(col("text").isNotNull)
+        fan(Tables.documents(s, d), "doc_id")
+          .filter(col("text").isNotNull)
           .select(size(split(trim(col("text")), "\\s+"))
             .as("n_tokens")),
         "n_tokens", seqLen = 256, minBucket = 16)),

@@ -316,6 +316,62 @@ object Streams {
         s"$stateDir/batch=$b"))
   }
 
+  /** Streaming KMV distinct-count monitor — q181's stateful
+    * continuation: per micro-batch, each group's k-minimum-values
+    * sketch of EVERYTHING seen so far and its exact-integer distinct
+    * estimate (the q181 math verbatim: under-k groups read exact
+    * counts, else 63·2⁵⁶ DIV v₁₄ of the k-th smallest md5). K-min
+    * lists are the ideal stream state — merging is union-then-reselect
+    * (idempotent, commutative, duplicate-blind), so state is bounded
+    * by k × |groups| REGARDLESS of stream length and a crash-replayed
+    * batch is bit-identical (the batch=<id> contract: read id−1,
+    * write own, prune ≤ id−2). */
+  def kmvStream(stream: DataFrame, groupCol: String, valueCol: String,
+      k: Int, stateDir: String, outDir: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        kmvBatch(batch, batchId, groupCol, valueCol, k, stateDir, outDir)
+      }
+      .start()
+
+  private[graft] def kmvBatch(batch: DataFrame, batchId: Long,
+      groupCol: String, valueCol: String, k: Int, stateDir: String,
+      outDir: String): Unit = {
+    require(k >= 2 && k <= 64, s"k must be in [2, 64]: $k")
+    val spark = batch.sparkSession
+    val cur = batch
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        md5(col(valueCol).cast("string")).as("__h"))
+      .distinct()
+    val prev =
+      if (batchId == 0L) cur.limit(0)
+      else spark.read.parquet(s"$stateDir/batch=${batchId - 1}")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__h"))
+    val merged = cur.unionByName(prev).distinct()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).select(col("__g"), col("__h"))
+      .localCheckpoint() // read by both the output and the state write
+    merged.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_kept"), max(col("__h")).as("__hm"))
+      .select(col("__g").as(groupCol), col("n_kept"),
+        expr(s"CASE WHEN n_kept < ${k}L THEN n_kept " +
+          s"ELSE ${k - 1}L * ${1L << 56}L DIV " +
+          "CAST(conv(substring(__hm, 1, 14), 16, 10) AS BIGINT) END")
+          .as("n_est"))
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    merged.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+    graft.sources.StoreFs.childNames(spark, stateDir)
+      .filter(_.startsWith("batch=")).map(_.drop(6).toLong)
+      .filter(_ <= batchId - 2)
+      .foreach(b => graft.sources.StoreFs.delete(spark,
+        s"$stateDir/batch=$b"))
+  }
+
   /** Streaming Markov transition monitor — q166's stateful
     * continuation: per micro-batch, the CUMULATIVE transition matrix
     * (counts + row-normalized probabilities) over everything seen so

@@ -310,6 +310,73 @@ class StreamsSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq === snapSt)
   }
 
+  test("kmvStream: each batch's estimates equal the k-min replica over " +
+      "the concatenation; k-bounded state; bit-identical batch replay") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val k = 8
+    val slice = (0 until 3).map { b =>
+      for {
+        g <- Seq("a", "b"); i <- 0 until 40
+      } yield (g, (b * 25 + i).toLong) // overlapping value windows
+    }
+    val staging = Files.createTempDirectory("graft_kv_stage")
+    slice.zipWithIndex.foreach { case (rows, b) =>
+      val tmp = Files.createTempDirectory(s"graft_kv_tmp$b")
+      rows.toDF("g", "v").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = Paths.get(staging.toString, f"slice_$b%03d.parquet")
+      Files.copy(part.toPath, dest)
+      Files.setLastModifiedTime(dest,
+        FileTime.fromMillis(1700000000000L + b * 60000L))
+    }
+    val out = "file://" + Files.createTempDirectory("graft_kv_out").toString + "/o"
+    val state = "file://" + Files.createTempDirectory("graft_kv_state").toString + "/s"
+    val ck = Files.createTempDirectory("graft_kv_ck").toString
+    val schema = slice(0).toDF("g", "v").schema
+    val q = Streams.kmvStream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(staging.toString),
+      "g", "v", k, state, out, ck)
+    assert(q.awaitTermination(180000))
+    // replica: per batch i, the k smallest md5s over batches 0..i
+    for (i <- 0 until 3) {
+      val vals = (0 to i).flatMap(b => slice(b)).groupBy(_._1).view
+        .mapValues(_.map(_._2.toString).distinct.map(md5hex).sorted).toMap
+      val expect = vals.toSeq.map { case (g, hs) =>
+        val kept = hs.take(k)
+        val est =
+          if (kept.size < k) kept.size.toLong
+          else (k - 1).toLong * (1L << 56) / java.lang.Long.parseLong(
+            kept.last.substring(0, 14), 16)
+        (g, kept.size.toLong, est)
+      }.sortBy(_._1)
+      val got = spark.read.parquet(s"$out/batch=$i")
+        .orderBy($"g").as[(String, Long, Long)].collect().toSeq
+      assert(got === expect, s"batch $i")
+    }
+    // bounded state: <= 2 batch dirs, <= k rows per group
+    val stDirs = graft.sources.StoreFs.childNames(spark, state)
+      .filter(_.startsWith("batch="))
+    assert(stDirs.length <= 2)
+    assert(spark.read.parquet(s"$state/batch=2").count() <= 2L * k)
+    // crash-replay bit-identical
+    val snapOut = spark.read.parquet(s"$out/batch=2")
+      .collect().map(_.toString).sorted.toSeq
+    val snapSt = spark.read.parquet(s"$state/batch=2")
+      .collect().map(_.toString).sorted.toSeq
+    Streams.kmvBatch(slice(2).toDF("g", "v"), 2L, "g", "v", k, state, out)
+    assert(spark.read.parquet(s"$out/batch=2")
+      .collect().map(_.toString).sorted.toSeq === snapOut)
+    assert(spark.read.parquet(s"$state/batch=2")
+      .collect().map(_.toString).sorted.toSeq === snapSt)
+  }
+
   test("transitionStream: cumulative matrix per batch equals the batch " +
       "operator over the concatenation (cross-batch boundary pairs " +
       "counted once); bounded state; bit-identical batch replay") {

@@ -4461,7 +4461,10 @@ object SparkEntry {
         |ORDER BY ante, conseq""".stripMargin,
 
     // semantic decontamination: the q20 sequential-fold cosine SQL,
-    // rounded 6 dp BEFORE the threshold (the q99 rule)
+    // rounded 6 dp BEFORE the threshold (the q99 rule). Both slices
+    // mirror the operator's zero-norm drop (r17 ADVICE: a fixture
+    // regen introducing a zero vector must not diverge — DuckDB's IEEE
+    // division would yield inf/NaN where Spark silently drops the row).
     "q185_semantic_decontaminate" ->
       s"""SELECT cid AS vec_id, CAST(count(*) AS BIGINT) AS n_matches,
          |  max(cs) AS max_cos
@@ -4469,9 +4472,13 @@ object SparkEntry {
          |  SELECT c.vec_id AS cid,
          |    round(${cos("c.embedding", "b.embedding")}, 6) AS cs
          |  FROM (SELECT * FROM embeddings WHERE vec_id >= 40
-         |        AND embedding IS NOT NULL) c,
+         |        AND embedding IS NOT NULL
+         |        AND list_dot_product(CAST(embedding AS DOUBLE[]),
+         |              CAST(embedding AS DOUBLE[])) > 0) c,
          |       (SELECT * FROM embeddings WHERE vec_id < 40
-         |        AND embedding IS NOT NULL) b)
+         |        AND embedding IS NOT NULL
+         |        AND list_dot_product(CAST(embedding AS DOUBLE[]),
+         |              CAST(embedding AS DOUBLE[])) > 0) b)
          |WHERE cs >= CAST(0.3 AS DOUBLE)
          |GROUP BY cid ORDER BY vec_id""".stripMargin,
 

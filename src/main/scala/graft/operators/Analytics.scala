@@ -1136,11 +1136,16 @@ object Analytics {
       .select(col("__ia").as("ante"), col("__ib").as("conseq"), col("__np"))
       .union(pairs
         .select(col("__ib").as("ante"), col("__ia").as("conseq"), col("__np")))
+    // support rejoins carry `merge`, never a forced broadcast: the
+    // item vocabulary is unbounded in general and a forced broadcast
+    // of a large aggregate side is the r13 duplicatedSpans OOM class
+    // (r17 ADVICE). AQE still broadcasts a measured-small supp side on
+    // its own; the single-row nBaskets frame stays broadcast.
     rules
-      .join(broadcast(supp.select(col("__i").as("ante"),
-        col("__s").as("n_ante"))), Seq("ante"))
-      .join(broadcast(supp.select(col("__i").as("conseq"),
-        col("__s").as("__nc"))), Seq("conseq"))
+      .join(supp.select(col("__i").as("ante"),
+        col("__s").as("n_ante")).hint("merge"), Seq("ante"))
+      .join(supp.select(col("__i").as("conseq"),
+        col("__s").as("__nc")).hint("merge"), Seq("conseq"))
       .crossJoin(broadcast(nBaskets))
       .select(col("ante"), col("conseq"), col("__np").as("n_pair"),
         col("n_ante"),
@@ -1593,7 +1598,14 @@ object Analytics {
     * float intermediate). Groups order lexicographically into
     * (group_a, group_b); a zero margin (all rows one outcome or one
     * group empty of flags) reads chi2 NULL. `flagCol` must be 0/1 or
-    * boolean; null group/flag rows drop. */
+    * boolean; null group/flag rows drop.
+    *
+    * NOTE: this operator runs ONE Spark job at CONSTRUCTION (the
+    * exactly-two-groups `require` counts the localCheckpoint'ed 2-row
+    * contingency aggregate eagerly) — unlike every other operator in
+    * the repo, which stays lazy until the caller acts. The eager job is
+    * one scan + a 2-row aggregate; the checkpoint means no recompute
+    * when the returned frame is consumed. */
   def proportionTest(df: DataFrame, groupCol: String,
       flagCol: String): DataFrame = {
     val dec = DecimalType(38, 0)

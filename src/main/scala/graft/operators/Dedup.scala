@@ -662,13 +662,18 @@ object Dedup {
       grp.select(col("sig").as("doc"), col("sig")), maxHamming,
       selfJoinBlocks)
       .select(col("id_a").as("sa"), col("id_b").as("sb"))
-    val sizes = grp.collect().map(r => (r.getLong(0), r.getLong(1)))
-    val edges = sigPairs.collect().map(r => (r.getLong(0), r.getLong(1)))
-    require(sizes.length <= collectEdgeLimit &&
-      edges.length <= collectEdgeLimit,
-      s"group graph (${sizes.length} nodes, ${edges.length} edges) " +
+      .localCheckpoint()
+    // gate BEFORE collecting (r17 ADVICE; the weightedPageRank
+    // pattern): counts run on the checkpointed frames, so an
+    // over-limit corpus fails here instead of exhausting the driver
+    val nNodes = grp.count()
+    val nEdges = sigPairs.count()
+    require(nNodes <= collectEdgeLimit && nEdges <= collectEdgeLimit,
+      s"group graph ($nNodes nodes, $nEdges edges) " +
         s"exceeds collectEdgeLimit=$collectEdgeLimit — raise it " +
         "deliberately; the peel is a bounded driver pass")
+    val sizes = grp.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = sigPairs.collect().map(r => (r.getLong(0), r.getLong(1)))
     val size = sizes.toMap
     val adj = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
     for ((a, b) <- edges) {

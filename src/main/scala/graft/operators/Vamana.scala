@@ -192,6 +192,66 @@ object Vamana {
     (medoid, adj)
   }
 
+  /** FreshDiskANN-style single-batch insertion into one shard graph
+    * (Singh et al., arXiv:2105.09613 — the incremental half of
+    * StreamingDiskANN, the index family the reference's pgvectorscale
+    * ships, `src/rag/sqlx.rs:26-29`).
+    *
+    * `ids`/`vecs`/`isNew` are the COMBINED shard (existing ∪ new) in
+    * ascending-id order; `adj` is the existing adjacency remapped to
+    * combined indices (empty for new nodes) and is MUTATED in place.
+    * For each new point x in ascending-id order: one greedy beam from
+    * the medoid, out(x) = RobustPrune(visited, α, R), then back-edges
+    * x→nbrs(b) for every b ∈ out(x) with RobustPrune on overflow past
+    * R — all decisions in the same exact-integer arithmetic as
+    * [[buildShard]], so the resulting graph is bit-identical across
+    * partitionings and the Python replica. One deliberate deviation
+    * from the paper, for a determinism GUARANTEE rather than a
+    * probabilistic one: if every back-edge prune dropped x (possible
+    * when all its out-neighbors' lists are full of closer points), x
+    * is force-appended to its NEAREST out-neighbor's list — that one
+    * node may hold R+1 edges until [[graft.sources.VamanaStore]]
+    * compaction rebuilds the canonical batch graph; without it a new
+    * point could be unreachable and silently invisible to every
+    * search. Returns the changed-node flags (new nodes + rewired
+    * existing nodes). */
+  private[graft] def insertShard(ids: Array[Long],
+      vecs: Array[Array[Long]], isNew: Array[Boolean],
+      adj: Array[Array[Int]], medoidIdx: Int,
+      p: Params): Array[Boolean] = {
+    val n = ids.length
+    val changed = new Array[Boolean](n)
+    var x = 0
+    while (x < n) {
+      if (isNew(x)) {
+        val (_, visited) = greedySearch(adj, vecs, medoidIdx, vecs(x), p.l)
+        adj(x) = robustPrune(x, visited, vecs, p.alphaNum, p.alphaDen, p.r)
+        changed(x) = true
+        var hasIn = false
+        adj(x).foreach { b =>
+          if (!adj(b).contains(x)) {
+            val nb = adj(b) :+ x
+            adj(b) =
+              if (nb.length > p.r)
+                robustPrune(b, nb, vecs, p.alphaNum, p.alphaDen, p.r)
+              else nb
+            changed(b) = true
+          }
+          if (adj(b).contains(x)) hasIn = true
+        }
+        if (!hasIn && adj(x).nonEmpty) {
+          // reachability guarantee: force the back-edge at the nearest
+          // out-neighbor (RobustPrune emits closest-first)
+          val b0 = adj(x).head
+          adj(b0) = adj(b0) :+ x
+          changed(b0) = true
+        }
+      }
+      x += 1
+    }
+    changed
+  }
+
   /** Build the sharded Vamana index as a DataFrame:
     * (shard, id, vec6 array<bigint>, nbrs array<bigint>, medoid) —
     * shard = pmod(id, nShards), each shard built inside one task from

@@ -2400,6 +2400,35 @@ object SparkEntry {
       Analytics.tailIndex(Tables.lineitem(s, d), "l_returnflag",
         "l_extendedprice", k = 100)),
 
+    // streaming Vamana store (q189): the q172 graph built by THREE
+    // FreshDiskANN insertion batches (the StreamingDiskANN surface the
+    // reference's pgvectorscale names), probed with the batch
+    // probe-frame form — one shard materialization amortized over all
+    // probes. Differential oracle: tools/replica.py
+    // vamana_insert_shard replays the same batch sequence bit-for-bit
+    // (all-integer decisions end-to-end).
+    "q189_vamana_store" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val p = Vamana.Params(r = 16, l = 32, alphaNum = 12L,
+        alphaDen = 10L, nShards = 4)
+      val path = cachedStorePath("vamanastore:" + d) { pth =>
+        graft.sources.VamanaStore.processBatch(
+          e.filter(col("vec_id") < 200), "b0", 0L, "vec_id",
+          "embedding", pth, p)
+        graft.sources.VamanaStore.processBatch(
+          e.filter(col("vec_id") >= 200 && col("vec_id") < 350), "b1",
+          1L, "vec_id", "embedding", pth, p)
+        graft.sources.VamanaStore.processBatch(
+          e.filter(col("vec_id") >= 350), "b2", 2L, "vec_id",
+          "embedding", pth, p)
+      }
+      graft.sources.VamanaStore.topKFrame(s, path,
+        e.filter(col("vec_id").isin(0L, 7L, 13L))
+          .select(col("vec_id").as("probe_id"), col("embedding")),
+        "probe_id", "embedding", e, "vec_id", "embedding", p,
+        k = 10, mCand = 50)
+    }),
+
     // association rules (q186): directional confidence (exact integer
     // ppm) + lift over user event-type baskets — the successor of
     // q147's undirected pair counts.
@@ -4435,6 +4464,12 @@ object SparkEntry {
         |  round(CAST(100000000 AS DOUBLE) / CAST(s AS DOUBLE), 6)
         |    AS alpha
         |FROM m WHERE n = 100 AND s > 0 ORDER BY l_returnflag""".stripMargin,
+
+    // streaming Vamana store: differential oracle (the incremental
+    // insert replayed by tools/replica.py vamana_insert_shard)
+    "q189_vamana_store" ->
+      expectedSql("q189", "probe_id, vec_id, sim",
+        "probe_id, sim DESC, vec_id"),
 
     // association rules: same distinct-basket shape; conf via BIGINT
     // //, lift as the identical IEEE tree of exact counts

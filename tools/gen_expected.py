@@ -30,7 +30,8 @@ from replica import (  # noqa: E402
     int8_encode, kmeans, l2_dist_sq, lr_train, minhash_sig, norm2,
     mat_vec, opq_train, pq_adc_dist, pq_adc_tables, pq_encode, pq_train,
     r6, sigmoid6, simhash_bits, spark_round, word_shingles, words,
-    lift6_vec, vamana_build, vamana_search_shards)
+    lift6_vec, vamana_build, vamana_insert_shard,
+    vamana_search_shards)
 
 QUESTION = "query filter join aggregate window shuffle"
 
@@ -608,6 +609,66 @@ def gen_q172(fx):
     return ("vec_id BIGINT, sim DOUBLE", [(i, s) for s, i in rer])
 
 
+def gen_q189(fx):
+    """Streaming Vamana store (q189): three FreshDiskANN insertion
+    batches (vec_id <200 / 200-349 / >=350) replayed per shard over
+    the batch-build base, then a 3-probe scatter-gather search with
+    exact cosine rerank — transliterates sources/VamanaStore.scala
+    (exact integer decisions end-to-end)."""
+    n_shards, r, l, a_num, a_den = 4, 16, 32, 12, 10
+    batches = [[(i, v) for i, v in fx.embs if i < 200],
+               [(i, v) for i, v in fx.embs if 200 <= i < 350],
+               [(i, v) for i, v in fx.embs if i >= 350]]
+    # per-shard state: (ids ascending, vecs6, adjacency as ID lists,
+    # medoid ID) — mirrors the store's visible latest-per-id graph
+    state = {}
+    for batch in batches:
+        for s in range(n_shards):
+            new = sorted((i, lift6_vec(v)) for i, v in batch
+                         if i % n_shards == s)
+            if not new:
+                continue
+            if s not in state:
+                ids = [i for i, _ in new]
+                vecs6 = [v for _, v in new]
+                medoid, adj = vamana_build(vecs6, r, l, a_num, a_den)
+                state[s] = (ids, vecs6,
+                            {ids[i]: [ids[j] for j in adj[i]]
+                             for i in range(len(ids))}, ids[medoid])
+            else:
+                old_ids, old_vecs, adj_by_id, medoid_id = state[s]
+                old = dict(zip(old_ids, old_vecs))
+                new = [(i, v) for i, v in new if i not in old]
+                comb = sorted(old.items()) + new
+                comb.sort(key=lambda t: t[0])
+                ids = [i for i, _ in comb]
+                vecs6 = [v for _, v in comb]
+                idx = {i: k for k, i in enumerate(ids)}
+                is_new = [i not in old for i in ids]
+                adj = [[idx[j] for j in adj_by_id[i]]
+                       if i in adj_by_id else [] for i in ids]
+                vamana_insert_shard(vecs6, is_new, adj, idx[medoid_id],
+                                    r, l, a_num, a_den)
+                state[s] = (ids, vecs6,
+                            {ids[k]: [ids[j] for j in adj[k]]
+                             for k in range(len(ids))}, medoid_id)
+    shards = []
+    for s in sorted(state):
+        ids, vecs6, adj_by_id, medoid_id = state[s]
+        idx = {i: k for k, i in enumerate(ids)}
+        adj = [[idx[j] for j in adj_by_id[i]] for i in ids]
+        shards.append((ids, vecs6, idx[medoid_id], adj))
+    vecs = dict(fx.embs)
+    rows = []
+    for pid in (0, 7, 13):
+        probe = vecs[pid]
+        merged = vamana_search_shards(shards, lift6_vec(probe), l)[:50]
+        rer = sorted(((cosine6(vecs[i], probe), i) for _, i in merged),
+                     key=lambda t: (-t[0], t[1]))[:10]
+        rows.extend((pid, i, sim) for sim, i in rer)
+    return ("probe_id BIGINT, vec_id BIGINT, sim DOUBLE", rows)
+
+
 def _probe_cells(probe, cents, n_probe):
     ds = sorted(((l2_dist_sq(probe, c), i) for i, c in enumerate(cents)))
     return [i for _, i in ds[:n_probe]]
@@ -1142,7 +1203,7 @@ GENERATORS = {
     "q128": gen_q128, "q129": gen_q129, "q182": gen_q182, "q183": gen_q183,
     "q130": gen_q130, "q131": gen_q131, "q135": gen_q135,
     "q162": gen_q162, "q163": gen_q163, "q168": gen_q168,
-    "q172": gen_q172,
+    "q172": gen_q172, "q189": gen_q189,
 }
 
 

@@ -913,3 +913,34 @@ def vamana_search_shards(shards, q6, l):
         beam, _ = vamana_greedy(adj, vecs, medoid, q6, l)
         merged.extend((d, ids[i]) for d, i in beam)
     return sorted(merged)
+
+
+def vamana_insert_shard(vecs, is_new, adj, medoid_idx,
+                        r=16, l=32, alpha_num=12, alpha_den=10):
+    """FreshDiskANN insert pass (Vamana.insertShard transliteration,
+    sources/VamanaStore.scala): combined shard in ascending-id order,
+    `adj` (existing adjacency over combined indices, [] for new nodes)
+    mutated in place. New points insert in ascending index order: one
+    greedy beam from the medoid, RobustPrune(visited) out-edges, then
+    back-edges with RobustPrune on overflow past R; if every back-edge
+    prune dropped x, it force-appends to its NEAREST out-neighbor
+    (the reachability guarantee — that node may hold R+1 edges)."""
+    n = len(vecs)
+    for x in range(n):
+        if not is_new[x]:
+            continue
+        _, visited = vamana_greedy(adj, vecs, medoid_idx, vecs[x], l)
+        adj[x] = vamana_robust_prune(
+            x, list(visited), vecs, alpha_num, alpha_den, r)
+        has_in = False
+        for b in adj[x]:
+            if x not in adj[b]:
+                nb = adj[b] + [x]
+                adj[b] = (vamana_robust_prune(
+                    b, nb, vecs, alpha_num, alpha_den, r)
+                    if len(nb) > r else nb)
+            if x in adj[b]:
+                has_in = True
+        if not has_in and adj[x]:
+            adj[adj[x][0]].append(x)
+    return adj

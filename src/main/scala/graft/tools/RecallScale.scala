@@ -103,7 +103,11 @@ object RecallScale {
     // promise is that the beam (L) holds recall while per-shard probe
     // work stays sublinear in shard size. args(4) = nShards. ---
     val nShards = if (args.length > 4) args(4).toInt else 4
-    val vp = graft.operators.Vamana.Params(nShards = nShards)
+    // args(5) = beam width L — the graph-search recall knob: per-shard
+    // probe work is O(L·R·dim) regardless of shard size, so growing L
+    // (not the shard count) is how recall is held as shards grow
+    val beamL = if (args.length > 5) args(5).toInt else 32
+    val vp = graft.operators.Vamana.Params(l = beamL, nShards = nShards)
     val vPath = java.nio.file.Files
       .createTempDirectory("graft_rs_vam").toString
     val tb0 = System.nanoTime()

@@ -2429,6 +2429,14 @@ object SparkEntry {
         k = 10, mCand = 50)
     }),
 
+    // exact shared-substring pairs (q190): doc pairs sharing >= 1
+    // distinct char 32-gram == pairs sharing a >= 32-char substring
+    // (Lee et al. inter-doc exact dedup) — md5 grams, ANSI-mirrored
+    // df cap 64, pure-ANSI oracle (the q170 md5 idiom).
+    "q190_shared_substrings" -> ((s, d) =>
+      Dedup.sharedSubstringPairs(Tables.documents(s, d), "doc_id",
+        "text", minLen = 32, maxGramDf = 64, minShared = 1)),
+
     // association rules (q186): directional confidence (exact integer
     // ppm) + lift over user event-type baskets — the successor of
     // q147's undirected pair counts.
@@ -4470,6 +4478,25 @@ object SparkEntry {
     "q189_vamana_store" ->
       expectedSql("q189", "probe_id, vec_id, sim",
         "probe_id, sim DESC, vec_id"),
+
+    // exact shared-substring pairs: distinct md5'd char 32-grams per
+    // doc, df cap mirrored, pair join — pure ANSI
+    "q190_shared_substrings" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id AS doc, md5(substr(text, i, 32)) AS fp
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, len(text) - 31)) AS i
+        |        FROM documents
+        |        WHERE text IS NOT NULL AND len(text) >= 32)),
+        |d AS (SELECT fp, count(*) AS df FROM g GROUP BY fp),
+        |k AS (SELECT g.fp, g.doc FROM g JOIN d USING (fp)
+        |      WHERE d.df <= 64)
+        |SELECT a.doc AS id_a, b.doc AS id_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM k a JOIN k b ON a.fp = b.fp AND a.doc < b.doc
+        |GROUP BY a.doc, b.doc
+        |HAVING count(*) >= 1
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // association rules: same distinct-basket shape; conf via BIGINT
     // //, lift as the identical IEEE tree of exact counts

@@ -1191,6 +1191,50 @@ object Dedup {
         explode(graft.expressions.VectorExpressions
           .charShingles(col(textCol), k)).as("span"))
 
+  /** Inter-document exact shared-substring pairs (the Lee et al.
+    * "Deduplicating Training Data Makes Language Models Better"
+    * inter-doc form): every pair of documents sharing at least
+    * `minShared` DISTINCT char `minLen`-grams. Exactness by
+    * construction: two documents share a substring of length ≥ minLen
+    * IFF they share at least one minLen-gram — so unlike
+    * [[winnowedNearDups]]' sampled fingerprints this is the complete
+    * char-level answer at threshold minLen, and `n_shared` counts the
+    * distinct shared grams (a run of length minLen+r−1 contributes r).
+    * Completes the char-level family: q87 scores spans per DOC, q170/
+    * q171 sample fingerprints, this enumerates the exact PAIRS.
+    *
+    * Scale posture: grams digest to md5 hex (uniform 32-char key, the
+    * q170 idiom — bit-identical both engines so the oracle is pure
+    * ANSI); df per gram aggregates first and the rejoin carries
+    * `merge` (the agg-then-self-rejoin rule); grams with df >
+    * `maxGramDf` drop BEFORE the pair join — the cap is
+    * ANSI-expressible, so the declared query carries it and the
+    * oracle mirrors it (the q171 discipline; boilerplate substrings
+    * are exactly what it removes), bounding pair fan-out at
+    * C(maxGramDf, 2) per gram; the pair self-join carries
+    * `shuffle_hash` (hot-gram buckets must hash-partition, never
+    * broadcast — the q98 lesson). Linear in char mass up to the
+    * capped pair stream. */
+  def sharedSubstringPairs(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 32, maxGramDf: Int = 64, minShared: Int = 1)
+      : DataFrame = {
+    require(minLen >= 1 && maxGramDf >= 2 && minShared >= 1,
+      s"bad sharedSubstringPairs params ($minLen, $maxGramDf, $minShared)")
+    val grams = spanStream(df, idCol, textCol, minLen)
+      .select(col("doc"), md5(col("span")).as("fp"))
+    val dfq = grams.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+    val kept = grams.join(dfq.hint("merge"), Seq("fp"))
+      .filter(col("__df") <= maxGramDf)
+      .select(col("fp"), col("doc"))
+    kept.as("a")
+      .join(kept.as("b").hint("shuffle_hash"),
+        col("a.fp") === col("b.fp") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Winnowing fingerprint selection (Schleimer et al., MOSS) — the
     * guaranteed-coverage document fingerprinter: hash every char
     * `k`-gram, then in every window of `w` consecutive positions keep

@@ -811,6 +811,64 @@ class DedupSpec extends SparkSpec {
     assert(p.toSeq === Seq((10L, 11L, 1L)))
   }
 
+  test("sharedSubstringPairs: brute-force reference on planted overlaps; " +
+    "the df cap drops boilerplate grams; exact-substring guarantee; " +
+    "partition independence") {
+    val rng = new scala.util.Random(7)
+    def rnd(n: Int) = (0 until n).map(_ => ('a' + rng.nextInt(26)).toChar)
+      .mkString
+    val base = rnd(80)
+    val boiler = rnd(32) // planted in MORE than maxGramDf docs
+    val docs = Seq(
+      (1L, base),                              // full base
+      (2L, base.substring(0, 50) + rnd(30)),   // 50-char shared prefix
+      (3L, rnd(80)),                           // unrelated
+      (4L, base),                              // exact dup of 1
+      (5L, rnd(10))                            // below minLen — no grams
+    ) ++ (100L until 170L).map(i => (i, boiler + rnd(20)))
+    val df = docs.toDF("doc_id", "text")
+    val minLen = 32
+    val cap = 64
+
+    // independent brute force over the documented semantics
+    val grams = docs.filter(_._2.length >= minLen).map { case (id, t) =>
+      id -> (0 to t.length - minLen).map(i => t.substring(i, i + minLen))
+        .toSet
+    }.toMap
+    val gramDf = grams.values.flatten.groupBy(identity)
+      .map { case (g, os) => g -> os.size }
+    val keptG = grams.map { case (id, gs) =>
+      id -> gs.filter(g => gramDf(g) <= cap)
+    }
+    val expected = (for {
+      a <- keptG.keys; b <- keptG.keys if a < b
+      n = keptG(a).intersect(keptG(b)).size if n >= 1
+    } yield (a, b, n.toLong)).toSet
+
+    val got = Dedup.sharedSubstringPairs(df, "doc_id", "text", minLen,
+        cap, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    // the 50-char prefix pair shares exactly 50-32+1=19 grams; the
+    // exact dup shares all 80-32+1=49
+    assert(got.contains((1L, 2L, 19L)) && got.contains((1L, 4L, 49L)))
+    // the boilerplate gram sits in 70 > 64 docs: with it counted,
+    // EVERY boiler pair (C(70,2) = 2415) would match; the cap leaves
+    // only the pairs that share some other (uncapped) gram
+    val boilerPairs = got.count(t => t._1 >= 100L && t._2 >= 100L)
+    assert(boilerPairs < 70 * 69 / 2)
+    val uncapped = Dedup.sharedSubstringPairs(df, "doc_id", "text",
+        minLen, maxGramDf = 1000000, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(uncapped.count(t => t._1 >= 100L && t._2 >= 100L) ===
+      70 * 69 / 2)
+    // partition independence
+    val got3 = Dedup.sharedSubstringPairs(df.repartition(3), "doc_id",
+        "text", minLen, cap, 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got3 === got)
+  }
+
   test("nearDupLinkPrediction: brute-force reference over the documented " +
       "group-graph semantics (fixture + planted), the degree cap binds, " +
       "blocks and partitioning invariant") {

@@ -522,7 +522,7 @@ object Curation {
     * before the multiply keeps the product under 2^62 at any id
     * magnitude (the q90 shuffle-shard arithmetic). Non-negative ids
     * make pmod == `%`, so the oracle replays it with plain `%`. */
-  private def lcgBucket(id: Column, mod: Long): Column =
+  private[graft] def lcgBucket(id: Column, mod: Long): Column =
     pmod(
       pmod(pmod(id, lit(1L << 31)) * lit(1103515245L) + lit(12345L),
         lit(1L << 31)),
@@ -558,6 +558,29 @@ object Curation {
     * full sort — the bucket decomposition is invisible in the result
     * (the q110 rule). Null id/stratum rows drop. Returns
     * (`strataCol`, `idCol`) ordered by both. */
+  /** The largest-remainder (Hamilton) allocation shared by
+    * [[allocateStratified]] and its streaming continuation
+    * (`Streams.stratifiedStream`) — extracting it makes
+    * batch == stream allocation bit-identical BY CONSTRUCTION. Exact
+    * long arithmetic throughout (multiplyExact throws on overflow);
+    * remainders ranked (desc, stratum-string asc); per-stratum quota
+    * capped at the stratum size. */
+  private[graft] def hamiltonQuotas(strata: Array[(String, Long)],
+      budget: Long): Seq[(String, Long)] = {
+    val totalN = strata.map(_._2).reduce(Math.addExact(_, _))
+    val withQ = strata.map { case (s, c) =>
+      val prod = Math.multiplyExact(c, budget)
+      (s, c, prod / totalN, prod % totalN)
+    }
+    val leftover = budget - withQ.map(_._3).sum
+    val topUp = withQ.sortBy { case (s, _, _, rem) => (-rem, s) }
+      .take(if (leftover > Int.MaxValue) withQ.length else leftover.toInt)
+      .map(_._1).toSet
+    withQ.map { case (s, c, b, _) =>
+      (s, math.min(b + (if (topUp(s)) 1L else 0L), c))
+    }.toSeq
+  }
+
   def allocateStratified(df: DataFrame, idCol: String, strataCol: String,
       budget: Long, maxStrata: Int = 1 << 20): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
@@ -576,18 +599,7 @@ object Curation {
       return base.select(col("__s").as(strataCol), col("__id").as(idCol))
         .limit(0)
     }
-    val totalN = strata.map(_._2).reduce(Math.addExact(_, _))
-    val withQ = strata.map { case (s, c) =>
-      val prod = Math.multiplyExact(c, budget)
-      (s, c, prod / totalN, prod % totalN)
-    }
-    val leftover = budget - withQ.map(_._3).sum
-    val topUp = withQ.sortBy { case (s, _, _, rem) => (-rem, s) }
-      .take(if (leftover > Int.MaxValue) withQ.length else leftover.toInt)
-      .map(_._1).toSet
-    val quotaSeq = withQ.map { case (s, c, b, _) =>
-      (s, math.min(b + (if (topUp(s)) 1L else 0L), c))
-    }.toSeq
+    val quotaSeq = hamiltonQuotas(strata, budget)
     val quotas = spark.createDataFrame(quotaSeq)
       .toDF("__s", "__quota")
     // phase A: bucket histogram of the LCG key (2^31 space / 2^20)

@@ -372,6 +372,93 @@ object Streams {
         s"$stateDir/batch=$b"))
   }
 
+  /** Streaming EXACT-count stratified sampler — q177's stateful
+    * continuation: after every micro-batch, `outDir/batch=<id>` holds
+    * an exactly-`budget`-row sample of EVERYTHING seen so far that is
+    * BIT-IDENTICAL to `Curation.allocateStratified` over the
+    * concatenation of all batches (spec-asserted). The exactness
+    * argument: the batch operator picks each stratum's quota-smallest
+    * (lcg, id) keys, every Hamilton quota is ≤ budget, and a
+    * per-stratum budget-minimum list is exactly the k-min sketch —
+    * union-then-reselect merging is idempotent, commutative and
+    * duplicate-blind (the kmvStream argument), so the capped list
+    * always contains every key any allocation can select. State under
+    * `batch=<id>` (read id−1, write own, prune ≤ id−2 — the replay
+    * contract): `list/` = per-stratum budget-min (lcg, id) rows
+    * (≤ budget × |strata|), `counts/` = additive per-stratum totals
+    * the driver-side Hamilton allocation reads (`maxStrata`-gated,
+    * the q177 bound). Ids must be unique across the stream (the
+    * packStream posture). */
+  def stratifiedStream(stream: DataFrame, idCol: String,
+      strataCol: String, budget: Long, stateDir: String, outDir: String,
+      checkpoint: String, maxStrata: Int = 1 << 20): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        stratifiedBatch(batch, batchId, idCol, strataCol, budget,
+          stateDir, outDir, maxStrata)
+      }
+      .start()
+
+  private[graft] def stratifiedBatch(batch: DataFrame, batchId: Long,
+      idCol: String, strataCol: String, budget: Long, stateDir: String,
+      outDir: String, maxStrata: Int): Unit = {
+    import graft.operators.Curation
+    require(budget > 0, s"budget must be positive: $budget")
+    val spark = batch.sparkSession
+    val cur = batch
+      .filter(col(idCol).isNotNull && col(strataCol).isNotNull)
+      .select(col(strataCol).cast("string").as("__s"),
+        col(idCol).as("__id"))
+      .withColumn("__lcg", Curation.lcgBucket(col("__id"), 1L << 31))
+    val curCounts = cur.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
+    val (prevList, prevCounts) =
+      if (batchId == 0L) (cur.select(col("__s"), col("__lcg"),
+        col("__id")).limit(0), curCounts.limit(0))
+      else (spark.read.parquet(s"$stateDir/batch=${batchId - 1}/list"),
+        spark.read.parquet(s"$stateDir/batch=${batchId - 1}/counts"))
+    val counts = curCounts.unionByName(prevCounts)
+      .groupBy(col("__s")).agg(sum(col("__n")).as("__n"))
+      .localCheckpoint() // read by the collect AND the state write
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__s")).orderBy(col("__lcg"), col("__id"))
+    val list = cur.select(col("__s"), col("__lcg"), col("__id"))
+      .unionByName(prevList)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= budget)
+      .select(col("__s"), col("__lcg"), col("__id"))
+      .localCheckpoint() // read by the output AND the state write
+    val strata = counts.collect().map(r => (r.getString(0), r.getLong(1)))
+    require(strata.length <= maxStrata,
+      s"${strata.length} strata exceed maxStrata=$maxStrata — " +
+        "is the stratum column really categorical?")
+    val out =
+      if (strata.isEmpty)
+        list.select(col("__s").as(strataCol), col("__id").as(idCol))
+          .limit(0)
+      else {
+        val quotas = spark.createDataFrame(
+            Curation.hamiltonQuotas(strata, budget))
+          .toDF("__s", "__quota")
+        list.join(broadcast(quotas), Seq("__s"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= col("__quota"))
+          .select(col("__s").as(strataCol), col("__id").as(idCol))
+      }
+    out.orderBy(col(strataCol), col(idCol))
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    list.write.mode("overwrite")
+      .parquet(s"$stateDir/batch=$batchId/list")
+    counts.write.mode("overwrite")
+      .parquet(s"$stateDir/batch=$batchId/counts")
+    graft.sources.StoreFs.childNames(spark, stateDir)
+      .filter(_.startsWith("batch=")).map(_.drop(6).toLong)
+      .filter(_ <= batchId - 2)
+      .foreach(b => graft.sources.StoreFs.delete(spark,
+        s"$stateDir/batch=$b"))
+  }
+
   /** Streaming Markov transition monitor — q166's stateful
     * continuation: per micro-batch, the CUMULATIVE transition matrix
     * (counts + row-normalized probabilities) over everything seen so

@@ -377,6 +377,70 @@ class StreamsSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq === snapSt)
   }
 
+  test("stratifiedStream: each batch's sample is bit-identical to " +
+      "allocateStratified over the concatenation; bounded state; " +
+      "bit-identical batch replay") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val budget = 20L
+    // three strata with drifting shares so the allocation moves
+    val slice = (0 until 3).map { b =>
+      for {
+        (s, n) <- Seq(("x", 30), ("y", 20 + 10 * b), ("z", 5))
+        i <- 0 until n
+      } yield (s, (b * 1000 + s.hashCode.abs % 97 * 100 + i).toLong)
+    }
+    val staging = Files.createTempDirectory("graft_ss_stage")
+    slice.zipWithIndex.foreach { case (rows, b) =>
+      val tmp = Files.createTempDirectory(s"graft_ss_tmp$b")
+      rows.toDF("s", "id").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = Paths.get(staging.toString, f"slice_$b%03d.parquet")
+      Files.copy(part.toPath, dest)
+      Files.setLastModifiedTime(dest,
+        FileTime.fromMillis(1700000000000L + b * 60000L))
+    }
+    val out = "file://" + Files.createTempDirectory("graft_ss_out").toString + "/o"
+    val state = "file://" + Files.createTempDirectory("graft_ss_state").toString + "/s"
+    val ck = Files.createTempDirectory("graft_ss_ck").toString
+    val schema = slice(0).toDF("s", "id").schema
+    val q = Streams.stratifiedStream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(staging.toString),
+      "id", "s", budget, state, out, ck)
+    assert(q.awaitTermination(180000))
+    for (i <- 0 until 3) {
+      val concat = (0 to i).flatMap(b => slice(b)).toDF("s", "id")
+      val expect = graft.operators.Curation
+        .allocateStratified(concat, "id", "s", budget)
+        .as[(String, Long)].collect().toSeq
+      assert(expect.length === budget)
+      val got = spark.read.parquet(s"$out/batch=$i")
+        .orderBy($"s", $"id").as[(String, Long)].collect().toSeq
+      assert(got === expect, s"batch $i")
+    }
+    // bounded state: <= 2 batch dirs; list <= budget per stratum
+    val stDirs = graft.sources.StoreFs.childNames(spark, state)
+      .filter(_.startsWith("batch="))
+    assert(stDirs.length <= 2)
+    assert(spark.read.parquet(s"$state/batch=2/list")
+      .groupBy($"__s").count().agg(max($"count")).as[Long].head()
+      <= budget)
+    // crash-replay bit-identical
+    def snap(p: String) = spark.read.parquet(p)
+      .collect().map(_.toString).sorted.toSeq
+    val snapOut = snap(s"$out/batch=2")
+    val snapL = snap(s"$state/batch=2/list")
+    val snapC = snap(s"$state/batch=2/counts")
+    Streams.stratifiedBatch(slice(2).toDF("s", "id"), 2L, "id", "s",
+      budget, state, out, 1 << 20)
+    assert(snap(s"$out/batch=2") === snapOut)
+    assert(snap(s"$state/batch=2/list") === snapL)
+    assert(snap(s"$state/batch=2/counts") === snapC)
+  }
+
   test("transitionStream: cumulative matrix per batch equals the batch " +
       "operator over the concatenation (cross-batch boundary pairs " +
       "counted once); bounded state; bit-identical batch replay") {

@@ -55,7 +55,7 @@ object Pq {
     * (codegen'd map, no join). */
   def encodeExpr(vecCol: Column, model: Model): Column =
     array(model.codebooks.zipWithIndex.map { case (book, j) =>
-      Similarity.assignExpr(
+      Similarity.assignExprAuto(
         slice(vecCol, j * model.dsub + 1, model.dsub), book).cast("byte")
     }: _*)
 

@@ -499,7 +499,19 @@ object Similarity {
     * Bit-identical to the literal path, tie-breaks included
     * (SimilaritySpec asserts parity at k=1024 with planted duplicate
     * centroids). */
-  private val LiteralAssignMaxCells = 4096
+  // r18: default 0 — the reference-object kernel wins at EVERY k, not
+  // just past the r9 plan-explosion bound. CodeCacheProbe measured the
+  // literal ladders at 2.2 MB of generated source across the PQ family
+  // (q83 alone inlined 2.2 MB into 2 classes) vs 1.2 MB with the
+  // kernel, and the Janino/JIT churn those megabyte classes cost
+  // dominated the cold store builds: q168 21.0→2.9 s, q163 9.6→4.3 s,
+  // q93 17.2→1.8 s, q88 3.6→1.1 s (fresh-JVM A/B, same machine). Values
+  // are bit-identical either way (SimilaritySpec k=1024 tie parity +
+  // every trained-store expected-parquet pin). The env override exists
+  // for measurement, not production.
+  private val LiteralAssignMaxCells =
+    sys.env.get("SPARK_GRAFT_LITERAL_ASSIGN_MAX").map(_.toInt)
+      .getOrElse(0)
 
   private def cells(centroids: Seq[Array[Double]]): Long =
     centroids.length.toLong * (if (centroids.isEmpty) 0 else centroids.head.length)

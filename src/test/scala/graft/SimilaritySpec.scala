@@ -14,12 +14,17 @@ class SimilaritySpec extends SparkSpec {
     // construction (i and i+500 are the same centroid), so equal
     // distances arise and the first-match tie-break is exercised
     val cents = (0 until 1024).map(i => base(i % base.length)).toIndexedSeq
+    // r18 policy: auto picks the reference-object kernel at EVERY k by
+    // default (CodeCacheProbe measured the literal ladders costing MBs
+    // of generated source + cold Janino/JIT churn with zero runtime
+    // win); the literal path stays only behind the measurement
+    // override, and this test keeps proving the two bit-identical
     assert(Similarity.assignExprAuto($"embedding", cents).toString
       .contains("nearest_centroid"),
       "auto must pick the reference-object kernel at k=1024")
-    assert(!Similarity.assignExprAuto($"embedding", cents.take(8)).toString
+    assert(Similarity.assignExprAuto($"embedding", cents.take(8)).toString
       .contains("nearest_centroid"),
-      "auto must keep the literal path at k=8")
+      "auto must pick the reference-object kernel at k=8 too (r18)")
     val nc = Similarity.nearestCentroid($"embedding", cents)
     val kernel = e.select($"vec_id",
         nc.getField("cluster").as("c"), round(nc.getField("dist2"), 6).as("d"))

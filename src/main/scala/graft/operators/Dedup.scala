@@ -1223,8 +1223,18 @@ object Dedup {
     val grams = spanStream(df, idCol, textCol, minLen)
       .select(col("doc"), md5(col("span")).as("fp"))
     val dfq = grams.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+    // merge, not shuffle_hash: distinct fps ≈ the gram stream itself
+    // on mostly-unique text, so a per-partition hash build OOMs
+    // (measured at m10: SparkOutOfMemoryError building the map) where
+    // the sort-merge join spills gracefully — the r13 duplicatedSpans
+    // rule verbatim
+    // __df >= 2: a singleton gram can never produce a pair — dropping
+    // them here is result-identical and shrinks the self-join input
+    // from the full corpus char mass to the DUPLICATED mass (without
+    // it the m30 pair join OOM'd building per-partition hash maps
+    // over ~145M mostly-singleton rows)
     val kept = grams.join(dfq.hint("merge"), Seq("fp"))
-      .filter(col("__df") <= maxGramDf)
+      .filter(col("__df") >= 2 && col("__df") <= maxGramDf)
       .select(col("fp"), col("doc"))
     kept.as("a")
       .join(kept.as("b").hint("shuffle_hash"),

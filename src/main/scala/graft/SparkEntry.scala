@@ -2437,6 +2437,13 @@ object SparkEntry {
       Dedup.sharedSubstringPairs(Tables.documents(s, d), "doc_id",
         "text", minLen = 32, maxGramDf = 64, minShared = 1)),
 
+    // directional containment pairs (q191): Broder's asymmetric
+    // |A∩B|/|A| over word 3-shingles — the quote/subset relation
+    // symmetric Jaccard structurally misses; either direction >= 0.5.
+    "q191_containment_pairs" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        k = 3, threshold = 0.5)),
+
     // association rules (q186): directional confidence (exact integer
     // ppm) + lift over user event-type baskets — the successor of
     // q147's undirected pair counts.
@@ -4496,6 +4503,29 @@ object SparkEntry {
         |FROM k a JOIN k b ON a.fp = b.fp AND a.doc < b.doc
         |GROUP BY a.doc, b.doc
         |HAVING count(*) >= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // containment: the q22 shingle SQL with directional ratios, both
+    // 6-dp rounded BEFORE the greatest() threshold (the q99 rule)
+    "q191_containment_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |      ELSE list_transform(generate_series(0, len(ws) - 3),
+        |        i -> array_to_string(ws[i+1 : i+3], ' ')) END) AS sh
+        |  FROM d)
+        |SELECT id_a, id_b, contain_ab, contain_ba
+        |FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(a.sh), 6) AS contain_ab,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(b.sh), 6) AS contain_ba
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |WHERE greatest(contain_ab, contain_ba) >= CAST(0.5 AS DOUBLE)
         |ORDER BY id_a, id_b""".stripMargin,
 
     // association rules: same distinct-basket shape; conf via BIGINT

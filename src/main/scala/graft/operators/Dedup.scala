@@ -1103,6 +1103,57 @@ object Dedup {
       .select(col("grp"), col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Directional containment near-dup pairs — the ASYMMETRIC member
+    * of the shingle family: contain(A→B) = |A∩B| / |A| over distinct
+    * word k-shingles, emitted for every pair where EITHER direction
+    * reaches `threshold`. Catches exactly what symmetric Jaccard
+    * (q22/q24) misses by construction: a short document quoted inside
+    * a long one has contain(short→long) ≈ 1 while
+    * jaccard ≈ |short|/|long| ≈ 0 — the quote/subset/excerpt relation
+    * (Broder's containment, the original resemblance paper's second
+    * measure). Same shingle machinery, same Σdf² join cost and the
+    * same optional `maxShingleDf` boilerplate cap as
+    * [[ngramJaccardPairs]] (capped sets on BOTH counts — containment
+    * over the capped sets); both scores 6-dp rounded BEFORE the
+    * threshold (the q99 rule) so the keep set is bit-stable
+    * cross-engine. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val base = df.select(col(idCol).as("doc"), col(textCol))
+      .repartition(par(df), col("doc"))
+      .select(col("doc"), shingles(col(textCol), k).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val ex =
+      if (maxShingleDf == Int.MaxValue)
+        base.select(col("doc"), col("sz"), explode(col("sh")).as("s"))
+      else {
+        val ex0 = base.select(col("doc"), explode(col("sh")).as("s"))
+        val hot = ex0.groupBy(col("s"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxShingleDf)
+          .select(col("s"))
+        val kept = ex0.join(broadcast(hot), Seq("s"), "left_anti")
+        val cappedSz = kept.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+        kept.join(cappedSz, Seq("doc"))
+          .select(col("doc"), col("sz"), col("s"))
+      }
+    val a = ex.select(col("s"), col("doc").as("id_a"), col("sz").as("__sza"))
+    val b = ex.select(col("s"), col("doc").as("id_b"), col("sz").as("__szb"))
+    a.join(b, Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("__sza"), col("__szb"))
+      .agg(count(lit(1)).as("__inter"))
+      .withColumn("contain_ab", round(
+        col("__inter").cast("double") / col("__sza").cast("double"), 6))
+      .withColumn("contain_ba", round(
+        col("__inter").cast("double") / col("__szb").cast("double"), 6))
+      .filter(greatest(col("contain_ab"), col("contain_ba")) >= threshold)
+      .select(col("id_a"), col("id_b"), col("contain_ab"),
+        col("contain_ba"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Exact substring-span dedup (the char-level duplicated-content
     * metric of Lee et al. 2021, "Deduplicating Training Data Makes
     * Language Models Better"): for each document, how many of its

@@ -86,6 +86,13 @@ object ScaleBench {
           graft.Tables.documents(spark, sfDir),
           "doc_id", "text", "source", k = 3, threshold = 0.5,
           maxShingleDf = 64)
+      // q191 is UNGROUPED (quote detection crosses sources), so its
+      // uncapped corpus-wide Σdf² is the q22 regime amplified — the
+      // cap is the production posture (r18)
+      case "q191_capped" =>
+        graft.operators.Dedup.containmentPairs(
+          graft.Tables.documents(spark, sfDir),
+          "doc_id", "text", k = 3, threshold = 0.5, maxShingleDf = 64)
       // the r14 merge tree at a WIDE partition layout: 2048 input
       // partitions force three tree levels (2048 → 64 → 2 → 1) where
       // the fixture scan gives one; the delta vs plain q100 prices the

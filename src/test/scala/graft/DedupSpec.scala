@@ -869,6 +869,65 @@ class DedupSpec extends SparkSpec {
     assert(got3 === got)
   }
 
+  test("containmentPairs: a quoted excerpt scores contain≈1 where " +
+    "jaccard misses it; brute-force reference; cap semantics; " +
+    "partition independence") {
+    val rng = new scala.util.Random(11)
+    def rndWords(n: Int) =
+      (0 until n).map(_ => "w" + rng.nextInt(5000)).mkString(" ")
+    val long = rndWords(200)
+    val quote = long.split(" ").slice(50, 70).mkString(" ") // 20 words
+    val docs = Seq(
+      (1L, long),
+      (2L, quote),              // excerpt of 1 — containment, not jaccard
+      (3L, rndWords(200)),      // unrelated
+      (4L, long)                // exact dup of 1
+    )
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+
+    // brute force over the documented semantics
+    def sh(t: String) = {
+      val ws = t.split("\\s+").toSeq
+      (if (ws.length < 3) Seq(ws.mkString(" "))
+       else ws.sliding(3).map(_.mkString(" ")).toSeq).distinct.toSet
+    }
+    val m = docs.map { case (id, t) => id -> sh(t) }.toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (for {
+      a <- m.keys; b <- m.keys if a < b
+      inter = m(a).intersect(m(b)).size
+      cab = r6(inter.toDouble / m(a).size)
+      cba = r6(inter.toDouble / m(b).size)
+      if math.max(cab, cba) >= 0.5
+    } yield (a, b, cab, cba)).toSeq.sortBy(t => (t._1, t._2))
+    assert(got === expected)
+    // the quote is contained (direction b-in-a reads 1.0) while its
+    // jaccard vs the long doc is far below the 0.5 bar
+    assert(got.exists(t => t._1 == 1L && t._2 == 2L && t._4 === 1.0))
+    val jac = m(1L).intersect(m(2L)).size.toDouble /
+      (m(1L).size + m(2L).size - m(1L).intersect(m(2L)).size)
+    assert(jac < 0.5)
+    // the exact dup reads 1.0 both ways
+    assert(got.exists(t => t._1 == 1L && t._2 == 4L &&
+      t._3 === 1.0 && t._4 === 1.0))
+    // cap: a boilerplate shingle in > cap docs leaves the capped sets
+    val manyDocs = docs ++ (100L until 110L).map(i =>
+      (i, quote + " " + rndWords(30)))
+    val capped = Dedup.containmentPairs(manyDocs.toDF("doc_id", "text"),
+        "doc_id", "text", 3, 0.5, maxShingleDf = 5)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    // quote shingles now sit in 12 > 5 docs -> dropped from the sets;
+    // doc 2 (pure quote) loses its whole set and pairs vanish for it
+    assert(!capped.exists(t => t._1 == 2L || t._2 == 2L))
+    // partition independence
+    val got3 = Dedup.containmentPairs(df.repartition(3), "doc_id",
+        "text", 3, 0.5).as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got3 === got)
+  }
+
   test("nearDupLinkPrediction: brute-force reference over the documented " +
       "group-graph semantics (fixture + planted), the degree cap binds, " +
       "blocks and partitioning invariant") {

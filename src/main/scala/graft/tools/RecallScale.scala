@@ -125,6 +125,41 @@ object RecallScale {
     println(f"[recall-vamana] nShards=$nShards r=${vp.r} l=${vp.l} " +
       f"mCand=$mCand k=$k  vamana=$rVam%.3f  " +
       f"build=$buildS%.1fs  probes16=$probeS%.1fs")
+
+    // --- Streaming VamanaStore (q189): the SAME corpus drained as
+    // three FreshDiskANN insertion batches — does the incremental
+    // graph hold the batch build's recall? Probes go through the
+    // probe-frame form (one shard materialization for all 16). ---
+    val sPath = java.nio.file.Files
+      .createTempDirectory("graft_rs_vamstore").toString
+    val ids = corpus.select(min(col("vec_id")), max(col("vec_id")))
+      .as[(Long, Long)].head()
+    val cut1 = ids._1 + (ids._2 - ids._1) / 3
+    val cut2 = ids._1 + 2 * (ids._2 - ids._1) / 3
+    val ts0 = System.nanoTime()
+    graft.sources.VamanaStore.processBatch(
+      corpus.filter(col("vec_id") <= cut1), "b0", 0L, "vec_id",
+      "embedding", sPath, vp)
+    graft.sources.VamanaStore.processBatch(
+      corpus.filter(col("vec_id") > cut1 && col("vec_id") <= cut2),
+      "b1", 1L, "vec_id", "embedding", sPath, vp)
+    graft.sources.VamanaStore.processBatch(
+      corpus.filter(col("vec_id") > cut2), "b2", 2L, "vec_id",
+      "embedding", sPath, vp)
+    val sBuildS = (System.nanoTime() - ts0) / 1e9
+    val probesDf = spark.createDataset(probeVecs.toSeq)
+      .toDF("probe_id", "pvec")
+    val tq0 = System.nanoTime()
+    val gotS = graft.sources.VamanaStore.topKFrame(spark, sPath,
+        probesDf, "probe_id", "pvec", corpus, "vec_id", "embedding",
+        vp, k, mCand)
+      .select(col("probe_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    val sProbeS = (System.nanoTime() - tq0) / 1e9
+    val rStore = gotS.intersect(exact16).size.toDouble / exact16.size
+    println(f"[recall-vamana-store] nShards=$nShards l=${vp.l} " +
+      f"mCand=$mCand k=$k  incremental=$rStore%.3f (batch=$rVam%.3f)  " +
+      f"build3=$sBuildS%.1fs  probeFrame16=$sProbeS%.1fs")
     spark.stop()
   }
 }

@@ -2444,6 +2444,13 @@ object SparkEntry {
       Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
         k = 3, threshold = 0.5)),
 
+    // period-over-period movers (q192): per user, last week's event
+    // count vs the week before — exact delta + ppm change, top-40 by
+    // |delta| (total order, boundary bit-stable).
+    "q192_top_movers" -> ((s, d) =>
+      Analytics.topMovers(Tables.events(s, d), "user_id", "ts",
+        periodUs = 604800000000L, k = 40)),
+
     // association rules (q186): directional confidence (exact integer
     // ppm) + lift over user event-type baskets — the successor of
     // q147's undirected pair counts.
@@ -4527,6 +4534,29 @@ object SparkEntry {
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
         |WHERE greatest(contain_ab, contain_ba) >= CAST(0.5 AS DOUBLE)
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // movers: conditional sums over the last two weekly periods,
+    // exact BIGINT delta + DIV ppm (the q109 epoch idiom)
+    "q192_top_movers" ->
+      """WITH b AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS p
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |m AS (SELECT max(p) AS mp FROM b),
+        |c AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN p = mp - 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_prev,
+        |    CAST(sum(CASE WHEN p = mp THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_cur
+        |  FROM b, m WHERE p >= mp - 1 GROUP BY user_id)
+        |SELECT user_id, n_prev, n_cur,
+        |  n_cur - n_prev AS delta,
+        |  CAST(CASE WHEN n_prev > 0
+        |    THEN (n_cur - n_prev) * 1000000 // n_prev END AS BIGINT)
+        |    AS change_ppm
+        |FROM c
+        |ORDER BY abs(n_cur - n_prev) DESC, user_id
+        |LIMIT 40""".stripMargin,
 
     // association rules: same distinct-basket shape; conf via BIGINT
     // //, lift as the identical IEEE tree of exact counts

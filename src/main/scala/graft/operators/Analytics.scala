@@ -832,6 +832,45 @@ object Analytics {
       .orderBy(col("col_name"))
   }
 
+  /** Period-over-period movers — the "what changed this period"
+    * monitor: per key, event counts in the LAST period vs the one
+    * before (period = truncating micros DIV, the q109/q112
+    * discipline), delta in exact longs and relative change in exact
+    * integer ppm (delta·10⁶ DIV n_prev; NULL for new keys with no
+    * previous-period mass — a ratio against zero is a lie, the delta
+    * column carries the signal), top-`k` by (|delta| DESC, key ASC —
+    * a total order, so the boundary is bit-stable cross-engine).
+    * One conditional-sum aggregate over the two-period slice (no
+    * window, no self-join; map-side combine), the 1-row max-period
+    * frame broadcast; output ≤ k rows. Keys present in only one of
+    * the two periods read 0 for the other. */
+  def topMovers(df: DataFrame, keyCol: String, tsCol: String,
+      periodUs: Long, k: Int): DataFrame = {
+    require(periodUs > 0 && k > 0,
+      s"bad topMovers params ($periodUs, $k)")
+    val base = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("__k"),
+        expr(s"unix_micros(`$tsCol`) DIV ${periodUs}L").as("__p"))
+    val maxP = base.agg(max(col("__p")).as("__mp")).localCheckpoint()
+    base.crossJoin(broadcast(maxP))
+      .filter(col("__p") >= col("__mp") - 1)
+      .groupBy(col("__k"))
+      .agg(
+        sum(when(col("__p") === col("__mp") - 1, 1L).otherwise(0L))
+          .as("n_prev"),
+        sum(when(col("__p") === col("__mp"), 1L).otherwise(0L))
+          .as("n_cur"))
+      .withColumn("delta", col("n_cur") - col("n_prev"))
+      .withColumn("change_ppm",
+        when(col("n_prev") > 0,
+          expr("(n_cur - n_prev) * 1000000L DIV n_prev")))
+      .select(col("__k").as(keyCol), col("n_prev"), col("n_cur"),
+        col("delta"), col("change_ppm"))
+      .orderBy(abs(col("delta")).desc, col(keyCol))
+      .limit(k)
+  }
+
   /** Bucketed time-series downsample (OHLC + volume) per key — the
     * resample a telemetry/feature pipeline runs before modeling: for
     * each (key, fixed period bucket): event count, open/close (first/

@@ -321,6 +321,48 @@ class RobustSpec extends SparkSpec {
     }
   }
 
+  // ---- topMovers ------------------------------------------------------
+
+  test("topMovers: hand-exact deltas over the last two periods, new and " +
+    "vanished keys, ppm math, |delta| ordering, single-period edge, " +
+    "partition independence") {
+    import java.sql.Timestamp
+    def ts(p: Long, i: Long) = new Timestamp((p * 10000000L + i) / 1000)
+    // period 10s; max period = 5. Counts: key a 4->1 (delta -3),
+    // key b 1->4 (+3), key c 2->0 (vanished, -2), key d 0->2 (new, +2,
+    // ppm NULL), key e 1->1 (0). Period 3 noise must not count.
+    val rows =
+      (1 to 4).map(i => ("a", ts(4, i))) ++ Seq(("a", ts(5, 1))) ++
+      Seq(("b", ts(4, 1))) ++ (1 to 4).map(i => ("b", ts(5, i))) ++
+      (1 to 2).map(i => ("c", ts(4, i))) ++
+      (1 to 2).map(i => ("d", ts(5, i))) ++
+      Seq(("e", ts(4, 1)), ("e", ts(5, 1))) ++
+      (1 to 9).map(i => ("a", ts(3, i))) // older period: ignored
+    val df = rows.toDF("k", "t")
+    val got = Analytics.topMovers(df, "k", "t", periodUs = 10000000L,
+        k = 10)
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got === Seq(
+      ("a", 4L, 1L, -3L, Some(-750000L)),
+      ("b", 1L, 4L, 3L, Some(3000000L)),
+      ("c", 2L, 0L, -2L, Some(-1000000L)),
+      ("d", 0L, 2L, 2L, None),
+      ("e", 1L, 1L, 0L, Some(0L))))
+    // k caps the output at the |delta| boundary
+    assert(Analytics.topMovers(df, "k", "t", 10000000L, 2)
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSeq
+      === got.take(2))
+    // single-period corpus: everything is "new"
+    val one = (1 to 3).map(i => ("x", ts(7, i))).toDF("k", "t")
+    assert(Analytics.topMovers(one, "k", "t", 10000000L, 5)
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSeq
+      === Seq(("x", 0L, 3L, 3L, None)))
+    // partition independence
+    assert(Analytics.topMovers(df.repartition(7), "k", "t", 10000000L, 10)
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSeq
+      === got)
+  }
+
   // ---- downsample -----------------------------------------------------
 
   test("downsample: hand-exact OHLC per bucket, negative ts, partition independence") {

@@ -207,6 +207,9 @@ object VamanaStore {
         "probe frame; shards scale with the corpus, probes must stay " +
         "workload-sized")
     val probeVecs6 = pr.map { case (pid, v) => (pid, Vamana.lift6(v)) }
+    require(StoreFs.hasCommittedData(spark, path),
+      s"VamanaStore at $path has no committed data — ingest a batch " +
+        "before probing")
     val beams = visibleRows(spark, path, None)
       .as[(Int, Long, Seq[Long], Seq[Long], Boolean, Long)]
       .repartition(p.nShards, col("shard"))

@@ -459,6 +459,74 @@ object Streams {
         s"$stateDir/batch=$b"))
   }
 
+  /** Streaming period-over-period movers — q192's stateful
+    * continuation: after every micro-batch, the top-`k` movers (last
+    * period vs the one before) over EVERYTHING seen so far, equal to
+    * `Analytics.topMovers` over the concatenation BY CONSTRUCTION
+    * (per-(key, period) counts are additive, and the state prunes
+    * only periods ≤ maxP−2, which can never become the previous
+    * period again under the nondecreasing-timestamp file-drain
+    * contract every monitor here shares — so the kept counts are
+    * exactly the two-period slice the batch operator reads). State
+    * under `batch=<id>` (read id−1, write own, prune ≤ id−2): the
+    * (key, period, n) counts of the LAST TWO periods — ≤ 2×|keys|
+    * rows regardless of stream length. */
+  def moversStream(stream: DataFrame, keyCol: String, tsCol: String,
+      periodUs: Long, k: Int, stateDir: String, outDir: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        moversBatch(batch, batchId, keyCol, tsCol, periodUs, k,
+          stateDir, outDir)
+      }
+      .start()
+
+  private[graft] def moversBatch(batch: DataFrame, batchId: Long,
+      keyCol: String, tsCol: String, periodUs: Long, k: Int,
+      stateDir: String, outDir: String): Unit = {
+    require(periodUs > 0 && k > 0, s"bad moversBatch params ($periodUs, $k)")
+    val spark = batch.sparkSession
+    val cur = batch
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("__k"),
+        expr(s"unix_micros(`$tsCol`) DIV ${periodUs}L").as("__p"))
+      .groupBy(col("__k"), col("__p")).agg(count(lit(1)).as("__n"))
+    val prev =
+      if (batchId == 0L) cur.limit(0)
+      else spark.read.parquet(s"$stateDir/batch=${batchId - 1}")
+    val cum = cur.unionByName(prev)
+      .groupBy(col("__k"), col("__p")).agg(sum(col("__n")).as("__n"))
+    val maxP = cum.agg(max(col("__p")).as("__mp")).localCheckpoint()
+    val kept = cum.crossJoin(broadcast(maxP))
+      .filter(col("__p") >= col("__mp") - 1)
+      .localCheckpoint() // read by the output AND the state write
+    kept
+      .groupBy(col("__k"))
+      .agg(
+        sum(when(col("__p") === col("__mp") - 1, col("__n"))
+          .otherwise(0L)).as("n_prev"),
+        sum(when(col("__p") === col("__mp"), col("__n"))
+          .otherwise(0L)).as("n_cur"))
+      .withColumn("delta", col("n_cur") - col("n_prev"))
+      .withColumn("change_ppm",
+        when(col("n_prev") > 0,
+          expr("(n_cur - n_prev) * 1000000L DIV n_prev")))
+      .select(col("__k").as(keyCol), col("n_prev"), col("n_cur"),
+        col("delta"), col("change_ppm"))
+      .orderBy(abs(col("delta")).desc, col(keyCol))
+      .limit(k)
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    kept.select(col("__k"), col("__p"), col("__n"))
+      .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+    graft.sources.StoreFs.childNames(spark, stateDir)
+      .filter(_.startsWith("batch=")).map(_.drop(6).toLong)
+      .filter(_ <= batchId - 2)
+      .foreach(b => graft.sources.StoreFs.delete(spark,
+        s"$stateDir/batch=$b"))
+  }
+
   /** Streaming Markov transition monitor — q166's stateful
     * continuation: per micro-batch, the CUMULATIVE transition matrix
     * (counts + row-normalized probabilities) over everything seen so

@@ -441,6 +441,72 @@ class StreamsSpec extends SparkSpec {
     assert(snap(s"$state/batch=2/counts") === snapC)
   }
 
+  test("moversStream: per-batch top-k movers equal the batch operator " +
+      "over the concatenation; two-period-bounded state; bit-identical " +
+      "batch replay") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import java.sql.Timestamp
+    def ts(p: Long, i: Long) = new Timestamp((p * 10000000L + i) / 1000)
+    // nondecreasing periods across slices (the drain contract): the
+    // active period advances 1 -> 2 -> 3 while keys churn
+    val slice = Seq(
+      (1 to 4).map(i => ("a", ts(1, i))) ++ Seq(("b", ts(1, 1))),
+      Seq(("a", ts(2, 1))) ++ (1 to 3).map(i => ("b", ts(2, i))) ++
+        (1 to 2).map(i => ("c", ts(2, i))),
+      (1 to 5).map(i => ("c", ts(3, i))) ++ Seq(("d", ts(3, 1))))
+    val staging = Files.createTempDirectory("graft_mv_stage")
+    slice.zipWithIndex.foreach { case (rows, b) =>
+      val tmp = Files.createTempDirectory(s"graft_mv_tmp$b")
+      rows.toDF("k", "t").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = Paths.get(staging.toString, f"slice_$b%03d.parquet")
+      Files.copy(part.toPath, dest)
+      Files.setLastModifiedTime(dest,
+        FileTime.fromMillis(1700000000000L + b * 60000L))
+    }
+    val out = "file://" + Files.createTempDirectory("graft_mv_out").toString + "/o"
+    val state = "file://" + Files.createTempDirectory("graft_mv_state").toString + "/s"
+    val ck = Files.createTempDirectory("graft_mv_ck").toString
+    val schema = slice(0).toDF("k", "t").schema
+    val q = Streams.moversStream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(staging.toString),
+      "k", "t", 10000000L, 10, state, out, ck)
+    assert(q.awaitTermination(180000))
+    for (i <- 0 until 3) {
+      val concat = (0 to i).flatMap(b => slice(b)).toDF("k", "t")
+      val expect = graft.operators.Analytics
+        .topMovers(concat, "k", "t", 10000000L, 10)
+        .as[(String, Long, Long, Long, Option[Long])].collect().toSeq
+      val got = spark.read.parquet(s"$out/batch=$i")
+        .orderBy(abs($"delta").desc, $"k")
+        .as[(String, Long, Long, Long, Option[Long])].collect().toSeq
+      assert(got === expect, s"batch $i")
+    }
+    // batch 2's movers see c surge (0 of period 2... c had 2 in p2,
+    // 5 in p3) and a/b vanish from the window
+    val b2 = spark.read.parquet(s"$out/batch=2")
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSet
+    assert(b2.contains(("c", 2L, 5L, 3L, Some(1500000L))))
+    assert(b2.contains(("b", 3L, 0L, -3L, Some(-1000000L))))
+    // state bounded by the last two periods
+    val st = spark.read.parquet(s"$state/batch=2")
+    assert(st.select($"__p").distinct().as[Long].collect().toSet
+      === Set(2L, 3L))
+    // crash-replay bit-identical
+    def snap(p: String) = spark.read.parquet(p)
+      .collect().map(_.toString).sorted.toSeq
+    val snapOut = snap(s"$out/batch=2")
+    val snapSt = snap(s"$state/batch=2")
+    Streams.moversBatch(slice(2).toDF("k", "t"), 2L, "k", "t",
+      10000000L, 10, state, out)
+    assert(snap(s"$out/batch=2") === snapOut)
+    assert(snap(s"$state/batch=2") === snapSt)
+  }
+
   test("transitionStream: cumulative matrix per batch equals the batch " +
       "operator over the concatenation (cross-batch boundary pairs " +
       "counted once); bounded state; bit-identical batch replay") {

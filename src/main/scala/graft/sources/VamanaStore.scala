@@ -198,14 +198,17 @@ object VamanaStore {
       idCol: String, vecCol: String, p: Vamana.Params, k: Int,
       mCand: Int, maxProbes: Int = 65536): DataFrame = {
     import spark.implicits._
-    val pr = probes
+    val prDf = probes
       .select(col(probeIdCol).cast("long"),
         col(probeVecCol).cast("array<double>"))
-      .as[(Long, Seq[Double])].collect().sortBy(_._1)
-    require(pr.length <= maxProbes,
-      s"${pr.length} probes exceed maxProbes=$maxProbes — chunk the " +
+      .localCheckpoint()
+    // gate BEFORE collecting (the r17-ADVICE ordering)
+    val nProbes = prDf.count()
+    require(nProbes <= maxProbes,
+      s"$nProbes probes exceed maxProbes=$maxProbes — chunk the " +
         "probe frame; shards scale with the corpus, probes must stay " +
         "workload-sized")
+    val pr = prDf.as[(Long, Seq[Double])].collect().sortBy(_._1)
     val probeVecs6 = pr.map { case (pid, v) => (pid, Vamana.lift6(v)) }
     require(StoreFs.hasCommittedData(spark, path),
       s"VamanaStore at $path has no committed data — ingest a batch " +

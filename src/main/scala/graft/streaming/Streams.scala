@@ -429,10 +429,14 @@ object Streams {
       .filter(col("__rn") <= budget)
       .select(col("__s"), col("__lcg"), col("__id"))
       .localCheckpoint() // read by the output AND the state write
-    val strata = counts.collect().map(r => (r.getString(0), r.getLong(1)))
-    require(strata.length <= maxStrata,
-      s"${strata.length} strata exceed maxStrata=$maxStrata — " +
+    // gate BEFORE collecting (the r17-ADVICE ordering — the count runs
+    // on the checkpointed frame, so an over-limit stream fails here
+    // instead of exhausting the driver)
+    val nStrata = counts.count()
+    require(nStrata <= maxStrata,
+      s"$nStrata strata exceed maxStrata=$maxStrata — " +
         "is the stratum column really categorical?")
+    val strata = counts.collect().map(r => (r.getString(0), r.getLong(1)))
     val out =
       if (strata.isEmpty)
         list.select(col("__s").as(strataCol), col("__id").as(idCol))

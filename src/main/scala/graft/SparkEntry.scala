@@ -2451,6 +2451,13 @@ object SparkEntry {
       Analytics.topMovers(Tables.events(s, d), "user_id", "ts",
         periodUs = 604800000000L, k = 40)),
 
+    // split-leakage audit (q193): near-dup pairs crossing the naive
+    // per-doc split vs splitByCluster (crossing == memorization
+    // measured as generalization; cluster reads 0 by construction).
+    "q193_split_leakage" -> ((s, d) =>
+      Curation.splitLeakage(Tables.documents(s, d), "doc_id", "text",
+        valPermille = 200, maxHamming = 3)),
+
     // association rules (q186): directional confidence (exact integer
     // ppm) + lift over user event-type baskets — the successor of
     // q147's undirected pair counts.
@@ -4557,6 +4564,52 @@ object SparkEntry {
         |FROM c
         |ORDER BY abs(n_cur - n_prev) DESC, user_id
         |LIMIT 40""".stripMargin,
+
+    // split leakage: pinned q25 pairs + the q102 recursive-CTE CC +
+    // the same integer LCG on doc ids (naive) and cluster ids
+    "q193_split_leakage" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT id_a, id_b FROM read_parquet(
+        |    '/root/repo/src/test/resources/graft/expected/q25_sf001.parquet')),
+        |edges AS (SELECT id_a AS ea, id_b AS eb FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea),
+        |cc AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+        |       FROM reach GROUP BY src),
+        |naive AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN
+        |      ((((id_a % 2147483648) * 1103515245 + 12345)
+        |        % 2147483648) % 1000 < 200)
+        |      <> ((((id_b % 2147483648) * 1103515245 + 12345)
+        |        % 2147483648) % 1000 < 200)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_cross
+        |  FROM pairs),
+        |cl AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN
+        |      ((((ca.cluster_id % 2147483648) * 1103515245 + 12345)
+        |        % 2147483648) % 1000 < 200)
+        |      <> ((((cb.cluster_id % 2147483648) * 1103515245 + 12345)
+        |        % 2147483648) % 1000 < 200)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_cross
+        |  FROM pairs p
+        |  JOIN cc ca ON ca.doc_id = p.id_a
+        |  JOIN cc cb ON cb.doc_id = p.id_b)
+        |SELECT 'cluster' AS method, n_pairs, n_cross,
+        |  CAST(CASE WHEN n_pairs > 0
+        |    THEN n_cross * 1000000 // n_pairs END AS BIGINT)
+        |    AS cross_ppm
+        |FROM cl
+        |UNION ALL
+        |SELECT 'naive_doc', n_pairs, n_cross,
+        |  CAST(CASE WHEN n_pairs > 0
+        |    THEN n_cross * 1000000 // n_pairs END AS BIGINT)
+        |FROM naive
+        |ORDER BY method""".stripMargin,
 
     // association rules: same distinct-basket shape; conf via BIGINT
     // //, lift as the identical IEEE tree of exact counts

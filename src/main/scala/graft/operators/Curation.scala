@@ -661,6 +661,56 @@ object Curation {
           .otherwise(lit("train")))
   }
 
+  /** Split-leakage audit — the measured WHY of [[splitByCluster]]: for
+    * the corpus's exact near-dup pair set (q25's banded SimHash at
+    * `maxHamming`), count the pairs whose endpoints land on DIFFERENT
+    * sides under (a) the naive per-DOCUMENT LCG split and (b) the
+    * cluster split — each crossing pair is a validation document whose
+    * near-duplicate sits in train, i.e. memorization that will be
+    * measured as generalization. The cluster method reads n_cross = 0
+    * BY CONSTRUCTION (every family member shares the cluster id and
+    * therefore the side); the naive method's expected crossing rate is
+    * 2·v·(1−v) of pairs. Exact integers throughout: crossing counts
+    * are conditional sums, the rate is n_cross·10⁶ DIV n_pairs (NULL
+    * on a pair-free corpus). Output: one row per method
+    * (method, n_pairs, n_cross, cross_ppm), ordered by method. Cost =
+    * the pair enumeration + one cluster pass; both ride the
+    * distinct-sig machinery (`selfJoinBlocks` forwarded). */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+      valPermille: Int, maxHamming: Int = 3,
+      selfJoinBlocks: Int = 1): DataFrame = {
+    require(valPermille >= 0 && valPermille <= 1000,
+      s"valPermille must be in [0,1000]: $valPermille")
+    val pairs = graft.operators.Dedup
+      .simhashNearDups(df, idCol, textCol, maxHamming, selfJoinBlocks)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint() // consumed by BOTH method branches
+    def naiveSide(id: Column): Column =
+      when(lcgBucket(id, 1000L) < valPermille, lit("val"))
+        .otherwise(lit("train"))
+    val naive = pairs
+      .select((naiveSide(col("id_a")) =!= naiveSide(col("id_b")))
+        .as("__x"))
+    val sides = splitByCluster(df, idCol, textCol, valPermille,
+        maxHamming, selfJoinBlocks)
+      .select(col(idCol).as("__d"), col("split").as("__s"))
+    val cluster = pairs
+      .join(sides.select(col("__d").as("id_a"), col("__s").as("__sa")),
+        Seq("id_a"))
+      .join(sides.select(col("__d").as("id_b"), col("__s").as("__sb")),
+        Seq("id_b"))
+      .select((col("__sa") =!= col("__sb")).as("__x"))
+    def summarize(x: DataFrame, method: String): DataFrame =
+      x.agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("__x"), 1L).otherwise(0L)).as("n_cross"))
+        .select(lit(method).as("method"), col("n_pairs"), col("n_cross"),
+          when(col("n_pairs") > 0,
+            expr("n_cross * 1000000L DIV n_pairs")).as("cross_ppm"))
+    summarize(naive, "naive_doc")
+      .unionByName(summarize(cluster, "cluster"))
+      .orderBy(col("method"))
+  }
+
   /** Deterministic quality-weighted sampling: keep each row with
     * probability `scoreCol` (clamped to [0,1]) — the importance-style
     * upsampling knob between uniform [[stratifiedSample]] and a hard

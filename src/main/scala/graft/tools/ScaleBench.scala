@@ -93,6 +93,13 @@ object ScaleBench {
         graft.operators.Dedup.containmentPairs(
           graft.Tables.documents(spark, sfDir),
           "doc_id", "text", k = 3, threshold = 0.5, maxShingleDf = 64)
+      // q193 with the blocks decomposition on both internal band joins
+      // — the scale posture (declared query pins blocks=1 at sf0.01)
+      case "q193_blocks" =>
+        graft.operators.Curation.splitLeakage(
+          graft.Tables.documents(spark, sfDir),
+          "doc_id", "text", valPermille = 200, maxHamming = 3,
+          selfJoinBlocks = 8)
       // the r14 merge tree at a WIDE partition layout: 2048 input
       // partitions force three tree levels (2048 → 64 → 2 → 1) where
       // the fixture scan gives one; the delta vs plain q100 prices the

@@ -683,4 +683,25 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(p1 === p7)
   }
+
+  test("splitLeakage: cluster method crosses zero by construction; " +
+    "the naive per-doc split crosses a straddling family; exact counts") {
+    def lcg(id: Long): Long =
+      (((id % 2147483648L) * 1103515245L + 12345L) % 2147483648L) % 1000L
+    // pick one id on each naive side (valPermille = 200)
+    val idVal = (0L until 200L).find(lcg(_) < 200L).get
+    val idTrain = (0L until 200L).find(lcg(_) >= 200L).get
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (idVal, shared), (idTrain, shared), // identical -> hamming-0 pair
+      (1000L, "completely different words one"),
+      (1001L, "another unrelated document body two"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Curation
+      .splitLeakage(df, "doc_id", "text", valPermille = 200)
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    assert(got === Seq(
+      ("cluster", 1L, 0L, Some(0L)),
+      ("naive_doc", 1L, 1L, Some(1000000L))))
+  }
 }

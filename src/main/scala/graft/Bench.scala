@@ -1,7 +1,127 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Timing surface of the driver contract: one JSON line on stdout
+  * (compact — totals + slowest-10) and the full record in BENCH.out.
+  *
+  * Since r19 the warm suite runs split across TWO forked JVMs by
+  * default (env `SPARK_GRAFT_BENCH_JVMS`, 1 = the old single-JVM
+  * path): at 193 queries the suite's whole-stage-codegen class demand
+  * (~22 classes/query × shuffled passes) outgrows the JVM's HARD
+  * 2048 MB ReservedCodeCacheSize maximum, after which late passes run
+  * partially interpreted and the artifact reads a uniform in-suite
+  * inflation that BenchOne never reproduces (measured irreducible,
+  * r18). Halving the per-JVM query count halves the demand
+  * structurally. Shards are contiguous slices in NUMERIC query order
+  * so the per-(JVM, dataset) cached builds (PQ/OPQ books, stores,
+  * curated sets — numerically clustered families) stay within one
+  * JVM instead of being paid twice. The coordinator spawns the shard
+  * JVMs SEQUENTIALLY (a parallel run would contend for the same 32
+  * CPUs and time the contention, not the code), merges the per-shard
+  * records, and emits ONE artifact in the exact single-JVM format
+  * (plus an `n_jvms` key). Shard child processes write their full
+  * record to a temp file and print nothing to stdout — the driver's
+  * JSON-line scan must only ever see the merged line. */
 object Bench {
+
+  private def loadAvg(): Double = scala.util.Try(
+    scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+")(0).toDouble).getOrElse(-1.0)
+
+  private def cpuTicks(): (Long, Long) = scala.util.Try {
+    val f = scala.io.Source.fromFile("/proc/stat")
+    val parts = try f.getLines().next().split("\\s+").drop(1).map(_.toLong)
+    finally f.close()
+    (parts.sum, if (parts.length > 7) parts(7) else 0L)
+  }.getOrElse((0L, 0L))
+
+  // numeric id of a declared query name ("q104_zipf_fit" -> 104) — the
+  // shard split key. Alphabetical order interleaves q100.. between q10
+  // and q11, scattering the cache-sharing families; numeric order keeps
+  // them contiguous.
+  private def numId(name: String): Int = {
+    val d = name.dropWhile(!_.isDigit).takeWhile(_.isDigit)
+    if (d.isEmpty) Int.MaxValue else d.toInt
+  }
+
+  private def orderedQueries
+      : Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+    SparkEntry.queries.toSeq.sortBy { case (n, _) => (numId(n), n) }
+
   def main(args: Array[String]): Unit = {
+    val shardSpec = sys.env.get("SPARK_GRAFT_BENCH_SHARD")
+    val nJvms = sys.env.getOrElse("SPARK_GRAFT_BENCH_JVMS", "2").toInt
+    if (shardSpec.isEmpty && nJvms > 1 &&
+        orderedQueries.size >= 2 * nJvms) {
+      try { coordinate(nJvms); return }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] shard fork failed " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}); " +
+            "falling back to the single-JVM path")
+      }
+    }
+    runShard(shardSpec)
+  }
+
+  /** Spawn `n` sequential shard JVMs (same options + classpath as this
+    * one), merge their full records, write BENCH.out + the compact
+    * stdout line. Telemetry (load/steal) spans the WHOLE run — the
+    * artifact must describe the window the numbers were taken in. */
+  private def coordinate(n: Int): Unit = {
+    import scala.jdk.CollectionConverters._
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadPre = loadAvg()
+    val (ticksPre, stealPre) = cpuTicks()
+    val seed = sys.env.get("SPARK_GRAFT_BENCH_SEED").map(_.toLong)
+      .getOrElse(System.nanoTime())
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bench_")
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val jvmOpts = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val cp = System.getProperty("java.class.path")
+    val partials = (0 until n).map { i =>
+      val out = tmp.resolve(s"shard_$i.json")
+      val log = tmp.resolve(s"shard_$i.log").toFile
+      val cmd = (Seq(javaBin) ++ jvmOpts ++ Seq("-cp", cp, "graft.Bench"))
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.environment().put("SPARK_GRAFT_BENCH_SHARD", s"$i/$n")
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.toString)
+      pb.environment().put("SPARK_GRAFT_BENCH_SEED", seed.toString)
+      pb.redirectOutput(log)
+      pb.redirectErrorStream(true)
+      System.err.println(s"[bench] shard $i/$n starting (log: $log)")
+      val rc = pb.start().waitFor()
+      require(rc == 0, s"shard $i/$n exited $rc — see $log")
+      out
+    }
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val nodes = partials.map(p => om.readTree(p.toFile))
+    def mergeMap(key: String): Seq[(String, Double)] =
+      nodes.flatMap(nd => nd.get(key).fields().asScala
+        .map(e => e.getKey -> e.getValue.asDouble()))
+    val results = mergeMap("queries").sortBy(_._1)
+    val colds = mergeMap("cold_queries").sortBy(_._1)
+    val errors = nodes.flatMap(nd => nd.get("errors").fields().asScala
+      .map(e => e.getKey -> e.getValue.asText())).sortBy(_._1)
+    val nPasses = nodes.map(_.get("n_passes").asInt()).min
+    val loadPost = loadAvg()
+    val (ticksPost, stealPost) = cpuTicks()
+    val stealPct =
+      if (ticksPost > ticksPre)
+        100.0 * (stealPost - stealPre) / (ticksPost - ticksPre)
+      else -1.0
+    emit(results, colds, errors, nPasses, n, seed, loadPre, loadPost,
+      stealPct, sfDir)
+  }
+
+  /** Run the (sub)suite in THIS JVM: shardSpec = Some("i/n") runs the
+    * i-th contiguous numeric-order slice and writes the full record to
+    * SPARK_GRAFT_BENCH_OUT without printing to stdout; None runs
+    * everything and emits the artifact itself (the pre-r19 behavior,
+    * also the fallback when forking fails). */
+  private def runShard(shardSpec: Option[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -45,27 +165,19 @@ object Bench {
     // regression (r8 verdict: q01-q16 inflated 1.4-2x with untouched
     // code). Two different orders make a wall-clock window hit
     // DIFFERENT queries in each pass; the seed is logged for replay.
-    // Contention forensics (r10 verdict: three rounds of headline
-    // numbers distorted by neighbor VM load): snapshot loadavg and
-    // cumulative steal ticks around the timed passes so the artifact
-    // itself says whether the window was quiet. steal_pct is the
-    // hypervisor-stolen share of ALL cpu ticks across the run — the
-    // direct signature of the "uniform inflation" failure mode.
-    def loadAvg(): Double = scala.util.Try(
-      scala.io.Source.fromFile("/proc/loadavg").mkString
-        .split("\\s+")(0).toDouble).getOrElse(-1.0)
-    def cpuTicks(): (Long, Long) = scala.util.Try {
-      val f = scala.io.Source.fromFile("/proc/stat")
-      val parts = try f.getLines().next().split("\\s+").drop(1).map(_.toLong)
-      finally f.close()
-      (parts.sum, if (parts.length > 7) parts(7) else 0L)
-    }.getOrElse((0L, 0L))
     val loadPre = loadAvg()
     val (ticksPre, stealPre) = cpuTicks()
     val seed = sys.env.get("SPARK_GRAFT_BENCH_SEED").map(_.toLong)
       .getOrElse(System.nanoTime())
     val rnd = new scala.util.Random(seed)
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val all = orderedQueries
+    val ordered = shardSpec match {
+      case None => all
+      case Some(s) =>
+        val Array(i, n) = s.split("/").map(_.toInt)
+        val per = math.ceil(all.size.toDouble / n).toInt
+        all.slice(i * per, math.min((i + 1) * per, all.size))
+    }
     val passStart = System.nanoTime()
     val pass1 = rnd.shuffle(ordered).map { case (n, f) => n -> runOnce(n, f) }
     val pass2 = rnd.shuffle(ordered).map { case (n, f) => n -> runOnce(n, f) }
@@ -74,7 +186,10 @@ object Bench {
     // 1.64-1.87 s). A third independently-shuffled pass makes that need
     // THREE unlucky windows on the same query — but only when the first
     // two passes were fast enough that the extra pass cannot threaten
-    // the driver's run budget.
+    // the driver's run budget. Each shard applies the full threshold to
+    // its own two-pass time: a shard's passes are ~half the suite, so
+    // the whole run stays inside ~2× the old single-JVM budget while
+    // shards keep the third pass the quiet windows used to get.
     val twoPassSecs = (System.nanoTime() - passStart) / 1e9
     val pass3 =
       if (twoPassSecs < 240.0)
@@ -93,39 +208,65 @@ object Bench {
     }.sortBy(_._1)
     val results = merged.collect { case (n, Right(t), _) => n -> t }
     val errors = merged.collect { case (n, Left(e), _) => n -> e }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     // per-query pass-1 times: the honest cold cost of the queries whose
     // warm number excludes a per-(JVM, dataset) cached build (stores,
     // quantizers, curated sets) — cold_total alone lumps them together
-    val coldQs = merged.collect { case (n, _, Right(t)) => n -> t }
-      .map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, e) =>
-      s"\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val coldTotal = merged.collect { case (_, _, Right(t)) => t }.sum
+    val colds = merged.collect { case (n, _, Right(t)) => n -> t }
     val loadPost = loadAvg()
     val (ticksPost, stealPost) = cpuTicks()
     val stealPct =
       if (ticksPost > ticksPre)
         100.0 * (stealPost - stealPre) / (ticksPost - ticksPre)
       else -1.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"n_passes":$nPasses,"n_failed":${errors.size},"errors":$errJson,"order_seed":$seed,"load_pre":$loadPre,"load_post":$loadPost,"steal_pct":$stealPct,"queries":$qs,"cold_queries":$coldQs,"sf":"$sfDir"}"""
+    spark.stop()
+    if (shardSpec.isEmpty)
+      emit(results, colds, errors, nPasses, 1, seed, loadPre, loadPost,
+        stealPct, sfDir)
+    else {
+      // shard child: full record to the file only; NOTHING on stdout
+      // (the driver's JSON-line scan must only see the merged line)
+      writeFull(results, colds, errors, nPasses, 1, seed, loadPre,
+        loadPost, stealPct, sfDir)
+      System.err.println(s"[bench] shard $shardSpec done: " +
+        f"${results.map(_._2).sum}%.1f s warm / ${results.size} queries")
+    }
+  }
+
+  private def queriesJson(m: Seq[(String, Double)]): String =
+    m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+  private def writeFull(results: Seq[(String, Double)],
+      colds: Seq[(String, Double)], errors: Seq[(String, String)],
+      nPasses: Int, nJvms: Int, seed: Long, loadPre: Double,
+      loadPost: Double, stealPct: Double, sfDir: String): String = {
+    val errJson = errors.map { case (k, e) =>
+      s"\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val coldTotal = colds.map(_._2).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"n_passes":$nPasses,"n_jvms":$nJvms,"n_failed":${errors.size},"errors":$errJson,"order_seed":$seed,"load_pre":$loadPre,"load_post":$loadPost,"steal_pct":$stealPct,"queries":${queriesJson(results)},"cold_queries":${queriesJson(colds)},"sf":"$sfDir"}"""
     // The driver captures a bounded ~2000-char tail of stdout. The full
-    // line (two 110-query maps, ~7 KB) outgrew that in r12 — parsed:null,
-    // and the tail happened to show the COLD map, misreporting q93 at
-    // 46 s where the warm number is 0.54 s. The full record therefore
-    // goes ONLY to BENCH.out, and stdout gets a compact summary line
-    // (headline totals + the slowest 10 warm queries, 3 dp) that fits
-    // the tail with room for sbt's trailing "[success]" noise.
-    // Resolve against an override or the launch CWD and log the absolute
-    // path so a runner launched outside the repo root can find the file.
+    // line (two 190-query maps, ~13 KB) outgrew that in r12 —
+    // parsed:null — so it goes ONLY to BENCH.out; stdout gets a compact
+    // summary (emit below).
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out")).toAbsolutePath
     java.nio.file.Files.write(outPath, (json + "\n").getBytes("UTF-8"))
     System.err.println(s"[bench] wrote $outPath")
+    outPath.toString
+  }
+
+  /** Write the full record + print the compact stdout line (the line
+    * the driver parses — totals + slowest-10, fits its ~2000-char
+    * tail). */
+  private def emit(results: Seq[(String, Double)],
+      colds: Seq[(String, Double)], errors: Seq[(String, String)],
+      nPasses: Int, nJvms: Int, seed: Long, loadPre: Double,
+      loadPost: Double, stealPct: Double, sfDir: String): Unit = {
+    val outPath = writeFull(results, colds, errors, nPasses, nJvms, seed,
+      loadPre, loadPost, stealPct, sfDir)
+    val total = results.map(_._2).sum
+    val coldTotal = colds.map(_._2).sum
     val slowest = results.sortBy(-_._2).take(10)
       .map { case (k, v) => f""""$k":${v}%.3f""" }
       .mkString("{", ",", "}")
@@ -139,8 +280,7 @@ object Bench {
       if (errors.size > 5) s"""{"failed_first5":$errNames,"note":"messages in $outPath"}"""
       else if (errors.nonEmpty) s"""{"failed":$errNames,"note":"messages in $outPath"}"""
       else "{}"
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total":$coldTotal%.3f,"n_queries":${results.size},"n_passes":$nPasses,"n_failed":${errors.size},"errors":$errCompact,"order_seed":$seed,"load_pre":$loadPre,"load_post":$loadPost,"steal_pct":$stealPct%.2f,"queries":$slowest,"queries_note":"slowest 10 of ${results.size}; full per-query + cold maps in $outPath","sf":"$sfDir"}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total":$coldTotal%.3f,"n_queries":${results.size},"n_passes":$nPasses,"n_jvms":$nJvms,"n_failed":${errors.size},"errors":$errCompact,"order_seed":$seed,"load_pre":$loadPre,"load_post":$loadPost,"steal_pct":$stealPct%.2f,"queries":$slowest,"queries_note":"slowest 10 of ${results.size}; full per-query + cold maps in $outPath","sf":"$sfDir"}"""
     println(compact)
-    spark.stop()
   }
 }

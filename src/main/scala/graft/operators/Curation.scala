@@ -674,15 +674,22 @@ object Curation {
     * are conditional sums, the rate is n_cross·10⁶ DIV n_pairs (NULL
     * on a pair-free corpus). Output: one row per method
     * (method, n_pairs, n_cross, cross_ppm), ordered by method. Cost =
-    * the pair enumeration + one cluster pass; both ride the
+    * the pair enumeration + one cluster pass over ONE shared
+    * (doc, sig) frame — the corpus is hashed once, checkpointed, and
+    * feeds both `simhashBandPairs` (pair set) and
+    * `simhashClustersFromSigs` (cluster sides); both ride the
     * distinct-sig machinery (`selfJoinBlocks` forwarded). */
   def splitLeakage(df: DataFrame, idCol: String, textCol: String,
       valPermille: Int, maxHamming: Int = 3,
       selfJoinBlocks: Int = 1): DataFrame = {
     require(valPermille >= 0 && valPermille <= 1000,
       s"valPermille must be in [0,1000]: $valPermille")
-    val pairs = graft.operators.Dedup
-      .simhashNearDups(df, idCol, textCol, maxHamming, selfJoinBlocks)
+    // hash the corpus ONCE for both method branches (r18 verdict: the
+    // two branches each recomputed the per-doc SimHash — 2× a linear
+    // cost; the q120/q144 compute-once lesson one level up)
+    val sigs = Dedup.simhashSigs(df, idCol, textCol).localCheckpoint()
+    val pairs = Dedup
+      .simhashBandPairs(sigs, maxHamming, selfJoinBlocks)
       .select(col("id_a"), col("id_b"))
       .localCheckpoint() // consumed by BOTH method branches
     def naiveSide(id: Column): Column =
@@ -691,8 +698,11 @@ object Curation {
     val naive = pairs
       .select((naiveSide(col("id_a")) =!= naiveSide(col("id_b")))
         .as("__x"))
-    val sides = splitByCluster(df, idCol, textCol, valPermille,
-        maxHamming, selfJoinBlocks)
+    val sides = Dedup
+      .simhashClustersFromSigs(sigs, idCol, maxHamming, selfJoinBlocks)
+      .withColumn("split",
+        when(lcgBucket(col("cluster_id"), 1000L) < valPermille,
+          lit("val")).otherwise(lit("train")))
       .select(col(idCol).as("__d"), col("split").as("__s"))
     val cluster = pairs
       .join(sides.select(col("__d").as("id_a"), col("__s").as("__sa")),

@@ -122,13 +122,22 @@ object Dedup {
     * threshold; 64 bits keeps homogeneous corpora from collapsing into
     * a few buckets the way 32-bit signatures do). */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, selfJoinBlocks: Int = 1): DataFrame = {
-    // parallelize-first exchange only (see minhashNearDups)
-    val sigs = df.select(col(idCol).as("doc"), col(textCol))
+      maxHamming: Int = 3, selfJoinBlocks: Int = 1): DataFrame =
+    simhashBandPairs(simhashSigs(df, idCol, textCol), maxHamming,
+      selfJoinBlocks)
+
+  /** The (doc, sig) 64-bit SimHash frame [[simhashNearDups]] and
+    * [[simhashClusters]] both start from — exposed so composite
+    * callers (q193 `splitLeakage`) can compute it ONCE,
+    * localCheckpoint, and feed BOTH consumers instead of re-hashing
+    * the corpus per branch (the q120/q144 compute-once lesson one
+    * level up, r18 verdict). Parallelize-first exchange only (see
+    * minhashNearDups). */
+  private[graft] def simhashSigs(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"), col(textCol))
       .repartition(par(df), col("doc"))
       .select(col("doc"), simhash(col(textCol), 64).as("sig"))
-    simhashBandPairs(sigs, maxHamming, selfJoinBlocks)
-  }
 
   /** The band-bucketed candidate join + exact-hamming verify over a
     * precomputed (doc, sig) frame — shared by [[simhashNearDups]]
@@ -299,10 +308,15 @@ object Dedup {
     * groups shares the same hamming distance. */
   def simhashClusters(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, selfJoinBlocks: Int = 1,
+      subBandHotThreshold: Int = 0): DataFrame =
+    simhashClustersFromSigs(simhashSigs(df, idCol, textCol), idCol,
+      maxHamming, selfJoinBlocks, subBandHotThreshold)
+
+  /** [[simhashClusters]] over a precomputed (doc, sig) frame (from
+    * [[simhashSigs]], possibly checkpointed by a composite caller). */
+  private[graft] def simhashClustersFromSigs(sigs: DataFrame,
+      idCol: String, maxHamming: Int, selfJoinBlocks: Int,
       subBandHotThreshold: Int = 0): DataFrame = {
-    val sigs = df.select(col(idCol).as("doc"), col(textCol))
-      .repartition(par(df), col("doc"))
-      .select(col("doc"), simhash(col(textCol), 64).as("sig"))
     // one row per distinct signature; materialized once for its three
     // consumers (band join, CC nodes, membership join) — the round-11
     // union-recompute lesson applied at birth
@@ -1087,7 +1101,8 @@ object Dedup {
           .select(col("grp"), col("s"))
         val kept = ex0.join(broadcast(hot), Seq("grp", "s"), "left_anti")
         val cappedSz = kept.groupBy(col("grp"), col("doc")).agg(count(lit(1)).as("sz"))
-        kept.join(cappedSz, Seq("grp", "doc"))
+        // same agg-then-rejoin shape: merge hint (r13 rule)
+        kept.join(cappedSz.hint("merge"), Seq("grp", "doc"))
           .select(col("grp"), col("doc"), col("sz"), col("s"))
       }
     val a = ex.select(col("grp"), col("s"), col("doc").as("id_a"), col("sz").as("__sza"))
@@ -1116,10 +1131,18 @@ object Dedup {
     * [[ngramJaccardPairs]] (capped sets on BOTH counts — containment
     * over the capped sets); both scores 6-dp rounded BEFORE the
     * threshold (the q99 rule) so the keep set is bit-stable
-    * cross-engine. */
+    * cross-engine.
+    *
+    * The DEFAULT is the capped production regime (`maxShingleDf = 64`,
+    * the `nearDupPairsLsh` precedent): containment is UNGROUPED (quote
+    * detection crosses sources), so the uncapped corpus-wide Σdf² is
+    * the q22 regime amplified — measured 104.8 s / 54 GB spill at the
+    * m10 scale fixture vs 3.2 s capped (SCALING.md). Fixture-exact
+    * callers that want the pure all-pairs Broder definition pin
+    * `maxShingleDf = Int.MaxValue` explicitly (declared q191 does). */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double,
-      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+      maxShingleDf: Int = 64): DataFrame = {
     val base = df.select(col(idCol).as("doc"), col(textCol))
       .repartition(par(df), col("doc"))
       .select(col("doc"), shingles(col(textCol), k).as("sh"))
@@ -1135,7 +1158,9 @@ object Dedup {
           .select(col("s"))
         val kept = ex0.join(broadcast(hot), Seq("s"), "left_anti")
         val cappedSz = kept.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-        kept.join(cappedSz, Seq("doc"))
+        // agg-then-rejoin: merge hint, never AQE's broadcast estimate
+        // of a corpus-sized agg side (the r13 duplicatedSpans lesson)
+        kept.join(cappedSz.hint("merge"), Seq("doc"))
           .select(col("doc"), col("sz"), col("s"))
       }
     val a = ex.select(col("s"), col("doc").as("id_a"), col("sz").as("__sza"))

@@ -102,8 +102,13 @@ object VamanaStore {
     StoreFs.failIfLeased(spark, lockPath(path),
       s"VamanaStore write (ingest=$ingest)")
     // lift with Vamana.lift6 (Math.round) — SQL round() is HALF_UP and
-    // diverges on negative .5 boundaries (the r10 replica distinction)
+    // diverges on negative .5 boundaries (the r10 replica distinction).
+    // Null/empty vectors (and null ids) are DROPPED before the lift —
+    // the repo's null-drop posture; they would otherwise NPE inside
+    // the shard task (r18 ADVICE).
     val fresh = batch
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull &&
+        size(col(vecCol)) > 0)
       .select(shardOf(col(idCol), p.nShards).as("shard"),
         col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("vec"))
@@ -199,6 +204,8 @@ object VamanaStore {
       mCand: Int, maxProbes: Int = 65536): DataFrame = {
     import spark.implicits._
     val prDf = probes
+      .filter(col(probeIdCol).isNotNull && col(probeVecCol).isNotNull &&
+        size(col(probeVecCol)) > 0) // null-drop posture (r18 ADVICE)
       .select(col(probeIdCol).cast("long"),
         col(probeVecCol).cast("array<double>"))
       .localCheckpoint()
@@ -224,6 +231,9 @@ object VamanaStore {
           val vecs = members.map(_._3.toArray)
           val adj = members.map(m => m._4.toArray.map(idx))
           val medoid = members.indexWhere(_._5)
+          require(medoid >= 0,
+            s"shard of ${members.length} rows has no medoid row — " +
+              "store corruption; rebuild via compact()")
           probeVecs6.iterator.flatMap { case (pid, q6) =>
             val (beam, _) = Vamana.greedySearch(adj, vecs, medoid, q6,
               p.l)

@@ -88,11 +88,12 @@ object ScaleBench {
           maxShingleDf = 64)
       // q191 is UNGROUPED (quote detection crosses sources), so its
       // uncapped corpus-wide Σdf² is the q22 regime amplified — the
-      // cap is the production posture (r18)
-      case "q191_capped" =>
+      // cap (maxShingleDf = 64) is the production posture AND the
+      // operator default since r19; declared q191 pins Int.MaxValue
+      case "q191_default" =>
         graft.operators.Dedup.containmentPairs(
           graft.Tables.documents(spark, sfDir),
-          "doc_id", "text", k = 3, threshold = 0.5, maxShingleDf = 64)
+          "doc_id", "text", k = 3, threshold = 0.5)
       // q193 with the blocks decomposition on both internal band joins
       // — the scale posture (declared query pins blocks=1 at sf0.01)
       case "q193_blocks" =>

@@ -884,7 +884,8 @@ class DedupSpec extends SparkSpec {
       (4L, long)                // exact dup of 1
     )
     val df = docs.toDF("doc_id", "text")
-    val got = Dedup.containmentPairs(df, "doc_id", "text", 3, 0.5)
+    val got = Dedup.containmentPairs(df, "doc_id", "text", 3, 0.5,
+        maxShingleDf = Int.MaxValue)
       .as[(Long, Long, Double, Double)].collect().toSeq
 
     // brute force over the documented semantics
@@ -924,7 +925,8 @@ class DedupSpec extends SparkSpec {
     assert(!capped.exists(t => t._1 == 2L || t._2 == 2L))
     // partition independence
     val got3 = Dedup.containmentPairs(df.repartition(3), "doc_id",
-        "text", 3, 0.5).as[(Long, Long, Double, Double)].collect().toSeq
+        "text", 3, 0.5, maxShingleDf = Int.MaxValue)
+      .as[(Long, Long, Double, Double)].collect().toSeq
     assert(got3 === got)
   }
 

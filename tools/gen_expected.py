@@ -626,6 +626,19 @@ def gen_q189(fx):
         for s in range(n_shards):
             new = sorted((i, lift6_vec(v)) for i, v in batch
                          if i % n_shards == s)
+            # within-batch duplicate ids collapse by the store's exact
+            # tie-break: min LEXICOGRAPHIC comma-joined vec6 string
+            # (VamanaStore.processBatch's minBy(_.mkString(","));
+            # "10..." < "2..." — string order, not numeric). Fixture
+            # batches carry unique ids, so this is a no-op there; it
+            # keeps the differential oracle honest if a future fixture
+            # regen plants duplicates (r18 ADVICE).
+            by_id = {}
+            for i, v in new:
+                key = ",".join(str(x) for x in v)
+                if i not in by_id or key < by_id[i][0]:
+                    by_id[i] = (key, v)
+            new = sorted((i, kv[1]) for i, kv in by_id.items())
             if not new:
                 continue
             if s not in state:

@@ -2440,9 +2440,11 @@ object SparkEntry {
     // directional containment pairs (q191): Broder's asymmetric
     // |A∩B|/|A| over word 3-shingles — the quote/subset relation
     // symmetric Jaccard structurally misses; either direction >= 0.5.
+    // Fixture-exact: pins the UNCAPPED all-pairs definition (the
+    // operator default is the capped production regime, r19).
     "q191_containment_pairs" -> ((s, d) =>
       Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
-        k = 3, threshold = 0.5)),
+        k = 3, threshold = 0.5, maxShingleDf = Int.MaxValue)),
 
     // period-over-period movers (q192): per user, last week's event
     // count vs the week before — exact delta + ppm change, top-40 by
@@ -2457,6 +2459,27 @@ object SparkEntry {
     "q193_split_leakage" -> ((s, d) =>
       Curation.splitLeakage(Tables.documents(s, d), "doc_id", "text",
         valPermille = 200, maxHamming = 3)),
+
+    // store-to-store decontamination (q194): the benchmark persisted
+    // as a SignatureStore (built once per JVM — eval suites are
+    // curated once, probed by every run), corpus probed against its
+    // COMMITTED bands with shard pruning. 16×1 banding: a true pair
+    // at j >= 0.8 escapes with prob (1-j)^16 <= 6.5e-12, so the oracle
+    // is the pure all-pairs Jaccard definition — q99's oracle verbatim
+    // (the operators are semantics-identical, spec-pinned).
+    "q194_decontaminate_store" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val p = graft.sources.SignatureStore.Params(
+        shingleK = 3, nBands = 16, rowsPerBand = 1)
+      val path = cachedStorePath("benchsig:" + d) { pth =>
+        graft.sources.SignatureStore.write(
+          docs.filter(col("doc_id") < 100), "doc_id", "text", pth, p)
+      }
+      graft.sources.SignatureStore.decontaminateAgainstStore(
+        docs.filter(col("doc_id") >= 100), "doc_id", "text", path, p,
+        jaccardThreshold = 0.8)
+        .orderBy(col("doc_id"))
+    }),
 
     // association rules (q186): directional confidence (exact integer
     // ppm) + lift over user event-type baskets — the successor of
@@ -4610,6 +4633,32 @@ object SparkEntry {
         |    THEN n_cross * 1000000 // n_pairs END AS BIGINT)
         |FROM naive
         |ORDER BY method""".stripMargin,
+
+    // store-to-store decontamination: semantics-identical to q99 (the
+    // 16×1 banding escape bound makes the pure all-pairs definition
+    // the oracle), so the SQL is q99's verbatim — the store layout is
+    // result-invisible by construction
+    "q194_decontaminate_store" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |      ELSE list_transform(generate_series(0, len(ws) - 3),
+        |        i -> array_to_string(ws[i+1 : i+3], ' ')) END) AS sh
+        |  FROM d),
+        |b AS (SELECT doc_id AS bid, sh AS bsh FROM s WHERE doc_id < 100),
+        |c AS (SELECT doc_id AS cid, sh AS csh FROM s WHERE doc_id >= 100),
+        |j AS (
+        |  SELECT cid, bid,
+        |    round(len(list_intersect(csh, bsh))::DOUBLE /
+        |      (len(csh) + len(bsh) - len(list_intersect(csh, bsh)))::DOUBLE,
+        |      6) AS jac
+        |  FROM c, b)
+        |SELECT cid AS doc_id, count(*) AS n_matches, max(jac) AS max_jaccard
+        |FROM j WHERE jac >= 0.8
+        |GROUP BY cid ORDER BY doc_id""".stripMargin,
 
     // association rules: same distinct-basket shape; conf via BIGINT
     // //, lift as the identical IEEE tree of exact counts

@@ -165,7 +165,19 @@ object SignatureStore {
   def dedupAgainstStore(batch: DataFrame, idCol: String, textCol: String,
       path: String, p: Params = Params(),
       jaccardThreshold: Double = 0.8,
-      excludeIngest: Option[String] = None): DataFrame = {
+      excludeIngest: Option[String] = None): DataFrame =
+    storePairsRaw(batch, idCol, textCol, path, p, excludeIngest)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_new"), col("id_stored"),
+        round(col("jaccard"), 6).as("jaccard"))
+
+  /** The shard-pruned candidate join + exact-Jaccard verify shared by
+    * [[dedupAgainstStore]] (raw-threshold, its long-standing contract)
+    * and [[decontaminateAgainstStore]] (round-then-threshold, the q99
+    * rule): (id_new, id_stored, jaccard) UNfiltered and UNrounded. */
+  private def storePairsRaw(batch: DataFrame, idCol: String,
+      textCol: String, path: String, p: Params,
+      excludeIngest: Option[String]): DataFrame = {
     val spark = batch.sparkSession
     val dead = tombstones(spark, path)
     def visible(df: DataFrame): DataFrame = {
@@ -192,10 +204,36 @@ object SignatureStore {
       .join(visible(spark.read.parquet(path + "/shingles"))
         .select(col("doc").as("id_stored"), col("sh").as("__shb")), "id_stored")
       .withColumn("jaccard", Dedup.jaccard(col("__sha"), col("__shb")))
-      .filter(col("jaccard") >= jaccardThreshold)
-      .select(col("id_new"), col("id_stored"),
-        round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Store-to-store decontamination — the batch form of the
+    * contamination surfaces (q63/q84/q99/q127/q185) when the BENCHMARK
+    * lives as a persisted SignatureStore rather than a frame: eval
+    * suites are curated once and probed by every pretraining run, so
+    * the production shape is "corpus vs committed store", not "corpus
+    * vs recomputed frame". Flags corpus documents that near-dup-match
+    * (exact Jaccard ≥ `jaccardThreshold` over word k-shingle sets) any
+    * COMMITTED, non-tombstoned benchmark document, reading only the
+    * shards the corpus's candidate buckets hash into (the
+    * [[dedupAgainstStore]] partition-pruned probe). Semantics are
+    * IDENTICAL to `Curation.decontaminateFuzzy(corpus, benchFrame)` at
+    * the same `Params` — same banding, same round-BEFORE-threshold
+    * keep rule (the q99 bit-stability discipline), same output
+    * (id, n_matches, max_jaccard) — spec-pinned equal; a tombstoned
+    * benchmark doc stops flagging immediately (the delete contract).
+    * 100 TB posture: the benchmark side is eval-suite-sized by
+    * construction; the corpus side streams through one banded pass +
+    * the pruned equi-join, shingle payloads late-materialized per
+    * surviving DISTINCT pair. */
+  def decontaminateAgainstStore(corpus: DataFrame, idCol: String,
+      textCol: String, path: String, p: Params = Params(),
+      jaccardThreshold: Double = 0.8): DataFrame =
+    storePairsRaw(corpus, idCol, textCol, path, p, None)
+      .withColumn("__j", round(col("jaccard"), 6))
+      .filter(col("__j") >= jaccardThreshold)
+      .groupBy(col("id_new"))
+      .agg(count(lit(1)).as("n_matches"), max(col("__j")).as("max_jaccard"))
+      .select(col("id_new").as(idCol), col("n_matches"), col("max_jaccard"))
 
   /** The store read a probe performs, exposed for plan inspection
     * (the spec asserts `PartitionFilters` carries the shard filter). */

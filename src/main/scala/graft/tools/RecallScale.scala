@@ -160,6 +160,46 @@ object RecallScale {
     println(f"[recall-vamana-store] nShards=$nShards l=${vp.l} " +
       f"mCand=$mCand k=$k  incremental=$rStore%.3f (batch=$rVam%.3f)  " +
       f"build3=$sBuildS%.1fs  probeFrame16=$sProbeS%.1fs")
+
+    // --- CHURN (FreshDiskANN's actual claim — stable recall under
+    // insert/delete cycles): tombstone ~20% of the corpus
+    // (vec_id % 5 == 0), probe MASKED (deleted nodes still route, the
+    // pre-compaction regime), then compact() (canonical per-shard
+    // rebuild over survivors) and probe again. Ground truth is the
+    // exact top-k over the SURVIVING corpus. The delta between the
+    // masked and compacted rows is the price of deferring compaction;
+    // the compacted row vs the pre-churn row is the recall cost of the
+    // churn cycle itself. ---
+    val survivors = corpus.filter(col("vec_id") % 5 =!= 0)
+    val deadIds = corpus.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"))
+    val nDead = deadIds.count()
+    graft.sources.VamanaStore.delete(spark, sPath, deadIds)
+    val exactSurv = pairs(graft.operators.Similarity.knnJoin(
+      probes.filter(col("vec_id") < 16), survivors, "vec_id", "vec_id",
+      "embedding", k))
+    def storeRecallSurv(): (Double, Double) = {
+      val t0 = System.nanoTime()
+      val got = graft.sources.VamanaStore.topKFrame(spark, sPath,
+          probesDf, "probe_id", "pvec", corpus, "vec_id", "embedding",
+          vp, k, mCand)
+        .select(col("probe_id"), col("vec_id"))
+        .as[(Long, Long)].collect().toSet
+      require(!got.exists(g => g._2 % 5 == 0),
+        "a tombstoned id surfaced in a search result")
+      (got.intersect(exactSurv).size.toDouble / exactSurv.size,
+        (System.nanoTime() - t0) / 1e9)
+    }
+    val (rMasked, tMasked) = storeRecallSurv()
+    val tc0 = System.nanoTime()
+    graft.sources.VamanaStore.compact(spark, sPath, vp)
+    val compactS = (System.nanoTime() - tc0) / 1e9
+    val (rCompacted, tCompacted) = storeRecallSurv()
+    println(f"[recall-vamana-churn] nShards=$nShards l=${vp.l} " +
+      f"mCand=$mCand k=$k deleted=$nDead  masked=$rMasked%.3f " +
+      f"(probe=$tMasked%.1fs)  compacted=$rCompacted%.3f " +
+      f"(probe=$tCompacted%.1fs)  compact=$compactS%.1fs  " +
+      f"prechurn=$rStore%.3f")
     spark.stop()
   }
 }

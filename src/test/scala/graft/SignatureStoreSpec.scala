@@ -250,6 +250,42 @@ class SignatureStoreSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("decontaminateAgainstStore == decontaminateFuzzy at the same " +
+      "params (probe identity); a tombstoned benchmark doc stops " +
+      "flagging immediately") {
+    val p16 = SignatureStore.Params(shingleK = 3, nBands = 16,
+      rowsPerBand = 1, nShards = 32)
+    val bench = docs.filter($"doc_id" < 100)
+    val corpus = docs.filter($"doc_id" >= 100)
+    val dir = Files.createTempDirectory("graft_benchsig").toString
+    SignatureStore.write(bench, "doc_id", "text", dir, p16)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    val fromStore = collect(SignatureStore.decontaminateAgainstStore(
+      corpus, "doc_id", "text", dir, p16, jaccardThreshold = 0.8))
+    val fromFrame = collect(graft.operators.Curation.decontaminateFuzzy(
+      corpus, bench, "doc_id", "text", shingleK = 3, nBands = 16,
+      rowsPerBand = 1, jaccardThreshold = 0.8))
+    assert(fromStore.nonEmpty, "fixture produced no contamination hits")
+    assert(fromStore === fromFrame)
+    // tombstone ONE benchmark doc that acted as evidence: the store
+    // probe must now equal the frame form over bench-minus-that-doc
+    val pairs = SignatureStore.dedupAgainstStore(corpus, "doc_id",
+        "text", dir, p16, 0.8)
+      .as[(Long, Long, Double)].collect()
+    val victim = pairs.map(_._2).min
+    SignatureStore.delete(spark, dir, Seq(victim).toDF("doc"))
+    val masked = collect(SignatureStore.decontaminateAgainstStore(
+      corpus, "doc_id", "text", dir, p16, jaccardThreshold = 0.8))
+    val expectedMasked = collect(graft.operators.Curation.decontaminateFuzzy(
+      corpus, bench.filter($"doc_id" =!= victim), "doc_id", "text",
+      shingleK = 3, nBands = 16, rowsPerBand = 1,
+      jaccardThreshold = 0.8))
+    assert(masked === expectedMasked)
+    assert(masked !== fromStore, "tombstone changed nothing — victim " +
+      "was not evidence for any kept doc")
+  }
+
   test("hasCommittedData probes through the Hadoop FileSystem (file:// URIs)") {
     import java.nio.file.Files
     val tmp = Files.createTempDirectory("graft_fsprobe")

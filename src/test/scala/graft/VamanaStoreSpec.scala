@@ -154,6 +154,28 @@ class VamanaStoreSpec extends SparkSpec {
       .sortBy(t => (t._1, t._2)).toSeq
     assert(visible(store) === canon)
 
+    // --- churn (FreshDiskANN's claim): tombstone ~20%, probe MASKED
+    // (deleted nodes still route), compact, probe again — the result
+    // SETS must agree, and no dead id may ever surface (r18 verdict) ---
+    val dead = embs
+      .filter(col("vec_id") % 5 === 0 && col("vec_id") =!= victim)
+      .select(col("vec_id"))
+    VamanaStore.delete(spark, store, dead)
+    val probesF = embs.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    def frameNow(): Seq[(Long, Long, Double)] =
+      VamanaStore.topKFrame(spark, store, probesF, "probe_id",
+          "embedding", embs, "vec_id", "embedding", p, k = 10, mCand = 50)
+        .as[(Long, Long, Double)].collect().toSeq
+    val maskedFrame = frameNow()
+    assert(maskedFrame.nonEmpty &&
+      maskedFrame.forall(t => t._2 % 5 != 0 && t._2 != victim),
+      "a tombstoned id surfaced in a masked search result")
+    VamanaStore.compact(spark, store, p)
+    val compactedFrame = frameNow()
+    assert(maskedFrame === compactedFrame,
+      "masked-probe vs compacted-probe result sets diverged")
+
     // --- lease: writers fail fast while a compactor holds it ---
     graft.sources.StoreFs.acquireLease(spark, store + ".compact_lock")
     val err = intercept[IllegalStateException] {

@@ -2481,6 +2481,39 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // boilerplate phrase mining (q195): exact heavy hitters over the
+    // word 3-shingle occurrence stream — the maxShingleDf hot set made
+    // first-class (detect→mitigate for text, the q100→q101 pattern).
+    // Fixture max share ≈ 2.7e-4, so 2e-4 keeps the verify pass real.
+    "q195_hot_phrases" -> ((s, d) =>
+      Curation.hotPhrases(Tables.documents(s, d), "doc_id", "text",
+        k = 3, minShare = 0.0002)),
+
+    // interval-overlap join (q196): per-user click activity windows
+    // ([ts, ts + floor(value) minutes)) overlapping view windows —
+    // rangeJoin's two-sided sibling; the naive non-equi join plans as
+    // BroadcastNestedLoopJoin (ScaleSpec pins the equi-join here).
+    // Exactly-once via the overlap-start bucket, 1-hour buckets.
+    "q196_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("value").isNotNull &&
+          col("event_id").isNotNull)
+      def iv(t: String, idC: String, sC: String, eC: String) =
+        ev.filter(col("event_type") === t)
+          .select(col("user_id"), col("event_id").as(idC),
+            unix_micros(col("ts")).as(sC),
+            (unix_micros(col("ts")) +
+              floor(col("value")).cast("long") * lit(60000000L)).as(eC))
+      Scale.intervalJoin(
+        iv("click", "id_a", "sa", "ea"), iv("view", "id_b", "sb", "eb"),
+        Seq("user_id"), "sa", "ea", "sb", "eb",
+        bucketWidth = 3600000000L)
+        .select(col("user_id"), col("id_a"), col("id_b"),
+          (least(col("ea"), col("eb")) - greatest(col("sa"), col("sb")))
+            .as("overlap_us"))
+        .orderBy(col("user_id"), col("id_a"), col("id_b"))
+    }),
+
     // association rules (q186): directional confidence (exact integer
     // ppm) + lift over user event-type baskets — the successor of
     // q147's undirected pair counts.
@@ -4633,6 +4666,48 @@ object SparkEntry {
         |    THEN n_cross * 1000000 // n_pairs END AS BIGINT)
         |FROM naive
         |ORDER BY method""".stripMargin,
+
+    // hot phrases: the q99 shingle CTE feeding the q100 heavy-hitter
+    // shape (strict > on DOUBLE shares, round-6 share, key order)
+    "q195_hot_phrases" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |      ELSE list_transform(generate_series(0, len(ws) - 3),
+        |        i -> array_to_string(ws[i+1 : i+3], ' ')) END) AS sh
+        |  FROM d),
+        |e AS (SELECT unnest(sh) AS phrase FROM s),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e)
+        |SELECT phrase, CAST(count(*) AS BIGINT) AS cnt,
+        |  round(CAST(count(*) AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS share
+        |FROM e, t
+        |GROUP BY phrase, t.n
+        |HAVING CAST(count(*) AS DOUBLE) > CAST(0.0002 AS DOUBLE) * CAST(t.n AS DOUBLE)
+        |ORDER BY phrase""".stripMargin,
+
+    // interval-overlap join: the oracle IS the naive overlap-predicate
+    // join (the q110 precedent — the bucket decomposition must be
+    // result-invisible); epoch_us == unix_micros, floor(DOUBLE) is
+    // engine-identical, strict half-open overlap both sides
+    "q196_interval_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS st,
+        |    epoch_us(ts) + CAST(floor(value) AS BIGINT) * 60000000 AS en,
+        |    event_type
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND event_id IS NOT NULL),
+        |a AS (SELECT user_id, event_id AS id_a, st AS sa, en AS ea
+        |      FROM e WHERE event_type = 'click' AND en > st),
+        |b AS (SELECT user_id, event_id AS id_b, st AS sb, en AS eb
+        |      FROM e WHERE event_type = 'view' AND en > st)
+        |SELECT a.user_id, id_a, id_b,
+        |  least(ea, eb) - greatest(sa, sb) AS overlap_us
+        |FROM a JOIN b ON a.user_id = b.user_id AND sa < eb AND sb < ea
+        |ORDER BY a.user_id, id_a, id_b""".stripMargin,
 
     // store-to-store decontamination: semantics-identical to q99 (the
     // 16×1 banding escape bound makes the pure all-pairs definition

@@ -721,6 +721,30 @@ object Curation {
       .orderBy(col("method"))
   }
 
+  /** Boilerplate phrase mining — the `maxShingleDf` hot set made
+    * first-class: exact heavy hitters over the corpus's word k-shingle
+    * OCCURRENCE stream (one row per (doc, distinct shingle) — q22's df
+    * axis): the phrases whose share of all shingle occurrences exceeds
+    * `minShare`. The output is the shingle caps' WHY — license
+    * headers, templates, navigation chrome, the strings whose Σdf²
+    * mass the pair family prunes; feeding the result to the caps or to
+    * the store tombstones (ParagraphStore / SubstringStore deletes)
+    * closes the detect→mitigate loop the same way q100→q101 does for
+    * join keys. Rides
+    * `Scale.heavyHitters`: two passes, tree-merged Misra–Gries
+    * summaries, the driver holds ≤ max(capacity, ⌈1/minShare⌉) rows at
+    * ANY corpus size, and the exact verify pass makes the result
+    * partition-independent (plain ANSI oracle). */
+  def hotPhrases(df: DataFrame, idCol: String, textCol: String, k: Int,
+      minShare: Double, capacity: Int = 64): DataFrame = {
+    val stream = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), col(textCol))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("__id"))
+      .select(explode(Dedup.shingles(col(textCol), k)).as("phrase"))
+    Scale.heavyHitters(stream, "phrase", minShare, capacity)
+  }
+
   /** Deterministic quality-weighted sampling: keep each row with
     * probability `scoreCol` (clamped to [0,1]) — the importance-style
     * upsampling knob between uniform [[stratifiedSample]] and a hard

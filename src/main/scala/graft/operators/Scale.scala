@@ -467,6 +467,56 @@ object Scale {
       .drop("__bkt")
   }
 
+  /** Bucketed interval-OVERLAP join — [[rangeJoin]]'s two-sided
+    * sibling: pairs of intervals (one from each side, equal on `keys`)
+    * whose half-open spans overlap (`sa < eb && sb < ea`), written
+    * naively as a non-equi join Spark plans as a
+    * BroadcastNestedLoopJoin. Both sides explode over the fixed-width
+    * buckets they cover (same fan-out guard as rangeJoin: clear error,
+    * not an executor OOM, on corrupt/huge spans), the join becomes a
+    * plain equi-join on (keys, bucket), and the exact overlap filter
+    * runs after. Unlike the point form a pair can co-occur in MANY
+    * buckets — instead of a dedup shuffle, each pair is emitted
+    * EXACTLY ONCE from the bucket containing `greatest(sa, sb)` (the
+    * overlap's first instant): that instant lies inside BOTH
+    * intervals, so both sides' covered-bucket ranges include its
+    * bucket (truncating DIV is monotone, negatives included), and no
+    * other bucket passes the equality. Empty intervals (end ≤ start)
+    * match nothing; touching intervals (ea == sb) do not overlap
+    * (half-open). */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      saCol: String, eaCol: String, sbCol: String, ebCol: String,
+      bucketWidth: Long,
+      maxBucketsPerInterval: Long = 65536L): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    require(maxBucketsPerInterval > 0,
+      s"maxBucketsPerInterval must be positive: $maxBucketsPerInterval")
+    require(Seq(saCol, eaCol, sbCol, ebCol).distinct.size == 4,
+      "the four bound columns must be distinct")
+    def exploded(df: DataFrame, sCol: String, eCol: String): DataFrame = {
+      val bktFrom = expr(s"$sCol DIV $bucketWidth")
+      val bktTo = expr(s"($eCol - 1) DIV $bucketWidth")
+      // the guard's own subtraction must not throw before the guard
+      // can fire (the rangeJoin try_subtract posture)
+      val span = expr(s"try_subtract(($eCol - 1) DIV $bucketWidth, " +
+        s"$sCol DIV $bucketWidth)")
+      val guarded = when(span < lit(maxBucketsPerInterval),
+        sequence(bktFrom, bktTo))
+        .otherwise(raise_error(concat(
+          lit("intervalJoin: interval ["), col(sCol).cast("string"),
+          lit(", "), col(eCol).cast("string"),
+          lit(s") covers over $maxBucketsPerInterval buckets of width " +
+            s"$bucketWidth - raise bucketWidth or maxBucketsPerInterval"))))
+      df.filter(col(eCol) > col(sCol)).withColumn("__bkt", explode(guarded))
+    }
+    exploded(left, saCol, eaCol)
+      .join(exploded(right, sbCol, ebCol), keys :+ "__bkt")
+      .filter(col(saCol) < col(ebCol) && col(sbCol) < col(eaCol))
+      .filter(expr(s"greatest($saCol, $sbCol) DIV $bucketWidth")
+        === col("__bkt"))
+      .drop("__bkt")
+  }
+
   /** Z-order (Morton) interleave of two non-negative bucket columns,
     * each already reduced to `bits` bits: bit i of `x` lands at z-bit
     * 2i, bit i of `y` at 2i+1. Points close in BOTH dimensions are

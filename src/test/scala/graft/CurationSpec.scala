@@ -704,4 +704,23 @@ class CurationSpec extends SparkSpec {
       ("cluster", 1L, 0L, Some(0L)),
       ("naive_doc", 1L, 1L, Some(1000000L))))
   }
+
+  test("hotPhrases: exact shares over the shingle occurrence stream, " +
+      "threshold strict, partition independence") {
+    // 4 docs of 4 words -> 2 distinct 3-shingles each = 8 occurrences;
+    // "a b c" appears in docs 1-3 (share 3/8), "b c d" in 1-2 (2/8),
+    // the rest once each (1/8)
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "z a b c"),
+      (4L, "p q r s"))
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame, minShare: Double) =
+      Curation.hotPhrases(df, "doc_id", "text", k = 3, minShare)
+        .as[(String, Long, Double)].collect().toSeq
+    val got = run(docs, 0.2)
+    assert(got === Seq(("a b c", 3L, 0.375), ("b c d", 2L, 0.25)))
+    // strict >: a phrase AT the threshold is excluded
+    assert(run(docs, 0.375) === Seq.empty)
+    assert(run(docs.repartition(5), 0.2) === got)
+  }
 }

@@ -430,6 +430,52 @@ class ScaleSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("intervalJoin == the naive overlap join: touching intervals " +
+    "excluded, multi-bucket spans, negatives, keyed, exactly-once; " +
+    "plans as an equi-join; fan-out guard raises its own error") {
+    val a = Seq(
+      (1L, "u", 0L, 10L),     // overlaps b1, touches b2 (ea == sb2)
+      (2L, "u", -15L, -4L),   // negative span
+      (3L, "u", 5L, 95L),     // spans many width-10 buckets
+      (4L, "v", 0L, 10L),     // different key: never pairs with u
+      (5L, "u", 20L, 20L))    // empty: matches nothing
+      .toDF("id_a", "k", "sa", "ea")
+    val b = Seq(
+      (11L, "u", 8L, 12L),    // overlaps a1 and a3
+      (12L, "u", 10L, 14L),   // touches a1 at 10 — NOT an overlap
+      (13L, "u", -9L, -8L),   // inside a2
+      (14L, "u", 90L, 200L),  // overlaps a3's tail across buckets
+      (15L, "v", 5L, 6L))     // key v: only a4
+      .toDF("id_b", "k", "sb", "eb")
+    val got = Scale.intervalJoin(a, b, Seq("k"), "sa", "ea", "sb", "eb",
+        bucketWidth = 10L)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().sorted.toSeq
+    val naive = a.join(b, a("k") === b("k") &&
+        $"sa" < $"eb" && $"sb" < $"ea" && $"ea" > $"sa" && $"eb" > $"sb")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().sorted.toSeq
+    assert(got === naive)
+    assert(got.contains((1L, 11L)) && got.contains((2L, 13L)) &&
+      got.contains((3L, 14L)) && got.contains((4L, 15L)))
+    assert(!got.contains((1L, 12L)), "touching intervals must not pair")
+    assert(!got.exists(_._1 == 5L), "empty interval must match nothing")
+    // exactly-once: a multi-bucket × multi-bucket overlap (a3 × b14
+    // share buckets 9..9? and a3 × b11 share several) appears once
+    assert(got.distinct === got)
+    val plan = Scale.intervalJoin(a, b, Seq("k"), "sa", "ea", "sb", "eb",
+        10L).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(2000))
+    // fan-out guard: its own clear error, even on overflowing bounds
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val huge = Seq((9L, "u", 0L, 1000000L)).toDF("id_b", "k", "sb", "eb")
+    val ex = intercept[Exception] {
+      Scale.intervalJoin(a, huge, Seq("k"), "sa", "ea", "sb", "eb",
+        bucketWidth = 10L, maxBucketsPerInterval = 100L).collect()
+    }
+    assert(msgs(ex).exists(_.contains("intervalJoin: interval")), ex.toString)
+  }
+
   test("rangeJoin: an interval covering more buckets than the cap raises " +
     "a clear error instead of materializing a huge array") {
     val pts = Seq((5L, "p")).toDF("p", "ptag")

@@ -1090,27 +1090,47 @@ object Dedup {
     // and set sizes — i.e. jaccard over the capped sets. The hot set is
     // tiny by construction (only shingles in >maxShingleDf docs), so it
     // broadcasts. Default disables the guard and keeps the exact plan.
-    val ex =
-      if (maxShingleDf == Int.MaxValue)
-        base.select(col("grp"), col("doc"), col("sz"), explode(col("sh")).as("s"))
-      else {
+    val pairs =
+      if (maxShingleDf == Int.MaxValue) {
+        val ex = base.select(col("grp"), col("doc"), col("sz"),
+          explode(col("sh")).as("s"))
+        val a = ex.select(col("grp"), col("s"), col("doc").as("id_a"),
+          col("sz").as("__sza"))
+        val b = ex.select(col("grp"), col("s"), col("doc").as("id_b"),
+          col("sz").as("__szb"))
+        a.join(b, Seq("grp", "s"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("grp"), col("id_a"), col("id_b"),
+            col("__sza"), col("__szb"))
+          .agg(count(lit(1)).as("__inter"))
+      } else {
         val ex0 = base.select(col("grp"), col("doc"), explode(col("sh")).as("s"))
         val hot = ex0.groupBy(col("grp"), col("s"))
           .agg(count(lit(1)).as("__df"))
           .filter(col("__df") > maxShingleDf)
           .select(col("grp"), col("s"))
         val kept = ex0.join(broadcast(hot), Seq("grp", "s"), "left_anti")
-        val cappedSz = kept.groupBy(col("grp"), col("doc")).agg(count(lit(1)).as("sz"))
-        // same agg-then-rejoin shape: merge hint (r13 rule)
-        kept.join(cappedSz.hint("merge"), Seq("grp", "doc"))
-          .select(col("grp"), col("doc"), col("sz"), col("s"))
+        val cappedSz = kept.groupBy(col("grp"), col("doc"))
+          .agg(count(lit(1)).as("sz"))
+        // capped sizes LATE-MATERIALIZE onto the PAIR stream (r19): the
+        // intersection counts need only (grp, s, doc), so the sz rejoin
+        // runs against the aggregated pairs — duplicated-mass-sized —
+        // instead of the full gram stream (measured at m10: riding the
+        // gram stream cost 2× even with the broadcast AQE picks at
+        // fixture bytes). merge-hinted: per-doc counts are corpus-sized
+        // at 100 TB, past any broadcast (the r13 rule).
+        val a = kept.select(col("grp"), col("s"), col("doc").as("id_a"))
+        val b = kept.select(col("grp"), col("s"), col("doc").as("id_b"))
+        a.join(b, Seq("grp", "s"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("grp"), col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("__inter"))
+          .join(cappedSz.select(col("grp"), col("doc").as("id_a"),
+            col("sz").as("__sza")).hint("merge"), Seq("grp", "id_a"))
+          .join(cappedSz.select(col("grp"), col("doc").as("id_b"),
+            col("sz").as("__szb")).hint("merge"), Seq("grp", "id_b"))
       }
-    val a = ex.select(col("grp"), col("s"), col("doc").as("id_a"), col("sz").as("__sza"))
-    val b = ex.select(col("grp"), col("s"), col("doc").as("id_b"), col("sz").as("__szb"))
-    a.join(b, Seq("grp", "s"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("grp"), col("id_a"), col("id_b"), col("__sza"), col("__szb"))
-      .agg(count(lit(1)).as("__inter"))
+    pairs
       .withColumn("jaccard", round(
         col("__inter").cast("double")
           / (col("__sza") + col("__szb") - col("__inter")).cast("double"), 6))
@@ -1147,10 +1167,16 @@ object Dedup {
       .repartition(par(df), col("doc"))
       .select(col("doc"), shingles(col(textCol), k).as("sh"))
       .withColumn("sz", size(col("sh")))
-    val ex =
-      if (maxShingleDf == Int.MaxValue)
-        base.select(col("doc"), col("sz"), explode(col("sh")).as("s"))
-      else {
+    val pairs =
+      if (maxShingleDf == Int.MaxValue) {
+        val ex = base.select(col("doc"), col("sz"), explode(col("sh")).as("s"))
+        val a = ex.select(col("s"), col("doc").as("id_a"), col("sz").as("__sza"))
+        val b = ex.select(col("s"), col("doc").as("id_b"), col("sz").as("__szb"))
+        a.join(b, Seq("s"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"), col("__sza"), col("__szb"))
+          .agg(count(lit(1)).as("__inter"))
+      } else {
         val ex0 = base.select(col("doc"), explode(col("sh")).as("s"))
         val hot = ex0.groupBy(col("s"))
           .agg(count(lit(1)).as("__df"))
@@ -1158,17 +1184,20 @@ object Dedup {
           .select(col("s"))
         val kept = ex0.join(broadcast(hot), Seq("s"), "left_anti")
         val cappedSz = kept.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-        // agg-then-rejoin: merge hint, never AQE's broadcast estimate
-        // of a corpus-sized agg side (the r13 duplicatedSpans lesson)
-        kept.join(cappedSz.hint("merge"), Seq("doc"))
-          .select(col("doc"), col("sz"), col("s"))
+        // capped sizes late-materialize onto the PAIR stream, merge-
+        // hinted — see ngramJaccardPairs (same r19 rewrite)
+        val a = kept.select(col("s"), col("doc").as("id_a"))
+        val b = kept.select(col("s"), col("doc").as("id_b"))
+        a.join(b, Seq("s"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("__inter"))
+          .join(cappedSz.select(col("doc").as("id_a"),
+            col("sz").as("__sza")).hint("merge"), Seq("id_a"))
+          .join(cappedSz.select(col("doc").as("id_b"),
+            col("sz").as("__szb")).hint("merge"), Seq("id_b"))
       }
-    val a = ex.select(col("s"), col("doc").as("id_a"), col("sz").as("__sza"))
-    val b = ex.select(col("s"), col("doc").as("id_b"), col("sz").as("__szb"))
-    a.join(b, Seq("s"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("__sza"), col("__szb"))
-      .agg(count(lit(1)).as("__inter"))
+    pairs
       .withColumn("contain_ab", round(
         col("__inter").cast("double") / col("__sza").cast("double"), 6))
       .withColumn("contain_ba", round(

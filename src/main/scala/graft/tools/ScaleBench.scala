@@ -94,6 +94,36 @@ object ScaleBench {
         graft.operators.Dedup.containmentPairs(
           graft.Tables.documents(spark, sfDir),
           "doc_id", "text", k = 3, threshold = 0.5)
+      // the PRE-r19 capped plan (sz rides the gram stream, no hint) —
+      // kept as the A/B counterfactual for the r19 late-materialized
+      // sizes rewrite; same semantics, result-identical
+      case "q191_r18" => {
+        import org.apache.spark.sql.functions._
+        val df = graft.Tables.documents(spark, sfDir)
+        val base = df.select(col("doc_id").as("doc"), col("text"))
+          .repartition(spark.sparkContext.defaultParallelism, col("doc"))
+          .select(col("doc"),
+            graft.operators.Dedup.shingles(col("text"), 3).as("sh"))
+        val ex0 = base.select(col("doc"), explode(col("sh")).as("s"))
+        val hot = ex0.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > 64).select(col("s"))
+        val kept = ex0.join(broadcast(hot), Seq("s"), "left_anti")
+        val cappedSz = kept.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+        val ex = kept.join(cappedSz, Seq("doc"))
+          .select(col("doc"), col("sz"), col("s"))
+        val a = ex.select(col("s"), col("doc").as("id_a"), col("sz").as("__sza"))
+        val b = ex.select(col("s"), col("doc").as("id_b"), col("sz").as("__szb"))
+        a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"), col("__sza"), col("__szb"))
+          .agg(count(lit(1)).as("__inter"))
+          .withColumn("contain_ab",
+            round(col("__inter").cast("double") / col("__sza").cast("double"), 6))
+          .withColumn("contain_ba",
+            round(col("__inter").cast("double") / col("__szb").cast("double"), 6))
+          .filter(greatest(col("contain_ab"), col("contain_ba")) >= 0.5)
+          .select(col("id_a"), col("id_b"), col("contain_ab"), col("contain_ba"))
+          .orderBy(col("id_a"), col("id_b"))
+      }
       // q193 with the blocks decomposition on both internal band joins
       // — the scale posture (declared query pins blocks=1 at sf0.01)
       case "q193_blocks" =>
@@ -101,6 +131,36 @@ object ScaleBench {
           graft.Tables.documents(spark, sfDir),
           "doc_id", "text", valPermille = 200, maxHamming = 3,
           selfJoinBlocks = 8)
+      // the PRE-r19 splitLeakage composition (pairs and cluster sides
+      // each recompute the per-doc SimHash) — the A/B counterfactual
+      // for the r19 shared-sig-frame rewrite; result-identical
+      case "q193_unshared" => {
+        import org.apache.spark.sql.functions._
+        import graft.operators.{Curation, Dedup}
+        val df = graft.Tables.documents(spark, sfDir)
+        def naiveSide(id: org.apache.spark.sql.Column) =
+          when(Curation.lcgBucket(id, 1000L) < 200, lit("val"))
+            .otherwise(lit("train"))
+        val pairs = Dedup.simhashNearDups(df, "doc_id", "text", 3, 8)
+          .select(col("id_a"), col("id_b")).localCheckpoint()
+        val naive = pairs
+          .select((naiveSide(col("id_a")) =!= naiveSide(col("id_b"))).as("__x"))
+        val sides = Curation.splitByCluster(df, "doc_id", "text", 200, 3, 8)
+          .select(col("doc_id").as("__d"), col("split").as("__s"))
+        val cluster = pairs
+          .join(sides.select(col("__d").as("id_a"), col("__s").as("__sa")), Seq("id_a"))
+          .join(sides.select(col("__d").as("id_b"), col("__s").as("__sb")), Seq("id_b"))
+          .select((col("__sa") =!= col("__sb")).as("__x"))
+        def summarize(x: org.apache.spark.sql.DataFrame, m: String) =
+          x.agg(count(lit(1)).as("n_pairs"),
+              sum(when(col("__x"), 1L).otherwise(0L)).as("n_cross"))
+            .select(lit(m).as("method"), col("n_pairs"), col("n_cross"),
+              when(col("n_pairs") > 0,
+                expr("n_cross * 1000000L DIV n_pairs")).as("cross_ppm"))
+        summarize(naive, "naive_doc")
+          .unionByName(summarize(cluster, "cluster"))
+          .orderBy(col("method"))
+      }
       // the r14 merge tree at a WIDE partition layout: 2048 input
       // partitions force three tree levels (2048 → 64 → 2 → 1) where
       // the fixture scan gives one; the delta vs plain q100 prices the

@@ -2489,6 +2489,18 @@ object SparkEntry {
       Curation.hotPhrases(Tables.documents(s, d), "doc_id", "text",
         k = 3, minShare = 0.0002)),
 
+    // char entropy (q197): per-doc character Shannon entropy — the
+    // garbage/memorization band filter; exact-integer nats×1e6 via
+    // 6-dp ln lifts of one IEEE division of exact longs.
+    "q197_char_entropy" -> ((s, d) =>
+      Curation.charEntropy(Tables.documents(s, d), "doc_id", "text")),
+
+    // unigram surprisal (q198): per-doc mean self-information under
+    // the corpus unigram LM — doc-vs-corpus outlier signal (KL/PSI's
+    // per-document complement); same exact-integer lift discipline.
+    "q198_unigram_surprisal" -> ((s, d) =>
+      Curation.unigramSurprisal(Tables.documents(s, d), "doc_id", "text")),
+
     // interval-overlap join (q196): per-user click activity windows
     // ([ts, ts + floor(value) minutes)) overlapping view windows —
     // rangeJoin's two-sided sibling; the naive non-equi join plans as
@@ -4687,6 +4699,48 @@ object SparkEntry {
         |GROUP BY phrase, t.n
         |HAVING CAST(count(*) AS DOUBLE) > CAST(0.0002 AS DOUBLE) * CAST(t.n AS DOUBLE)
         |ORDER BY phrase""".stripMargin,
+
+    // char entropy: exact (doc, char) counts, 6-dp ln lifts through
+    // DECIMAL (never CAST(x*1e6 AS BIGINT) — truncate-vs-round), BIGINT
+    // sum, (-s) DIV n nonnegative so // == DIV
+    "q197_char_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |cc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM c GROUP BY doc_id, ch),
+        |t AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+        |        CAST(count(*) AS BIGINT) AS n_distinct
+        |      FROM cc GROUP BY doc_id),
+        |s AS (SELECT cc.doc_id, t.n, t.n_distinct,
+        |    CAST(sum(cnt * CAST(CAST(round(
+        |      ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sm
+        |  FROM cc JOIN t ON cc.doc_id = t.doc_id
+        |  GROUP BY cc.doc_id, t.n, t.n_distinct)
+        |SELECT doc_id, n AS n_chars, n_distinct, (-sm) // n AS entropy_e6
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // unigram surprisal: corpus word counts + total are exact; per
+    // token one 6-dp ln lift; CTE/column names kept distinct (the
+    // q177 ambiguity lesson)
+    "q198_unigram_surprisal" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |tok AS (SELECT doc_id, unnest(ws) AS wd FROM d),
+        |wc AS (SELECT wd, CAST(count(*) AS BIGINT) AS nw
+        |       FROM tok GROUP BY wd),
+        |t AS (SELECT CAST(sum(nw) AS BIGINT) AS tt FROM wc),
+        |j AS (SELECT doc_id,
+        |    CAST(CAST(round(
+        |      ln(CAST(nw AS DOUBLE) / CAST(tt AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS ln6
+        |  FROM tok JOIN wc ON tok.wd = wc.wd, t)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  (-CAST(sum(ln6) AS BIGINT)) // CAST(count(*) AS BIGINT)
+        |    AS surprisal_e6
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // interval-overlap join: the oracle IS the naive overlap-predicate
     // join (the q110 precedent — the bucket decomposition must be

@@ -745,6 +745,82 @@ object Curation {
     Scale.heavyHitters(stream, "phrase", minShare, capacity)
   }
 
+  /** Per-document character Shannon entropy — the
+    * garbage/memorization filter the word-level quality signals (q17
+    * length/punct ratios, q176 repetition) miss: binary junk and
+    * base64 blobs read HIGH entropy, template spam and repeated-char
+    * runs read LOW, natural text sits in a narrow band. Exact-integer
+    * output (the cross-engine discipline): per-(doc, char) counts are
+    * exact longs, p = cnt/n is ONE IEEE division of exact longs, its
+    * ln rounds to 6 dp and lifts through DECIMAL to a 1e6-scaled
+    * BIGINT (never CAST(x*1e6 AS BIGINT) — the r12 truncate-vs-round
+    * trap), and entropy_e6 = −(Σ cnt·ln6) DIV n is exact BIGINT
+    * arithmetic. Returns (id, n_chars, n_distinct, entropy_e6 —
+    * nats × 1e6, truncated). One exchange on the doc id; the per-doc
+    * totals rejoin is merge-hinted (corpus-sized agg side at 100 TB,
+    * the r13 rule). Null/empty texts are excluded (no distribution to
+    * measure). */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = df
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("__id"), col(textCol))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("__id"))
+      .select(col("__id"), explode(split(col(textCol), "")).as("__c"))
+      .filter(length(col("__c")) > 0)
+    val counts = chars.groupBy(col("__id"), col("__c"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("__id"))
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_distinct"))
+    counts.join(totals.hint("merge"), Seq("__id"))
+      .withColumn("__ln6",
+        (round(log(col("cnt").cast("double") / col("n").cast("double")), 6)
+          .cast("decimal(18,6)") * lit(1000000)).cast("long"))
+      .groupBy(col("__id"), col("n"), col("n_distinct"))
+      .agg(sum(col("cnt") * col("__ln6")).as("__s"))
+      .select(col("__id").as(idCol), col("n").as("n_chars"),
+        col("n_distinct"), expr("(-__s) DIV n").as("entropy_e6"))
+      .orderBy(col(idCol))
+  }
+
+  /** Per-document mean unigram surprisal under the CORPUS unigram LM —
+    * the doc-vs-corpus complement of the group-vs-group divergences
+    * (q122 KL, q143 PSI): a document whose tokens are rare corpus-wide
+    * carries high mean self-information (−mean ln N_w/T), flagging
+    * OCR garbage, wrong-language slices and mojibake; boilerplate
+    * reads low. Exact-integer discipline: corpus occurrence counts N_w
+    * and total T are exact longs, ln(N_w/T) is the 6-dp lift of one
+    * IEEE division, and surprisal_e6 = −(Σ_tokens ln6) DIV n_tokens is
+    * exact BIGINT. The corpus word-count frame is vocab-bounded,
+    * localCheckpointed once for its two consumers (the total and the
+    * rejoin — the q144 recompute lesson), and the rejoin onto the
+    * token stream is merge-hinted (vocab is corpus-sized on web text,
+    * the r13 rule). Returns (id, n_tokens, surprisal_e6 — nats × 1e6,
+    * truncated), one row per non-null-text doc. */
+  def unigramSurprisal(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), col(textCol))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("__id"))
+      .select(col("__id"),
+        explode(graft.functions.TextOps.words(col(textCol))).as("__w"))
+    val wcounts = toks.groupBy(col("__w")).agg(count(lit(1)).as("__nw"))
+      .localCheckpoint()
+    val total = wcounts.agg(sum(col("__nw")).as("__t"))
+    toks
+      .join(wcounts.hint("merge"), Seq("__w"))
+      .crossJoin(broadcast(total))
+      .withColumn("__ln6",
+        (round(log(col("__nw").cast("double") / col("__t").cast("double")), 6)
+          .cast("decimal(18,6)") * lit(1000000)).cast("long"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__ln6")).as("__s"))
+      .select(col("__id").as(idCol), col("n_tokens"),
+        expr("(-__s) DIV n_tokens").as("surprisal_e6"))
+      .orderBy(col(idCol))
+  }
+
   /** Deterministic quality-weighted sampling: keep each row with
     * probability `scoreCol` (clamped to [0,1]) — the importance-style
     * upsampling knob between uniform [[stratifiedSample]] and a hard

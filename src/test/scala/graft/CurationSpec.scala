@@ -705,6 +705,41 @@ class CurationSpec extends SparkSpec {
       ("naive_doc", 1L, 1L, Some(1000000L))))
   }
 
+  test("charEntropy: hand-exact 6-dp lifted nats, single-char doc reads " +
+      "0, null/empty excluded, partition independence") {
+    val docs = Seq(
+      (1L, "aab"),  // a:2/3 (ln6 -405465), b:1/3 (-1098612)
+      (2L, "ab"),   // uniform: entropy == ln 2 == 0.693147
+      (3L, "aaa"),  // degenerate: 0
+      (4L, ""), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Curation.charEntropy(df, "doc_id", "text")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    val got = run(docs)
+    // doc1: -(2*(-405465) + 1*(-1098612)) DIV 3 = 1909542 DIV 3
+    assert(got === Seq(
+      (1L, 3L, 2L, 636514L),
+      (2L, 2L, 2L, 693147L),
+      (3L, 3L, 1L, 0L)))
+    assert(run(docs.repartition(4)) === got)
+  }
+
+  test("unigramSurprisal: hand-exact corpus-LM self-information, " +
+      "partition independence") {
+    val docs = Seq((1L, "a a b"), (2L, "b c"))
+      .toDF("doc_id", "text")
+    // corpus: a:2, b:2, c:1, T=5 -> ln6(a)=ln6(b)=-916291, ln6(c)=-1609438
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Curation.unigramSurprisal(df, "doc_id", "text")
+        .as[(Long, Long, Long)].collect().toSeq
+    val got = run(docs)
+    assert(got === Seq(
+      (1L, 3L, 916291L),               // 2748873 DIV 3
+      (2L, 2L, 1262864L)))             // 2525729 DIV 2 (truncated)
+    assert(run(docs.repartition(3)) === got)
+  }
+
   test("hotPhrases: exact shares over the shingle occurrence stream, " +
       "threshold strict, partition independence") {
     // 4 docs of 4 words -> 2 distinct 3-shingles each = 8 occurrences;

@@ -37,7 +37,7 @@ object SparkEntry {
     * does not coalesce it away; on a real multi-file layout the scan
     * itself is parallel and this exchange is dominated by the compute
     * it unlocks. */
-  private def fan(df: org.apache.spark.sql.DataFrame, key: String) =
+  private[graft] def fan(df: org.apache.spark.sql.DataFrame, key: String) =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
 
   /** The q56 curation pipeline with `text` retained — shared by q56
@@ -84,6 +84,41 @@ object SparkEntry {
       .select(col("doc_id"), col("source"), col("n_chars"), col("score"),
         col("text"))
   }
+
+  /** The q56 curation chain as NAMED funnel stages (q199's input) —
+    * the same five predicates/transforms, composed by
+    * [[graft.operators.Funnel.report]] for per-stage drop counts from
+    * one observed pass. Kept in lockstep with [[curatedDocs]] (the
+    * oracle + FunnelSpec pin the stage counts against the q56 CTE
+    * chain). The near-dup stage references its input twice (pair-gen
+    * joined back anti) and so checkpoints it once, per the Funnel
+    * self-join contract — without that, the observed prefix would
+    * execute in both branches and every upstream count would double. */
+  private[graft] def curationFunnelStages
+      : Seq[(String, DataFrame => DataFrame)] = Seq(
+    "noise" -> ((df: DataFrame) => NoiseFilter(df, "text")),
+    "lang" -> ((df: DataFrame) =>
+      df.withColumn("__ts", TextOps.textStats(
+          TextOps.words(lower(col("text"))),
+          TextOps.langOrder.map(TextOps.stopwords)))
+        .filter(TextOps.langIdFromStats(col("__ts")) === "en")),
+    "quality" -> ((df: DataFrame) => {
+      val n = col("__ts").getField("n_words")
+      val hits = element_at(col("__ts").getField("hits"), 1)
+      val alpha = col("__ts").getField("alpha_hits")
+      val score = TextOps.qualityScore(n,
+        hits.cast("double") / n.cast("double"),
+        alpha.cast("double") / n.cast("double"))
+      df.withColumn("score", score).filter(col("score") >= 0.2).drop("__ts")
+    }),
+    "exact_dedup" -> ((df: DataFrame) => Dedup.exact(df, "doc_id", "text")),
+    "near_dup" -> ((df: DataFrame) => {
+      val ck = df.localCheckpoint()
+      val dupIds = Dedup.ngramJaccardPairs(ck, "doc_id", "text", "source",
+          3, 0.5)
+        .select(col("id_b").as("doc_id")).distinct()
+      ck.join(dupIds, Seq("doc_id"), "left_anti")
+    }))
 
   /** q70/q72/q73 persisted stores: built ONCE per (JVM, dataset) into a
     * process-unique temp directory — concurrent Verify/Bench runs never
@@ -2501,6 +2536,43 @@ object SparkEntry {
     "q198_unigram_surprisal" -> ((s, d) =>
       Curation.unigramSurprisal(Tables.documents(s, d), "doc_id", "text")),
 
+    // curation-funnel observability (q199): per-stage drop counts for
+    // the q56 noise→lang→quality→dedup chain from ONE observed pass —
+    // Dataset.observe at every stage boundary (the q94 side-channel
+    // pattern made first-class: zero extra scans when attached to the
+    // real sink write, exactly one standalone). The "which filter
+    // killed my data" report a production pipeline reads before
+    // promoting a corpus. Oracle = per-stage ANSI counts over the q56
+    // CTE chain.
+    "q199_curation_funnel" -> ((s, d) =>
+      Funnel.report(fan(Tables.documents(s, d), "doc_id"),
+        curationFunnelStages)),
+
+    // quantizer-refresh trigger (q200): index-freshness audit — train
+    // the coarse quantizer on snapshot A (even vec_ids), assign both
+    // snapshots, PSI over cell populations + worst within-cell
+    // centroid cosine, one decision row. Differential oracle: the
+    // python replica pins ONLY the deterministic (vec_id, cell)
+    // assignment; PSI and the per-cell drift are pure SQL over
+    // embeddings × that pin (the q143/q121 proven expression trees).
+    "q200_quantizer_refresh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.quantizerDriftAudit(
+        e.filter(pmod(col("vec_id"), lit(2)) === 0),
+        e.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding", dim = 64, k = 8, maxIter = 10)
+    }),
+
+    // tokenizer-refresh audit (q201): retrain BPE on the current
+    // snapshot (q86's deterministic trainer) and report per-source
+    // fertility under the production vs fresh merge table from one
+    // scan — the corpora inflating token counts, named before a
+    // packing run re-budgets. Differential oracle: the independent
+    // Python trainer + encoder replay the whole audit.
+    "q201_tokenizer_refresh" -> ((s, d) =>
+      Curation.tokenizerRefreshAudit(Tables.documents(s, d), "source",
+        "text", nMerges = 40)),
+
     // interval-overlap join (q196): per-user click activity windows
     // ([ts, ts + floor(value) minutes)) overlapping view windows —
     // rangeJoin's two-sided sibling; the naive non-equi join plans as
@@ -4741,6 +4813,160 @@ object SparkEntry {
         |  (-CAST(sum(ln6) AS BIGINT)) // CAST(count(*) AS BIGINT)
         |    AS surprisal_e6
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // curation-funnel: the q56 CTE chain verbatim, read off at every
+    // stage boundary — per-stage counts are plain ANSI aggregates, so
+    // the observe side-channel is pinned against an independent
+    // replay of the same predicates
+    "q199_curation_funnel" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, n_chars, text,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS ws
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND text NOT IN $noiseSql AND $noisePrefixSql),
+         |h AS (
+         |  SELECT *, ${langHits("en")} AS h_en, ${langHits("fr")} AS h_fr,
+         |    ${langHits("es")} AS h_es, ${langHits("de")} AS h_de,
+         |    ${langHits("zh")} AS h_zh
+         |  FROM base),
+         |en AS (
+         |  SELECT doc_id, source, n_chars, text, ws FROM h
+         |  WHERE h_en > 0 AND h_en = greatest(h_en, h_fr, h_es, h_de, h_zh)),
+         |q AS (
+         |  SELECT doc_id, source, n_chars, text,
+         |    CAST(len(ws) AS INT) AS n_words,
+         |    CAST(len(list_filter(ws, w -> w IN $enStopSql)) AS INT) AS stop_hits,
+         |    CAST(len(list_filter(ws, w -> regexp_matches(w, '^[a-z]+$$'))) AS INT) AS alpha_hits
+         |  FROM en),
+         |sc AS (
+         |  SELECT doc_id, source, n_chars, text,
+         |    round(least(1.0, CAST(n_words AS DOUBLE) / 64.0)
+         |      * (0.5 + 0.5 * (CAST(stop_hits AS DOUBLE) / CAST(n_words AS DOUBLE)))
+         |      * (CAST(alpha_hits AS DOUBLE) / CAST(n_words AS DOUBLE)), 6) AS score
+         |  FROM q),
+         |k AS (SELECT * FROM sc WHERE score >= 0.2),
+         |ded AS (
+         |  SELECT * FROM k
+         |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+         |shg AS (
+         |  SELECT source AS grp, doc_id,
+         |    list_distinct(CASE
+         |      WHEN len(string_split_regex(trim(text), '\\s+')) < 3
+         |      THEN [array_to_string(string_split_regex(trim(text), '\\s+'), ' ')]
+         |      ELSE list_transform(
+         |        generate_series(0, len(string_split_regex(trim(text), '\\s+')) - 3),
+         |        i -> array_to_string(string_split_regex(trim(text), '\\s+')[i+1 : i+3], ' '))
+         |      END) AS sh
+         |  FROM ded),
+         |prs AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM shg a JOIN shg b ON a.grp = b.grp AND a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+         |cnt AS (SELECT
+         |  (SELECT count(*) FROM documents) AS c0,
+         |  (SELECT count(*) FROM base) AS c1,
+         |  (SELECT count(*) FROM en) AS c2,
+         |  (SELECT count(*) FROM k) AS c3,
+         |  (SELECT count(*) FROM ded) AS c4,
+         |  (SELECT count(*) FROM ded
+         |   WHERE doc_id NOT IN (SELECT doc_id FROM prs)) AS c5)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS INT) AS stage_idx, 'noise' AS stage,
+         |    c0 AS n_in, c1 AS n_out, c0 - c1 AS n_dropped FROM cnt
+         |  UNION ALL SELECT CAST(2 AS INT), 'lang', c1, c2, c1 - c2 FROM cnt
+         |  UNION ALL SELECT CAST(3 AS INT), 'quality', c2, c3, c2 - c3 FROM cnt
+         |  UNION ALL SELECT CAST(4 AS INT), 'exact_dedup', c3, c4, c3 - c4 FROM cnt
+         |  UNION ALL SELECT CAST(5 AS INT), 'near_dup', c4, c5, c4 - c5 FROM cnt)
+         |ORDER BY stage_idx""".stripMargin,
+
+    // quantizer-refresh audit: the pinned parquet carries only the
+    // deterministic kmeans assignment; PSI over cell counts is the
+    // q143 expression tree, per-cell centroid drift the q121 tree,
+    // the decision a CASE over both 6-dp results
+    "q200_quantizer_refresh" ->
+      """WITH asg AS (
+        |  SELECT vec_id, cell, a FROM read_parquet(
+        |    '/root/repo/src/test/resources/graft/expected/q200_sf001.parquet')),
+        |ca AS (SELECT cell, CAST(count(*) AS BIGINT) AS c_a
+        |       FROM asg WHERE a GROUP BY cell),
+        |cb AS (SELECT cell, CAST(count(*) AS BIGINT) AS c_b
+        |       FROM asg WHERE NOT a GROUP BY cell),
+        |j AS (
+        |  SELECT coalesce(ca.cell, cb.cell) AS cell,
+        |    CAST(coalesce(c_a, 0) AS BIGINT) AS c_a,
+        |    CAST(coalesce(c_b, 0) AS BIGINT) AS c_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.cell = cb.cell),
+        |tot AS (
+        |  SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+        |    CAST(sum(c_b) AS BIGINT) AS n_b,
+        |    CAST(count(*) AS BIGINT) AS k_b
+        |  FROM j),
+        |t AS (
+        |  SELECT tot.n_a, tot.n_b, tot.k_b,
+        |    (CAST(CAST(round(CAST(c_a + 1 AS DOUBLE)
+        |        / CAST(n_a + k_b AS DOUBLE), 6) AS DECIMAL(18,6))
+        |        * 1000000 AS BIGINT)
+        |     - CAST(CAST(round(CAST(c_b + 1 AS DOUBLE)
+        |        / CAST(n_b + k_b AS DOUBLE), 6) AS DECIMAL(18,6))
+        |        * 1000000 AS BIGINT))
+        |    * CAST(CAST(round(ln((CAST(c_a + 1 AS DOUBLE)
+        |        / CAST(n_a + k_b AS DOUBLE))
+        |        / (CAST(c_b + 1 AS DOUBLE)
+        |        / CAST(n_b + k_b AS DOUBLE))), 6) AS DECIMAL(18,6))
+        |        * 1000000 AS BIGINT) AS term
+        |  FROM j, tot),
+        |psirow AS (
+        |  SELECT n_a, n_b, k_b,
+        |    round(CAST(CAST(sum(term) AS BIGINT) AS DOUBLE) / 1e12, 6) AS psi
+        |  FROM t GROUP BY n_a, n_b, k_b),
+        |e AS (
+        |  SELECT asg.cell, asg.a, t.i,
+        |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12)) AS v
+        |  FROM embeddings emb JOIN asg ON emb.vec_id = asg.vec_id,
+        |    generate_series(1, 64) t(i)),
+        |s AS (
+        |  SELECT cell, i,
+        |    sum(CASE WHEN a THEN v END) AS sa,
+        |    CAST(sum(CASE WHEN a THEN 1 END) AS BIGINT) AS na,
+        |    sum(CASE WHEN NOT a THEN v END) AS sb,
+        |    CAST(sum(CASE WHEN NOT a THEN 1 END) AS BIGINT) AS nb
+        |  FROM e GROUP BY cell, i),
+        |l AS (
+        |  SELECT cell, na, nb,
+        |    CAST(CAST(round(CAST(sa AS DOUBLE) / na, 6) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT) AS la,
+        |    CAST(CAST(round(CAST(sb AS DOUBLE) / nb, 6) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT) AS lb
+        |  FROM s WHERE na IS NOT NULL AND nb IS NOT NULL),
+        |g AS (
+        |  SELECT cell,
+        |    CAST(sum(la * lb) AS BIGINT) AS dot,
+        |    CAST(sum(la * la) AS BIGINT) AS a2,
+        |    CAST(sum(lb * lb) AS BIGINT) AS b2
+        |  FROM l GROUP BY cell),
+        |cosd AS (
+        |  SELECT cell,
+        |    CASE WHEN a2 = 0 OR b2 = 0 THEN NULL
+        |      ELSE round(CAST(dot AS DOUBLE) / sqrt(CAST(a2 AS DOUBLE))
+        |        / sqrt(CAST(b2 AS DOUBLE)), 6) END AS cos_drift
+        |  FROM g),
+        |mind AS (
+        |  SELECT min(cos_drift) AS min_cos_drift,
+        |    CAST(count(cos_drift) AS BIGINT) AS n_cells_compared
+        |  FROM cosd)
+        |SELECT n_a AS n_train, n_b AS n_current, k_b AS n_cells, psi,
+        |  min_cos_drift, n_cells_compared,
+        |  CASE WHEN psi > 0.25 OR min_cos_drift < 0.98
+        |    THEN 'retrain' ELSE 'keep' END AS decision
+        |FROM psirow, mind""".stripMargin,
+
+    // tokenizer-refresh audit: full differential pin (python trainer +
+    // encoder replay the retrain and both counts)
+    "q201_tokenizer_refresh" ->
+      expectedSql("q201",
+        "source, n_docs, n_words, n_bytes, tokens_old, tokens_new, " +
+          "tpw_old, tpw_new", "source"),
 
     // interval-overlap join: the oracle IS the naive overlap-predicate
     // join (the q110 precedent — the bucket decomposition must be

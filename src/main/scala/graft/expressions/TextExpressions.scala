@@ -157,6 +157,36 @@ case class BpeTokens(child: Expression, resource: String)
     copy(child = newChild)
 }
 
+/** Total BPE token count of a text column under an IN-MEMORY merge
+  * table that travels WITH the expression ((left_hex, right_hex) pairs
+  * in rank order) — the evaluation path for freshly trained tables
+  * (q201 tokenizer-refresh audit: retrain on the current snapshot,
+  * then count under old + new side by side). Unlike [[BpeTokens]]'s
+  * classpath resource, the merges serialize into the task closure, so
+  * a just-trained table needs no executor-side file. Count-only: no
+  * per-row id array is materialized. */
+case class BpeTokenCountTable(child: Expression,
+    merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "bpe_token_count_table"
+
+  @transient private lazy val table =
+    graft.functions.Bpe.tableFromMerges(merges)
+
+  override def nullSafeEval(v: Any): Any = {
+    var total = 0
+    BpeEval.foreachWord(v.asInstanceOf[UTF8String], table) { ids =>
+      total += ids.length
+    }
+    total
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One-pass BPE document statistics: struct(n_tokens, n_chunks) where
   * n_chunks is the greedy word-boundary chunking at `chunkTokens` BPE
   * tokens per chunk — the 512-token boundary the reference's chunker
@@ -295,4 +325,8 @@ object TextExpressions {
   def bpeChunkTexts(text: Column, chunkTokens: Int,
       resource: String = graft.functions.Bpe.DefaultResource): Column =
     GraftShims.column(BpeChunkTexts(expr(text), chunkTokens, resource))
+
+  def bpeTokenCountTable(text: Column,
+      merges: Seq[(String, String)]): Column =
+    GraftShims.column(BpeTokenCountTable(expr(text), merges))
 }

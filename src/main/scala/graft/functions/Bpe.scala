@@ -45,26 +45,36 @@ object Bpe {
       val lines =
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
         finally in.close()
-      // hex-string -> token id for multi-byte tokens; a merge's sides are
-      // always base bytes or earlier merges in a well-formed table.
-      val bytesToId = new java.util.HashMap[String, Int]()
-      val ranks = new java.util.HashMap[java.lang.Long, java.lang.Long]()
-      lines.zipWithIndex.foreach { case (line, r) =>
+      tableFromMerges(lines.map { line =>
         val Array(lh, rh) = line.trim.split(" ")
-        val lb = parseHex(lh); val rb = parseHex(rh)
-        require(lb.length == 1 || bytesToId.containsKey(lh),
-          s"merge rank $r references unknown left token $lh")
-        require(rb.length == 1 || bytesToId.containsKey(rh),
-          s"merge rank $r references unknown right token $rh")
-        val idL = if (lb.length == 1) lb(0) & 0xff else bytesToId.get(lh)
-        val idR = if (rb.length == 1) rb(0) & 0xff else bytesToId.get(rh)
-        val newId = 256 + r
-        bytesToId.put(lh + rh, newId)
-        ranks.put((idL.toLong << 32) | idR.toLong,
-          (r.toLong << 32) | newId.toLong)
-      }
-      new Table(ranks)
+        (lh, rh)
+      })
     })
+
+  /** Build a table from in-memory (left_hex, right_hex) merges in rank
+    * order — the path for FRESHLY TRAINED tables ([[BpeTrain]], the
+    * q201 tokenizer-refresh audit), where the merges travel inside the
+    * serialized expression instead of on the executor classpath. */
+  def tableFromMerges(merges: Seq[(String, String)]): Table = {
+    // hex-string -> token id for multi-byte tokens; a merge's sides are
+    // always base bytes or earlier merges in a well-formed table.
+    val bytesToId = new java.util.HashMap[String, Int]()
+    val ranks = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    merges.zipWithIndex.foreach { case ((lh, rh), r) =>
+      val lb = parseHex(lh); val rb = parseHex(rh)
+      require(lb.length == 1 || bytesToId.containsKey(lh),
+        s"merge rank $r references unknown left token $lh")
+      require(rb.length == 1 || bytesToId.containsKey(rh),
+        s"merge rank $r references unknown right token $rh")
+      val idL = if (lb.length == 1) lb(0) & 0xff else bytesToId.get(lh)
+      val idR = if (rb.length == 1) rb(0) & 0xff else bytesToId.get(rh)
+      val newId = 256 + r
+      bytesToId.put(lh + rh, newId)
+      ranks.put((idL.toLong << 32) | idR.toLong,
+        (r.toLong << 32) | newId.toLong)
+    }
+    new Table(ranks)
+  }
 
   /** Encode one pre-tokenized word (UTF-8 bytes) to BPE token ids. */
   def encodeWord(bytes: Array[Byte], t: Table): Array[Int] = {

@@ -759,7 +759,15 @@ object Curation {
     * nats × 1e6, truncated). One exchange on the doc id; the per-doc
     * totals rejoin is merge-hinted (corpus-sized agg side at 100 TB,
     * the r13 rule). Null/empty texts are excluded (no distribution to
-    * measure). */
+    * measure).
+    *
+    * ASCII-fixture assumption (cross-engine hazard): Spark's
+    * `split(text, "")` yields one element per UTF-16 CODE UNIT (a
+    * non-BMP char becomes two surrogate elements) while the q197
+    * DuckDB oracle's `string_split(text, '')` splits per Unicode
+    * character. Both agree on the ASCII fixtures; if a fixture regen
+    * ever introduces non-ASCII text, q197 is the canary and the split
+    * here must move to a code-point-explicit expression. */
   def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val chars = df
       .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
@@ -1402,6 +1410,58 @@ object Curation {
         when(col("n_bytes") > 0,
           round(col("n_tokens").cast("double")
             / col("n_bytes").cast("double"), 6)).as("tokens_per_byte"))
+      .orderBy(col(groupCol))
+  }
+
+  /** Tokenizer-refresh audit (q201) — the tokenizer-freshness twin of
+    * q200's quantizer trigger: RETRAIN the BPE merge table on the
+    * current snapshot ([[graft.functions.BpeTrain]] — the q86
+    * deterministic trainer, driver-merged partial maps) and report
+    * per-group fertility under the PRODUCTION table vs the fresh one,
+    * side by side from ONE scan: (group, n_docs, n_words, n_bytes,
+    * tokens_old, tokens_new, tpw_old, tpw_new), ordered by group. The
+    * groups whose tokens_new/tokens_old ratio is worst are the corpora
+    * the production tokenizer no longer fits — the report a packing
+    * run (q80/q95) reads before re-budgeting shards.
+    *
+    * Both counts ride codegen-fallback kernels over the same projected
+    * row ([[graft.expressions.BpeDocStats]] for the resource table,
+    * [[graft.expressions.BpeTokenCountTable]] for the trained one —
+    * the fresh merges travel inside the serialized expression, no
+    * executor-side file). Fertilities are `round(tokens/words, 6)`
+    * IEEE doubles of exact longs (the q155 discipline); deltas in
+    * exact BIGINT stay with the caller (never DIV a possibly-negative
+    * numerator — the r19 `//`-vs-DIV trap). Differential oracle: the
+    * independent Python trainer + encoder replay the whole audit
+    * (tools/gen_expected.py gen_q201). */
+  def tokenizerRefreshAudit(df: DataFrame, groupCol: String,
+      textCol: String, nMerges: Int = 40): DataFrame = {
+    val merges = graft.functions.BpeTrain
+      .train(graft.functions.BpeTrain.wordHistogram(df, textCol), nMerges)
+      .map(m => (m.leftHex, m.rightHex))
+    val stOld = graft.functions.TextOps.bpeDocStats(col(textCol), 64)
+    val newCount =
+      graft.expressions.TextExpressions.bpeTokenCountTable(col(textCol), merges)
+    df.filter(col(textCol).isNotNull)
+      .select(col(groupCol),
+        stOld.getField("n_tokens").cast("long").as("__to"),
+        newCount.cast("long").as("__tn"),
+        graft.functions.TextOps.tokenCount(col(textCol)).cast("long").as("__w"),
+        octet_length(col(textCol)).cast("long").as("__b"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__w")).as("n_words"),
+        sum(col("__b")).as("n_bytes"),
+        sum(col("__to")).as("tokens_old"),
+        sum(col("__tn")).as("tokens_new"))
+      .select(col(groupCol), col("n_docs"), col("n_words"), col("n_bytes"),
+        col("tokens_old"), col("tokens_new"),
+        when(col("n_words") > 0,
+          round(col("tokens_old").cast("double")
+            / col("n_words").cast("double"), 6)).as("tpw_old"),
+        when(col("n_words") > 0,
+          round(col("tokens_new").cast("double")
+            / col("n_words").cast("double"), 6)).as("tpw_new"))
       .orderBy(col(groupCol))
   }
 

@@ -311,6 +311,100 @@ object Similarity {
       .orderBy(col(groupCol))
   }
 
+  /** Quantizer-freshness audit (q200) — the DETECT half of the
+    * detect→mitigate pattern ([[graft.operators.Scale.autoSaltedJoin]]'s
+    * posture applied to index freshness): given the TRAINING snapshot a
+    * store's coarse quantizer was fit on and the CURRENT corpus, train
+    * the quantizer ([[kMeans]], deterministic — exact 1e12-long sums,
+    * lowest-id seeds), assign BOTH snapshots to its cells with the same
+    * argmin-L2 kernel probes use, and measure (1) cell-POPULATION
+    * drift as PSI over the assignment histogram (the q143
+    * exact-integer discipline: add-one smoothing over the union cell
+    * support) and (2) WITHIN-cell centroid movement via
+    * [[centroidDrift]] keyed by assigned cell. Returns ONE row:
+    * (n_train, n_current, n_cells, psi, min_cos_drift,
+    * n_cells_compared, decision) with decision = 'retrain' when
+    * psi > psiThreshold OR the worst within-cell cosine falls below
+    * cosThreshold, else 'keep'.
+    *
+    * The measured WHY (SCALING.md RecallScale rows): recall under a
+    * stale/untrained coarse quantizer collapses (0.23 untrained vs
+    * 0.84 trained at m10; 0.16 vs 0.90 at m30) — this is the trigger
+    * that says WHEN the retrain pays. Both decision branches are
+    * result-preserving for exact probes (exhaustive IVF == brute force
+    * under ANY centroid set — SimilaritySpec pins it on both the stale
+    * and refreshed sets), so acting on the decision can never change
+    * correctness, only recall at a probe budget.
+    *
+    * Null and wrong-dimension vectors are excluded on both sides (the
+    * q185 guard). The assigned union frame is localCheckpoint'ed ONCE —
+    * it feeds three 1-row reduction branches (train counts, current
+    * counts, per-cell drift) and the q144 lesson applies (each branch
+    * would otherwise recompute the scan + assignment kernel). */
+  def quantizerDriftAudit(train: DataFrame, current: DataFrame,
+      idCol: String, vecCol: String, dim: Int, k: Int, maxIter: Int = 10,
+      psiThreshold: Double = 0.25, cosThreshold: Double = 0.98): DataFrame =
+    auditWithCentroids(train, current, idCol, vecCol, dim, k, maxIter,
+      psiThreshold, cosThreshold)._1
+
+  private def auditWithCentroids(train: DataFrame, current: DataFrame,
+      idCol: String, vecCol: String, dim: Int, k: Int, maxIter: Int,
+      psiThreshold: Double, cosThreshold: Double)
+      : (DataFrame, IndexedSeq[Array[Double]]) = {
+    require(dim > 0 && k > 0, s"dim/k must be positive: $dim/$k")
+    def ok(df: DataFrame): DataFrame =
+      df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+    val trainF = ok(train)
+    val cents = kMeans(trainF, idCol, vecCol, k, maxIter).centroids
+    val asg = trainF.withColumn("__qa", lit(true))
+      .select(col(vecCol), col("__qa"))
+      .unionByName(ok(current).withColumn("__qa", lit(false))
+        .select(col(vecCol), col("__qa")))
+      .withColumn("__cell", assignExprAuto(col(vecCol), cents))
+      .localCheckpoint()
+    def sideCounts(a: Boolean): DataFrame = asg
+      .filter(if (a) col("__qa") else !col("__qa"))
+      .groupBy(lit("all").as("dd_g"), col("__cell").as("dd_b"))
+      .agg(count(lit(1)).as("c"))
+    val psiRow = Analytics.driftFromCounts(
+      sideCounts(true), sideCounts(false), "grp")
+    val driftRow = centroidDrift(asg, "__cell", vecCol, col("__qa"))
+      .agg(min(col("cos_drift")).as("min_cos_drift"),
+        count(col("cos_drift")).as("n_cells_compared"))
+    val audit = psiRow
+      .select(col("n_a").as("n_train"), col("n_b").as("n_current"),
+        col("n_buckets").as("n_cells"), col("psi"))
+      .crossJoin(driftRow)
+      .withColumn("decision",
+        when(col("psi") > lit(psiThreshold) ||
+          col("min_cos_drift") < lit(cosThreshold), lit("retrain"))
+          .otherwise(lit("keep")))
+    (audit, cents)
+  }
+
+  /** The MITIGATE half: run [[quantizerDriftAudit]] and, on a
+    * 'retrain' decision, refit the coarse quantizer on the CURRENT
+    * snapshot; on 'keep', return the stale centroids unchanged.
+    * Returns (centroids, retrained?). Exact probe semantics are
+    * preserved on BOTH branches (exhaustive scan == brute force under
+    * any centroid set); what the retrain buys is recall at a fixed
+    * probe budget on the drifted corpus — measured in SCALING.md's
+    * quantizer-refresh row (planted drift: stale vs refreshed recall
+    * at equal nProbe). */
+  def refreshQuantizerIfDrifted(train: DataFrame, current: DataFrame,
+      idCol: String, vecCol: String, dim: Int, k: Int, maxIter: Int = 10,
+      psiThreshold: Double = 0.25, cosThreshold: Double = 0.98)
+      : (IndexedSeq[Array[Double]], Boolean) = {
+    val (auditDf, staleCents) = auditWithCentroids(train, current, idCol,
+      vecCol, dim, k, maxIter, psiThreshold, cosThreshold)
+    val retrain = auditDf.collect()(0).getAs[String]("decision") == "retrain"
+    if (retrain)
+      (kMeans(current.filter(col(vecCol).isNotNull &&
+        size(col(vecCol)) === dim), idCol, vecCol, k, maxIter).centroids,
+        true)
+    else (staleCents, false)
+  }
+
   /** Pairwise GROUP-centroid affinity matrix — which domains live near
     * each other in embedding space (the mixing-recipe input next to
     * [[graft.operators.Curation.vocabDivergence]]'s token view and

@@ -163,14 +163,15 @@ object SubstringStore {
   def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
     require(ids.columns.length == 1,
       s"delete expects a single id column, got ${ids.columns.mkString(",")}")
+    // enforce the documented contract on EVERY delete (not just
+    // consistency with whatever the first delete happened to use):
+    // tombstones() masks probes via toDF("h"), so a misnamed column
+    // would silently lock the store into an undocumented name
+    require(ids.columns.head == "h",
+      s"delete expects the gram-digest column to be named 'h' " +
+        s"(md5 hex of the char k-gram), got '${ids.columns.head}'")
     StoreFs.failIfLeased(spark, lockPath(path), "SubstringStore delete")
     val dir = tombstoneDir(path)
-    if (StoreFs.hasCommittedData(spark, dir)) {
-      val existing = spark.read.parquet(dir).columns.head
-      require(existing == ids.columns.head,
-        s"tombstone id column mismatch: store has '$existing', " +
-          s"delete got '${ids.columns.head}'")
-    }
     ids.distinct().write.mode("append").parquet(dir)
   }
 

@@ -101,4 +101,80 @@ class DriftSpec extends SparkSpec {
       .collect().toSeq
     assert(a == b)
   }
+
+  // --- q200 quantizer-refresh trigger --------------------------------
+
+  /** Two well-separated clouds in 4-d; ids interleave so even/odd
+    * halves see the same distribution. */
+  private def clouds(shift: Double = 0.0): Seq[(Long, Seq[Float])] =
+    (0 until 200).map { i =>
+      val base = if (i % 4 < 2) 1.0 else -1.0
+      val v = Seq(base + 0.01 * (i % 5), base - 0.01 * (i % 3),
+        base + 0.005 * (i % 7), base)
+        .map(x => (x + shift).toFloat)
+      (i.toLong, v)
+    }
+
+  test("quantizerDriftAudit: identical-distribution halves decide keep") {
+    val df = clouds().toDF("vec_id", "embedding")
+    val audit = Similarity.quantizerDriftAudit(
+      df.filter(pmod($"vec_id", lit(2)) === 0),
+      df.filter(pmod($"vec_id", lit(2)) === 1),
+      "vec_id", "embedding", dim = 4, k = 2, maxIter = 10).collect()
+    assert(audit.length == 1)
+    val r = audit.head
+    assert(r.getAs[Long]("n_train") == 100L)
+    assert(r.getAs[Long]("n_current") == 100L)
+    assert(r.getAs[String]("decision") == "keep")
+    assert(r.getAs[Double]("psi") < 0.05)
+    assert(r.getAs[Double]("min_cos_drift") > 0.99)
+  }
+
+  test("quantizerDriftAudit: planted drift decides retrain; refresh recovers") {
+    val train = clouds().toDF("vec_id", "embedding")
+    // current = the whole corpus shifted far off the trained cells
+    val current = clouds(shift = 10.0).toDF("vec_id", "embedding")
+    val audit = Similarity.quantizerDriftAudit(train, current,
+      "vec_id", "embedding", dim = 4, k = 2, maxIter = 10).collect().head
+    assert(audit.getAs[String]("decision") == "retrain")
+
+    val (stale, retrainedFlagA) = Similarity.refreshQuantizerIfDrifted(
+      train, train, "vec_id", "embedding", 4, 2, 10)
+    assert(!retrainedFlagA) // identical snapshots keep the stale set
+    val (fresh, retrainedFlagB) = Similarity.refreshQuantizerIfDrifted(
+      train, current, "vec_id", "embedding", 4, 2, 10)
+    assert(retrainedFlagB)
+    // keep branch returns the audit's own trained set (no re-fit drift)
+    assert(stale.map(_.toSeq) ==
+      Similarity.kMeans(train, "vec_id", "embedding", 2, 10)
+        .centroids.map(_.toSeq))
+    // retrain branch == a fresh fit on current
+    assert(fresh.map(_.toSeq) ==
+      Similarity.kMeans(current, "vec_id", "embedding", 2, 10)
+        .centroids.map(_.toSeq))
+
+    // BOTH branches are result-preserving for exact probes: exhaustive
+    // IVF (nProbe = k) under either centroid set == brute-force top-k
+    val probes = current.filter($"vec_id" < 3)
+    val brute = Similarity.knnJoin(probes, current, "vec_id", "vec_id",
+      "embedding", 5)
+      .select($"probe_id", $"neighbor_id").collect().map(_.toSeq).toSet
+    for (cents <- Seq(stale, fresh)) {
+      val ivf = Similarity.ivfJoinTrained(probes, current, "vec_id",
+        "vec_id", "embedding", 5, cents, nProbe = cents.size)
+        .select($"probe_id", $"neighbor_id").collect().map(_.toSeq).toSet
+      assert(ivf == brute,
+        s"exhaustive IVF diverged from brute force under ${cents.size} cells")
+    }
+  }
+
+  test("quantizerDriftAudit: partition-count independence") {
+    val e = Tables.embeddings(spark, sf)
+    def run(parts: Int) = Similarity.quantizerDriftAudit(
+      e.filter(pmod($"vec_id", lit(2)) === 0).repartition(parts),
+      e.filter(pmod($"vec_id", lit(2)) === 1).repartition(parts),
+      "vec_id", "embedding", dim = 64, k = 4, maxIter = 5)
+      .collect().toSeq
+    assert(run(1) == run(7))
+  }
 }

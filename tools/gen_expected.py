@@ -459,6 +459,78 @@ def gen_q79(fx):
     return ("rank INT, doc_id BIGINT, sim DOUBLE, prompt VARCHAR", rows)
 
 
+def gen_q200(fx):
+    # quantizer-refresh audit: pin ONLY the deterministic kmeans
+    # assignment (train on even vec_ids, k=8, maxIter=10, the q74
+    # replica); PSI + per-cell centroid drift + the decision are pure
+    # SQL over embeddings x this pin (q143/q121 proven trees)
+    evens = [(i, v) for i, v in fx.embs
+             if v is not None and len(v) == 64 and i % 2 == 0]
+    cents, _ = kmeans(evens, 8, 10)
+    rows = []
+    for i, v in fx.embs:
+        if v is None or len(v) != 64:
+            continue
+        rows.append((i, assign(v, cents)[0], i % 2 == 0))
+    return ("vec_id BIGINT, cell INT, a BOOLEAN", rows)
+
+
+def gen_q201(fx):
+    # tokenizer-refresh audit: independent python trainer (train_bpe,
+    # the q86 replica) retrains 40 merges on the corpus; per-source
+    # token counts under the production table (gen_bpe_expected's
+    # encoder, the q75 replica) and the fresh table, side by side
+    import collections
+    from train_bpe import pretokenize, train
+    from gen_bpe_expected import load_merges, encode_word
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, source, text FROM '{fx.sf_dir}/documents.parquet' "
+        "ORDER BY doc_id").fetchall()
+    con.close()
+    freqs = collections.Counter()
+    for _, _, t in rows:
+        if t is not None:
+            freqs.update(pretokenize(t))
+    merges = train(freqs, 40)
+    to_id = {}
+    new_ranks = {}
+    for r, (la, lb) in enumerate(merges):
+        lh, rh = la.hex(), lb.hex()
+        idl = la[0] if len(la) == 1 else to_id[lh]
+        idr = lb[0] if len(lb) == 1 else to_id[rh]
+        to_id[lh + rh] = 256 + r
+        new_ranks[(idl, idr)] = (r, 256 + r)
+    old_ranks = load_merges()
+    memo_old, memo_new = {}, {}
+    agg = {}
+    for _, src, t in rows:
+        if t is None:
+            continue
+        to = tn = 0
+        for w in pretokenize(t):
+            if w not in memo_old:
+                memo_old[w] = len(encode_word(w, old_ranks))
+                memo_new[w] = len(encode_word(w, new_ranks))
+            to += memo_old[w]
+            tn += memo_new[w]
+        a = agg.setdefault(src, [0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += token_count(t)
+        a[2] += len(t.encode("utf-8"))
+        a[3] += to
+        a[4] += tn
+    out = []
+    for src in sorted(agg):
+        nd, nw, nb, to, tn = agg[src]
+        out.append((src, nd, nw, nb, to, tn,
+                    r6(to / nw) if nw > 0 else None,
+                    r6(tn / nw) if nw > 0 else None))
+    return ("source VARCHAR, n_docs BIGINT, n_words BIGINT, "
+            "n_bytes BIGINT, tokens_old BIGINT, tokens_new BIGINT, "
+            "tpw_old DOUBLE, tpw_new DOUBLE", out)
+
+
 def gen_q74(fx):
     cents, iters = kmeans(fx.embs, 8, 10)
     members = {}
@@ -1216,7 +1288,8 @@ GENERATORS = {
     "q128": gen_q128, "q129": gen_q129, "q182": gen_q182, "q183": gen_q183,
     "q130": gen_q130, "q131": gen_q131, "q135": gen_q135,
     "q162": gen_q162, "q163": gen_q163, "q168": gen_q168,
-    "q172": gen_q172, "q189": gen_q189,
+    "q172": gen_q172, "q189": gen_q189, "q200": gen_q200,
+    "q201": gen_q201,
 }
 
 

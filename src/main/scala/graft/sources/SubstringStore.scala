@@ -110,30 +110,49 @@ object SubstringStore {
       idCol: String, textCol: String, path: String, scoredPath: String,
       p: Params): Unit = {
     val spark = batch.sparkSession
+    // NO eager checkpoint on the gram-mass frames (the r5/q96 lessons,
+    // re-measured r20): grams ≈ Σ doc-len rows — localCheckpointing
+    // that twice through block storage cost 702 s at m30 where the
+    // shape below reads ~q87's batch cost. grams recomputes its
+    // charShingles+md5 kernel per consumer (cheaper than
+    // materializing); counts (consumed by the shard collect, the
+    // scoring join and the store append) gets a LAZY serialized
+    // persist — it materializes inside the first consumer's job
+    // instead of paying a separate pass. Every aggregate is
+    // exact-integer, so recompute is bit-identical by construction.
     val grams = batchGrams(batch, idCol, textCol, p)
-      .localCheckpoint() // two consumers: counts + the scoring join
     val counts = grams.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
-    val totals =
-      if (!StoreFs.hasCommittedData(spark, path))
-        counts.withColumn("__tot", col("cnt"))
-      else counts
-        .join(priorDf(spark, path, counts, p, Some(ingest)), Seq("h"), "left")
-        .withColumn("__tot", col("cnt") + coalesce(col("prior"), lit(0L)))
-    // agg-then-rejoin over the gram stream: merge hint (the r13 rule —
-    // the digest side is gram-mass-sized on mostly-unique text)
-    val scored = grams
-      .join(totals.select(col("h"), col("__tot")).hint("merge"), Seq("h"))
-      .groupBy(col("doc"))
-      .agg(count(lit(1)).as("total_spans"),
-        sum(when(col("__tot") >= 2L, 1L).otherwise(0L)).as("dup_spans"))
-      .select(col("doc").as(idCol), col("total_spans"), col("dup_spans"),
-        expr("dup_spans * 1000000L DIV total_spans").as("dup_ppm"))
-      .localCheckpoint() // evaluate the decision ONCE, before any write
-    if (!scored.isEmpty)
-      scored.write.mode("overwrite")
-        .parquet(scoredPath + "/ingest=" + ingest)
-    if (!counts.isEmpty) appendBatch(counts, path, ingest, p)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      val totals =
+        if (!StoreFs.hasCommittedData(spark, path))
+          counts.withColumn("__tot", col("cnt"))
+        else counts
+          .join(priorDf(spark, path, counts, p, Some(ingest)), Seq("h"), "left")
+          .withColumn("__tot", col("cnt") + coalesce(col("prior"), lit(0L)))
+      // agg-then-rejoin over the gram stream: merge hint (the r13 rule —
+      // the digest side is gram-mass-sized on mostly-unique text)
+      val scored = grams
+        .join(totals.select(col("h"), col("__tot")).hint("merge"), Seq("h"))
+        .groupBy(col("doc"))
+        .agg(count(lit(1)).as("total_spans"),
+          sum(when(col("__tot") >= 2L, 1L).otherwise(0L)).as("dup_spans"))
+        .select(col("doc").as(idCol), col("total_spans"), col("dup_spans"),
+          expr("dup_spans * 1000000L DIV total_spans").as("dup_ppm"))
+        .localCheckpoint() // evaluate the decision ONCE, before any write
+      val noGrams = scored.isEmpty
+      if (!noGrams)
+        scored.write.mode("overwrite")
+          .parquet(scoredPath + "/ingest=" + ingest)
+      // scored is empty IFF no doc emitted a gram IFF counts is empty
+      // (every gram belongs to a doc and every doc with >= 1 gram gets
+      // a scored row) — reuse the checkpointed decision instead of
+      // re-evaluating the gram aggregation for an emptiness probe
+      if (!noGrams) appendBatch(counts, path, ingest, p)
+    } finally {
+      counts.unpersist()
+      ()
+    }
   }
 
   /** Drain a document stream with AvailableNow: per batch, each doc's

@@ -102,6 +102,24 @@ object StreamScaleBench {
         s"$root/pack_out", s"$root/pack_state", s"$root/pack_ckpt")
     }
 
+    // --- paragraph-df store (ST7: CCNet paragraph dedup, additive) ---
+    drain("paragraph_clean", nDocs) { () =>
+      graft.sources.ParagraphStore.ingestClean(
+        spark.readStream.schema(docSchema)
+          .option("maxFilesPerTrigger", filesPerTrigger).parquet(docStaged),
+        "doc_id", "text",
+        s"$root/parastore", s"$root/para_cleaned", s"$root/para_ckpt")
+    }
+
+    // --- char-gram-df store (ST7: duplicated-substring scoring) ------
+    drain("substring_score", nDocs) { () =>
+      graft.sources.SubstringStore.ingestScore(
+        spark.readStream.schema(docSchema)
+          .option("maxFilesPerTrigger", filesPerTrigger).parquet(docStaged),
+        "doc_id", "text",
+        s"$root/substore", s"$root/sub_scored", s"$root/sub_ckpt")
+    }
+
     spark.stop()
   }
 }

@@ -271,6 +271,60 @@ object Streams {
         s"$stateDir/batch=$b"))
   }
 
+  /** Streaming curation-funnel observability — q199's per-micro-batch
+    * continuation: each batch runs [[graft.operators.Funnel.report]]
+    * over ITS OWN rows (per-stage drop counts from one observed pass)
+    * and the output additionally carries CUMULATIVE per-stage counts
+    * (cum_in/cum_out/cum_dropped — additive sums of the per-batch
+    * counts). The cumulative read is exact for row-wise predicate
+    * stages; a history-dependent stage (dedup against a store) sums
+    * its per-batch DECISIONS — the incremental posture the stores
+    * document. State/replay is the packStream contract verbatim: read
+    * batch id−1's cumulative row set, write this batch's under
+    * `batch=<id>` (|stages| rows — trivially bounded), prune ≤ id−2;
+    * re-running a batch reads the same state and the same input, so
+    * crash replay is bit-identical. */
+  def funnelStream(stream: DataFrame,
+      stages: Seq[(String, DataFrame => DataFrame)],
+      stateDir: String, outDir: String, checkpoint: String)
+      : StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        funnelBatch(batch, batchId, stages, stateDir, outDir)
+      }
+      .start()
+
+  private[graft] def funnelBatch(batch: DataFrame, batchId: Long,
+      stages: Seq[(String, DataFrame => DataFrame)],
+      stateDir: String, outDir: String): Unit = {
+    val spark = batch.sparkSession
+    val rep = graft.operators.Funnel.report(batch, stages)
+    val prevCum =
+      if (batchId == 0L)
+        rep.select(col("stage_idx"), col("stage"),
+          lit(0L).as("n_in"), lit(0L).as("n_out")).limit(0)
+      else spark.read.parquet(s"$stateDir/batch=${batchId - 1}")
+    val cum = rep.select(col("stage_idx"), col("stage"),
+        col("n_in"), col("n_out"))
+      .unionByName(prevCum)
+      .groupBy(col("stage_idx"), col("stage"))
+      .agg(sum(col("n_in")).as("n_in"), sum(col("n_out")).as("n_out"))
+      .localCheckpoint() // two consumers (output join + state write)
+    rep.join(cum.select(col("stage_idx"), col("n_in").as("cum_in"),
+        col("n_out").as("cum_out")), Seq("stage_idx"))
+      .withColumn("cum_dropped", col("cum_in") - col("cum_out"))
+      .orderBy(col("stage_idx"))
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    cum.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+    graft.sources.StoreFs.childNames(spark, stateDir)
+      .filter(_.startsWith("batch=")).map(_.drop(6).toLong)
+      .filter(_ <= batchId - 2)
+      .foreach(b => graft.sources.StoreFs.delete(spark,
+        s"$stateDir/batch=$b"))
+  }
+
   /** Streaming exact-quantile monitor — q41's stateful continuation:
     * per micro-batch, the exact p50/p90/p99 of EVERYTHING seen so far,
     * from the additive (group, value, count) histogram state (the

@@ -111,4 +111,76 @@ class FunnelSpec extends SparkSpec {
     fin.write.format("noop").mode("overwrite").save()
     assert(obs.last._2.get("n") === q56)
   }
+
+  test("funnelStream: per-batch == batch report, cumulative additive, " +
+      "bounded state, bit-identical batch replay") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val slice = (0 until 3).map { b =>
+      (1 to 50).map { i =>
+        val text =
+          if (i % 5 == 0) null
+          else if ((i + b) % 3 == 0) "keep me " + i
+          else "drop " + i
+        ((b * 100 + i).toLong, text)
+      }
+    }
+    val staging = Files.createTempDirectory("graft_fs_stage")
+    slice.zipWithIndex.foreach { case (rows, b) =>
+      val tmp = Files.createTempDirectory(s"graft_fs_tmp$b")
+      rows.toDF("id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = Paths.get(staging.toString, f"slice_$b%03d.parquet")
+      Files.copy(part.toPath, dest)
+      Files.setLastModifiedTime(dest,
+        FileTime.fromMillis(1700000000000L + b * 60000L))
+    }
+    val stages = Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+      "nonnull" -> (df => df.filter(col("text").isNotNull)),
+      "keep" -> (df => df.filter(col("text").startsWith("keep"))))
+    val out = "file://" + Files.createTempDirectory("graft_fs_out").toString + "/o"
+    val state = "file://" + Files.createTempDirectory("graft_fs_state").toString + "/s"
+    val ck = Files.createTempDirectory("graft_fs_ck").toString
+    val schema = slice(0).toDF("id", "text").schema
+    val q = graft.streaming.Streams.funnelStream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(staging.toString),
+      stages, state, out, ck)
+    assert(q.awaitTermination(180000))
+
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[(Int, String, Long, Long, Long, Long, Long, Long)] =
+      df.select($"stage_idx", $"stage", $"n_in", $"n_out", $"n_dropped",
+          $"cum_in", $"cum_out", $"cum_dropped")
+        .orderBy($"stage_idx")
+        .as[(Int, String, Long, Long, Long, Long, Long, Long)]
+        .collect().toSeq
+    for (i <- 0 until 3) {
+      val got = rowsOf(spark.read.parquet(s"$out/batch=$i"))
+      // per-batch halves == the batch operator over this slice alone
+      val rep = Funnel.report(slice(i).toDF("id", "text"), stages)
+        .as[(Int, String, Long, Long, Long)].collect().toSeq
+      assert(got.map(t => (t._1, t._2, t._3, t._4, t._5)) === rep)
+      // cumulative halves == sums of the per-batch reports so far
+      val cums = (0 to i).map(b =>
+        Funnel.report(slice(b).toDF("id", "text"), stages)
+          .as[(Int, String, Long, Long, Long)].collect().toSeq)
+      val expCum = cums.head.indices.map { s =>
+        (cums.map(_(s)._3).sum, cums.map(_(s)._4).sum)
+      }
+      assert(got.map(t => (t._6, t._7)) === expCum)
+      assert(got.forall(t => t._8 === t._6 - t._7))
+    }
+    // bounded state: only the last two batch= dirs survive
+    val stateDirs = new java.io.File(state.stripPrefix("file://"))
+      .listFiles().map(_.getName).filter(_.startsWith("batch=")).sorted
+    assert(stateDirs.toSeq === Seq("batch=1", "batch=2"))
+    // crash replay: re-running the LAST batch against its surviving
+    // state reads the same input + state → bit-identical output
+    val before = rowsOf(spark.read.parquet(s"$out/batch=2"))
+    graft.streaming.Streams.funnelBatch(
+      slice(2).toDF("id", "text"), 2L, stages, state, out)
+    assert(rowsOf(spark.read.parquet(s"$out/batch=2")) === before)
+  }
 }

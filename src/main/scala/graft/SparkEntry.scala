@@ -996,7 +996,9 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       val probe = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("__probe"))
-      val cosScores = e.crossJoin(broadcast(probe))
+      // r20: fan the 1-partition embeddings scan before the per-row
+      // cosine kernel (q164 already did; same measured rule)
+      val cosScores = fan(e, "vec_id").crossJoin(broadcast(probe))
         .withColumn("sim", VectorOps.cosine6(col("embedding"), col("__probe")))
         .select(col("vec_id").as("doc_id"), col("sim"))
       val cosTop = Retrieval.rankTopK(cosScores, "doc_id", "sim", 20)
@@ -1642,6 +1644,8 @@ object SparkEntry {
     // integers (q104 discipline) so no float boundary exists. Exact
     // ANSI oracle via quantile_cont + the same lifts.
     "q124_robust_outliers" -> ((s, d) =>
+      // r20: fan measured WORSE (1.83 vs 1.29 BenchOne) — cheap-row
+      // histogram aggregates; left unfanned deliberately
       Analytics.robustOutliers(Tables.events(s, d), "event_type",
         "event_id", "value")),
 
@@ -1945,7 +1949,8 @@ object SparkEntry {
     // over orders; pair cost Σ C(|basket|,2), bounded by basket size
     // never corpus size).
     "q147_frequent_pairs" -> ((s, d) =>
-      Analytics.frequentPairs(Tables.lineitem(s, d),
+      // r20: fan per the q41/q146 parallelize-first rule
+      Analytics.frequentPairs(fan(Tables.lineitem(s, d), "l_orderkey"),
         "l_orderkey", "l_partkey", k = 20)),
 
     // exact-integer Pearson correlation matrix over lineitem measures
@@ -2365,6 +2370,8 @@ object SparkEntry {
     // pure BIGINT ceil arithmetic, selection of existing values (no
     // interpolation ⇒ nothing to replicate cross-engine).
     "q174_weighted_quantiles" -> ((s, d) =>
+      // r20: fan measured WORSE (1.97 vs 1.40 BenchOne) — cheap-row
+      // histogram aggregate; left unfanned deliberately
       Analytics.weightedQuantiles(Tables.lineitem(s, d), "l_returnflag",
         "l_extendedprice", "l_quantity")),
 
@@ -2623,6 +2630,10 @@ object SparkEntry {
     // fractional ranks (pure BIGINT) + exact decimal moments — the
     // robust sibling of q146's Pearson.
     "q184_spearman" -> ((s, d) =>
+      // r20: fan measured WORSE here (2.34 vs 1.49 BenchOne) — the
+      // rank/moment aggregates are cheap per row, so the extra
+      // full-stream exchange costs more than the serial partial agg
+      // it parallelizes; left unfanned deliberately
       Analytics.spearman(Tables.lineitem(s, d), "l_returnflag",
         "l_quantity", "l_extendedprice")),
 

@@ -1325,27 +1325,30 @@ object Dedup {
       : DataFrame = {
     require(minLen >= 1 && maxGramDf >= 2 && minShared >= 1,
       s"bad sharedSubstringPairs params ($minLen, $maxGramDf, $minShared)")
-    val grams = spanStream(df, idCol, textCol, minLen)
+    // r20 restructure (optimization guide §2.3/§2.4): the before-plan
+    // shuffled the RAW gram stream (corpus char mass) twice — once for
+    // the df groupBy and once (plus a sort) for the merge-hinted df
+    // rejoin. Now the stream collapses ONCE into the per-(fp, doc)
+    // occurrence aggregate (map-side combined); the occurrence df is a
+    // window count over that aggregate (one exchange, no join — the
+    // merge join the r18 note guarded against no longer exists), and
+    // the pair join both consumes the SAME fp-partitioned exchange
+    // (reused) and carries Σ occ_a·occ_b, which is exactly the old
+    // per-occurrence pair count. Result bit-identical; the df >= 2
+    // singleton filter and the cap are unchanged in meaning (df still
+    // counts occurrences).
+    val g2 = spanStream(df, idCol, textCol, minLen)
       .select(col("doc"), md5(col("span")).as("fp"))
-    val dfq = grams.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
-    // merge, not shuffle_hash: distinct fps ≈ the gram stream itself
-    // on mostly-unique text, so a per-partition hash build OOMs
-    // (measured at m10: SparkOutOfMemoryError building the map) where
-    // the sort-merge join spills gracefully — the r13 duplicatedSpans
-    // rule verbatim
-    // __df >= 2: a singleton gram can never produce a pair — dropping
-    // them here is result-identical and shrinks the self-join input
-    // from the full corpus char mass to the DUPLICATED mass (without
-    // it the m30 pair join OOM'd building per-partition hash maps
-    // over ~145M mostly-singleton rows)
-    val kept = grams.join(dfq.hint("merge"), Seq("fp"))
+      .groupBy(col("fp"), col("doc")).agg(count(lit(1)).as("__k"))
+    val wdf = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val kept = g2.withColumn("__df", sum(col("__k")).over(wdf))
       .filter(col("__df") >= 2 && col("__df") <= maxGramDf)
-      .select(col("fp"), col("doc"))
+      .select(col("fp"), col("doc"), col("__k"))
     kept.as("a")
       .join(kept.as("b").hint("shuffle_hash"),
         col("a.fp") === col("b.fp") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(sum(col("a.__k") * col("b.__k")).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -1521,8 +1524,15 @@ object Dedup {
     * whole-store matching is q171-identical by construction. */
   private[graft] def winnowedPairsFromSelections(sel: DataFrame,
       maxFpDf: Int, minShared: Int): DataFrame = {
-    val dfq = sel.groupBy(col("__fp")).agg(count(lit(1)).as("__df"))
-    val kept = sel.join(dfq.hint("merge"), Seq("__fp"))
+    // r20 restructure (optimization guide §2.4): the df attach was a
+    // groupBy + merge-hinted rejoin — two exchanges plus a sort of the
+    // selection stream. A window count over the same key is
+    // result-identical and needs ONE exchange, which the shuffle_hash
+    // pair join then reuses on both sides (kept is already
+    // fp-partitioned, so the join adds no exchange of its own).
+    val wdf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp"))
+    val kept = sel.withColumn("__df", count(lit(1)).over(wdf))
       .filter(col("__df") <= maxFpDf)
       .select(col("__fp"), col("doc"))
     kept.as("a")

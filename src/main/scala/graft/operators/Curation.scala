@@ -700,40 +700,69 @@ object Curation {
       selfJoinBlocks: Int = 1): DataFrame = {
     require(valPermille >= 0 && valPermille <= 1000,
       s"valPermille must be in [0,1000]: $valPermille")
-    // hash the corpus ONCE for both method branches (r18 verdict: the
-    // two branches each recomputed the per-doc SimHash — 2× a linear
-    // cost; the q120/q144 compute-once lesson one level up)
-    val sigs = Dedup.simhashSigs(df, idCol, textCol).localCheckpoint()
-    val pairs = Dedup
-      .simhashBandPairs(sigs, maxHamming, selfJoinBlocks)
+    // r20 restructure (optimization guide §2.3 "shuffle keys and
+    // metadata instead of payloads", the q120 distinct-sig collapse):
+    // the before-plan materialized the DOC-level near-dup pair stream
+    // (quadratic in duplicated mass — 21.6 GB spill at the m30 fixture
+    // for its q120 sibling) and then joined per-doc split sides onto
+    // it twice. Both methods' counts are pure GROUP arithmetic: with
+    // per-signature counts f (docs) and v (naive-val docs), and the
+    // band-verified adjacency over DISTINCT sigs (pigeonhole-complete
+    // at maxHamming ≤ 3 — the q120 parity argument, spec-asserted
+    // there), the doc-pair totals are
+    //   n_pairs       = Σ_s C(f_s,2) + Σ_{(a,b) adjacent} f_a·f_b
+    //   naive n_cross = Σ_s v_s·(f_s−v_s)
+    //                 + Σ_{(a,b)} v_a·(f_b−v_b) + v_b·(f_a−v_a)
+    //   cluster n_cross = Σ_{(a,b)} f_a·f_b·[side(cc_a) ≠ side(cc_b)]
+    // (same-sig pairs share a group hence a cluster — 0 by identity).
+    // The cluster term still computes sides from the REAL connected
+    // components, so the audit keeps catching a buggy cluster split;
+    // only the doc-pair enumeration is gone. Result bit-identical.
+    val sigs = Dedup.simhashSigs(df, idCol, textCol)
+    val vbit = when(lcgBucket(col("doc"), 1000L) < valPermille, lit(1L))
+      .otherwise(lit(0L))
+    val cnt = sigs.groupBy(col("sig"))
+      .agg(count(lit(1)).as("__f"), sum(vbit).as("__v"),
+        min(col("doc")).as("rep"))
+      .localCheckpoint() // consumed by the band join, CC nodes, sums
+    val sigPairs = Dedup.simhashBandPairs(
+      cnt.select(col("rep").as("doc"), col("sig")), maxHamming,
+      selfJoinBlocks)
       .select(col("id_a"), col("id_b"))
-      .localCheckpoint() // consumed by BOTH method branches
-    def naiveSide(id: Column): Column =
-      when(lcgBucket(id, 1000L) < valPermille, lit("val"))
-        .otherwise(lit("train"))
-    val naive = pairs
-      .select((naiveSide(col("id_a")) =!= naiveSide(col("id_b")))
-        .as("__x"))
-    val sides = Dedup
-      .simhashClustersFromSigs(sigs, idCol, maxHamming, selfJoinBlocks)
-      .withColumn("split",
-        when(lcgBucket(col("cluster_id"), 1000L) < valPermille,
-          lit("val")).otherwise(lit("train")))
-      .select(col(idCol).as("__d"), col("split").as("__s"))
-    val cluster = pairs
-      .join(sides.select(col("__d").as("id_a"), col("__s").as("__sa")),
-        Seq("id_a"))
-      .join(sides.select(col("__d").as("id_b"), col("__s").as("__sb")),
-        Seq("id_b"))
-      .select((col("__sa") =!= col("__sb")).as("__x"))
-    def summarize(x: DataFrame, method: String): DataFrame =
-      x.agg(count(lit(1)).as("n_pairs"),
-          sum(when(col("__x"), 1L).otherwise(0L)).as("n_cross"))
-        .select(lit(method).as("method"), col("n_pairs"), col("n_cross"),
+      .localCheckpoint() // consumed by CC + the across-group sums
+    val cc = Dedup.connectedComponents(cnt.select(col("rep")), "rep",
+      sigPairs, "id_a", "id_b")
+    val gsides = cnt.join(cc, Seq("rep"))
+      .select(col("rep"), col("__f"), col("__v"),
+        when(lcgBucket(col("cluster_id"), 1000L) < valPermille, lit(1L))
+          .otherwise(lit(0L)).as("__cs"))
+      .localCheckpoint() // consumed by the within sums + both join sides
+    val within = gsides.agg(
+      coalesce(sum(expr("__f * (__f - 1) DIV 2")), lit(0L)).as("__wp"),
+      coalesce(sum(expr("__v * (__f - __v)")), lit(0L)).as("__wc"))
+    val across = sigPairs
+      .join(gsides.select(col("rep").as("id_a"), col("__f").as("fa"),
+        col("__v").as("va"), col("__cs").as("ca")), Seq("id_a"))
+      .join(gsides.select(col("rep").as("id_b"), col("__f").as("fb"),
+        col("__v").as("vb"), col("__cs").as("cb")), Seq("id_b"))
+      .agg(
+        coalesce(sum(expr("fa * fb")), lit(0L)).as("__ap"),
+        coalesce(sum(expr("va * (fb - vb) + vb * (fa - va)")), lit(0L))
+          .as("__anc"),
+        coalesce(sum(expr(
+          "CASE WHEN ca <> cb THEN fa * fb ELSE 0L END")), lit(0L))
+          .as("__acc"))
+    val totals = within.crossJoin(across)
+    def summarize(method: String, np: Column, nc: Column): DataFrame =
+      totals.select(lit(method).as("method"), np.as("n_pairs"),
+          nc.as("n_cross"))
+        .select(col("method"), col("n_pairs"), col("n_cross"),
           when(col("n_pairs") > 0,
             expr("n_cross * 1000000L DIV n_pairs")).as("cross_ppm"))
-    summarize(naive, "naive_doc")
-      .unionByName(summarize(cluster, "cluster"))
+    summarize("naive_doc", col("__wp") + col("__ap"),
+        col("__wc") + col("__anc"))
+      .unionByName(summarize("cluster", col("__wp") + col("__ap"),
+        col("__acc")))
       .orderBy(col("method"))
   }
 

@@ -32,6 +32,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // r20 optimization round: ParallelGC + 12g heap was A/B-measured on
+  // the full Bench against this G1/8g default and came out a WASH
+  // (173.4 s vs 173.2 s warm, median per-query ratio 1.015 with LOWER
+  // steal on the ParallelGC run) — the in-suite residual is JIT ramp,
+  // not GC. Kept at the defaults; don't re-derive.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // 110+ declared queries × multiple shuffled bench passes generate
   // more whole-stage-codegen classes than the JVM's default 240 MB

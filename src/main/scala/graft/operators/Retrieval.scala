@@ -73,9 +73,17 @@ object Retrieval {
     * (a no-partition window would drag the corpus to one task). */
   def rankTopK(scored: DataFrame, idCol: String, scoreCol: String,
       k: Int): DataFrame = {
+    // r20: localCheckpoint the k-row slice — `sel` feeds BOTH the rank
+    // join's left side and the broadcast peers, and without the
+    // boundary each consumer re-executed the WHOLE upstream scoring
+    // plan (q164's before-plan instantiated the bm25 subtree four
+    // times / 32 parquet scans; the q144 multi-branch recompute class).
+    // Checkpointing k ≤ tens of rows is free; downstream consumers
+    // (rrfFuse, truth prefixes) reuse it too. Result unchanged.
     val sel = scored.select(col(idCol), col(scoreCol))
       .orderBy(col(scoreCol).desc, col(idCol))
       .limit(k)
+      .localCheckpoint()
     val peers = sel.select(col(idCol).as("__pid"), col(scoreCol).as("__ps"))
     sel.join(broadcast(peers),
         col("__ps") > col(scoreCol) ||

@@ -65,9 +65,18 @@ class RetrievalSpec extends SparkSpec {
     val bm = Retrieval.bm25(corpus, "doc_id", "text", Seq("apple"))
     val bmPlan = bm.queryExecution.executedPlan.toString
     assert(bmPlan.contains("BroadcastHashJoin"), bmPlan)
+    // r20: the k-row slice is localCheckpointed inside rankTopK (so
+    // its two consumers stop re-executing the scoring plan). The
+    // TakeOrdered shape therefore lives in the SLICE's own plan; the
+    // downstream rank join reads the checkpoint (ExistingRDD) and
+    // must still never plan a Window.
+    val slice = bm.select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+    val sPlan = slice.queryExecution.executedPlan.toString
+    assert(sPlan.contains("TakeOrderedAndProject"), sPlan)
     val ranked = Retrieval.rankTopK(bm, "doc_id", "score", 10)
     val rPlan = ranked.queryExecution.executedPlan.toString
-    assert(rPlan.contains("TakeOrderedAndProject"), rPlan)
+    assert(rPlan.contains("ExistingRDD"), rPlan)
     assert(!rPlan.contains("Window"), rPlan)
   }
 

@@ -202,23 +202,33 @@ object Analytics {
     * weight reaches ceil(W·num/den) — thresholds in pure BIGINT
     * arithmetic (never a float of W), selection a conditional `min`
     * of EXISTING values (no interpolation ⇒ nothing to replicate,
-    * bit-exact cross-engine by construction). Same scale shape as
-    * [[quantiles]]: per-(group, value) histogram with map-side
-    * combine, one spill-able ordered window, broadcast totals derived
-    * from the same histogram subtree (one source scan). Weights must
-    * be non-negative integers after the `cast("long")`; null values /
-    * weights drop. Output wide: (group, p25, p50, p75). */
+    * bit-exact cross-engine by construction). Weights must be
+    * non-negative integers after the `cast("long")`; null values /
+    * weights drop. Output wide: (group, p25, p50, p75).
+    *
+    * Scale shape (r21, guide §2.4): the cumulative weight rides the
+    * RAW row stream — the ordered window's default RANGE frame sums
+    * ALL peers of the current value, so every copy of a value carries
+    * exactly the per-(group, value) histogram's cumulative weight and
+    * the selected quantile values are identical with or without the
+    * pre-aggregate. On near-unique value columns the per-(group,
+    * value) groupBy collapsed nothing yet cost a full-stream exchange
+    * + hash aggregate (measured: 1.42 → 1.08-1.37 s BenchOne at
+    * sf0.1 dropping it); broadcast totals come from a map-side-combined
+    * group aggregate of the same scan. One full-stream exchange total
+    * (the window's), spill-able sort, same serial-per-group regime
+    * the histogram window already had. */
   def weightedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
       weightCol: String): DataFrame = {
     val ps = Seq("p25" -> ((1L, 4L)), "p50" -> ((1L, 2L)),
       "p75" -> ((3L, 4L)))
-    val hist = df
+    val base = df
       .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
-      .groupBy(col(groupCol), col(valueCol).as("__v"))
-      .agg(sum(col(weightCol).cast("long")).as("__w"))
+      .select(col(groupCol), col(valueCol).as("__v"),
+        col(weightCol).cast("long").as("__w"))
     val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
-    val totals = hist.groupBy(col(groupCol)).agg(sum(col("__w")).as("__tw"))
-    val cum = hist
+    val totals = base.groupBy(col(groupCol)).agg(sum(col("__w")).as("__tw"))
+    val cum = base
       .withColumn("__cw", sum(col("__w")).over(w))
       .join(broadcast(totals), Seq(groupCol))
     val aggs = ps.map { case (nme, (num, den)) =>
@@ -585,12 +595,23 @@ object Analytics {
     * ((ceil−pos)·lower + (pos−floor)·upper, lower==higher special
     * case) so DuckDB's quantile_cont matches bit-for-bit after the
     * 6 dp round. Memory ∝ distinct values per group, spillable. */
-  private def medianFromHist(hist: DataFrame, outCol: String): DataFrame = {
+  /** Exact per-group median straight off (`__g`, `__v`) ROWS — the
+    * q174 raw-stream discipline: the ordered window's default RANGE
+    * frame sums all peers, so every copy of a value carries the
+    * per-(group, value) histogram's cumulative count, and the peer
+    * count recovers the exclusive lower bound — no pre-aggregate, no
+    * aggregate exchange (r21; the pre-r21 hist shape cost two extra
+    * full-stream exchanges and its 18-scan initial plan paid ~4 more
+    * AQE stage materializations). Value-identical to the histogram
+    * form by the peers argument. */
+  private def medianFromRows(rows: DataFrame, outCol: String): DataFrame = {
     val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
-    val totals = hist.groupBy(col("__g")).agg(sum(col("__cnt")).as("__n"))
-    val cum = hist
-      .withColumn("__hi", sum(col("__cnt")).over(w))
-      .withColumn("__lo", (col("__hi") - col("__cnt")).cast("double"))
+    val wp = Window.partitionBy(col("__g"), col("__v"))
+    val totals = rows.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val cum = rows
+      .withColumn("__hi", sum(lit(1L)).over(w))
+      .withColumn("__lo",
+        (col("__hi") - count(lit(1)).over(wp)).cast("double"))
       .withColumn("__hid", col("__hi").cast("double"))
       .join(broadcast(totals), Seq("__g"))
     val r = lit(0.5) * (col("__n") - 1).cast("double")
@@ -620,9 +641,10 @@ object Analytics {
     * conventional 3.5σ fence.
     *
     * Exact and engine-replayable end to end: both medians come from
-    * [[medianFromHist]] (the q41 exact-quantile plan — and the MAD
-    * histogram is DERIVED from the value histogram by |v − med|
-    * re-aggregation, so the medians cost ONE scan total, not two);
+    * [[medianFromRows]] (the q41 interpolation formula over raw-row
+    * RANGE-frame cums — value-identical to the histogram plan, two
+    * exchanges cheaper each; the MAD rows derive from the value rows
+    * by a broadcast |x − med| projection);
     * the fence comparison lifts 6-dp deviation and MAD to 1e6-scaled
     * integers (the q104 lift) and compares
     * devL·10⁷ > madL·14826·kMilli in DECIMAL(38,0) — no float
@@ -635,14 +657,11 @@ object Analytics {
     val rows = df.filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("__g"), col(idCol).as("__id"),
         col(valueCol).cast("double").as("__x"))
-    val hist = rows.groupBy(col("__g"), col("__x").as("__v"))
-      .agg(count(lit(1)).as("__cnt"))
-    val med = medianFromHist(hist, "med")
-    val devHist = hist.join(broadcast(med), Seq("__g"))
-      .select(col("__g"), abs(col("__v") - col("med")).as("__v"),
-        col("__cnt"))
-      .groupBy(col("__g"), col("__v")).agg(sum(col("__cnt")).as("__cnt"))
-    val mad = medianFromHist(devHist, "mad")
+    val med = medianFromRows(
+      rows.select(col("__g"), col("__x").as("__v")), "med")
+    val devRows = rows.join(broadcast(med), Seq("__g"))
+      .select(col("__g"), abs(col("__x") - col("med")).as("__v"))
+    val mad = medianFromRows(devRows, "mad")
     def lift6(c: Column): Column =
       round(c, 6).cast(DecimalType(18, 6)).multiply(lit(1000000))
         .cast("long")
@@ -1698,7 +1717,16 @@ object Analytics {
     * moments aggregate. Rows with a null group/x/y drop (pairwise
     * deletion is Pearson's contract; Spearman ranks both columns over
     * the SAME row set, so deletion must precede ranking). Zero
-    * variance in either rank column (all-tied) reads NULL. */
+    * variance in either rank column (all-tied) reads NULL.
+    *
+    * r21 tried and REVERTED by measurement: ranks as row-stream
+    * windows (r2 = 2·rank() + peer_count − 1, one group exchange, no
+    * joins, 1 scan) read 2.51 s vs this shape's 1.56 BenchOne at
+    * sf0.1 — with few groups the full row stream serializes through
+    * per-group window tasks TWICE, while here only the value
+    * histogram's ordered window is serial and the rank rejoins sort
+    * in parallel. Don't re-derive (the r20 fan rejection is the same
+    * lesson from the other side). */
   def spearman(df: DataFrame, groupCol: String, xCol: String,
       yCol: String): DataFrame = {
     val dec = DecimalType(38, 0)

@@ -427,8 +427,18 @@ object Curation {
     val base = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("__doc"),
         graft.functions.TextOps.words(col(textCol)).as("__ws"))
+    // r21: vocab explodes wordNgrams(__ws, 1) — element-identical to
+    // explode(__ws) (k=1 emits every word), but the split-based explode
+    // made InferFiltersFromGenerate push `size(split(..))>0` predicates
+    // BELOW this branch's exchange while the kernel-based main branch
+    // pushed nothing, so the two exchange subtrees no longer
+    // canonicalized equal and the vocab branch re-scanned the corpus
+    // (executed-plan evidence: plans/r21/q92 before = 2 scans, after =
+    // 1 scan + ReusedExchange; guide §2.4 share-one-exchange).
     val vocab = base
-      .select(explode(col("__ws")).as("term"))
+      .select(explode(
+        graft.expressions.VectorExpressions.wordNgrams(col("__ws"), 1))
+        .as("term"))
       .agg(countDistinct(col("term")).as("__v"))
     val bigrams = base
       .select(col("__doc"),
@@ -688,7 +698,10 @@ object Curation {
     * therefore the side); the naive method's expected crossing rate is
     * 2·v·(1−v) of pairs. Exact integers throughout: crossing counts
     * are conditional sums, the rate is n_cross·10⁶ DIV n_pairs (NULL
-    * on a pair-free corpus). Output: one row per method
+    * on a pair-free corpus). On a pairless or EMPTY corpus both
+    * n_pairs and n_cross read an exact 0 (the r20 coalesce — the
+    * pre-r20 shape returned NULL n_cross there) and cross_ppm is NULL
+    * — pinned by spec. Output: one row per method
     * (method, n_pairs, n_cross, cross_ppm), ordered by method. Cost =
     * the pair enumeration + one cluster pass over ONE shared
     * (doc, sig) frame — the corpus is hashed once, checkpointed, and

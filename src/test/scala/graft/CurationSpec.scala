@@ -705,6 +705,63 @@ class CurationSpec extends SparkSpec {
       ("naive_doc", 1L, 1L, Some(1000000L))))
   }
 
+  test("splitLeakage: across-sig group arithmetic == enumerated doc-pair " +
+      "reference on a planted near-sig multi-family corpus (q120 parity " +
+      "pattern); empty/pairless corpus reads exact 0") {
+    import graft.operators.Dedup
+    // near-sig families: one-word variants of a 24-word base sit within
+    // hamming<=3 of it (the probed DedupSpec shape), so the band join
+    // produces ACROSS-sig adjacency; family sizes > 1 exercise the
+    // f_a*f_b product terms, and ids are drawn 0..N so lcg buckets
+    // straddle the naive split.
+    val base = (1 to 24).map(i => s"w$i").mkString(" ")
+    def variant(pos: Int, w: String) =
+      (1 to 24).map(i => if (i == pos) w else s"w$i").mkString(" ")
+    val texts = Seq(base, variant(8, "beta"), variant(13, "gamma"),
+      "a totally unrelated short payload")
+    val famSizes = Seq(4, 3, 2, 1)
+    val df = texts.zip(famSizes).zipWithIndex.flatMap { case ((t, n), fi) =>
+      (0 until n).map(j => ((fi * 7 + j).toLong, t)) }
+      .toDF("doc_id", "text")
+    val got = graft.operators.Curation
+      .splitLeakage(df, "doc_id", "text", valPermille = 200)
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+      .sortBy(_._1)
+    // enumerated reference: the pre-r20 composition (doc-level pair
+    // stream + per-doc sides) computed independently
+    def lcg(id: Long): Long =
+      (((id % 2147483648L) * 1103515245L + 12345L) % 2147483648L) % 1000L
+    val pairs = Dedup.simhashNearDups(df, "doc_id", "text", 3)
+      .select(col("id_a"), col("id_b"))
+      .as[(Long, Long)].collect().toSeq
+    val sides = graft.operators.Curation
+      .splitByCluster(df, "doc_id", "text", 200, 3)
+      .select(col("doc_id"), col("split"))
+      .as[(Long, String)].collect().toMap
+    val nPairs = pairs.size.toLong
+    val naiveCross = pairs.count { case (a, b) =>
+      (lcg(a) < 200) != (lcg(b) < 200) }.toLong
+    val clusterCross = pairs.count { case (a, b) =>
+      sides(a) != sides(b) }.toLong
+    def ppm(nc: Long) =
+      if (nPairs > 0) Some(nc * 1000000L / nPairs) else None
+    assert(got === Seq(
+      ("cluster", nPairs, clusterCross, ppm(clusterCross)),
+      ("naive_doc", nPairs, naiveCross, ppm(naiveCross))))
+    // the across-sig term must actually fire: the planted corpus has
+    // more pairs than the within-family C(f,2) total (4C2+3C2+2C2=10)
+    assert(nPairs > 10L, s"planted adjacency missing (nPairs=$nPairs)")
+    assert(naiveCross > 0L, "planted straddle missing")
+    // empty corpus: exact 0 counts, NULL ppm (the r20 coalesce contract)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val gotEmpty = graft.operators.Curation
+      .splitLeakage(empty, "doc_id", "text", valPermille = 200)
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    assert(gotEmpty === Seq(
+      ("cluster", 0L, 0L, None),
+      ("naive_doc", 0L, 0L, None)))
+  }
+
   test("charEntropy: hand-exact 6-dp lifted nats, single-char doc reads " +
       "0, null/empty excluded, partition independence") {
     val docs = Seq(

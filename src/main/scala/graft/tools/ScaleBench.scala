@@ -124,6 +124,47 @@ object ScaleBench {
           .select(col("id_a"), col("id_b"), col("contain_ab"), col("contain_ba"))
           .orderBy(col("id_a"), col("id_b"))
       }
+      // the PRE-r20 q190 shape (raw gram stream shuffled twice: df
+      // groupBy + merge-hinted rejoin) — the A/B counterfactual for the
+      // r20 occurrence-aggregate + window-df rewrite; result-identical
+      case "q190_r18" => {
+        import org.apache.spark.sql.functions._
+        val df = graft.Tables.documents(spark, sfDir)
+        val grams = graft.operators.Dedup.spanStream(df, "doc_id", "text", 32)
+          .select(col("doc"), md5(col("span")).as("fp"))
+        val dfq = grams.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+        val kept = grams.join(dfq.hint("merge"), Seq("fp"))
+          .filter(col("__df") >= 2 && col("__df") <= 64)
+          .select(col("fp"), col("doc"))
+        kept.as("a")
+          .join(kept.as("b").hint("shuffle_hash"),
+            col("a.fp") === col("b.fp") && col("a.doc") < col("b.doc"))
+          .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 1)
+          .orderBy(col("id_a"), col("id_b"))
+      }
+      // the PRE-r20 q171 df attach (selection-stream groupBy +
+      // merge-hinted rejoin) — counterfactual for the r20 window-df
+      case "q171_r18" => {
+        import org.apache.spark.sql.functions._
+        val df = graft.Tables.documents(spark, sfDir)
+        val sel = graft.operators.Dedup
+          .winnowedSelections(df, "doc_id", "text", 8, 4)
+          .select(col("doc"), substring(col("__mk"), 1, 32).as("__fp"))
+          .distinct()
+        val dfq = sel.groupBy(col("__fp")).agg(count(lit(1)).as("__df"))
+        val kept = sel.join(dfq.hint("merge"), Seq("__fp"))
+          .filter(col("__df") <= 64)
+          .select(col("__fp"), col("doc"))
+        kept.as("a")
+          .join(kept.as("b").hint("shuffle_hash"),
+            col("a.__fp") === col("b.__fp") && col("a.doc") < col("b.doc"))
+          .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 30)
+          .orderBy(col("id_a"), col("id_b"))
+      }
       // q193 with the blocks decomposition on both internal band joins
       // — the scale posture (declared query pins blocks=1 at sf0.01)
       case "q193_blocks" =>

@@ -840,13 +840,20 @@ class RobustSpec extends SparkSpec {
       ("g", java.lang.Double.valueOf(2.5), java.lang.Long.valueOf(0L)),
       ("h", java.lang.Double.valueOf(7.0), java.lang.Long.valueOf(5L)),
       ("h", java.lang.Double.valueOf(9.0), java.lang.Long.valueOf(0L)),
-      ("g", null, java.lang.Long.valueOf(1L)))
+      ("g", null, java.lang.Long.valueOf(1L)),
+      // duplicate (group, value) rows — the r21 raw-stream shape must
+      // treat copies as one histogram bucket (RANGE-frame peers):
+      // t: W=4, thresholds 1/2/3; cum(5)=2, cum(6)=4 => p25=5 p50=5 p75=6
+      ("t", java.lang.Double.valueOf(5.0), java.lang.Long.valueOf(1L)),
+      ("t", java.lang.Double.valueOf(5.0), java.lang.Long.valueOf(1L)),
+      ("t", java.lang.Double.valueOf(6.0), java.lang.Long.valueOf(2L)))
       .toDF("grp", "v", "w")
     val got = Analytics.weightedQuantiles(df, "grp", "v", "w")
       .collect().map(r => r.getString(0) ->
         ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
     assert(got("g") === ((2.0, 3.0, 4.0)))
     assert(got("h") === ((7.0, 7.0, 7.0)))
+    assert(got("t") === ((5.0, 5.0, 6.0)))
     val p1 = Analytics.weightedQuantiles(df.repartition(1), "grp", "v", "w")
       .collect().map(_.toString).toSeq
     val p7 = Analytics.weightedQuantiles(df.repartition(7), "grp", "v", "w")

@@ -130,22 +130,38 @@ object Analytics {
     * 100 TB) shrinks the histogram further. [[quantilesApprox]]
     * remains the sketch alternative when a rank-error tolerance is
     * acceptable. */
-  def quantiles(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
-    // histogram over ALL rows (nulls included as their own row) — see
-    // quantilesFromHist for the split; the streaming twin
-    // (Streams.quantileStream) feeds the same from-histogram form with
-    // its ACCUMULATED additive state, so batch and stream are
-    // bit-identical by construction.
-    quantilesFromHist(
-      df.groupBy(col(groupCol), col(valueCol).as("__v"))
-        .agg(count(lit(1)).as("__cnt")),
-      groupCol)
+  def quantiles(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    // r21 (the q174 raw-stream discipline): the cumulative count rides
+    // the RAW row stream — the ordered window's default RANGE frame
+    // counts ALL peers of the current value, so every copy carries
+    // exactly the per-(group, value) histogram's cumulative count and
+    // the peer-count window recovers the exclusive lower bound. On
+    // near-unique value columns the per-(group, value) pre-aggregate
+    // collapsed nothing yet cost a full-stream exchange + hash agg
+    // (BenchOne 1.32 → see OPTIMIZATION_r21.md). Value-identical to
+    // the histogram form by the peers argument; the streaming twin
+    // (Streams.quantileStream) keeps [[quantilesFromHist]] — its state
+    // IS an additive histogram — and both delegate the identical rank
+    // math to [[quantilesFromCum]], so batch and stream still share
+    // the interpolation code path.
+    val rows = df.select(col(groupCol), col(valueCol).as("__v"))
+    val nn = rows.filter(col("__v").isNotNull)
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+    val wp = Window.partitionBy(col(groupCol), col("__v"))
+    val totals = nn.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val cum = nn
+      .withColumn("__hi", sum(lit(1L)).over(w))
+      .withColumn("__lo",
+        (col("__hi") - count(lit(1)).over(wp)).cast("double"))
+      .withColumn("__hid", col("__hi").cast("double"))
+      .join(broadcast(totals), Seq(groupCol))
+    quantilesFromCum(cum, rows.select(col(groupCol)).distinct(), groupCol)
+  }
 
   /** The rank math of [[quantiles]] over a precomputed additive
     * (group, __v, __cnt) histogram. */
   private[graft] def quantilesFromHist(all: DataFrame,
       groupCol: String): DataFrame = {
-    val ps = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
     // the null-filtered view feeds the rank math, while the
     // unfiltered histogram also yields every group key — so a group
     // whose values are all null still emits a row (null p50/p90/p99),
@@ -166,8 +182,21 @@ object Analytics {
       .withColumn("__lo", (col("__hi") - col("__cnt")).cast("double"))
       .withColumn("__hid", col("__hi").cast("double"))
       .join(broadcast(totals), Seq(groupCol))
-    // position of percentile p in the 0-based sorted sequence; a value
-    // with cumulative range [__lo, __hi) holds ranks __lo..__hi-1
+    // one row per group key seen in the input, even when every value
+    // was null (picked has no row there → outs evaluate to null, as
+    // the built-in does)
+    quantilesFromCum(cum, all.select(col(groupCol)).distinct(), groupCol)
+  }
+
+  /** The shared Percentile-formula rank math of [[quantiles]] (raw-row
+    * cums) and [[quantilesFromHist]] (additive-histogram cums): `cum`
+    * carries (`groupCol`, __v, __lo, __hid, __n) where a value's
+    * cumulative range [__lo, __hi) holds 0-based ranks __lo..__hi−1;
+    * `groups` is one row per group key (all-null groups emit null
+    * percentiles via the left join — the built-in contract). */
+  private def quantilesFromCum(cum: DataFrame, groups: DataFrame,
+      groupCol: String): DataFrame = {
+    val ps = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
     def pos(p: Double): Column = lit(p) * (col("__n") - 1).cast("double")
     def valueAtRank(k: Column): Column =
       max(when(col("__lo") <= k && k < col("__hid"), col("__v")))
@@ -186,10 +215,6 @@ object Analytics {
       round(when(kf === kc, vf)
         .otherwise((kc - r) * vf + (r - kf) * vc), 6).as(nme)
     }
-    // one row per group key seen in df, even when every value was null
-    // (picked has no row there → outs evaluate to null, as the built-in
-    // does); picked is one row per group, safely broadcast
-    val groups = all.select(col(groupCol)).distinct()
     groups.join(broadcast(picked), Seq(groupCol), "left")
       .select(col(groupCol) +: outs: _*).orderBy(col(groupCol))
   }
